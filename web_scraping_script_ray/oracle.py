@@ -1,0 +1,182 @@
+"""Sequential crawl oracle — the executable specification (SURVEY.md §5.2).
+
+A tiny single-process simulator of the crawl semantics distilled from the
+reference: seed-order iteration (reference: src/main.py:79), first-wins URL
+dedup (reference: src/main.py:197-206), per-host politeness budget
+generalizing the reference's global blocking delay (reference:
+src/main.py:123, src/scraper.py:97-101), link expansion from ordered spans
+(reference: src/parser.py:68-85 via the span model of
+src/media_downloader.py:326-340), plus the robots rules the north rule adds.
+
+Crawl-order contract (shared with the Ray engine, pipelines/crawl.py):
+
+- BFS rounds from the seed list; round 0 = canonicalized seeds.
+- Within a round: first-wins dedup on ``url_hash`` in discovery order
+  ``(disc_primary, disc_secondary)``; drop already-seen; drop
+  robots-disallowed (path-prefix match; disallowed URLs are never fetched
+  and never enter the seen set).
+- Virtual politeness clock per host ``T[h]`` (starts 0): the i-th surviving
+  candidate of host h this round (in discovery order) gets
+  ``fetch_time = T[h] + i * delay(h)``; after the round
+  ``T[h] += fetched_h * delay(h)`` (only actually-fetched entries advance
+  the clock).
+- Global order within the round = sort by
+  ``(fetch_time, host, disc_primary, disc_secondary)``; truncate to the
+  remaining ``max_urls`` budget; ``crawl_seq`` is the global position.
+- Fetch = lookup into the web table; missing/dangling → ``ok=false`` row
+  (still consumes the politeness slot and enters the seen set).
+- Round r+1 candidates = spans with ``kind='link'`` of round-r ``ok`` docs,
+  canonicalized against the discovering URL;
+  ``disc = (discoverer crawl_seq, span index)``.
+
+Everything here is plain dicts and lists on one thread — the golden data
+for pytest parity with the distributed engine.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .schemas import CRAWLED_SCHEMA, METRICS_SCHEMA, SEEN_SCHEMA
+from .synthweb import Budget
+from .urlnorm import canonicalize, host_of, path_of, url_hash64
+
+
+@dataclass
+class OracleResult:
+    crawled: list[dict] = field(default_factory=list)   # CRAWLED_SCHEMA rows
+    seen: dict[int, str] = field(default_factory=dict)  # url_hash -> url
+    metrics: dict[str, list[int]] = field(default_factory=dict)  # host -> [fetched, errors, bytes]
+
+    def crawled_table(self) -> pa.Table:
+        return pa.Table.from_pylist(self.crawled, schema=CRAWLED_SCHEMA)
+
+    def seen_table(self) -> pa.Table:
+        items = sorted(self.seen.items())
+        return pa.Table.from_arrays(
+            [pa.array([h for h, _ in items], pa.uint64()),
+             pa.array([u for _, u in items], pa.string())],
+            schema=SEEN_SCHEMA,
+        )
+
+    def metrics_table(self) -> pa.Table:
+        hosts = sorted(self.metrics)
+        return pa.Table.from_arrays(
+            [pa.array(hosts, pa.string()),
+             pa.array([self.metrics[h][0] for h in hosts], pa.int64()),
+             pa.array([self.metrics[h][1] for h in hosts], pa.int64()),
+             pa.array([self.metrics[h][2] for h in hosts], pa.int64())],
+            schema=METRICS_SCHEMA,
+        )
+
+
+def load_web_dict(web_dir: str) -> dict[str, list[dict]]:
+    """url -> span list. Test scales only; the oracle is allowed to hold
+    the whole web in one dict — the engine is not."""
+    ds = pads.dataset(os.path.join(web_dir, "web"))
+    out: dict[str, list[dict]] = {}
+    for batch in ds.to_batches():
+        t = batch.to_pydict()
+        for u, spans in zip(t["doc_id"], t["spans"]):
+            out[u] = spans
+    return out
+
+
+def _robots_maps(robots: pa.Table, budget: Budget):
+    dis = {}
+    delay = {}
+    for row in robots.to_pylist():
+        dis[row["host"]] = list(row["disallow"] or [])
+        delay[row["host"]] = float(row["crawl_delay"])
+    return dis, (lambda h: delay.get(h, budget.default_delay)), (
+        lambda h, p: any(p.startswith(pre) for pre in dis.get(h, ()))
+    )
+
+
+def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
+    budget = budget or Budget()
+    web = load_web_dict(web_dir)
+    seeds = pq.read_table(os.path.join(web_dir, "seeds.parquet")).to_pylist()
+    robots = pq.read_table(os.path.join(web_dir, "robots.parquet"))
+    _, delay_of, disallowed = _robots_maps(robots, budget)
+
+    res = OracleResult()
+    clock: dict[str, float] = {}
+
+    # round-0 candidates from seeds
+    cands = []
+    for row in seeds:
+        cu = canonicalize(row["url"])
+        if cu is None:
+            continue
+        cands.append(
+            dict(url=cu, host=host_of(cu), url_hash=url_hash64(cu), depth=0,
+                 disc_primary=int(row["seed_rank"]), disc_secondary=0,
+                 discovered_by="")
+        )
+
+    seq = 0
+    for rnd in range(budget.max_rounds):
+        if not cands or seq >= budget.max_urls:
+            break
+        # first-wins dedup in discovery order, then seen + robots filters
+        cands.sort(key=lambda c: (c["disc_primary"], c["disc_secondary"]))
+        kept, in_round = [], set()
+        for c in cands:
+            h = c["url_hash"]
+            if h in in_round or h in res.seen:
+                continue
+            if disallowed(c["host"], path_of(c["url"])):
+                continue
+            in_round.add(h)
+            kept.append(c)
+        # politeness schedule: per-host serial virtual clock
+        per_host_idx: dict[str, int] = {}
+        for c in kept:
+            i = per_host_idx.get(c["host"], 0)
+            per_host_idx[c["host"]] = i + 1
+            c["fetch_time"] = clock.get(c["host"], 0.0) + i * delay_of(c["host"])
+        kept.sort(key=lambda c: (c["fetch_time"], c["host"],
+                                 c["disc_primary"], c["disc_secondary"]))
+        kept = kept[: budget.max_urls - seq]
+
+        next_cands = []
+        fetched_per_host: dict[str, int] = {}
+        for c in kept:
+            c["crawl_seq"] = seq
+            c["round"] = rnd
+            seq += 1
+            res.seen[c["url_hash"]] = c["url"]
+            fetched_per_host[c["host"]] = fetched_per_host.get(c["host"], 0) + 1
+            spans = web.get(c["url"])
+            m = res.metrics.setdefault(c["host"], [0, 0, 0])
+            if spans is None:
+                c["ok"], c["nbytes"], c["spans"] = False, 0, []
+                m[1] += 1
+            else:
+                c["ok"] = True
+                c["nbytes"] = sum(len(s["text"]) + len(s["media_ref"]) for s in spans)
+                c["spans"] = spans
+                m[0] += 1
+                m[2] += c["nbytes"]
+                for si, s in enumerate(spans):
+                    if s["kind"] != "link":
+                        continue
+                    cu = canonicalize(s["media_ref"], base_url=c["url"])
+                    if cu is None:
+                        continue
+                    next_cands.append(
+                        dict(url=cu, host=host_of(cu), url_hash=url_hash64(cu),
+                             depth=c["depth"] + 1, disc_primary=c["crawl_seq"],
+                             disc_secondary=si, discovered_by=c["url"])
+                    )
+            res.crawled.append(c)
+        for h, k in fetched_per_host.items():
+            clock[h] = clock.get(h, 0.0) + k * delay_of(h)
+        cands = next_cands
+    return res

@@ -1,0 +1,273 @@
+"""Deterministic synthetic-web generator (FIXTURES.md F1–F4).
+
+Produces the input Lance/Parquet tables for the crawl engine: a ``web``
+table of interleaved text+media documents (exactly the ``input_hint``
+schema), a ``seeds`` list, per-host ``robots`` rules and a crawl ``budget``.
+
+Design for determinism AND parallel generation:
+
+- documents are generated in fixed chunks of ``CHUNK`` docs; chunk ``c`` is
+  seeded with ``(seed, c)`` — output is identical whether chunks are built
+  in a driver loop or fanned out as Ray tasks;
+- host assignment is *closed-form*: hosts own contiguous doc-index ranges
+  sized by a Zipf-ish weight vector (hot host 0 holds ≥20% of docs —
+  FIXTURES.md F1 skew requirement), so "a random doc on host h" needs no
+  global state;
+- all URLs are pure functions of the doc index, so link targets across
+  chunks never require coordination.
+
+The ``web`` table is written hash-bucketed by ``url_hash(doc_id) % n_buckets``
+(one directory per bucket) — the layout the fetch stage's lookup join keys
+on, and the layout that makes output resumable/prunable at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schemas import ROBOTS_SCHEMA, SEEDS_SCHEMA, WEB_SCHEMA
+from .urlnorm import url_hash64
+
+CHUNK = 10_000
+
+_VOCAB = np.array(
+    [
+        w + str(i)
+        for i in range(20)
+        for w in ("data", "page", "crawl", "media", "span", "link", "text", "web", "node", "ref")
+    ]
+)
+
+_MEDIA_KINDS = ("image", "video", "audio", "iframe", "doc_link")
+_MEDIA_EXT = {"image": "jpg", "video": "mp4", "audio": "mp3", "iframe": "html", "doc_link": "pdf"}
+
+
+@dataclass(frozen=True)
+class WebParams:
+    n_docs: int = 1_000
+    n_hosts: int = 20
+    seed: int = 42
+    n_buckets: int = 16
+    hot_frac: float = 0.22     # share of docs on host 0
+    zipf_s: float = 1.1
+    max_links: int = 10
+    p_cross_host: float = 0.05
+    p_dangling: float = 0.01
+    p_private: float = 0.04    # docs under /private/ (robots-disallowed on h0001)
+
+
+def host_starts(p: WebParams) -> np.ndarray:
+    """Contiguous doc-index range starts per host (closed-form host map)."""
+    h = np.arange(p.n_hosts, dtype=np.float64)
+    w = (h + 1.0) ** (-p.zipf_s)
+    w[0] = 0.0
+    w = w / w.sum() * (1.0 - p.hot_frac) if p.n_hosts > 1 else w
+    w[0] = p.hot_frac if p.n_hosts > 1 else 1.0
+    sizes = np.maximum(1, np.floor(w * p.n_docs)).astype(np.int64)
+    # fix rounding so sizes sum to n_docs
+    diff = p.n_docs - sizes.sum()
+    sizes[0] += diff
+    starts = np.zeros(p.n_hosts + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    return starts
+
+
+def host_of_doc(idx: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    return np.searchsorted(starts, idx, side="right") - 1
+
+
+def _is_private(idx: np.ndarray, p: WebParams) -> np.ndarray:
+    # cheap per-doc deterministic coin independent of chunk seeding
+    return (idx * 2654435761 % 997) < int(p.p_private * 997)
+
+
+def doc_url(idx, p: WebParams, starts: np.ndarray):
+    """Canonical URL of doc ``idx`` (vectorized over int arrays)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    hosts = host_of_doc(idx, starts)
+    priv = _is_private(idx, p)
+    out = np.empty(len(idx), dtype=object)
+    for i in range(len(idx)):
+        seg = "private/p" if priv[i] else "p"
+        out[i] = f"http://h{hosts[i]:04d}.example/{seg}/{idx[i]:07d}"
+    return out
+
+
+def gen_chunk(chunk_idx: int, p: WebParams, starts: np.ndarray) -> pa.Table:
+    """Generate docs [chunk_idx*CHUNK, ...) as a WEB_SCHEMA Arrow table."""
+    lo = chunk_idx * CHUNK
+    hi = min(lo + CHUNK, p.n_docs)
+    n = hi - lo
+    if n <= 0:
+        return WEB_SCHEMA.empty_table()
+    rng = np.random.Generator(np.random.PCG64([p.seed, chunk_idx]))
+    idx = np.arange(lo, hi, dtype=np.int64)
+    urls = doc_url(idx, p, starts)
+    hosts = host_of_doc(idx, starts)
+    host_sizes = np.diff(starts)
+
+    n_spans = rng.integers(2, 41, size=n)
+    n_links = np.minimum(rng.integers(0, p.max_links + 1, size=n), n_spans - 1)
+
+    kinds_flat: list[str] = []
+    texts_flat: list[str] = []
+    refs_flat: list[str] = []
+    offs_flat: list[int] = []
+    lengths: list[int] = []
+
+    for i in range(n):
+        ns, nl = int(n_spans[i]), int(n_links[i])
+        # span kind layout: nl links + rest split text/media, shuffled
+        rest = ns - nl
+        kind_pool = ["link"] * nl
+        media_n = int(rest * 0.35)
+        kind_pool += list(rng.choice(_MEDIA_KINDS, size=media_n))
+        kind_pool += ["text"] * (rest - media_n)
+        order = rng.permutation(ns)
+        kinds = [kind_pool[j] for j in order]
+
+        # link targets: mostly same host (popularity-skewed), some cross-host,
+        # ~1% dangling — duplicates across discoverers arise naturally.
+        h = int(hosts[i])
+        offset = 0
+        for k in kinds:
+            offset += int(rng.integers(5, 200))
+            kinds_flat.append(k)
+            offs_flat.append(offset)
+            if k == "text":
+                words = rng.choice(_VOCAB, size=int(rng.integers(1, 12)))
+                texts_flat.append(" ".join(words))
+                refs_flat.append("")
+            elif k == "link":
+                texts_flat.append("")
+                u = rng.random()
+                if u < p.p_dangling:
+                    ref = f"http://h{h:04d}.example/p/{p.n_docs + int(rng.integers(0, 50)):07d}"
+                elif u < p.p_dangling + p.p_cross_host:
+                    th = int(rng.integers(0, p.n_hosts))
+                    tgt = int(starts[th] + np.floor(host_sizes[th] * rng.random() ** 2))
+                    ref = str(doc_url([tgt], p, starts)[0])
+                else:
+                    tgt = int(starts[h] + np.floor(host_sizes[h] * rng.random() ** 2))
+                    ref = str(doc_url([tgt], p, starts)[0])
+                # exercise the canonicalizer: some raw refs carry fragments /
+                # uppercase hosts; canonical form must still match the target
+                v = rng.random()
+                if v < 0.05:
+                    ref = ref + "#frag"
+                elif v < 0.08:
+                    ref = ref.replace("http://h", "HTTP://H", 1)
+                refs_flat.append(ref)
+            else:
+                texts_flat.append("")
+                mid = int(rng.integers(0, max(4, p.n_docs // 4)))
+                refs_flat.append(
+                    f"http://cdn{mid % 7}.example/media/{mid:06d}.{_MEDIA_EXT[k]}"
+                )
+        lengths.append(ns)
+
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds_flat, pa.string()),
+            pa.array(texts_flat, pa.string()),
+            pa.array(refs_flat, pa.string()),
+            pa.array(offs_flat, pa.int32()),
+        ],
+        fields=list(WEB_SCHEMA.field("spans").type.value_type),
+    )
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_struct)
+    return pa.Table.from_arrays([pa.array(list(urls), pa.string()), spans], schema=WEB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fixture tables: seeds, robots, budget (FIXTURES.md F2–F4).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Budget:
+    max_rounds: int = 4
+    max_urls: int = 10**9
+    default_delay: float = 1.0
+    per_host_parallel: int = 1  # per-host serial, like the reference's loop
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+    @staticmethod
+    def from_json(s: str) -> "Budget":
+        return Budget(**json.loads(s))
+
+
+def make_seeds(p: WebParams, starts: np.ndarray, n_seeds: int = 8) -> pa.Table:
+    urls = []
+    k = min(n_seeds, p.n_hosts)
+    seed_idx = [int(starts[h]) for h in range(k)]
+    urls.extend(str(u) for u in doc_url(seed_idx, p, starts))
+    # dangling seed + duplicate seed (first-wins dedup exercise)
+    urls.append(f"http://h0000.example/p/{p.n_docs + 999:07d}")
+    urls.append(urls[0])
+    return pa.Table.from_arrays(
+        [pa.array(urls, pa.string()), pa.array(range(len(urls)), pa.int64())],
+        schema=SEEDS_SCHEMA,
+    )
+
+
+def make_robots(p: WebParams) -> pa.Table:
+    hosts, disallow, delay = [], [], []
+    hosts.append("h0000.example"); disallow.append([]); delay.append(0.5)
+    if p.n_hosts > 1:
+        hosts.append("h0001.example"); disallow.append(["/private/"]); delay.append(1.0)
+    if p.n_hosts > 2:
+        hosts.append("h0002.example"); disallow.append([]); delay.append(5.0)
+    return pa.Table.from_arrays(
+        [
+            pa.array(hosts, pa.string()),
+            pa.array(disallow, pa.list_(pa.string())),
+            pa.array(delay, pa.float64()),
+        ],
+        schema=ROBOTS_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialization: bucketed parquet layout (lance slot-in when available).
+# ---------------------------------------------------------------------------
+
+def write_web(out_dir: str, p: WebParams) -> None:
+    """Driver-side generation for test scales; `generate_web_ray` in
+    sources/ fans the same chunks out as Ray tasks for bench scales."""
+    starts = host_starts(p)
+    os.makedirs(out_dir, exist_ok=True)
+    for b in range(p.n_buckets):
+        os.makedirs(os.path.join(out_dir, "web", f"bucket={b}"), exist_ok=True)
+    n_chunks = (p.n_docs + CHUNK - 1) // CHUNK
+    for c in range(n_chunks):
+        t = gen_chunk(c, p, starts)
+        buckets = np.array([url_hash64(u) % p.n_buckets for u in t.column("doc_id").to_pylist()])
+        for b in np.unique(buckets):
+            sub = t.filter(pa.array(buckets == b))
+            pq.write_table(
+                sub, os.path.join(out_dir, "web", f"bucket={int(b)}", f"part-{c:05d}.parquet")
+            )
+    pq.write_table(make_seeds(p, starts), os.path.join(out_dir, "seeds.parquet"))
+    pq.write_table(make_robots(p), os.path.join(out_dir, "robots.parquet"))
+    with open(os.path.join(out_dir, "params.json"), "w") as f:
+        json.dump(p.__dict__, f)
+
+
+def fixture_dir(p: WebParams, root: str = "/tmp/synthweb") -> str:
+    """Deterministic cached fixture location; generate once per param set."""
+    key = f"d{p.n_docs}_h{p.n_hosts}_s{p.seed}_b{p.n_buckets}"
+    out = os.path.join(root, key)
+    marker = os.path.join(out, "params.json")
+    if not os.path.exists(marker):
+        write_web(out, p)
+    return out
