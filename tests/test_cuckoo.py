@@ -1,0 +1,61 @@
+import numpy as np
+import pytest
+
+from web_scraping_script_ray.state.cuckoo import CuckooFilter, SeenShard
+
+
+def _keys(n, seed=0):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 2**63, size=n).astype(np.uint64)
+
+
+def test_cuckoo_no_false_negatives():
+    f = CuckooFilter(capacity=50_000)
+    keys = _keys(40_000)
+    f.add(keys)
+    assert f.contains(keys).all()
+
+
+def test_cuckoo_fpr_bound():
+    f = CuckooFilter(capacity=50_000)
+    f.add(_keys(40_000, seed=1))
+    probe = _keys(100_000, seed=2)
+    fpr = f.contains(probe).mean()
+    assert fpr < 0.01  # 16-bit fingerprints → expected ~1e-4
+
+
+def test_cuckoo_serialize_roundtrip():
+    f = CuckooFilter(capacity=10_000)
+    keys = _keys(5_000, seed=3)
+    f.add(keys)
+    g = CuckooFilter.deserialize(f.serialize())
+    assert g.contains(keys).all()
+    assert g.n_buckets == f.n_buckets
+    assert g.count == f.count
+
+
+def test_cuckoo_over_capacity_raises():
+    f = CuckooFilter(capacity=64)
+    with pytest.raises(RuntimeError):
+        f.add(_keys(10_000, seed=4))
+
+
+def test_seen_shard_exact_confirmation():
+    s = SeenShard(capacity=10_000)
+    a, b = _keys(1_000, seed=5), _keys(1_000, seed=6)
+    assert s.add(a) == 1_000
+    assert s.add(a) == 0  # idempotent
+    assert s.probe(a).all()
+    assert not s.probe(b).any()  # exact confirm kills cuckoo false positives
+    assert s.size() == 1_000
+
+
+def test_seen_shard_dump_load():
+    s = SeenShard(capacity=10_000)
+    keys = _keys(2_000, seed=7)
+    s.add(keys)
+    cuckoo, exact = s.dump()
+    t = SeenShard(capacity=10_000)
+    t.load(cuckoo, exact)
+    assert t.probe(keys).all()
+    assert t.size() == 2_000

@@ -1,0 +1,61 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _ds(n, seed=0, blocks=8):
+    import ray.data
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    t = pa.table(
+        {
+            "k": rng.integers(0, n // 3, size=n),
+            "o": rng.permutation(n),
+            "v": np.arange(n),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks), t
+
+
+def test_zip_with_index_total_order():
+    from web_scraping_script_ray.stages.rank import zip_with_index
+
+    ds, t = _ds(5_000, seed=1)
+    out, n = zip_with_index(ds, ["o"], col="rank")
+    assert n == 5_000
+    df = out.to_pandas().sort_values("rank")
+    assert (df["rank"].values == np.arange(5_000)).all()
+    assert (df["o"].values == np.sort(t["o"].to_numpy())).all()
+
+
+def test_zip_with_index_limit_and_base():
+    from web_scraping_script_ray.stages.rank import zip_with_index
+
+    ds, t = _ds(5_000, seed=2)
+    out, n = zip_with_index(ds, ["o"], col="seq", limit=100, base=7_000)
+    assert n == 100
+    df = out.to_pandas().sort_values("seq")
+    assert len(df) == 100
+    assert df["seq"].iloc[0] == 7_000 and df["seq"].iloc[-1] == 7_099
+    assert (df["o"].values == np.sort(t["o"].to_numpy())[:100]).all()
+
+
+def test_dedup_first_wins_matches_pandas():
+    from web_scraping_script_ray.stages.rank import dedup_first_wins
+
+    ds, t = _ds(10_000, seed=3)
+    out = dedup_first_wins(ds, "k", ["o"]).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (
+        t.to_pandas()
+        .sort_values(["k", "o"], kind="mergesort")
+        .drop_duplicates("k")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (out["k"].values == exp["k"].values).all()
+    assert (out["v"].values == exp["v"].values).all()

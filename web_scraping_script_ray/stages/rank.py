@@ -1,0 +1,111 @@
+"""Distributed global-rank assignment (zipWithIndex) for Ray Datasets.
+
+Ray Data has no native row-number operator; the crawl engine needs a total
+order (``crawl_seq``) over each round's scheduled candidates.  Pattern:
+
+1. ``ds.sort(keys)`` — range-partitioning shuffle; the resulting block
+   list is in global sort order;
+2. per-block row counts via tiny remote tasks (one int per block to the
+   driver — O(blocks), never O(rows));
+3. prefix-sum offsets on the driver, then one remote task per block
+   appends ``offset + arange(len)`` — rows never touch the driver.
+
+This scales to arbitrarily large rounds: driver traffic is #blocks ints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote(num_cpus=0)
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _with_rank(t: pa.Table, rank0: int, base: int, col: str, limit: int | None) -> pa.Table:
+    rank = np.arange(rank0, rank0 + t.num_rows, dtype=np.int64)
+    if limit is not None:
+        t = t.slice(0, max(0, int(limit - rank0)))
+        rank = rank[: t.num_rows]
+    return t.append_column(col, pa.array(rank + base, pa.int64()))
+
+
+def zip_with_index(
+    ds: "ray.data.Dataset",
+    sort_keys: list[str],
+    col: str = "rank",
+    limit: int | None = None,
+    base: int = 0,
+) -> tuple["ray.data.Dataset", int]:
+    """Total-order rank (``base + position``) by ``sort_keys``; rows whose
+    0-based position ≥ ``limit`` are dropped (budget truncation fused into
+    the same pass).  Returns (materialized dataset, surviving row count).
+    """
+    ds = ds.sort(sort_keys)
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds, 0
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    total = int(sum(counts))
+    if limit is not None:
+        total = min(total, int(limit))
+        live = [(r, o) for r, o, c in zip(refs, offsets, counts) if o < limit and c]
+    else:
+        live = [(r, o) for r, o, c in zip(refs, offsets, counts) if c]
+    if not live:
+        return ds.limit(0), 0
+    out = [_with_rank.remote(r, int(o), base, col, limit) for r, o in live]
+    return ray.data.from_arrow_refs(out), total
+
+
+# ---------------------------------------------------------------------------
+# First-wins dedup over a sorted dataset (A3 semantics — keep the first
+# occurrence in discovery order; reference: src/main.py:197-206).
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+def _last_key(t: pa.Table, key: str):
+    return t.column(key)[t.num_rows - 1].as_py() if t.num_rows else None
+
+
+@ray.remote
+def _dedup_block(t: pa.Table, key: str, prev_last) -> pa.Table:
+    if t.num_rows == 0:
+        return t
+    keys = t.column(key).to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = keys[1:] != keys[:-1]
+    if prev_last is not None:
+        first &= keys != keys.dtype.type(prev_last)
+    return t.filter(pa.array(first))
+
+
+def dedup_first_wins(
+    ds: "ray.data.Dataset", key: str, order_cols: list[str]
+) -> "ray.data.Dataset":
+    """Keep, per ``key``, the row with the smallest ``order_cols`` tuple.
+
+    Implementation: range-partitioning sort on (key, *order_cols), then a
+    narrow per-block pass that drops repeats — a block consults only the
+    previous block's last key (O(blocks) driver traffic), so key groups
+    spanning block boundaries dedup correctly without a second shuffle.
+    """
+    ds = ds.sort([key, *order_cols])
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    lasts = ray.get([_last_key.remote(r, key) for r in refs])
+    prev = None
+    out = []
+    for r, last in zip(refs, lasts):
+        out.append(_dedup_block.remote(r, key, prev))
+        if last is not None:
+            prev = last
+    return ray.data.from_arrow_refs(out)

@@ -1,0 +1,133 @@
+"""Span-array transforms: frontier expansion and document projections.
+
+The interleaved span array IS the document (BASELINE.json input_hint); the
+reference's per-page extraction operators become vectorized projections
+over it:
+
+- ``expand_links``: link spans → next-round frontier candidates (the
+  reference extracts links but never enqueues them — src/main.py:107-108;
+  the crawl engine closes that loop);
+- ``project_text``: ordered text spans joined with spaces ≙ M2
+  ``extract_text`` (reference: src/parser.py:41-52);
+- ``explode_media``: media spans with type classification ≙ M10+M13
+  (reference: src/media_downloader.py:326-340, 105-123).
+
+All operate on ``batch_format="pyarrow"`` batches using list-flatten
+kernels; the only per-row Python is URL canonicalization of discovered
+links (string work proportional to the links, not the documents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..htmlparse import get_extension, get_media_type
+from ..schemas import FRONTIER_SCHEMA
+from ..urlnorm import canonicalize, host_of, url_hashes
+
+MEDIA_KINDS = ("image", "video", "audio", "iframe", "doc_link")
+
+
+def _flat_spans(batch: pa.Table):
+    """→ (flat struct array, parent row indices, span index within row)."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    offsets = np.asarray(spans.offsets)
+    span_idx = np.arange(len(flat), dtype=np.int64) - (offsets[parents] - offsets[0])
+    return flat, parents, span_idx
+
+
+def expand_links(batch: pa.Table) -> pa.Table:
+    """Crawled batch (url, crawl_seq, depth, ok, spans) → FRONTIER_SCHEMA
+    candidates for the next round."""
+    batch = batch.filter(batch.column("ok"))
+    if batch.num_rows == 0:
+        return FRONTIER_SCHEMA.empty_table()
+    flat, parents, span_idx = _flat_spans(batch)
+    mask = pc.equal(pc.struct_field(flat, "kind"), "link").to_numpy(zero_copy_only=False)
+    if not mask.any():
+        return FRONTIER_SCHEMA.empty_table()
+    sel = np.where(mask)[0]
+    refs = pc.struct_field(flat, "media_ref").take(pa.array(sel)).to_pylist()
+    parents_sel = parents[sel]
+    span_idx_sel = span_idx[sel]
+    base_urls = batch.column("url").to_pylist()
+    seqs = batch.column("crawl_seq").to_numpy(zero_copy_only=False)
+    depths = batch.column("depth").to_numpy(zero_copy_only=False)
+
+    urls, hosts, keep = [], [], []
+    for i, ref in enumerate(refs):
+        cu = canonicalize(ref, base_url=base_urls[parents_sel[i]])
+        if cu is None:
+            continue
+        keep.append(i)
+        urls.append(cu)
+        hosts.append(host_of(cu))
+    keep = np.array(keep, dtype=np.int64)
+    if len(keep) == 0:
+        return FRONTIER_SCHEMA.empty_table()
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(hosts, pa.string()),
+            pa.array(np.array(url_hashes(urls), dtype=np.uint64), pa.uint64()),
+            pa.array((depths[parents_sel[keep]] + 1).astype(np.int32), pa.int32()),
+            pa.array(seqs[parents_sel[keep]].astype(np.int64), pa.int64()),
+            pa.array(span_idx_sel[keep], pa.int64()),
+            pa.array([base_urls[p] for p in parents_sel[keep]], pa.string()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def project_text(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """doc → full visible text (ordered text spans joined by ' ')."""
+    flat, parents, _ = _flat_spans(batch)
+    is_text = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(zero_copy_only=False)
+    texts = pc.struct_field(flat, "text").to_pylist()
+    out: list[list[str]] = [[] for _ in range(batch.num_rows)]
+    for i in np.where(is_text)[0]:
+        out[parents[i]].append(texts[i])
+    return pa.Table.from_arrays(
+        [batch.column(id_col), pa.array([" ".join(p) for p in out], pa.string())],
+        names=[id_col, "text"],
+    )
+
+
+def explode_media(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """doc → one row per media span: (id, kind, media_ref, offset,
+    media_type) with reference extension classification."""
+    flat, parents, span_idx = _flat_spans(batch)
+    kinds = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+    mask = np.isin(kinds, MEDIA_KINDS)
+    sel = np.where(mask)[0]
+    refs = pc.struct_field(flat, "media_ref").take(pa.array(sel)).to_pylist()
+    ids = batch.column(id_col).take(pa.array(parents[sel]))
+    mtypes = [get_media_type(get_extension(r)) for r in refs]
+    return pa.Table.from_arrays(
+        [
+            ids,
+            pa.array(kinds[sel].tolist(), pa.string()),
+            pa.array(refs, pa.string()),
+            pc.struct_field(flat, "offset").take(pa.array(sel)),
+            pa.array(mtypes, pa.string()),
+        ],
+        names=[id_col, "kind", "media_ref", "offset", "media_type"],
+    )
+
+
+def span_kind_counts(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Per-doc span tallies ≙ A4 per-page counts (reference: src/cli.py:206-208)."""
+    flat, parents, _ = _flat_spans(batch)
+    kinds = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    cols = {k: np.zeros(n, dtype=np.int64) for k in ("text", "link", *MEDIA_KINDS)}
+    for k, arr in cols.items():
+        np.add.at(arr, parents[kinds == k], 1)
+    arrays = [batch.column(id_col)] + [pa.array(cols[k], pa.int64()) for k in cols]
+    return pa.Table.from_arrays(arrays, names=[id_col] + [f"n_{k}" for k in cols])

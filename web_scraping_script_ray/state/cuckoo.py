@@ -1,0 +1,239 @@
+"""Cuckoo-filter URL-seen set, sharded across Ray actors (north_rule T7).
+
+The reference has no URL-seen state at all (it never recurses; SURVEY.md
+§2.7) — its observable semantics are post-hoc first-wins dedup on the URL
+column (reference: src/main.py:197-206).  The north rule requires a sharded
+*cuckoo filter* keyed by the canonical URL hash **and** an exactly-matching
+final seen set.  Design:
+
+- ``CuckooFilter``: numpy-backed, 4-slot buckets, 16-bit fingerprints
+  (FPR ≈ 2·4/2^16 ≈ 1.2e-4), partial-key cuckoo hashing with the
+  fingerprint-XOR alternate bucket.  Serializes to bytes for checkpoints.
+- ``SeenShard`` (Ray actor): a cuckoo filter for fast negative probes plus
+  an exact uint64 set used ONLY to confirm cuckoo-positive probes, so the
+  final seen set is exact (north_rule: URL-seen set must match the oracle
+  exactly).  At 10^10-URL scale the exact set becomes a per-shard sorted
+  parquet spill probed only on the ~1e-4 cuckoo-positive path; in-memory
+  here because the sandbox frontier is ≤1e6.
+- ``ShardedSeen``: driver-side handle — routes ``url_hash % n_shards`` to
+  shard actors, fans probe/add calls out in parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EMPTY = np.uint16(0)
+_BUCKET_SLOTS = 4
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """Approximate membership over uint64 keys."""
+
+    def __init__(self, capacity: int, seed: int = 0x5EED):
+        n_buckets = max(8, int(1 << int(np.ceil(np.log2(capacity / _BUCKET_SLOTS / 0.84 + 1)))))
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, _BUCKET_SLOTS), dtype=np.uint16)
+        self.seed = seed
+        self.count = 0
+        self._rng = np.random.Generator(np.random.PCG64(seed))
+
+    # fingerprint in [1, 2^16): 0 is the empty marker
+    def _fp(self, keys: np.ndarray) -> np.ndarray:
+        fp = ((keys >> np.uint64(48)) ^ (keys >> np.uint64(16))).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return (keys % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # alternate bucket = i1 xor hash(fp)
+        h = (fp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return ((i1.astype(np.uint64) ^ h) % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def add(self, keys: np.ndarray) -> None:
+        keys = np.asarray(keys, dtype=np.uint64)
+        fps, i1s = self._fp(keys), self._i1(keys)
+        i2s = self._i2(i1s, fps)
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            self._insert_one(np.uint16(fp), int(i1), int(i2))
+
+    def _insert_one(self, fp: np.uint16, i1: int, i2: int) -> None:
+        for b in (i1, i2):
+            row = self.table[b]
+            free = np.where(row == _EMPTY)[0]
+            if len(free):
+                row[free[0]] = fp
+                self.count += 1
+                return
+        # evict: random-walk cuckoo kicks
+        b = i1 if self._rng.integers(2) else i2
+        for _ in range(_MAX_KICKS):
+            slot = int(self._rng.integers(_BUCKET_SLOTS))
+            fp, self.table[b, slot] = self.table[b, slot], fp
+            b = int(self._i2(np.array([b], np.int64), np.array([fp], np.uint16))[0])
+            row = self.table[b]
+            free = np.where(row == _EMPTY)[0]
+            if len(free):
+                row[free[0]] = fp
+                self.count += 1
+                return
+        raise RuntimeError("cuckoo filter over capacity — resize the shard")
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s = self._fp(keys), self._i1(keys)
+        i2s = self._i2(i1s, fps)
+        hit1 = (self.table[i1s] == fps[:, None]).any(axis=1)
+        hit2 = (self.table[i2s] == fps[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def serialize(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, seed: int = 0x5EED) -> "CuckooFilter":
+        arr = np.frombuffer(data, dtype=np.uint16).reshape(-1, _BUCKET_SLOTS).copy()
+        f = cls.__new__(cls)
+        f.n_buckets = arr.shape[0]
+        f.table = arr
+        f.seed = seed
+        f.count = int((arr != _EMPTY).sum())
+        f._rng = np.random.Generator(np.random.PCG64(seed))
+        return f
+
+
+class SeenShard:
+    """One shard of the URL-seen set (run as a Ray actor).
+
+    Probe path: cuckoo-negative → definitely new (no exact lookup);
+    cuckoo-positive → confirm against the exact set, so false positives
+    never drop a URL and the final seen set matches the oracle exactly.
+    """
+
+    def __init__(self, capacity: int = 1 << 20):
+        self.filter = CuckooFilter(capacity)
+        self.exact: set[int] = set()
+
+    def probe(self, hashes: np.ndarray) -> np.ndarray:
+        """→ boolean mask: True = already seen."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        maybe = self.filter.contains(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        idx = np.where(maybe)[0]
+        if len(idx):
+            ex = self.exact
+            out[idx] = [int(hashes[i]) in ex for i in idx]
+        return out
+
+    def add(self, hashes: np.ndarray) -> int:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        new = [h for h in hashes.tolist() if h not in self.exact]
+        if new:
+            arr = np.array(new, dtype=np.uint64)
+            self.filter.add(arr)
+            self.exact.update(new)
+        return len(new)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def dump(self) -> tuple[bytes, np.ndarray]:
+        """Checkpoint payload: (cuckoo bytes, exact hashes)."""
+        return self.filter.serialize(), np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+
+    def load(self, cuckoo_bytes: bytes, exact: np.ndarray) -> None:
+        self.filter = CuckooFilter.deserialize(cuckoo_bytes)
+        self.exact = set(np.asarray(exact, dtype=np.uint64).tolist())
+
+
+class ShardedSeen:
+    """Driver-side handle over ``n_shards`` SeenShard actors.
+
+    Shard routing: ``url_hash % n_shards``.  All fan-out calls run in
+    parallel (one RPC per shard holding any of the batch's keys).
+    """
+
+    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 20):
+        import ray
+
+        self.n_shards = n_shards
+        actor = ray.remote(num_cpus=0)(SeenShard)
+        self.shards = [actor.remote(capacity_per_shard) for _ in range(n_shards)]
+
+    def _route(self, hashes: np.ndarray):
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        sid = (hashes % np.uint64(self.n_shards)).astype(np.int64)
+        return hashes, sid
+
+    def probe(self, hashes: np.ndarray) -> np.ndarray:
+        import ray
+
+        hashes, sid = self._route(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.n_shards):
+            idx = np.where(sid == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].probe.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(futs)):
+            out[idx] = mask
+        return out
+
+    def add(self, hashes: np.ndarray) -> None:
+        import ray
+
+        hashes, sid = self._route(hashes)
+        futs = []
+        for s in range(self.n_shards):
+            idx = np.where(sid == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].add.remote(hashes[idx]))
+        ray.get(futs)
+
+    def add_blocks(self, block_refs, hash_col: str = "url_hash") -> None:
+        """Distributed insert: one remote task per Arrow block routes its
+        hashes to the shard actors — rows never pass through the driver."""
+        import ray
+
+        @ray.remote(num_cpus=0)
+        def _add(t, shards, n_shards):
+            h = t.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            sid = (h % np.uint64(n_shards)).astype(np.int64)
+            futs = []
+            for s in range(n_shards):
+                idx = np.where(sid == s)[0]
+                if len(idx):
+                    futs.append(shards[s].add.remote(h[idx]))
+            ray.get(futs)
+            return None
+
+        ray.get([_add.remote(r, self.shards, self.n_shards) for r in block_refs])
+
+    def size(self) -> int:
+        import ray
+
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def dump(self) -> list[tuple[bytes, np.ndarray]]:
+        import ray
+
+        return ray.get([s.dump.remote() for s in self.shards])
+
+    def load(self, dumps: list[tuple[bytes, np.ndarray]]) -> None:
+        import ray
+
+        ray.get(
+            [s.load.remote(cb, ex) for s, (cb, ex) in zip(self.shards, dumps)]
+        )
+
+    def shutdown(self) -> None:
+        import ray
+
+        for s in self.shards:
+            ray.kill(s)

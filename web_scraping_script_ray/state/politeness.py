@@ -1,0 +1,149 @@
+"""Per-host politeness scheduler, sharded across Ray actors (north_rule T6).
+
+Generalizes the reference's single global blocking delay (reference:
+src/main.py:123, src/scraper.py:97-101 jittered sleep, src/scraper.py:157
+extra sleep) into a deterministic per-host *virtual clock*: host ``h`` may
+be fetched at times ``T[h], T[h]+d_h, T[h]+2·d_h, …`` within a round, where
+``d_h`` is the robots crawl-delay (default from the crawl budget).  The
+clocks are the only cross-round politeness state; they shard across actors
+by ``hash(host) % n_shards`` and checkpoint to a host→next_time table.
+
+Robots rules themselves are a small immutable table — broadcast via
+``ray.put`` into the stateless robots-filter stage (SURVEY.md J1 pattern),
+not actor state.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import HOST_CLOCK_SCHEMA
+
+
+def host_shard(host: str, n_shards: int) -> int:
+    return zlib.crc32(host.encode("utf-8")) % n_shards
+
+
+class PolitenessShard:
+    """One shard of per-host clocks (run as a Ray actor)."""
+
+    def __init__(self):
+        self.clock: dict[str, float] = {}
+
+    def get_clocks(self, hosts: list[str]) -> list[float]:
+        return [self.clock.get(h, 0.0) for h in hosts]
+
+    def advance(self, hosts: list[str], deltas: list[float]) -> None:
+        for h, d in zip(hosts, deltas):
+            self.clock[h] = self.clock.get(h, 0.0) + d
+
+    def dump(self) -> dict[str, float]:
+        return dict(self.clock)
+
+    def load(self, clock: dict[str, float]) -> None:
+        self.clock = dict(clock)
+
+
+class PolitenessScheduler:
+    """Driver-side handle over ``n_shards`` PolitenessShard actors.
+
+    Per round the engine asks for the clocks of the round's active hosts
+    (O(hosts-in-round) RPC traffic, never O(frontier)) and advances them by
+    ``fetched_h · d_h`` after budget truncation.  At 10^8-host scale the
+    host→clock map becomes a Lance table joined by host bucket instead of a
+    driver dict — same contract.
+    """
+
+    def __init__(self, n_shards: int = 4):
+        import ray
+
+        self.n_shards = n_shards
+        actor = ray.remote(num_cpus=0)(PolitenessShard)
+        self.shards = [actor.remote() for _ in range(n_shards)]
+
+    def _group(self, hosts: list[str]):
+        groups: dict[int, list[str]] = {}
+        for h in hosts:
+            groups.setdefault(host_shard(h, self.n_shards), []).append(h)
+        return groups
+
+    def get_clocks(self, hosts: list[str]) -> dict[str, float]:
+        import ray
+
+        groups = self._group(hosts)
+        futs = {s: self.shards[s].get_clocks.remote(hs) for s, hs in groups.items()}
+        out: dict[str, float] = {}
+        for s, hs in groups.items():
+            for h, t in zip(hs, ray.get(futs[s])):
+                out[h] = t
+        return out
+
+    def advance(self, deltas: dict[str, float]) -> None:
+        import ray
+
+        groups = self._group(list(deltas))
+        ray.get(
+            [
+                self.shards[s].advance.remote(hs, [deltas[h] for h in hs])
+                for s, hs in groups.items()
+            ]
+        )
+
+    def dump_table(self) -> pa.Table:
+        import ray
+
+        merged: dict[str, float] = {}
+        for d in ray.get([s.dump.remote() for s in self.shards]):
+            merged.update(d)
+        hosts = sorted(merged)
+        return pa.Table.from_arrays(
+            [pa.array(hosts, pa.string()),
+             pa.array([merged[h] for h in hosts], pa.float64())],
+            schema=HOST_CLOCK_SCHEMA,
+        )
+
+    def load_table(self, t: pa.Table) -> None:
+        import ray
+
+        clocks = dict(zip(t.column("host").to_pylist(), t.column("next_time").to_pylist()))
+        groups: dict[int, dict[str, float]] = {}
+        for h, v in clocks.items():
+            groups.setdefault(host_shard(h, self.n_shards), {})[h] = v
+        ray.get([self.shards[s].load.remote(d) for s, d in groups.items()])
+
+    def shutdown(self) -> None:
+        import ray
+
+        for s in self.shards:
+            ray.kill(s)
+
+
+class RobotsRules:
+    """Immutable robots rules — built once, broadcast with ``ray.put``.
+
+    ``disallowed(host, path)`` = any configured prefix matches;
+    ``delay(host)`` = crawl_delay or the budget default.
+    """
+
+    def __init__(self, robots_table: pa.Table, default_delay: float):
+        self.disallow: dict[str, tuple[str, ...]] = {}
+        self.delays: dict[str, float] = {}
+        for row in robots_table.to_pylist():
+            self.disallow[row["host"]] = tuple(row["disallow"] or ())
+            self.delays[row["host"]] = float(row["crawl_delay"])
+        self.default_delay = float(default_delay)
+
+    def delay(self, host: str) -> float:
+        return self.delays.get(host, self.default_delay)
+
+    def allowed_mask(self, hosts: np.ndarray, paths: np.ndarray) -> np.ndarray:
+        out = np.ones(len(hosts), dtype=bool)
+        dis = self.disallow
+        for i, (h, p) in enumerate(zip(hosts, paths)):
+            pre = dis.get(h)
+            if pre and any(p.startswith(x) for x in pre):
+                out[i] = False
+        return out
