@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself BEFORE importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline over /root/testdata/sf0.001 — documents
+  → token counts → quality scores → language ID → exact dedup → per-lang
+  summary (all streaming map_batches / groupby over zero-copy Arrow).
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data additions (dedup, similarity
+  search, text analysis, multimodal, crawl) — see
+  ``web_scraping_script_ray/pipelines/queries.py``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query (identical column names; integer-cent sums; floor6 floats).
 """
 
 from __future__ import annotations
@@ -18,27 +19,47 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: text-analysis + dedup pipeline over sf0.001 documents."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from web_scraping_script_ray.functions.dedup import exact_dedup
+    from web_scraping_script_ray.functions.text import (
+        LangId,
+        quality_scores,
+        token_counts,
+    )
+
+    ds = ray.data.read_parquet(f"{SF0001}/documents.parquet")
+    ds = ds.map_batches(token_counts, batch_format="pyarrow")
+    ds = ds.map_batches(quality_scores, batch_format="pyarrow")
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    ds = exact_dedup(ds, "text", ["doc_id"])
+    agg = ds.groupby("lang").aggregate(Count(), Sum("n_ws_tokens"), Sum("q_tokens"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        mapping = {
+            "count()": "n_docs",
+            "sum(n_ws_tokens)": "sum_ws_tokens",
+            "sum(q_tokens)": "sum_q_tokens",
+        }
+        return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from web_scraping_script_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from web_scraping_script_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

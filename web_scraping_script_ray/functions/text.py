@@ -1,0 +1,236 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's text handling (M2 ``extract_text`` /
+M8 ``clean_text``, reference: src/parser.py:41-52, 209-226) with the
+operations a 100 TB training-data pipeline needs: token counting,
+quality scoring, language identification and document fingerprinting.
+
+All operators are **vectorized batch functions** over ``pyarrow`` batches
+(`batch_format="pyarrow"`), designed for ``Dataset.map_batches``:
+
+- token counts use ``pyarrow.compute.count_substring_regex`` (no Python
+  row loop);
+- quality scoring is pure Arrow/numpy arithmetic over those counts;
+- language ID scores character n-gram / stopword profiles with one
+  compiled regex pass per language (per-batch, not per-row);
+- fingerprints (md5 + winnowing rolling hash) hash the UTF-8 bytes
+  directly from the Arrow buffer.
+
+SQL-parity notes: ``token_count`` / ``quality`` columns are defined so a
+DuckDB oracle can reproduce them bit-for-bit (integer counts; float
+ratios computed with one division and rounded to 6 decimals).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Whitespace tokenization: runs of non-space (mirrors the reference's
+# space-joined text model, src/parser.py:51-52).
+WS_TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation.
+# Kept RE2-compatible so the DuckDB oracle uses the same pattern.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS = frozenset(
+    (
+        "the", "a", "an", "of", "to", "in", "and", "or", "is", "are",
+        "for", "on", "with", "as", "by", "at", "from",
+    )
+)
+_PUNCT_RE = r"[.,!?;:]"
+
+
+def floor6(x: np.ndarray) -> np.ndarray:
+    """floor to 6 decimals — unlike round(), floor() has identical
+    semantics in numpy and DuckDB (numpy rounds half-to-even, DuckDB
+    half-away-from-zero), so oracle SQL can reproduce it bit-for-bit."""
+    return np.floor(x * 1e6) / 1e6
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_ws_tokens`` / ``n_bpe_tokens`` (int64) columns."""
+    text = batch.column(text_col)
+    ws = pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64())
+    bpe = pc.count_substring_regex(text, BPE_TOKEN_RE).cast(pa.int64())
+    batch = batch.append_column("n_ws_tokens", ws)
+    return batch.append_column("n_bpe_tokens", bpe)
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality columns: ``q_chars``, ``q_tokens``, ``stop_ratio``,
+    ``punct_ratio``, ``quality`` (all deterministic; ratios floored to 6dp).
+
+    quality = 0.5·min(tokens,100)/100 + 0.3·min(stop_ratio·5,1) +
+              0.2·(1 − min(punct_ratio·10,1)), floored to 6dp — a
+    length/stopword/punctuation blend in the C4/Gopher-rule spirit.
+    Stopword count = whitespace tokens (lowercased) that are exactly a
+    STOPWORDS member — a definition a SQL oracle can replicate exactly
+    (list_filter over regexp_extract_all), unlike a lookahead regex
+    (RE2 has no lookahead).
+    """
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tok = (
+        pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64())
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    stop = STOPWORDS
+    n_stop = np.fromiter(
+        (
+            sum(t in stop for t in s.lower().split())
+            for s in batch.column(text_col).to_pylist()
+        ),
+        dtype=np.float64,
+        count=batch.num_rows,
+    )
+    n_punct = (
+        pc.count_substring_regex(text, _PUNCT_RE).cast(pa.int64())
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    stop_ratio = floor6(np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0))
+    punct_ratio = floor6(np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0))
+    quality = floor6(
+        0.5 * np.minimum(n_tok, 100.0) / 100.0
+        + 0.3 * np.minimum(stop_ratio * 5.0, 1.0)
+        + 0.2 * (1.0 - np.minimum(punct_ratio * 10.0, 1.0))
+    )
+    batch = batch.append_column("q_chars", pa.array(n_chars.astype(np.int64), pa.int64()))
+    batch = batch.append_column("q_tokens", pa.array(n_tok.astype(np.int64), pa.int64()))
+    batch = batch.append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
+    batch = batch.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+    return batch.append_column("quality", pa.array(quality, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# Language identification — stopword-profile heuristic.
+# ---------------------------------------------------------------------------
+
+# Small high-frequency function-word profiles (top words per language).
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "this"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "ich"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour", "pas", "je"),
+    "es": ("el", "la", "los", "las", "y", "es", "una", "en", "que", "por", "con", "para"),
+    "it": ("il", "la", "e", "che", "di", "un", "una", "per", "non", "sono", "con", "del"),
+}
+
+
+_WORD_RE = re.compile(r"[a-zà-ÿ]+")
+
+
+class LangId:
+    """Actor-pool callable: builds frozen profile sets and a word→langmask
+    table once per actor (`__init__`); per batch, tokenizes each text once
+    and scores profile-word membership per language.
+
+    Score(lang) = profile-word hits / max(word tokens, 1); predicted
+    language is the argmax (ties → lexicographic first), or 'und'
+    (undetermined) when the best score < ``min_score``.  Profile sets are
+    tiny; the per-token work is one dict lookup (no regex per language —
+    RE2 engines have no lookahead, and alternation scans are slower than
+    a hash probe).
+    """
+
+    def __init__(self, min_score: float = 0.05, text_col: str = "text"):
+        self.min_score = min_score
+        self.text_col = text_col
+        self.langs = sorted(_LANG_PROFILES)
+        self.word_mask: dict[str, int] = {}
+        for li, lang in enumerate(self.langs):
+            for w in _LANG_PROFILES[lang]:
+                self.word_mask[w] = self.word_mask.get(w, 0) | (1 << li)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_langs = len(self.langs)
+        n = batch.num_rows
+        scores = np.zeros((n_langs, n), dtype=np.float64)
+        wm = self.word_mask
+        for i, s in enumerate(batch.column(self.text_col).to_pylist()):
+            words = _WORD_RE.findall(s.lower())
+            if not words:
+                continue
+            hits = [0] * n_langs
+            for w in words:
+                mask = wm.get(w)
+                if mask:
+                    for li in range(n_langs):
+                        if mask & (1 << li):
+                            hits[li] += 1
+            denom = float(len(words))
+            for li in range(n_langs):
+                scores[li, i] = hits[li] / denom
+        best = scores.argmax(axis=0)
+        best_score = scores.max(axis=0)
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[best_score < self.min_score] = "und"
+        batch = batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+        return batch.append_column(
+            "lang_score", pa.array(floor6(best_score), pa.float64())
+        )
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stateless convenience wrapper (tests); production uses the LangId
+    actor pool so regex compilation happens once per actor."""
+    return LangId(text_col=text_col)(batch)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting.
+# ---------------------------------------------------------------------------
+
+def md5_fingerprint(batch: pa.Table, text_col: str = "text", out_col: str = "fp_md5") -> pa.Table:
+    """Exact-content fingerprint: md5 hex of the UTF-8 bytes — the same
+    content-hash idea as the reference's media filenames
+    (reference: src/media_downloader.py:181-188)."""
+    md5 = hashlib.md5
+    vals = [md5(t.encode("utf-8")).hexdigest() for t in batch.column(text_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(vals, pa.string()))
+
+
+_B = np.uint64(1000003)          # polynomial base
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """uint64 polynomial hashes of all k-byte windows (vectorized)."""
+    if len(data) < k:
+        return np.zeros(0, dtype=np.uint64)
+    # Horner over k offsets: h[i] = sum data[i+j] * B^(k-1-j)
+    out = np.zeros(len(data) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        out = (out * _B + data[j : len(data) - k + 1 + j].astype(np.uint64)) & _MASK
+    return out
+
+
+def winnow_fingerprint(
+    text: str, k: int = 8, window: int = 16
+) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD'03): min rolling k-gram hash per
+    sliding window, deduplicated — a compact, position-robust fingerprint."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    hs = _rolling_hashes(data, k)
+    if len(hs) == 0:
+        return []
+    if len(hs) <= window:
+        return [int(hs.min())]
+    w = np.lib.stride_tricks.sliding_window_view(hs, window)
+    mins = w.min(axis=1)
+    keep = np.ones(len(mins), dtype=bool)
+    keep[1:] = mins[1:] != mins[:-1]
+    return np.unique(mins[keep]).tolist()
+
+
+def winnow_batch(batch: pa.Table, text_col: str = "text", k: int = 8, window: int = 16) -> pa.Table:
+    """Append ``fp_winnow`` (list<uint64>) — per-doc winnowing fingerprint."""
+    fps = [
+        winnow_fingerprint(t, k, window)
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("fp_winnow", pa.array(fps, pa.list_(pa.uint64())))

@@ -1,0 +1,117 @@
+"""Declarative post-processing ops compiled to Ray Data operations.
+
+The reference's pipeline YAML carries a ``post_processing`` op list —
+filter / sort / deduplicate over the collected results via pandas
+(reference: src/main.py:166-206, configured in src/pipeline.yaml:40-58) —
+plus an export step (reference: src/main.py:208-222).  Here the same
+declarative spec compiles onto a streaming ``Dataset``:
+
+- ``filter`` (A1): ``equals`` / ``contains`` / ``greater_than`` /
+  ``less_than`` on a column; a missing column is a warn+no-op, exactly
+  like the reference (src/main.py:173-175);
+- ``sort`` (A2): global sort shuffle, ``ascending`` flag;
+- ``deduplicate`` (A3): first-wins on the subset columns *in current
+  order* — the engine carries an explicit order column (``crawl_seq`` /
+  row id) because block order is not a contract under parallelism;
+- ``limit``: ``Dataset.limit``;
+- export (K5): parquet / csv / json writers.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.rank import dedup_first_wins
+
+logger = logging.getLogger(__name__)
+
+_FILTER_OPS = ("equals", "contains", "greater_than", "less_than")
+
+
+def _apply_filter(ds: "ray.data.Dataset", column: str, op: str, value) -> "ray.data.Dataset":
+    if op not in _FILTER_OPS:
+        logger.warning("unknown filter op %r — skipping (reference no-op behavior)", op)
+        return ds
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if column not in batch.column_names:
+            # reference: warn + no-op on missing column (src/main.py:173-175)
+            return batch
+        col = batch.column(column)
+        if op == "equals":
+            mask = pc.equal(col, value)
+        elif op == "contains":
+            # reference: str.contains with na=False (src/main.py:178-179)
+            mask = pc.match_substring(col.cast(pa.string()), str(value))
+        elif op == "greater_than":
+            mask = pc.greater(col, value)
+        else:
+            mask = pc.less(col, value)
+        mask = pc.fill_null(mask, False)
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def apply_ops(
+    ds: "ray.data.Dataset",
+    ops: list[dict],
+    order_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Compile a reference-style post_processing op list onto a Dataset.
+
+    ``order_col`` names the column defining "current order" for
+    deduplicate's first-wins semantics (e.g. ``crawl_seq``); required when
+    a deduplicate op is present.
+    """
+    for op in ops:
+        typ = op.get("type")
+        if typ == "filter":
+            ds = _apply_filter(ds, op["column"], op.get("operation", "equals"), op.get("value"))
+        elif typ == "sort":
+            ds = ds.sort(op["column"], descending=not op.get("ascending", True))
+        elif typ == "deduplicate":
+            cols = op.get("columns") or op.get("subset") or []
+            if not cols:
+                logger.warning("deduplicate without columns — skipping")
+                continue
+            if order_col is None:
+                raise ValueError("deduplicate needs order_col for first-wins semantics")
+            if len(cols) == 1:
+                key = cols[0]
+            else:
+                # composite key → single hashable key column
+                def add_key(batch: pa.Table, cols=tuple(cols)) -> pa.Table:
+                    key_vals = [
+                        "\x1f".join(str(v) for v in row)
+                        for row in zip(*(batch.column(c).to_pylist() for c in cols))
+                    ]
+                    return batch.append_column("__dedup_key", pa.array(key_vals, pa.string()))
+
+                ds = ds.map_batches(add_key, batch_format="pyarrow")
+                key = "__dedup_key"
+            ds = dedup_first_wins(ds, key, [order_col])
+            if key == "__dedup_key":
+                ds = ds.drop_columns(["__dedup_key"])
+        elif typ == "limit":
+            ds = ds.limit(int(op["n"]))
+        else:
+            logger.warning("unknown post-processing op %r — skipping", typ)
+    return ds
+
+
+def export(ds: "ray.data.Dataset", path: str, fmt: str = "parquet") -> None:
+    """K5 export (reference: src/main.py:208-222): parquet (the engine
+    default — partitioned, resumable), csv or json."""
+    if fmt == "parquet":
+        ds.write_parquet(path)
+    elif fmt == "csv":
+        ds.write_csv(path)
+    elif fmt == "json":
+        ds.write_json(path)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")

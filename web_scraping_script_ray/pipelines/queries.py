@@ -1,0 +1,746 @@
+"""Named query pipelines over the driver test tables + their DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 (or one of the
+training-data additions) as a Ray Data pipeline over the parquet tables in
+an ``sf_dir``, together with an ANSI-SQL oracle the driver runs in DuckDB
+on the same files.  Column names and value semantics are defined to match
+bit-for-bit:
+
+- money/value aggregates sum **integer cents** (``round(x*100)::bigint``)
+  so partial aggregation order cannot perturb float sums;
+- float ratios/scores are **floored to 6 decimals** (``floor6``) — floor
+  has identical numpy/DuckDB semantics, unlike round (half-even vs
+  half-away);
+- every computed column is explicitly named identically on both sides.
+
+Non-SQL-expressible pipelines (crawl, LSH dedup, IVF search, language ID,
+winnowing, multimodal decode) have no oracle entry — the driver records a
+rows-only check and pytest covers their semantics against hand-built
+fixtures or the sequential oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..functions.sim import IVFIndex, ann_topk
+from ..functions.text import (
+    LangId,
+    floor6,
+    md5_fingerprint,
+    quality_scores,
+    token_counts,
+    winnow_batch,
+)
+from ..stages.multimodal import ImageDecoder, MediaMaterializer
+from ..stages.rank import dedup_first_wins
+from .postprocess import apply_ops
+
+_STOP_SQL = "['the','a','an','of','to','in','and','or','is','are','for','on','with','as','by','at','from']"
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
+    cents = pc.round(pc.multiply(batch.column(src), 100.0)).cast(pa.int64())
+    return batch.append_column(dst, cents)
+
+
+def _rename(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
+
+
+# ---------------------------------------------------------------------------
+# Relational / reference-op queries (A1–A4, top-k, union, broadcast join).
+# ---------------------------------------------------------------------------
+
+def q_agg_lineitem(sf_dir: str):
+    """A4-style grouped aggregate with partial pre-aggregation semantics:
+    integer-cent sums make the result independent of combine order."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    ds = ds.map_batches(
+        lambda b: _cents(_cents(b, "l_quantity", "qty_cents"), "l_extendedprice", "price_cents"),
+        batch_format="pyarrow",
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_cents"), Sum("price_cents"), Count()
+    )
+    return agg.map_batches(
+        lambda b: _rename(
+            b,
+            {
+                "sum(qty_cents)": "sum_qty_cents",
+                "sum(price_cents)": "sum_price_cents",
+                "count()": "n_rows",
+            },
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_AGG_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_equals(sf_dir: str):
+    """A1 ``equals`` filter via the declarative post-processing compiler
+    (reference: src/main.py:171-186)."""
+    ds = _read(sf_dir, "customer")
+    return apply_ops(ds, [{"type": "filter", "column": "c_mktsegment", "operation": "equals", "value": "BUILDING"}])
+
+
+SQL_FILTER_EQUALS = "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+def q_filter_contains(sf_dir: str):
+    ds = _read(sf_dir, "part")
+    return apply_ops(ds, [{"type": "filter", "column": "p_name", "operation": "contains", "value": "red"}])
+
+
+SQL_FILTER_CONTAINS = "SELECT * FROM part WHERE p_name LIKE '%red%'"
+
+
+def q_filter_range(sf_dir: str):
+    ds = _read(sf_dir, "orders")
+    return apply_ops(
+        ds,
+        [
+            {"type": "filter", "column": "o_totalprice", "operation": "greater_than", "value": 400000.0},
+            {"type": "filter", "column": "o_totalprice", "operation": "less_than", "value": 450000.0},
+        ],
+    )
+
+
+SQL_FILTER_RANGE = "SELECT * FROM orders WHERE o_totalprice > 400000.0 AND o_totalprice < 450000.0"
+
+
+def q_topk_orders(sf_dir: str):
+    """A2 sort + top-k: global sort shuffle, deterministic tie-break."""
+    ds = _read(sf_dir, "orders")
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+SQL_TOPK_ORDERS = "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+
+
+def q_dedup_orders(sf_dir: str):
+    """A3 first-wins dedup: first order per customer in (date, key) order —
+    sort-based dedup, one range shuffle + narrow pass."""
+    ds = _read(sf_dir, "orders")
+    return dedup_first_wins(ds, "o_custkey", ["o_orderdate", "o_orderkey"])
+
+
+SQL_DEDUP_ORDERS = """
+SELECT * FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+"""
+
+
+def q_broadcast_join(sf_dir: str):
+    """J1 broadcast-small-side lookup: nation (25 rows) shipped once via
+    ``ray.put``, probed per batch — no shuffle join."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    lookup = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    lref = ray.put(lookup)
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lref)
+        names = [lk.get(k) for k in batch.column("c_nationkey").to_pylist()]
+        b = batch.append_column("n_name", pa.array(names, pa.string()))
+        return _cents(b, "c_acctbal", "acctbal_cents")
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        add_nation, batch_format="pyarrow"
+    )
+    agg = ds.groupby("n_name").aggregate(Count(), Sum("acctbal_cents"))
+    return agg.map_batches(
+        lambda b: _rename(
+            b, {"count()": "n_customers", "sum(acctbal_cents)": "sum_acctbal_cents"}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT n_name, count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_union_parties(sf_dir: str):
+    """Set op: union of customer and supplier (name, nationkey)."""
+    cust = _read(sf_dir, "customer", ["c_name", "c_nationkey"]).map_batches(
+        lambda b: _rename(b, {"c_name": "party_name", "c_nationkey": "nationkey"}),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", ["s_name", "s_nationkey"]).map_batches(
+        lambda b: _rename(b, {"s_name": "party_name", "s_nationkey": "nationkey"}),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp)
+
+
+SQL_UNION_PARTIES = """
+SELECT c_name AS party_name, c_nationkey AS nationkey FROM customer
+UNION ALL
+SELECT s_name AS party_name, s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-stream queries: windowed aggregate + sessionization.
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    """Windowed (tumbling-hour) aggregate per event_type."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.append_column("ts_hour", pc.floor_temporal(batch.column("ts"), unit="hour"))
+        return _cents(b, "value", "value_cents")
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "ts_hour"])
+        .aggregate(Count(), Sum("value_cents"))
+    )
+    return agg.map_batches(
+        lambda b: _rename(b, {"count()": "n_events", "sum(value_cents)": "sum_value_cents"}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS ts_hour, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Stateful per-key windowing: sessions split on >30 min gaps.
+    ``groupby(user).map_groups`` — per-user state never crosses groups."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        # unit-safe epoch-ms regardless of the pandas datetime64 unit
+        ms = g["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+        n_sessions = 1 + int((np.diff(ms) > 1_800_000).sum()) if len(ms) else 0
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+                pa.array([len(g)], pa.int64()),
+                pa.array([n_sessions], pa.int64()),
+            ],
+            names=["user_id", "n_events", "n_sessions"],
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+    SELECT user_id, epoch_ms(ts) AS ms,
+           lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis queries over `documents`.
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_ws_tokens", "n_bpe_tokens"]
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_scores, batch_format="pyarrow").select_columns(
+        ["doc_id", "q_chars", "q_tokens", "stop_ratio", "punct_ratio", "quality"]
+    )
+
+
+SQL_QUALITY = rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS q_chars,
+           len(regexp_extract_all(text, '\S+')) AS q_tokens,
+           len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                           x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+           len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+    FROM documents
+), r AS (
+    SELECT doc_id, q_chars, q_tokens,
+           CASE WHEN q_tokens > 0
+                THEN floor(n_stop / greatest(q_tokens, 1) * 1000000) / 1000000
+                ELSE 0.0 END AS stop_ratio,
+           CASE WHEN q_chars > 0
+                THEN floor(n_punct / greatest(q_chars, 1) * 1000000) / 1000000
+                ELSE 0.0 END AS punct_ratio
+    FROM t
+)
+SELECT doc_id, q_chars, q_tokens, stop_ratio, punct_ratio,
+       floor((0.5 * least(CAST(q_tokens AS DOUBLE), 100.0) / 100.0
+            + 0.3 * least(stop_ratio * 5.0, 1.0)
+            + 0.2 * (1.0 - least(punct_ratio * 10.0, 1.0))) * 1000000) / 1000000 AS quality
+FROM r
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(md5_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp_md5"]
+    )
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "text", ["doc_id"]).select_columns(["doc_id", "fp_md5"])
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT doc_id, md5(text) AS fp_md5 FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
+    return agg.map_batches(
+        lambda b: _rename(b, {"count()": "n_docs", "sum(n_chars)": "sum_chars"}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LANG_COUNTS = (
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
+)
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID (rows-only check; accuracy tested in pytest
+    against hand-written multilingual fixtures)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "lang_pred", "lang_score"]
+    )
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprint sizes (rows-only; semantics pytest-covered)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def n_fp(batch: pa.Table) -> pa.Table:
+        b = winnow_batch(batch)
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), pc.list_value_length(b.column("fp_winnow")).cast(pa.int64())],
+            names=["doc_id", "n_fingerprints"],
+        )
+
+    return ds.map_batches(n_fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection.  The driver's documents table contains natural
+# near-duplicates by construction (e.g. docs 0/50 have 3-gram Jaccard 0.95),
+# so these run on the raw table.  MinHash/SimHash outputs are approximate →
+# rows-only checks (semantics pytest-covered with planted fixtures); the
+# exact n-gram-Jaccard query is the SQL-oracled ground truth.
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (est. Jaccard ≥ 0.7)."""
+    return minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.7,
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash Hamming-≤3 near-dup pairs."""
+    return simhash_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+        max_dist=3,
+    )
+
+
+_JACCARD_SUBSET = 200  # bounded all-pairs probe of the exact kernel
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact 3-gram-Jaccard pairs (≥ 0.5) among docs 0..199 — the exact
+    ground-truth kernel LSH candidates are verified against.  The shingle
+    sets of the bounded subset are broadcast once (``ray.put``); each batch
+    compares its rows against the broadcast side (no shuffle).  At scale
+    the same kernel runs per LSH bucket instead of all-pairs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), _JACCARD_SUBSET)),
+        batch_format="pyarrow",
+    )
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            toks = t.lower().split()
+            out.append(
+                sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+            )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(out, pa.list_(pa.string()))],
+            names=["doc_id", "shingles"],
+        )
+
+    shingled = ds.map_batches(shingles, batch_format="pyarrow")
+    tables = [t for t in ray.get(shingled.to_arrow_refs()) if t.num_rows]
+    all_ids, all_sets = [], []
+    for t in tables:
+        all_ids.extend(t.column("doc_id").to_pylist())
+        all_sets.extend(frozenset(s) for s in t.column("shingles").to_pylist())
+    order = np.argsort(all_ids)
+    all_ids = [all_ids[i] for i in order]
+    all_sets = [all_sets[i] for i in order]
+    bref = ray.put((all_ids, all_sets))
+
+    def pairs_vs_all(batch: pa.Table) -> pa.Table:
+        g_ids, g_sets = ray.get(bref)
+        out_a, out_b, out_j = [], [], []
+        for i, sh in zip(
+            batch.column("doc_id").to_pylist(),
+            (frozenset(s) for s in batch.column("shingles").to_pylist()),
+        ):
+            for j, other in zip(g_ids, g_sets):
+                if j <= i:
+                    continue
+                inter = len(sh & other)
+                uni = len(sh) + len(other) - inter
+                if uni and inter / uni >= 0.5:
+                    out_a.append(i)
+                    out_b.append(j)
+                    out_j.append(np.floor(inter / uni * 1e6) / 1e6)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_a, pa.int64()),
+                pa.array(out_b, pa.int64()),
+                pa.array(out_j, pa.float64()),
+            ],
+            names=["id_a", "id_b", "jaccard"],
+        )
+
+    return shingled.map_batches(pairs_vs_all, batch_format="pyarrow")
+
+
+SQL_JACCARD_PAIRS = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+  FROM documents WHERE doc_id < {_JACCARD_SUBSET}
+),
+expl AS (
+  SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks
+),
+sh AS (
+  SELECT doc_id, list(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+  FROM expl GROUP BY doc_id
+),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         len(list_intersect(x.s, y.s)) AS inter,
+         len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, floor(inter * 1.0 / uni * 1000000) / 1000000 AS jaccard
+FROM pairs WHERE inter * 1.0 / uni >= 0.5
+"""
+
+
+def q_neardup_embeddings(sf_dir: str):
+    """Exact embedding-cosine pairs ≥ 0.4 — broadcast matmul, no shuffle."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, threshold=0.4)
+    return pairs.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("cos"),
+            "cos",
+            pa.array(floor6(b.column("cos").to_numpy(zero_copy_only=False)), pa.float64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NEARDUP_EMBEDDINGS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_cosine_similarity(a.em, b.em) * 1000000) / 1000000 AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.em, b.em) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+# ---------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    mask = pc.less(t.column("vec_id"), n)
+    t = t.filter(mask)
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    qids = t.column("vec_id").to_numpy(zero_copy_only=False)[order]
+    qmat = np.stack(t.column("embedding").to_numpy(zero_copy_only=False))[order]
+    return qids, qmat
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors 0–4: partial top-k per
+    block + tiny groupby merge."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_topk(ds, qmat, qids, k=10)
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("cos"),
+            "cos",
+            pa.array(floor6(b.column("cos").to_numpy(zero_copy_only=False)), pa.float64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings),
+     q AS (SELECT vec_id AS qid, em AS qe FROM e WHERE vec_id < 5)
+SELECT qid, vec_id, floor(cos_full * 1000000) / 1000000 AS cos
+FROM (
+    SELECT q.qid, e.vec_id, list_cosine_similarity(e.em, q.qe) AS cos_full
+    FROM e CROSS JOIN q
+    WHERE e.vec_id != q.qid
+)
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, vec_id) <= 10
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-partitioned ANN (approximate — rows-only; recall vs brute force
+    is pytest-asserted)."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index = IVFIndex.train(ds, n_lists=16)
+    assigned = index.assign(ds)
+    return index.search(assigned, qmat, qids, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — rows-only; see stages/multimodal.py).
+# ---------------------------------------------------------------------------
+
+def q_media_features(sf_dir: str):
+    """documents → synthetic media refs → materialize payloads → decode
+    features, both stages as actor pools over binary batches."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([str(i) for i in ids], pa.string()),
+                pa.array([f"http://cdn0.example/img/{i:07d}.jpg" for i in ids], pa.string()),
+            ],
+            names=["doc_id", "media_ref"],
+        )
+
+    media = ds.map_batches(to_refs, batch_format="pyarrow").map_batches(
+        MediaMaterializer, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return media.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    ).select_columns(["doc_id", "media_ref", "content_hash", "nbytes", "width", "height"])
+
+
+# ---------------------------------------------------------------------------
+# HTML parse plumbing over a deterministic template (constants SQL-checkable;
+# real parser semantics covered by tests/test_htmlparse.py).
+# ---------------------------------------------------------------------------
+
+def q_html_spans(sf_dir: str):
+    from ..htmlparse import html_to_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def spans_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_text, n_image, n_link = [], [], []
+        for i, txt in zip(ids, texts):
+            extra_img = "<img src='/extra.png'>" if len(txt) > 300 else ""
+            html = (
+                f"<html><head><title>doc {i}</title></head><body>"
+                f"<p>{txt}</p><img src='/i/{i}.jpg'>{extra_img}"
+                f"<a href='/p/{i + 1}'>next</a></body></html>"
+            )
+            spans = html_to_spans(html, page_url=f"http://docs.example/p/{i}")
+            kinds = [s["kind"] for s in spans]
+            n_text.append(kinds.count("text"))
+            n_image.append(kinds.count("image"))
+            n_link.append(kinds.count("link"))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(n_text, pa.int64()),
+                pa.array(n_image, pa.int64()),
+                pa.array(n_link, pa.int64()),
+            ],
+            names=["doc_id", "n_text", "n_image", "n_link"],
+        )
+
+    return ds.map_batches(spans_of, batch_format="pyarrow")
+
+
+SQL_HTML_SPANS = """
+-- the reference's img regex (src/media_downloader.py:326) ends its match at
+-- the closing quote, so each <img> leaves a stray '>' text span behind:
+-- n_text = 1 (title+body) + n_image
+SELECT doc_id,
+       CASE WHEN length(text) > 300 THEN 3 ELSE 2 END AS n_text,
+       CASE WHEN length(text) > 300 THEN 2 ELSE 1 END AS n_image,
+       1 AS n_link
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# The crawl itself (rows-only; parity vs the sequential oracle is the
+# pytest gate — tests/test_crawl_parity.py).
+# ---------------------------------------------------------------------------
+
+def q_crawl(sf_dir: str):
+    import shutil
+    import tempfile
+
+    from ..synthweb import Budget, WebParams, fixture_dir
+    from .crawl import run_crawl
+
+    web_dir = fixture_dir(WebParams(n_docs=1000, n_hosts=20, seed=42))
+    out_dir = tempfile.mkdtemp(prefix="crawlq_")
+    try:
+        eng, _ = run_crawl(web_dir, out_dir, Budget(max_rounds=3, max_urls=2000))
+        t = eng.crawled_dataset().select_columns(
+            ["url", "host", "depth", "round", "crawl_seq", "ok", "nbytes"]
+        ).to_pandas()
+        eng.shutdown()
+        return t
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry.
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "agg_lineitem": q_agg_lineitem,
+    "filter_equals": q_filter_equals,
+    "filter_contains": q_filter_contains,
+    "filter_range": q_filter_range,
+    "topk_orders": q_topk_orders,
+    "dedup_orders": q_dedup_orders,
+    "broadcast_join": q_broadcast_join,
+    "union_parties": q_union_parties,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "lang_counts": q_lang_counts,
+    "langid": q_langid,
+    "winnow": q_winnow,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "neardup_embeddings": q_neardup_embeddings,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "media_features": q_media_features,
+    "html_spans": q_html_spans,
+    "crawl_bfs": q_crawl,
+}
+
+ORACLE_SQL = {
+    "agg_lineitem": SQL_AGG_LINEITEM,
+    "filter_equals": SQL_FILTER_EQUALS,
+    "filter_contains": SQL_FILTER_CONTAINS,
+    "filter_range": SQL_FILTER_RANGE,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "dedup_orders": SQL_DEDUP_ORDERS,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "union_parties": SQL_UNION_PARTIES,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "sessionize": SQL_SESSIONIZE,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality": SQL_QUALITY,
+    "fingerprint": SQL_FINGERPRINT,
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "lang_counts": SQL_LANG_COUNTS,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
+    "ann_topk": SQL_ANN_TOPK,
+    "html_spans": SQL_HTML_SPANS,
+}

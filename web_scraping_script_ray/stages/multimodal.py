@@ -1,0 +1,164 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The reference downloads media to disk with content-hash filenames
+(reference: src/media_downloader.py:125-211) and extracts image dimensions
+via PIL (reference: src/media_downloader.py:195-200).  Here media live in
+tables: a ``binary`` payload column plus typed metadata, processed by
+actor-pool ``map_batches`` stages.
+
+The image/audio codec libraries are not in this container, so the decode
+kernels are STUBS behind an import-try: with PIL/etc. absent, ``decode``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (hash-derived dimensions / samples) stands in.
+Everything around the stub — schemas, actor signature, batch sizing,
+output layout — is real and tested; swapping in a real codec is a one-
+method change.
+
+Batch-size guidance: payloads are large; size ``batch_size`` so
+``batch_size × max_payload × concurrency`` fits the worker heap (e.g. 64
+rows for ~1 MB images at 8 actors ≈ 512 MB peak).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+try:  # real decoder path — not available in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("media_type", pa.string()),   # images | videos | audio | documents | other
+        ("payload", pa.binary()),
+        ("content_type", pa.string()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("content_hash", pa.string()),
+        ("nbytes", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("feat", pa.list_(pa.float32())),  # decoded-feature vector
+    ]
+)
+
+
+def synthesize_payload(media_ref: str, min_bytes: int = 64, max_bytes: int = 4096) -> bytes:
+    """Deterministic fake bytes for a media_ref (no network in sandbox):
+    blake2b-keyed stream, size seeded by the ref hash."""
+    h = hashlib.blake2b(media_ref.encode("utf-8"), digest_size=8).digest()
+    size = min_bytes + int.from_bytes(h[:4], "big") % (max_bytes - min_bytes)
+    out = bytearray()
+    counter = 0
+    while len(out) < size:
+        out += hashlib.blake2b(
+            h + counter.to_bytes(4, "big"), digest_size=32
+        ).digest()
+        counter += 1
+    return bytes(out[:size])
+
+
+class MediaMaterializer:
+    """Actor-pool stage: media-ref rows → MEDIA_SCHEMA rows with payloads.
+
+    Stands in for the reference's download loop
+    (src/media_downloader.py:125-179) — per-actor "session" init happens
+    once here; per-batch work is payload synthesis + typing."""
+
+    def __init__(self, min_bytes: int = 64, max_bytes: int = 4096):
+        self.min_bytes = min_bytes
+        self.max_bytes = max_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..htmlparse import get_extension, get_media_type
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = [synthesize_payload(r, self.min_bytes, self.max_bytes) for r in refs]
+        mtypes = [get_media_type(get_extension(r)) for r in refs]
+        ctypes = [
+            {"images": "image/jpeg", "videos": "video/mp4", "audio": "audio/mpeg",
+             "documents": "application/pdf"}.get(m, "application/octet-stream")
+            for m in mtypes
+        ]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(refs, pa.string()),
+                pa.array(mtypes, pa.string()),
+                pa.array(payloads, pa.binary()),
+                pa.array(ctypes, pa.string()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+
+class ImageDecoder:
+    """Actor-pool stage: MEDIA_SCHEMA → IMAGE_FEATURES_SCHEMA.
+
+    With a real codec present (PIL), ``_decode_real`` would open the
+    payload; in this container it raises unless ``fake=True``, which uses
+    a deterministic stand-in (dimensions + feature vector derived from the
+    payload hash).  The Ray-side plumbing is identical either way.
+    """
+
+    def __init__(self, fake: bool = True, feat_dim: int = 8):
+        self.fake = fake
+        self.feat_dim = feat_dim
+        if not fake and not _HAVE_PIL:
+            raise NotImplementedError(
+                "real image decode needs PIL, which is not in this container; "
+                "construct ImageDecoder(fake=True) for the deterministic stub"
+            )
+
+    def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        raise NotImplementedError("real codec path — swap in PIL decode here")
+
+    def _decode_fake(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        w = 16 + h[0] * 8
+        ht = 16 + h[1] * 8
+        feat = (
+            np.frombuffer(
+                hashlib.blake2b(payload, digest_size=4 * self.feat_dim).digest(),
+                dtype=np.uint32,
+            ).astype(np.float32)
+            / np.float32(2**32)
+        )
+        return w, ht, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        decode = self._decode_fake if self.fake else self._decode_real
+        payloads = batch.column("payload").to_pylist()
+        ws, hs, feats, hashes, sizes = [], [], [], [], []
+        for p in payloads:
+            w, h, f = decode(p)
+            ws.append(w)
+            hs.append(h)
+            feats.append(f.tolist())
+            hashes.append(hashlib.md5(p).hexdigest()[:10])
+            sizes.append(len(p))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("media_ref"),
+                pa.array(hashes, pa.string()),
+                pa.array(sizes, pa.int64()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+                pa.array(feats, pa.list_(pa.float32())),
+            ],
+            schema=IMAGE_FEATURES_SCHEMA,
+        )
