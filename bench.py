@@ -1,0 +1,169 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR + the crawl
+engine over a bench-scale synthetic web.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "crawl": {...}}
+
+``--scaling`` runs the crawl benchmark twice in fresh processes
+(num_cpus=8 then num_cpus=32, same cached input) and reports URLs/s at
+both plus efficiency T(32)/(4·T(8)) — the sandbox stand-in for the
+north rule's N-vs-4N-node cluster criterion (results → BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_WEB_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
+BENCH_WEB_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "2000"))
+
+# headline query subset (each also driver-correctness-checked at sf0.01)
+BENCH_QUERIES = [
+    "agg_lineitem",
+    "topk_orders",
+    "dedup_orders",
+    "broadcast_join",
+    "events_hourly",
+    "sessionize",
+    "token_stats",
+    "quality",
+    "exact_dedup_docs",
+    "minhash_pairs",
+    "simhash_pairs",
+    "neardup_embeddings",
+    "ann_topk",
+    "media_features",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def bench_crawl(num_cpus: int) -> dict:
+    """Crawl throughput (the north metric: fetched-and-parsed URLs/s)."""
+    from web_scraping_script_ray.pipelines.crawl import run_crawl
+    from web_scraping_script_ray.synthweb import Budget, WebParams, fixture_dir
+
+    p = WebParams(
+        n_docs=BENCH_WEB_DOCS,
+        n_hosts=BENCH_WEB_HOSTS,
+        seed=77,
+        n_buckets=64,
+        n_seeds=max(8, BENCH_WEB_DOCS // 100),
+    )
+    t0 = time.time()
+    web_dir = fixture_dir(p, parallel=True)
+    gen_s = time.time() - t0
+    out_dir = "/tmp/bench_crawl_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    budget = Budget(max_rounds=5, max_urls=150_000, default_delay=1.0)
+    t0 = time.time()
+    eng, info = run_crawl(
+        web_dir,
+        out_dir,
+        budget,
+        fetch_concurrency=max(2, num_cpus // 2),
+        fetch_batch_size=4096,
+        n_seen_shards=8,
+        n_politeness_shards=4,
+    )
+    crawl_s = time.time() - t0
+    eng.shutdown()
+    return {
+        "web_docs": p.n_docs,
+        "web_hosts": p.n_hosts,
+        "gen_sec": round(gen_s, 2),
+        "crawl_sec": round(crawl_s, 2),
+        "fetched": info["fetched"],
+        "rounds": info["rounds"],
+        "urls_per_sec": round(info["fetched"] / crawl_s, 1),
+    }
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    from web_scraping_script_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        # consume the stream (count() avoids a driver-side copy of rows)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_single(num_cpus: int, crawl_only: bool = False) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init_ray(num_cpus)
+    crawl = bench_crawl(num_cpus)
+    queries = {} if crawl_only else bench_queries(SF_DIR)
+    total = round(crawl["crawl_sec"] + sum(queries.values()), 3)
+    result = {
+        "metric": "e2e_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "crawl": crawl,
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Fresh process per parallelism level, same cached input."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["crawl"]["urls_per_sec"]
+    t32 = results[32]["crawl"]["urls_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(t32 / (4 * t8), 3),
+        "unit": "ratio",
+        "urls_per_sec_8cpu": t8,
+        "urls_per_sec_32cpu": t32,
+        "crawl_8": results[8]["crawl"],
+        "crawl_32": results[32]["crawl"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_single(NUM_CPUS, crawl_only="--crawl-only" in sys.argv)))

@@ -14,15 +14,17 @@ cyclic crawl dataflow natively, so the driver iterates rounds):
 2. first-wins dedup on ``url_hash`` in discovery order — one sort shuffle
    + a narrow block pass (``stages.rank.dedup_first_wins``);
 3. politeness schedule — per-host virtual clocks from the sharded
-   ``PolitenessScheduler`` actors; ``groupby(host).map_groups`` assigns
-   ``fetch_time = T[h] + i·d_h`` (the shuffle is on the light candidate
-   table, never on document spans);
+   ``PolitenessScheduler`` actors; ``fetch_time = T[h] + i·d_h`` where the
+   within-host rank i comes from ``per_key_rank`` (sort + narrow carry
+   pass — the shuffle is on the light candidate table, never on document
+   spans, and there is no per-host map_groups);
 4. total order + budget truncation + ``crawl_seq`` via the distributed
    zipWithIndex (``stages.rank.zip_with_index``);
 5. seen-set insert (distributed block→shard routing) and clock advance;
-6. fetch — ``map_batches(WebFetcher, concurrency=N)`` actor pool doing a
-   bucketed lookup join against the web table (the frontier batch is
-   always the small side; no shuffle);
+6. fetch — frontier hash-partitioned by ``url_hash % n_buckets``
+   (``groupby('bucket')``, a shuffle of the SMALL side only) then a
+   per-bucket lookup join (``make_bucket_fetcher``): each web bucket is
+   scanned exactly once per round;
 7. outputs: ``crawled/round-r/`` parquet, per-host metrics, link
    expansion → next round's frontier + ``frontier/round-(r+1)/`` parquet;
 8. checkpoint: politeness clocks, cuckoo+exact seen shards, cumulative
@@ -37,24 +39,42 @@ traffic is O(#blocks + #active-hosts) per round, never O(rows).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
+import time
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
 
 from ..schemas import CRAWLED_SCHEMA, FRONTIER_SCHEMA, METRICS_SCHEMA
-from ..stages.fetch import WebFetcher
-from ..stages.rank import dedup_first_wins, zip_with_index
+from ..stages.fetch import make_bucket_fetcher
+from ..stages.rank import dedup_first_wins, per_key_rank, zip_with_index
 from ..stages.spans import expand_links
 from ..state.cuckoo import ShardedSeen
 from ..state.politeness import PolitenessScheduler, RobotsRules
 from ..synthweb import Budget
 from ..urlnorm import canonicalize, host_of, path_of, url_hash64
+
+logger = logging.getLogger(__name__)
+_TRACE = os.environ.get("GRAFT_CRAWL_TRACE", "") == "1"
+
+
+class _Trace:
+    """Per-round stage timing (enabled with GRAFT_CRAWL_TRACE=1)."""
+
+    def __init__(self, rnd: int):
+        self.rnd = rnd
+        self.t = time.time()
+
+    def mark(self, stage: str) -> None:
+        if _TRACE:
+            now = time.time()
+            print(f"[crawl r{self.rnd}] {stage}: {now - self.t:.2f}s", flush=True)
+            self.t = now
 
 
 class CrawlEngine:
@@ -115,6 +135,7 @@ class CrawlEngine:
     # ------------------------------------------------------------------ round
     def run_round(self, rnd: int, cands: "ray.data.Dataset"):
         """One BFS wave; returns (next_candidates, next_count)."""
+        tr = _Trace(rnd)
         seen, rules_ref = self.seen, self.rules_ref
 
         def not_seen_and_allowed(batch: pa.Table) -> pa.Table:
@@ -130,21 +151,42 @@ class CrawlEngine:
 
         cands = cands.map_batches(not_seen_and_allowed, batch_format="pyarrow")
         cands = dedup_first_wins(cands, "url_hash", ["disc_primary", "disc_secondary"])
+        tr.mark("filter+dedup")
 
-        # politeness: clocks of this round's active hosts (O(hosts) traffic)
-        hosts = cands.unique("host")
+        # politeness: clocks of this round's active hosts.  Partial-unique
+        # per block then a driver-side set union — O(blocks · hosts) tiny
+        # rows, no shuffle (Dataset.unique would run a full aggregate).
+        host_blocks = cands.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pa.compute.unique(t.column("host"))], names=["host"]
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        hosts = sorted({r["host"] for r in host_blocks})
+        tr.mark("unique(host)")
         clocks = self.sched.get_clocks(hosts)
         delays = {h: self.rules.delay(h) for h in hosts}
 
-        def assign_fetch_time(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["disc_primary", "disc_secondary"], kind="mergesort")
-            h = g["host"].iloc[0]
-            g["fetch_time"] = clocks[h] + np.arange(len(g), dtype=np.float64) * delays[h]
-            return g
-
-        scheduled_lazy = cands.groupby("host").map_groups(
-            assign_fetch_time, batch_format="pandas"
+        # fetch_time = clock[h] + i·d_h where i = within-host rank in
+        # discovery order — one sort + narrow carry pass (per_key_rank)
+        # instead of a per-host map_groups (2000 tiny pandas groups).
+        ranked = per_key_rank(
+            cands, "host", ["disc_primary", "disc_secondary"], out_col="host_rank"
         )
+        sched_ref = ray.put((clocks, delays))
+
+        def assign_fetch_time(batch: pa.Table) -> pa.Table:
+            clocks_, delays_ = ray.get(sched_ref)
+            hosts_ = batch.column("host").to_pylist()
+            i = batch.column("host_rank").to_numpy(zero_copy_only=False).astype(np.float64)
+            t0 = np.fromiter((clocks_[h] for h in hosts_), np.float64, len(hosts_))
+            dh = np.fromiter((delays_[h] for h in hosts_), np.float64, len(hosts_))
+            batch = batch.append_column(
+                "fetch_time", pa.array(t0 + i * dh, pa.float64())
+            )
+            return batch.drop_columns(["host_rank"])
+
+        scheduled_lazy = ranked.map_batches(assign_fetch_time, batch_format="pyarrow")
         remaining = self.budget.max_urls - self.seq
         scheduled, n_fetched = zip_with_index(
             scheduled_lazy,
@@ -153,6 +195,7 @@ class CrawlEngine:
             limit=remaining,
             base=self.seq,
         )
+        tr.mark("schedule+rank")
         if n_fetched == 0:
             return None, 0
         self.seq += n_fetched
@@ -163,14 +206,21 @@ class CrawlEngine:
         self.sched.advance(
             {r["host"]: r["count()"] * delays[r["host"]] for _, r in counts.iterrows()}
         )
+        tr.mark("seen+clocks")
 
-        # fetch: bucketed lookup join actor pool
-        crawled = scheduled.map_batches(
-            WebFetcher,
-            fn_constructor_args=(self.web_dir, self.n_buckets),
-            batch_format="pyarrow",
-            batch_size=self.fetch_batch_size,
-            concurrency=self.fetch_concurrency,
+        # fetch: bucket-partitioned lookup join — hash-partition the light
+        # frontier by url_hash % n_buckets (groupby shuffle on the SMALL
+        # side) so each web bucket is scanned exactly once per round.
+        nb = np.uint64(self.n_buckets)
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            h = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return batch.append_column("bucket", pa.array(h % nb, pa.uint64()))
+
+        crawled = (
+            scheduled.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(make_bucket_fetcher(self.web_dir), batch_format="pyarrow")
         )
         crawled = crawled.map_batches(
             lambda t, rnd=rnd: t.append_column(
@@ -182,10 +232,12 @@ class CrawlEngine:
         # by the frontier budget and spillable; downstream consumers (sink,
         # metrics, expansion) then reuse blocks instead of re-fetching.
         crawled = crawled.materialize()
+        tr.mark("fetch")
 
         out = self._round_dir("crawled", rnd)
         shutil.rmtree(out, ignore_errors=True)
         crawled.write_parquet(out)
+        tr.mark("write")
 
         # per-host metrics: partial ints per batch → tiny groupby
         stats = (
@@ -212,6 +264,7 @@ class CrawlEngine:
             m[0] += int(r["sum(fetched)"])
             m[1] += int(r["sum(errors)"])
             m[2] += int(r["sum(bytes)"])
+        tr.mark("metrics")
 
         # expansion → next round's frontier
         nxt = crawled.map_batches(expand_links, batch_format="pyarrow").materialize()
@@ -220,6 +273,7 @@ class CrawlEngine:
         shutil.rmtree(fdir, ignore_errors=True)
         if n_next:
             nxt.write_parquet(fdir)
+        tr.mark("expand")
         return nxt, n_next
 
     # ------------------------------------------------------------- checkpoint
@@ -300,7 +354,9 @@ class CrawlEngine:
             if cands is None or self.seq >= self.budget.max_urls:
                 break
             cands, n_next = self.run_round(rnd, cands)
+            tck = _Trace(rnd)
             self._checkpoint(rnd)
+            tck.mark("checkpoint")
             rounds_run += 1
             if n_next == 0:
                 cands = None

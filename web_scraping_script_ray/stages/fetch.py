@@ -58,21 +58,91 @@ class WebFetcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
-        found = self.lookup(urls, hashes)
-        span_type = WEB_SCHEMA.field("spans").type
-        ok = np.array([u in found for u in urls], dtype=bool)
-        spans = [found.get(u, []) for u in urls]
-        nbytes = np.array(
-            [sum(len(s["text"]) + len(s["media_ref"]) for s in sp) for sp in spans],
-            dtype=np.int64,
-        )
-        batch = batch.append_column("ok", pa.array(ok))
-        batch = batch.append_column("nbytes", pa.array(nbytes, pa.int64()))
-        batch = batch.append_column("spans", pa.array(spans, span_type))
-        return batch
+        return append_fetch_columns(batch, self.lookup(urls, hashes))
 
 
 def lookup_one(web_dir: str, n_buckets: int, url: str) -> list | None:
     """Single-URL convenience lookup (tests / debugging)."""
     f = WebFetcher(web_dir, n_buckets)
     return f.lookup([url], np.array([url_hash64(url)], np.uint64)).get(url)
+
+
+def append_fetch_columns(batch: pa.Table, found: dict[str, list]) -> pa.Table:
+    """Shared result assembly: frontier batch + url→spans lookup results →
+    ``ok`` / ``nbytes`` / ``spans`` columns."""
+    urls = batch.column("url").to_pylist()
+    span_type = WEB_SCHEMA.field("spans").type
+    ok = np.array([u in found for u in urls], dtype=bool)
+    spans = [found.get(u, []) for u in urls]
+    nbytes = np.array(
+        [sum(len(s["text"]) + len(s["media_ref"]) for s in sp) for sp in spans],
+        dtype=np.int64,
+    )
+    batch = batch.append_column("ok", pa.array(ok))
+    batch = batch.append_column("nbytes", pa.array(nbytes, pa.int64()))
+    return batch.append_column("spans", pa.array(spans, span_type))
+
+
+def make_bucket_fetcher(web_dir: str):
+    """Per-bucket lookup join for ``groupby('bucket').map_groups``: the
+    frontier is hash-partitioned by ``url_hash % n_buckets`` so EACH web
+    bucket is scanned exactly once per round (predicate-pushdown isin scan)
+    — vs. every fetch task scanning every bucket.  The frontier group is
+    the small side; the web table never shuffles.  At 100 TB the per-group
+    body becomes a Lance take-by-key on the bucket's fragment.
+
+    The span payloads never round-trip through Python: lookup is
+    ``pc.index_in`` + Arrow ``take``; misses become empty span lists via
+    offset surgery; ``nbytes`` is a vectorized utf8-length reduction."""
+    span_type = WEB_SCHEMA.field("spans").type
+
+    def fetch_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group
+        n = group.num_rows
+        b = int(group.column("bucket")[0].as_py())
+        path = os.path.join(web_dir, "web", f"bucket={b}")
+        group = group.drop_columns(["bucket"])
+        urls = group.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        t = None
+        if os.path.isdir(path):
+            t = pads.dataset(path).to_table(
+                filter=pc.field("doc_id").isin(urls.to_pylist())
+            )
+        if t is None or t.num_rows == 0:
+            group = group.append_column("ok", pa.array(np.zeros(n, dtype=bool)))
+            group = group.append_column("nbytes", pa.array(np.zeros(n, np.int64), pa.int64()))
+            empty = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+                pa.array([], span_type.value_type),
+            )
+            return group.append_column("spans", empty)
+
+        idx = pc.index_in(urls, value_set=t.column("doc_id").combine_chunks())
+        ok_np = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        spans_src = t.column("spans")
+        if isinstance(spans_src, pa.ChunkedArray):
+            spans_src = spans_src.combine_chunks()
+        # rows that hit, in group order → flat child values
+        taken_ok = spans_src.take(idx.filter(pc.is_valid(idx)))
+        flat = pc.list_flatten(taken_ok)
+        lengths = np.zeros(n, dtype=np.int64)
+        lengths[ok_np] = pc.list_value_length(taken_ok).to_numpy(zero_copy_only=False)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        spans_out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        # nbytes = Σ chars(text) + chars(media_ref) per row (vectorized)
+        span_chars = (
+            pc.utf8_length(pc.struct_field(flat, "text")).to_numpy(zero_copy_only=False)
+            + pc.utf8_length(pc.struct_field(flat, "media_ref")).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        nbytes = np.zeros(n, dtype=np.int64)
+        parents = pc.list_parent_indices(spans_out).to_numpy(zero_copy_only=False)
+        np.add.at(nbytes, parents, span_chars)
+        group = group.append_column("ok", pa.array(ok_np))
+        group = group.append_column("nbytes", pa.array(nbytes, pa.int64()))
+        return group.append_column("spans", spans_out)
+
+    return fetch_group

@@ -87,6 +87,64 @@ def _dedup_block(t: pa.Table, key: str, prev_last) -> pa.Table:
     return t.filter(pa.array(first))
 
 
+# ---------------------------------------------------------------------------
+# Per-key rank over a sorted dataset (within-host politeness index) —
+# replaces groupby(key).map_groups, whose per-group overhead dominates with
+# thousands of small groups.  One range-partition sort + a narrow per-block
+# pass; cross-block key runs are handled by carrying per-key counts from
+# previous blocks (driver traffic O(keys-in-round + blocks), never O(rows)).
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+def _key_counts(t: pa.Table, key: str):
+    if t.num_rows == 0:
+        return [], []
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(t.column(key))
+    return (
+        pc.struct_field(vc, "values").to_pylist(),
+        pc.struct_field(vc, "counts").to_pylist(),
+    )
+
+
+@ray.remote
+def _rank_block(t: pa.Table, key: str, base: dict, out_col: str) -> pa.Table:
+    if t.num_rows == 0:
+        return t.append_column(out_col, pa.array([], pa.int64()))
+    keys = np.asarray(t.column(key).to_pylist(), dtype=object)
+    n = len(keys)
+    change = np.ones(n, dtype=bool)
+    change[1:] = keys[1:] != keys[:-1]
+    run_starts = np.where(change)[0]
+    run_ids = np.cumsum(change) - 1
+    base_arr = np.array([base.get(k, 0) for k in keys[run_starts]], dtype=np.int64)
+    rank = np.arange(n, dtype=np.int64) - run_starts[run_ids] + base_arr[run_ids]
+    return t.append_column(out_col, pa.array(rank, pa.int64()))
+
+
+def per_key_rank(
+    ds: "ray.data.Dataset", key: str, order_cols: list[str], out_col: str = "key_rank"
+) -> "ray.data.Dataset":
+    """Append ``out_col`` = 0-based position of the row within its ``key``
+    group, ordered by ``order_cols``.  Sorted by (key, *order_cols) on
+    return."""
+    ds = ds.sort([key, *order_cols])
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    summaries = ray.get([_key_counts.remote(r, key) for r in refs])
+    running: dict = {}
+    out = []
+    for r, (ks, cs) in zip(refs, summaries):
+        base = {k: running[k] for k in ks if k in running}
+        out.append(_rank_block.remote(r, key, base, out_col))
+        for k, c in zip(ks, cs):
+            running[k] = running.get(k, 0) + c
+    return ray.data.from_arrow_refs(out)
+
+
 def dedup_first_wins(
     ds: "ray.data.Dataset", key: str, order_cols: list[str]
 ) -> "ray.data.Dataset":

@@ -60,9 +60,20 @@ def expand_links(batch: pa.Table) -> pa.Table:
     seqs = batch.column("crawl_seq").to_numpy(zero_copy_only=False)
     depths = batch.column("depth").to_numpy(zero_copy_only=False)
 
+    # canonicalization memo: link targets are popularity-skewed, so the
+    # same absolute ref recurs many times per batch; relative refs depend
+    # on the base URL and bypass the memo.
+    memo: dict[str, str | None] = {}
     urls, hosts, keep = [], [], []
     for i, ref in enumerate(refs):
-        cu = canonicalize(ref, base_url=base_urls[parents_sel[i]])
+        if ref.startswith(("http://", "https://")):
+            if ref in memo:
+                cu = memo[ref]
+            else:
+                cu = canonicalize(ref)
+                memo[ref] = cu
+        else:
+            cu = canonicalize(ref, base_url=base_urls[parents_sel[i]])
         if cu is None:
             continue
         keep.append(i)

@@ -60,6 +60,7 @@ class WebParams:
     p_cross_host: float = 0.05
     p_dangling: float = 0.01
     p_private: float = 0.04    # docs under /private/ (robots-disallowed on h0001)
+    n_seeds: int = 8           # seed-list size (spread across the doc space)
 
 
 def host_starts(p: WebParams) -> np.ndarray:
@@ -206,10 +207,19 @@ class Budget:
         return Budget(**json.loads(s))
 
 
-def make_seeds(p: WebParams, starts: np.ndarray, n_seeds: int = 8) -> pa.Table:
+def make_seeds(p: WebParams, starts: np.ndarray, n_seeds: int | None = None) -> pa.Table:
+    """Seed list: first a doc per host (up to n_seeds), then — for larger
+    seed lists (bench tier) — docs spread evenly across the doc space so
+    round 0 is wide enough to exercise fetch parallelism."""
+    n_seeds = p.n_seeds if n_seeds is None else n_seeds
     urls = []
     k = min(n_seeds, p.n_hosts)
     seed_idx = [int(starts[h]) for h in range(k)]
+    if n_seeds > p.n_hosts:
+        extra = np.unique(
+            np.linspace(0, p.n_docs - 1, n_seeds - p.n_hosts).astype(np.int64)
+        )
+        seed_idx.extend(int(i) for i in extra if i not in set(seed_idx))
     urls.extend(str(u) for u in doc_url(seed_idx, p, starts))
     # dangling seed + duplicate seed (first-wins dedup exercise)
     urls.append(f"http://h0000.example/p/{p.n_docs + 999:07d}")
@@ -241,33 +251,45 @@ def make_robots(p: WebParams) -> pa.Table:
 # Materialization: bucketed parquet layout (lance slot-in when available).
 # ---------------------------------------------------------------------------
 
-def write_web(out_dir: str, p: WebParams) -> None:
-    """Driver-side generation for test scales; `generate_web_ray` in
-    sources/ fans the same chunks out as Ray tasks for bench scales."""
+def _write_chunk(out_dir: str, p: WebParams, starts: np.ndarray, c: int) -> None:
+    t = gen_chunk(c, p, starts)
+    buckets = np.array([url_hash64(u) % p.n_buckets for u in t.column("doc_id").to_pylist()])
+    for b in np.unique(buckets):
+        sub = t.filter(pa.array(buckets == b))
+        pq.write_table(
+            sub, os.path.join(out_dir, "web", f"bucket={int(b)}", f"part-{c:05d}.parquet")
+        )
+
+
+def write_web(out_dir: str, p: WebParams, parallel: bool = False) -> None:
+    """Materialize the synthetic web.  Chunk ``c`` is seeded ``(seed, c)``
+    and link targets are closed-form, so parallel generation (one Ray task
+    per chunk, ``parallel=True``) writes byte-identical tables to the
+    sequential loop — tested in test_synthweb.py."""
     starts = host_starts(p)
     os.makedirs(out_dir, exist_ok=True)
     for b in range(p.n_buckets):
         os.makedirs(os.path.join(out_dir, "web", f"bucket={b}"), exist_ok=True)
     n_chunks = (p.n_docs + CHUNK - 1) // CHUNK
-    for c in range(n_chunks):
-        t = gen_chunk(c, p, starts)
-        buckets = np.array([url_hash64(u) % p.n_buckets for u in t.column("doc_id").to_pylist()])
-        for b in np.unique(buckets):
-            sub = t.filter(pa.array(buckets == b))
-            pq.write_table(
-                sub, os.path.join(out_dir, "web", f"bucket={int(b)}", f"part-{c:05d}.parquet")
-            )
+    if parallel and n_chunks > 1:
+        import ray
+
+        task = ray.remote(_write_chunk)
+        ray.get([task.remote(out_dir, p, starts, c) for c in range(n_chunks)])
+    else:
+        for c in range(n_chunks):
+            _write_chunk(out_dir, p, starts, c)
     pq.write_table(make_seeds(p, starts), os.path.join(out_dir, "seeds.parquet"))
     pq.write_table(make_robots(p), os.path.join(out_dir, "robots.parquet"))
     with open(os.path.join(out_dir, "params.json"), "w") as f:
         json.dump(p.__dict__, f)
 
 
-def fixture_dir(p: WebParams, root: str = "/tmp/synthweb") -> str:
+def fixture_dir(p: WebParams, root: str = "/tmp/synthweb", parallel: bool = False) -> str:
     """Deterministic cached fixture location; generate once per param set."""
-    key = f"d{p.n_docs}_h{p.n_hosts}_s{p.seed}_b{p.n_buckets}"
+    key = f"d{p.n_docs}_h{p.n_hosts}_s{p.seed}_b{p.n_buckets}_sd{p.n_seeds}"
     out = os.path.join(root, key)
     marker = os.path.join(out, "params.json")
     if not os.path.exists(marker):
-        write_web(out, p)
+        write_web(out, p, parallel=parallel)
     return out
