@@ -38,7 +38,7 @@ def entry() -> Any:
     ds = ray.data.read_parquet(f"{SF0001}/documents.parquet")
     ds = ds.map_batches(token_counts, batch_format="pyarrow")
     ds = ds.map_batches(quality_scores, batch_format="pyarrow")
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8))
     ds = exact_dedup(ds, "text", ["doc_id"])
     agg = ds.groupby("lang").aggregate(Count(), Sum("n_ws_tokens"), Sum("q_tokens"))
 

@@ -66,6 +66,25 @@ def test_metrics_equal(parity):
     assert eng.metrics_table().equals(oracle.metrics_table())
 
 
+def test_distributed_schedule_path_parity(t1_web, tmp_path_factory):
+    """schedule_small_limit=0 forces the distributed dedup/rank/zip path;
+    its output must be identical to the small-round fast path / oracle."""
+    from web_scraping_script_ray.pipelines.crawl import run_crawl
+
+    budget = Budget(max_rounds=3)
+    out = str(tmp_path_factory.mktemp("crawl_dist"))
+    eng, info = run_crawl(t1_web, out, budget, schedule_small_limit=0)
+    try:
+        oracle = run_oracle(t1_web, budget)
+        got = eng.crawled_dataset().to_pandas().sort_values("crawl_seq").reset_index(drop=True)
+        exp = oracle.crawled_table().to_pandas()
+        assert len(got) == len(exp) == info["fetched"]
+        for col in ORDER_COLS:
+            assert (got[col].values == exp[col].values).all(), col
+    finally:
+        eng.shutdown()
+
+
 def test_budget_truncation_parity(t1_web, tmp_path_factory):
     from web_scraping_script_ray.pipelines.crawl import run_crawl
 

@@ -1,0 +1,141 @@
+"""Dedup-family tests: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding cosine — planted-duplicate fixtures with known answers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from web_scraping_script_ray.functions.dedup import (
+    MinHasher,
+    embedding_neardup_pairs,
+    exact_dedup,
+    keep_mask_from_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    sig_jaccard_estimate,
+    simhash64,
+    simhash_pairs,
+)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "pack my box with five dozen liquor jugs before noon tomorrow morning",
+    "how vexingly quick daft zebras jump when startled by loud noises",
+    "sphinx of black quartz judge my vow said the curious old linguist",
+]
+
+
+def docs_table(rows):
+    ids, texts = zip(*rows)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "text"],
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _planted_rows():
+    # 20 docs, distinct-by-suffix; exact copies of docs 0..2 at 100..102
+    rows = [(i, f"{t} unique suffix {i}") for i, t in enumerate(BASE * 5)]
+    for i in range(3):
+        rows.append((100 + i, rows[i][1]))
+    return rows
+
+
+def test_ngram_jaccard_exact_values():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c", "x y z") == 0.0
+    j = ngram_jaccard(BASE[0], BASE[0].replace("lazy", "sleepy"))
+    assert 0.4 < j < 0.9
+
+
+def test_minhash_signature_estimates_jaccard():
+    mh = MinHasher()
+    a = BASE[0]
+    b = BASE[0].replace("lazy", "sleepy")
+    est = sig_jaccard_estimate(mh.signature(a), mh.signature(b))
+    true = ngram_jaccard(a, b)
+    assert abs(est - true) < 0.2
+    assert sig_jaccard_estimate(mh.signature(a), mh.signature(a)) == 1.0
+
+
+def test_minhash_lsh_finds_planted_dups():
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table(_planted_rows())).repartition(4)
+    pairs = minhash_lsh_pairs(ds, threshold=0.95).to_pandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    for i in range(3):
+        assert (i, 100 + i) in found  # every planted exact copy detected
+    # all surviving pairs estimate ≥ threshold
+    assert (pairs.est_jaccard >= 0.95).all()
+
+
+def test_simhash_identical_and_near():
+    a = simhash64(BASE[0])
+    assert a == simhash64(BASE[0])
+    b = simhash64(BASE[0].replace("lazy", "sleepy"))
+    ham = bin(a ^ b).count("1")
+    assert ham < 20  # similar docs → close hashes
+    c = simhash64(BASE[1])
+    assert bin(a ^ c).count("1") > ham
+
+
+def test_simhash_pairs_finds_exact_dups():
+    import ray.data
+
+    rows = [(i, t + f" unique{i}") for i, t in enumerate(BASE * 3)]
+    rows.append((500, rows[0][1]))  # exact dup of id 0
+    ds = ray.data.from_arrow(docs_table(rows)).repartition(3)
+    pairs = simhash_pairs(ds, max_dist=3).to_pandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 500)).any()
+
+
+def test_exact_dedup_first_wins():
+    import ray.data
+
+    rows = [(3, "dup"), (1, "dup"), (2, "other"), (7, "dup")]
+    ds = ray.data.from_arrow(docs_table(rows))
+    out = exact_dedup(ds, "text", ["doc_id"]).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [1, 2]  # min doc_id kept per text
+
+
+def test_keep_mask_union_find():
+    pairs = pa.Table.from_arrays(
+        [pa.array([1, 2, 5], pa.int64()), pa.array([2, 3, 6], pa.int64())],
+        names=["id_a", "id_b"],
+    )
+    out = keep_mask_from_pairs(pairs, np.array([1, 2, 3, 4, 5, 6]))
+    keep = dict(zip(out.column("id").to_pylist(), out.column("keep").to_pylist()))
+    canon = dict(zip(out.column("id").to_pylist(), out.column("canonical_id").to_pylist()))
+    assert keep == {1: True, 2: False, 3: False, 4: True, 5: True, 6: False}
+    assert canon[3] == 1 and canon[6] == 5
+
+
+def test_embedding_neardup_exact_and_lsh():
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(16).astype(np.float32)  # planted
+    t = pa.Table.from_arrays(
+        [
+            pa.array(range(40), pa.int64()),
+            pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
+    assert ((exact.id_a == 3) & (exact.id_b == 7)).any()
+    # LSH path finds the planted pair too (high-sim pairs collide w.h.p.)
+    lsh = embedding_neardup_pairs(ds, threshold=0.98, n_planes=4).to_pandas()
+    assert ((lsh.id_a == 3) & (lsh.id_b == 7)).any()
+    # LSH candidates are a subset of exact pairs
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    l = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    assert l <= e

@@ -1,0 +1,123 @@
+"""Declarative post-processing compiler (reference post_processing
+semantics, src/main.py:166-222) and multimodal actor-stage plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from web_scraping_script_ray.pipelines.postprocess import apply_ops, export
+from web_scraping_script_ray.stages.multimodal import (
+    ImageDecoder,
+    MediaMaterializer,
+    synthesize_payload,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _ds():
+    import ray.data
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array([3, 1, 2, 4, 5], pa.int64()),
+            pa.array(["x", "y", "x", "z", "x"], pa.string()),
+            pa.array([10.0, 20.0, 30.0, 40.0, 50.0], pa.float64()),
+        ],
+        names=["rid", "cat", "val"],
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_filter_ops():
+    out = apply_ops(_ds(), [{"type": "filter", "column": "cat", "operation": "equals", "value": "x"}]).to_pandas()
+    assert sorted(out.rid) == [2, 3, 5]
+    out = apply_ops(_ds(), [{"type": "filter", "column": "val", "operation": "greater_than", "value": 25}]).to_pandas()
+    assert sorted(out.rid) == [2, 4, 5]
+    out = apply_ops(_ds(), [{"type": "filter", "column": "cat", "operation": "contains", "value": "y"}]).to_pandas()
+    assert sorted(out.rid) == [1]
+
+
+def test_filter_missing_column_is_noop():
+    # reference behavior: warn + no-op (src/main.py:173-175)
+    out = apply_ops(_ds(), [{"type": "filter", "column": "nope", "operation": "equals", "value": 1}]).to_pandas()
+    assert len(out) == 5
+
+
+def test_sort_and_limit():
+    out = apply_ops(
+        _ds(), [{"type": "sort", "column": "val", "ascending": False}, {"type": "limit", "n": 2}]
+    ).to_pandas()
+    assert out.val.tolist() == [50.0, 40.0]
+
+
+def test_dedup_first_wins_by_order_col():
+    out = apply_ops(
+        _ds(),
+        [{"type": "deduplicate", "columns": ["cat"]}],
+        order_col="rid",
+    ).to_pandas()
+    # first occurrence per cat in rid order: x→2, y→1, z→4
+    assert sorted(out.rid) == [1, 2, 4]
+
+
+def test_export_roundtrip(tmp_path):
+    out = str(tmp_path / "exp")
+    export(_ds(), out, "parquet")
+    import ray.data
+
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == 5
+
+
+def test_synthesize_payload_deterministic():
+    a = synthesize_payload("http://cdn.example/x.jpg")
+    assert a == synthesize_payload("http://cdn.example/x.jpg")
+    assert a != synthesize_payload("http://cdn.example/y.jpg")
+    assert 64 <= len(a) <= 4096
+
+
+def test_media_pipeline_stages():
+    import ray.data
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["d1", "d2"], pa.string()),
+            pa.array(
+                ["http://cdn.example/a.jpg", "http://cdn.example/b.mp3"], pa.string()
+            ),
+        ],
+        names=["doc_id", "media_ref"],
+    )
+    media = (
+        ray.data.from_arrow(t)
+        .map_batches(MediaMaterializer, batch_format="pyarrow", concurrency=(1, 2))
+        .materialize()
+    )
+    df = media.to_pandas()
+    assert df.media_type.tolist() == ["images", "audio"]
+    assert all(len(p) >= 64 for p in df.payload)
+    feats = media.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert (feats.nbytes > 0).all()
+    assert (feats.width >= 16).all()
+    # deterministic: same payload → same hash/dims
+    again = media.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs=dict(fake=True),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert feats.sort_values("doc_id").content_hash.tolist() == again.sort_values("doc_id").content_hash.tolist()
+
+
+def test_real_decoder_requires_codec():
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False)

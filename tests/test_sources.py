@@ -1,0 +1,24 @@
+"""Seed-source tests (S1–S3 semantics, reference: src/cli.py:77-84)."""
+
+import pytest
+
+from web_scraping_script_ray.sources.seeds import seeds_from_file, seeds_from_urls
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_seeds_from_urls_ranked():
+    df = seeds_from_urls(["http://a/", "http://b/", "http://c/"]).to_pandas()
+    assert df.url.tolist() == ["http://a/", "http://b/", "http://c/"]
+    assert df.seed_rank.tolist() == [0, 1, 2]
+
+
+def test_seeds_from_file_filters_comments(tmp_path):
+    p = tmp_path / "urls.txt"
+    p.write_text("http://a/\n\n# comment\n  http://b/  \n#x\nhttp://c/\n")
+    df = seeds_from_file(str(p)).to_pandas()
+    assert df.url.tolist() == ["http://a/", "http://b/", "http://c/"]
+    assert df.seed_rank.tolist() == [0, 1, 2]

@@ -228,7 +228,7 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     n_bands: int = 16,
     k: int = 3,
-    concurrency: int = 4,
+    concurrency: tuple[int, int] | int = (1, 16),
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash+LSH: returns
     ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``, deduplicated.

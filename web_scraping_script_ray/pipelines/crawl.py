@@ -11,20 +11,25 @@ cyclic crawl dataflow natively, so the driver iterates rounds):
 1. candidates → stateless ``map_batches`` filter: sharded-cuckoo seen
    probe (exact-confirmed) + robots path-prefix rules (broadcast via
    ``ray.put``);
-2. first-wins dedup on ``url_hash`` in discovery order — one sort shuffle
-   + a narrow block pass (``stages.rank.dedup_first_wins``);
-3. politeness schedule — per-host virtual clocks from the sharded
-   ``PolitenessScheduler`` actors; ``fetch_time = T[h] + i·d_h`` where the
-   within-host rank i comes from ``per_key_rank`` (sort + narrow carry
-   pass — the shuffle is on the light candidate table, never on document
-   spans, and there is no per-host map_groups);
-4. total order + budget truncation + ``crawl_seq`` via the distributed
-   zipWithIndex (``stages.rank.zip_with_index``);
-5. seen-set insert (distributed block→shard routing) and clock advance;
-6. fetch — frontier hash-partitioned by ``url_hash % n_buckets``
-   (``groupby('bucket')``, a shuffle of the SMALL side only) then a
-   per-bucket lookup join (``make_bucket_fetcher``): each web bucket is
-   scanned exactly once per round;
+2.-5. dedup (first-wins on ``url_hash`` in discovery order), politeness
+   schedule (``fetch_time = T[h] + i·d_h`` from the sharded
+   ``PolitenessScheduler`` clocks), global (fetch_time, host, disc)
+   order + budget truncation + ``crawl_seq``, seen-set insert and clock
+   advance — TWO size-selected physical plans with identical output
+   (both pytest-verified against the oracle):
+   - ≤ ``schedule_small_limit`` rows: ONE remote task
+     (``_schedule_small_round``) doing numpy lexsorts + the state RPCs —
+     a single driver barrier per round;
+   - larger rounds: distributed range-partition shuffles
+     (``dedup_first_wins`` → ``per_key_rank`` → ``zip_with_index``) with
+     per-block partial aggregates for host counts — the shuffles move
+     only the light candidate table, never document spans;
+6. fetch — bucketed lookup join, again two size-selected plans:
+   broadcast (≤ ``fetch_broadcast_limit``: frontier blocks shared via
+   the object store, one raw task per bucket — zero shuffle) or
+   partition (``groupby(url_hash % n_buckets)`` on the frontier, one
+   bucket scan per group).  Either way each web bucket is scanned at
+   most once per round and the web table never shuffles;
 7. outputs: ``crawled/round-r/`` parquet, per-host metrics, link
    expansion → next round's frontier + ``frontier/round-(r+1)/`` parquet;
 8. checkpoint: politeness clocks, cuckoo+exact seen shards, cumulative
@@ -51,7 +56,7 @@ import ray
 import ray.data
 
 from ..schemas import CRAWLED_SCHEMA, FRONTIER_SCHEMA, METRICS_SCHEMA
-from ..stages.fetch import make_bucket_fetcher
+from ..stages.fetch import crawl_bucket_task, make_bucket_fetcher
 from ..stages.rank import dedup_first_wins, per_key_rank, zip_with_index
 from ..stages.spans import expand_links
 from ..state.cuckoo import ShardedSeen
@@ -61,6 +66,20 @@ from ..urlnorm import canonicalize, host_of, path_of, url_hash64
 
 logger = logging.getLogger(__name__)
 _TRACE = os.environ.get("GRAFT_CRAWL_TRACE", "") == "1"
+
+
+def _retry_import_race(fn, attempts: int = 3):
+    """Run ``fn``, retrying on ImportError: concurrent Dataset writes in
+    threads can race fsspec's lazy imports (partially-initialized module →
+    one-off "cannot import name" errors); a retry after the other thread
+    finishes importing always succeeds."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except ImportError:
+            if i == attempts - 1:
+                raise
+            time.sleep(0.5)
 
 
 class _Trace:
@@ -77,6 +96,206 @@ class _Trace:
             self.t = now
 
 
+def _host_value_counts(t: pa.Table, col: str) -> pa.Table:
+    vc = pa.compute.value_counts(t.column(col).combine_chunks())
+    return pa.Table.from_arrays(
+        [
+            pa.compute.struct_field(vc, "values"),
+            pa.compute.struct_field(vc, "counts").cast(pa.int64()),
+        ],
+        names=[col, "n"],
+    )
+
+
+@ray.remote(num_cpus=0)
+def _host_metrics_block(t: pa.Table) -> list:
+    """Per-block (host, fetched, errors, bytes) rows as plain tuples —
+    raw-task variant used on already-materialized block refs (avoids a
+    whole Dataset execution for a tiny aggregate)."""
+    if t.num_rows == 0 or "host" not in t.column_names:
+        return []
+    p = _host_metrics_partial(t)
+    return list(
+        zip(
+            p.column("host").to_pylist(),
+            p.column("fetched").to_pylist(),
+            p.column("errors").to_pylist(),
+            p.column("bytes").to_pylist(),
+        )
+    )
+
+
+def _host_metrics_partial(t: pa.Table) -> pa.Table:
+    """Per-block (host, fetched, errors, bytes) partial sums (numpy)."""
+    hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+    ok = t.column("ok").to_numpy(zero_copy_only=False)
+    nbytes = t.column("nbytes").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(hosts, return_inverse=True)
+    fetched = np.zeros(len(uniq), np.int64)
+    errors = np.zeros(len(uniq), np.int64)
+    byts = np.zeros(len(uniq), np.int64)
+    np.add.at(fetched, inv, ok.astype(np.int64))
+    np.add.at(errors, inv, (~ok).astype(np.int64))
+    np.add.at(byts, inv, nbytes * ok.astype(np.int64))
+    return pa.Table.from_arrays(
+        [
+            pa.array(uniq.tolist(), pa.string()),
+            pa.array(fetched, pa.int64()),
+            pa.array(errors, pa.int64()),
+            pa.array(byts, pa.int64()),
+        ],
+        names=["host", "fetched", "errors", "bytes"],
+    )
+
+
+@ray.remote
+def _schedule_small_round(
+    block_refs: list,
+    rules: "RobotsRules",
+    remaining: int,
+    base: int,
+    seen_shards: list,
+    pol_shards: list,
+    advance_token,
+) -> pa.Table:
+    """Small-round scheduling fast path: dedup-first-wins + per-host
+    politeness rank + global (fetch_time, host, disc) order + budget
+    truncation + crawl_seq, all in ONE remote task with numpy lexsorts —
+    PLUS the surrounding state traffic (clock reads, seen-set insert,
+    clock advance), so the driver pays a single barrier per round instead
+    of five.
+
+    A candidate table of ≤ ~1M light rows sorts in milliseconds in a
+    single process — three distributed range-partition shuffles would
+    spend 100× longer on task scheduling alone.  Rounds above
+    ``schedule_small_limit`` use the distributed path (dedup_first_wins /
+    per_key_rank / zip_with_index), which this task is pytest-verified
+    to match exactly.  All state RPCs are idempotent / token-guarded, so
+    a retried task is safe."""
+    from ..state.politeness import host_shard
+    from ..state.util import retry_actor_get
+
+    blocks = [b for b in ray.get(list(block_refs)) if b.num_rows]
+    schema_cols = FRONTIER_SCHEMA.names
+    if not blocks:
+        t = FRONTIER_SCHEMA.empty_table()
+        t = t.append_column("fetch_time", pa.array([], pa.float64()))
+        return t.append_column("crawl_seq", pa.array([], pa.int64()))
+    t = pa.concat_tables(blocks).combine_chunks().select(schema_cols)
+
+    # seen-set probe — issued HERE (one task, one RPC per shard) rather
+    # than from every filter task: actor calls from wide map fan-outs can
+    # trip Ray's 30 s ordered-call timeout under full CPU load.
+    n_seen = len(seen_shards)
+    uh0 = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    sid0 = (uh0 % np.uint64(n_seen)).astype(np.int64)
+    live0 = [s for s in range(n_seen) if (sid0 == s).any()]
+    probe_masks = retry_actor_get(
+        lambda: [seen_shards[s].probe.remote(uh0[sid0 == s]) for s in live0]
+    )
+    seen_mask = np.zeros(len(uh0), dtype=bool)
+    for s, mask in zip(live0, probe_masks):
+        seen_mask[sid0 == s] = mask
+    if seen_mask.any():
+        t = t.filter(pa.array(~seen_mask))
+        if t.num_rows == 0:
+            t = t.append_column("fetch_time", pa.array([], pa.float64()))
+            return t.append_column("crawl_seq", pa.array([], pa.int64()))
+
+    uh = t.column("url_hash").to_numpy(zero_copy_only=False)
+    dp = t.column("disc_primary").to_numpy(zero_copy_only=False)
+    ds_ = t.column("disc_secondary").to_numpy(zero_copy_only=False)
+    # host → integer codes via Arrow dictionary-encode (C++), then remap
+    # codes to LEXICOGRAPHIC rank so tie-breaks match the distributed
+    # path's host-string sort exactly (np.unique over millions of Python
+    # strings costs seconds; this is the same result vectorized)
+    henc = pa.compute.dictionary_encode(t.column("host").combine_chunks())
+    codes = henc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_strings = henc.dictionary.to_pylist()
+    lex_order = np.argsort(np.asarray(dict_strings, dtype=object))
+    lex_rank = np.empty(len(lex_order), dtype=np.int64)
+    lex_rank[lex_order] = np.arange(len(lex_order))
+    hinv = lex_rank[codes]
+    hcodes = [dict_strings[i] for i in lex_order]  # sorted host strings
+
+    # politeness clocks for this round's active hosts (sharded read)
+    n_pol = len(pol_shards)
+    groups: dict[int, list[str]] = {}
+    for h in hcodes:
+        groups.setdefault(host_shard(h, n_pol), []).append(h)
+    items = sorted(groups.items())
+    clock_vals = retry_actor_get(
+        lambda: [pol_shards[s].get_clocks.remote(hs) for s, hs in items]
+    )
+    clocks = {h: v for (s, hs), vals in zip(items, clock_vals) for h, v in zip(hs, vals)}
+    delays = {h: rules.delay(h) for h in hcodes}
+
+    # first-wins dedup on url_hash in discovery order
+    order = np.lexsort((ds_, dp, uh))
+    suh = uh[order]
+    first = np.ones(len(suh), dtype=bool)
+    first[1:] = suh[1:] != suh[:-1]
+    keep = order[first]
+    uh, dp, ds_, hinv = uh[keep], dp[keep], ds_[keep], hinv[keep]
+    t = t.take(pa.array(keep))
+
+    # per-host rank in discovery order → fetch_time
+    horder = np.lexsort((ds_, dp, hinv))
+    sh = hinv[horder]
+    change = np.ones(len(sh), dtype=bool)
+    change[1:] = sh[1:] != sh[:-1]
+    run_starts = np.where(change)[0]
+    run_ids = np.cumsum(change) - 1
+    rank_sorted = np.arange(len(sh), dtype=np.int64) - run_starts[run_ids]
+    rank = np.empty(len(sh), dtype=np.int64)
+    rank[horder] = rank_sorted
+    clock_arr = np.array([clocks[h] for h in hcodes], dtype=np.float64)
+    delay_arr = np.array([delays[h] for h in hcodes], dtype=np.float64)
+    fetch_time = clock_arr[hinv] + rank * delay_arr[hinv]
+
+    # global order + budget truncation + crawl_seq
+    gorder = np.lexsort((ds_, dp, hinv, fetch_time))
+    # tie-break parity note: the distributed path sorts by (fetch_time,
+    # host-string, disc); hinv codes are assigned in np.unique's sorted
+    # (lexicographic) host order, so the orders agree exactly.
+    gorder = gorder[: max(0, remaining)]
+    t = t.take(pa.array(gorder))
+    t = t.append_column("fetch_time", pa.array(fetch_time[gorder], pa.float64()))
+    t = t.append_column(
+        "crawl_seq",
+        pa.array(base + np.arange(len(gorder), dtype=np.int64), pa.int64()),
+    )
+
+    # state updates for the TRUNCATED schedule: seen insert (set
+    # semantics, retry-safe) and politeness clock advance (token-guarded)
+    final_h = uh[gorder]
+    n_seen = len(seen_shards)
+    sid = (final_h.astype(np.uint64) % np.uint64(n_seen)).astype(np.int64)
+    live = [s for s in range(n_seen) if (sid == s).any()]
+    retry_actor_get(
+        lambda: [seen_shards[s].add.remote(final_h[sid == s]) for s in live]
+    )
+    fetched_codes, fetched_counts = np.unique(hinv[gorder], return_counts=True)
+    adv: dict[int, tuple[list, list]] = {}
+    for c, k in zip(fetched_codes, fetched_counts):
+        h = hcodes[c]
+        s = host_shard(h, n_pol)
+        adv.setdefault(s, ([], []))[0].append(h)
+        adv[s][1].append(float(k) * delays[h])
+    retry_actor_get(
+        lambda: [
+            pol_shards[s].advance.remote(hs, deltas, (advance_token, s))
+            for s, (hs, deltas) in sorted(adv.items())
+        ]
+    )
+    return t
+
+
+@ray.remote(num_cpus=0)
+def _nrows0(t: pa.Table) -> int:
+    return t.num_rows
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -88,6 +307,9 @@ class CrawlEngine:
         fetch_concurrency: int = 4,
         fetch_batch_size: int = 4096,
         seen_capacity_per_shard: int = 1 << 20,
+        fetch_broadcast_limit: int = 8_000_000,
+        schedule_small_limit: int = 8_000_000,
+        parse: bool = True,
     ):
         self.web_dir = web_dir
         self.out_dir = out_dir
@@ -101,6 +323,20 @@ class CrawlEngine:
         self.sched = PolitenessScheduler(n_politeness_shards)
         self.fetch_concurrency = fetch_concurrency
         self.fetch_batch_size = fetch_batch_size
+        self.fetch_broadcast_limit = fetch_broadcast_limit
+        self.parse = parse
+        # block-count floor for each round's candidate table.  Sorts and
+        # groupbys inherit parallelism from input block count — a 1-block
+        # frontier serializes the round — but too many blocks turns each
+        # sort into #blocks² tiny shuffle tasks; ~8 wide-ish blocks is the
+        # sweet spot for the light candidate table at sandbox scale.
+        self.round_blocks = 8
+        # the parse actor pool may use every core — it is the dominant
+        # compute stage and the streaming executor balances it against
+        # the concurrent expand/write consumers
+        self.parse_concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        self.schedule_small_limit = schedule_small_limit
+        self._last_frontier_size = 0  # candidate count entering the round
         self.seq = 0
         self.metrics: dict[str, list[int]] = {}
 
@@ -138,79 +374,174 @@ class CrawlEngine:
         tr = _Trace(rnd)
         seen, rules_ref = self.seen, self.rules_ref
 
-        def not_seen_and_allowed(batch: pa.Table) -> pa.Table:
+        def robots_allowed(batch: pa.Table) -> pa.Table:
+            """Stateless robots filter — no actor calls from map tasks."""
             if batch.num_rows == 0:
                 return batch
             rules: RobotsRules = ray.get(rules_ref)
-            hosts = np.asarray(batch.column("host").to_pylist())
-            paths = np.asarray([path_of(u) for u in batch.column("url").to_pylist()])
-            keep = rules.allowed_mask(hosts, paths)
+            hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+            mask = rules.allowed_mask_urls(hosts, batch.column("url").to_pylist())
+            if mask.all():
+                return batch
+            return batch.filter(pa.array(mask))
+
+        def not_seen_and_allowed(batch: pa.Table) -> pa.Table:
+            """Robots + seen probe — the distributed (large-round) path;
+            the small path probes once inside _schedule_small_round."""
+            batch = robots_allowed(batch)
+            if batch.num_rows == 0:
+                return batch
             hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
-            keep &= ~seen.probe(hashes)
-            return batch.filter(pa.array(keep))
+            return batch.filter(pa.array(~seen.probe(hashes)))
 
-        cands = cands.map_batches(not_seen_and_allowed, batch_format="pyarrow")
-        cands = dedup_first_wins(cands, "url_hash", ["disc_primary", "disc_secondary"])
-        tr.mark("filter+dedup")
-
-        # politeness: clocks of this round's active hosts.  Partial-unique
-        # per block then a driver-side set union — O(blocks · hosts) tiny
-        # rows, no shuffle (Dataset.unique would run a full aggregate).
-        host_blocks = cands.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [pa.compute.unique(t.column("host"))], names=["host"]
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-        hosts = sorted({r["host"] for r in host_blocks})
-        tr.mark("unique(host)")
-        clocks = self.sched.get_clocks(hosts)
-        delays = {h: self.rules.delay(h) for h in hosts}
-
-        # fetch_time = clock[h] + i·d_h where i = within-host rank in
-        # discovery order — one sort + narrow carry pass (per_key_rank)
-        # instead of a per-host map_groups (2000 tiny pandas groups).
-        ranked = per_key_rank(
-            cands, "host", ["disc_primary", "disc_secondary"], out_col="host_rank"
-        )
-        sched_ref = ray.put((clocks, delays))
-
-        def assign_fetch_time(batch: pa.Table) -> pa.Table:
-            clocks_, delays_ = ray.get(sched_ref)
-            hosts_ = batch.column("host").to_pylist()
-            i = batch.column("host_rank").to_numpy(zero_copy_only=False).astype(np.float64)
-            t0 = np.fromiter((clocks_[h] for h in hosts_), np.float64, len(hosts_))
-            dh = np.fromiter((delays_[h] for h in hosts_), np.float64, len(hosts_))
-            batch = batch.append_column(
-                "fetch_time", pa.array(t0 + i * dh, pa.float64())
-            )
-            return batch.drop_columns(["host_rank"])
-
-        scheduled_lazy = ranked.map_batches(assign_fetch_time, batch_format="pyarrow")
         remaining = self.budget.max_urls - self.seq
-        scheduled, n_fetched = zip_with_index(
-            scheduled_lazy,
-            ["fetch_time", "host", "disc_primary", "disc_secondary"],
-            col="crawl_seq",
-            limit=remaining,
-            base=self.seq,
-        )
-        tr.mark("schedule+rank")
-        if n_fetched == 0:
-            return None, 0
-        self.seq += n_fetched
+        small = self._last_frontier_size <= self.schedule_small_limit
+        if small:
+            # ---- small-round path: filter distributed, then dedup +
+            # politeness rank + global order + crawl_seq in ONE remote
+            # task (numpy lexsorts) — three distributed shuffles would be
+            # 100× slower on task latency alone for ≤1M light rows.
+            filt_refs = cands.map_batches(
+                robots_allowed, batch_format="pyarrow"
+            ).to_arrow_refs()
+            tr.mark("filter")
+            tbl_ref = _schedule_small_round.remote(
+                filt_refs,
+                self.rules_ref,
+                remaining,
+                self.seq,
+                self.seen.shards,
+                self.sched.shards,
+                ("round", rnd),
+            )
+            n_fetched = ray.get(_nrows0.remote(tbl_ref))
+            tr.mark("schedule+state")
+            if n_fetched == 0:
+                return None, 0
+            self.seq += n_fetched
+            sched_refs = [tbl_ref]
+            scheduled = ray.data.from_arrow_refs(sched_refs)
+        else:
+            # ---- distributed path: the same five steps as range-partition
+            # shuffles; pytest-verified to produce identical output.
+            if cands.num_blocks() < self.round_blocks:
+                cands = cands.repartition(self.round_blocks)
+            cands = cands.map_batches(not_seen_and_allowed, batch_format="pyarrow")
+            cands = dedup_first_wins(
+                cands, "url_hash", ["disc_primary", "disc_secondary"]
+            )
+            tr.mark("filter+dedup")
 
-        # seen insert (distributed) + clock advance (small per-host agg)
-        self.seen.add_blocks(scheduled.to_arrow_refs())
-        counts = scheduled.groupby("host").count().to_pandas()
-        self.sched.advance(
-            {r["host"]: r["count()"] * delays[r["host"]] for _, r in counts.iterrows()}
-        )
-        tr.mark("seen+clocks")
+            # per-block partial unique → driver set union (no shuffle)
+            host_blocks = cands.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [pa.compute.unique(t.column("host"))], names=["host"]
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+            hosts = sorted({r["host"] for r in host_blocks})
+            tr.mark("unique(host)")
+            clocks = self.sched.get_clocks(hosts)
+            delays = {h: self.rules.delay(h) for h in hosts}
 
-        # fetch: bucket-partitioned lookup join — hash-partition the light
-        # frontier by url_hash % n_buckets (groupby shuffle on the SMALL
-        # side) so each web bucket is scanned exactly once per round.
+            # fetch_time = clock[h] + i·d_h; i from per_key_rank (sort +
+            # narrow carry pass, no per-host map_groups)
+            ranked = per_key_rank(
+                cands, "host", ["disc_primary", "disc_secondary"], out_col="host_rank"
+            )
+            sched_ref = ray.put((clocks, delays))
+
+            def assign_fetch_time(batch: pa.Table) -> pa.Table:
+                clocks_, delays_ = ray.get(sched_ref)
+                hosts_ = batch.column("host").to_pylist()
+                i = batch.column("host_rank").to_numpy(zero_copy_only=False).astype(np.float64)
+                t0 = np.fromiter((clocks_[h] for h in hosts_), np.float64, len(hosts_))
+                dh = np.fromiter((delays_[h] for h in hosts_), np.float64, len(hosts_))
+                batch = batch.append_column(
+                    "fetch_time", pa.array(t0 + i * dh, pa.float64())
+                )
+                return batch.drop_columns(["host_rank"])
+
+            scheduled_lazy = ranked.map_batches(assign_fetch_time, batch_format="pyarrow")
+            scheduled, n_fetched = zip_with_index(
+                scheduled_lazy,
+                ["fetch_time", "host", "disc_primary", "disc_secondary"],
+                col="crawl_seq",
+                limit=remaining,
+                base=self.seq,
+            )
+            tr.mark("schedule+rank")
+            if n_fetched == 0:
+                return None, 0
+            self.seq += n_fetched
+
+            sched_refs = scheduled.to_arrow_refs()
+            self.seen.add_blocks(sched_refs)
+            count_blocks = scheduled.map_batches(
+                lambda t: _host_value_counts(t, "host"), batch_format="pyarrow"
+            ).take_all()
+            per_host: dict[str, int] = {}
+            for r in count_blocks:
+                per_host[r["host"]] = per_host.get(r["host"], 0) + r["n"]
+            self.sched.advance({h: n * delays[h] for h, n in per_host.items()})
+            tr.mark("seen+clocks")
+
+        # fetch-and-everything: two physical plans (§7.2):
+        # - broadcast (default): the light scheduled frontier is the SMALL
+        #   side — its blocks are shared via the object store and ONE fused
+        #   raw task per bucket does fetch + parse + sinks + metrics +
+        #   expansion (``crawl_bucket_task``).  Zero shuffle, and per-round
+        #   driver coordination collapses to n_buckets task completions
+        #   (three extra Dataset executions' scheduling was the dominant
+        #   NON-scaling cost).
+        # - partition (scale path, frontier > fetch_broadcast_limit rows):
+        #   groupby(url_hash % n_buckets) on the frontier, one bucket scan
+        #   per group, then Dataset-based sinks/expand.
+        if n_fetched <= self.fetch_broadcast_limit:
+            crawled_dir = self._round_dir("crawled", rnd)
+            parsed_dir = self._round_dir("parsed", rnd) if self.parse else None
+            # skip expansion ONLY on hard budget exhaustion: links the
+            # budget will never allow are pure waste, and a truncated
+            # round is already beyond the resumable-extension contract.
+            # At a mere depth cap the frontier IS written, so a resume
+            # with more rounds continues identically (test_resume).
+            want_expand = self.seq < self.budget.max_urls
+            fdir = self._round_dir("frontier", rnd + 1) if want_expand else None
+            for d in (crawled_dir, parsed_dir, fdir):
+                if d:
+                    shutil.rmtree(d, ignore_errors=True)
+                    os.makedirs(d)
+            pairs = [
+                crawl_bucket_task.remote(
+                    self.web_dir,
+                    b,
+                    self.n_buckets,
+                    sched_refs,
+                    rnd,
+                    self.parse,
+                    crawled_dir,
+                    parsed_dir,
+                    fdir,
+                )
+                for b in range(self.n_buckets)
+            ]
+            frontier_refs = [p[0] for p in pairs]
+            metas = ray.get([p[1] for p in pairs])
+            tr.mark("fetch+parse+sink+expand")
+            n_next = sum(m["n_next"] for m in metas)
+            for m in metas:
+                for host, f, e, b in m["metrics"]:
+                    mm = self.metrics.setdefault(host, [0, 0, 0])
+                    mm[0] += f
+                    mm[1] += e
+                    mm[2] += b
+            if n_next == 0:
+                if fdir:
+                    shutil.rmtree(fdir, ignore_errors=True)
+                return None, 0
+            nxt = ray.data.from_arrow_refs(frontier_refs)
+            return nxt, n_next
+
         nb = np.uint64(self.n_buckets)
 
         def add_bucket(batch: pa.Table) -> pa.Table:
@@ -222,58 +553,76 @@ class CrawlEngine:
             .groupby("bucket")
             .map_groups(make_bucket_fetcher(self.web_dir), batch_format="pyarrow")
         )
+        keep_cols = list(CRAWLED_SCHEMA.names)
         crawled = crawled.map_batches(
             lambda t, rnd=rnd: t.append_column(
                 "round", pa.array(np.full(t.num_rows, rnd, dtype=np.int32))
             ),
             batch_format="pyarrow",
-        ).select_columns(list(CRAWLED_SCHEMA.names))
+        ).select_columns(keep_cols)
         # one materialization per round: the round's working set is bounded
         # by the frontier budget and spillable; downstream consumers (sink,
-        # metrics, expansion) then reuse blocks instead of re-fetching.
+        # parse, metrics, expansion) then reuse blocks instead of
+        # re-fetching.
         crawled = crawled.materialize()
         tr.mark("fetch")
 
-        out = self._round_dir("crawled", rnd)
-        shutil.rmtree(out, ignore_errors=True)
-        crawled.write_parquet(out)
-        tr.mark("write")
+        # the four post-fetch consumers are independent readers of the
+        # materialized blocks — overlap them instead of paying four
+        # sequential driver barriers:
+        #   - crawled parquet sink (thread)
+        #   - parse stage (actor pool) + parsed parquet sink (thread)
+        #   - per-host metrics (raw tasks on the block refs, no Dataset)
+        #   - link expansion → next frontier (main thread)
+        from concurrent.futures import ThreadPoolExecutor
 
-        # per-host metrics: partial ints per batch → tiny groupby
-        stats = (
-            crawled.map_batches(
-                lambda t: pa.Table.from_arrays(
-                    [
-                        t.column("host"),
-                        t.column("ok").cast(pa.int64()),
-                        pa.compute.subtract(1, t.column("ok").cast(pa.int64())),
-                        pa.compute.multiply(
-                            t.column("nbytes"), t.column("ok").cast(pa.int64())
-                        ),
-                    ],
-                    names=["host", "fetched", "errors", "bytes"],
-                ),
-                batch_format="pyarrow",
+        metric_refs = [
+            _host_metrics_block.remote(r) for r in crawled.to_arrow_refs()
+        ]
+
+        def write_crawled():
+            out = self._round_dir("crawled", rnd)
+            shutil.rmtree(out, ignore_errors=True)
+            _retry_import_race(
+                lambda: crawled.select_columns(list(CRAWLED_SCHEMA.names)).write_parquet(out)
             )
-            .groupby("host")
-            .sum(["fetched", "errors", "bytes"])
-            .to_pandas()
-        )
-        for _, r in stats.iterrows():
-            m = self.metrics.setdefault(r["host"], [0, 0, 0])
-            m[0] += int(r["sum(fetched)"])
-            m[1] += int(r["sum(errors)"])
-            m[2] += int(r["sum(bytes)"])
-        tr.mark("metrics")
 
-        # expansion → next round's frontier
-        nxt = crawled.map_batches(expand_links, batch_format="pyarrow").materialize()
-        n_next = nxt.count()
-        fdir = self._round_dir("frontier", rnd + 1)
-        shutil.rmtree(fdir, ignore_errors=True)
-        if n_next:
-            nxt.write_parquet(fdir)
-        tr.mark("expand")
+        def write_parsed():
+            if not self.parse:
+                return
+            from ..stages.parse import DocParser
+
+            pdir = self._round_dir("parsed", rnd)
+            shutil.rmtree(pdir, ignore_errors=True)
+            _retry_import_race(
+                lambda: crawled.map_batches(
+                    DocParser,
+                    batch_format="pyarrow",
+                    batch_size=2048,
+                    concurrency=(1, self.parse_concurrency),
+                ).write_parquet(pdir)
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_crawled = pool.submit(write_crawled)
+            f_parsed = pool.submit(write_parsed)
+            nxt = crawled.map_batches(expand_links, batch_format="pyarrow").materialize()
+            n_next = nxt.count()
+            fdir = self._round_dir("frontier", rnd + 1)
+            shutil.rmtree(fdir, ignore_errors=True)
+            if n_next:
+                nxt.write_parquet(fdir)
+            f_crawled.result()
+            f_parsed.result()
+        tr.mark("write+parse+expand")
+
+        for r in ray.get(metric_refs):
+            for host, f, e, b in r:
+                m = self.metrics.setdefault(host, [0, 0, 0])
+                m[0] += f
+                m[1] += e
+                m[2] += b
+        tr.mark("metrics")
         return nxt, n_next
 
     # ------------------------------------------------------------- checkpoint
@@ -345,15 +694,18 @@ class CrawlEngine:
                 fdir = self._round_dir("frontier", start)
                 if os.path.isdir(fdir):
                     cands = ray.data.read_parquet(fdir)
+                    self._last_frontier_size = cands.count()  # parquet metadata
                 else:
                     return self.summary(start)
         if cands is None and start == 0:
             cands = self.seed_candidates()
+            self._last_frontier_size = cands.count()
         rounds_run = 0
         for rnd in range(start, self.budget.max_rounds):
             if cands is None or self.seq >= self.budget.max_urls:
                 break
             cands, n_next = self.run_round(rnd, cands)
+            self._last_frontier_size = n_next
             tck = _Trace(rnd)
             self._checkpoint(rnd)
             tck.mark("checkpoint")

@@ -52,8 +52,26 @@ from .postprocess import apply_ops
 _STOP_SQL = "['the','a','an','of','to','in','and','or','is','are','for','on','with','as','by','at','from']"
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    rows_per_block: int = 131_072,
+) -> "ray.data.Dataset":
+    """read_parquet with a block count sized to the data, not the CPU count.
+
+    Ray's default splits any input into ~2×CPUs blocks; at 32 CPUs a 150k-row
+    table becomes 64 ~1 MB blocks and every downstream sort/groupby turns
+    into 64×64 tiny shuffle tasks — pure overhead.  Blocks are sized from
+    parquet metadata: ~``rows_per_block`` rows each (small for CPU-heavy
+    per-row ops like MinHash, large for columnar scans).  At 100 TB the same
+    rule holds via DataContext.target_max_block_size (~128 MB blocks)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    rows = pq.read_metadata(path).num_rows
+    n_blocks = max(1, min((rows + rows_per_block - 1) // rows_per_block, 64))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=n_blocks)
 
 
 def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
@@ -368,15 +386,15 @@ SQL_LANG_COUNTS = (
 def q_langid(sf_dir: str):
     """Heuristic language ID (rows-only check; accuracy tested in pytest
     against hand-written multilingual fixtures)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8)).select_columns(
         ["doc_id", "lang_pred", "lang_score"]
     )
 
 
 def q_winnow(sf_dir: str):
     """Winnowing fingerprint sizes (rows-only; semantics pytest-covered)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
 
     def n_fp(batch: pa.Table) -> pa.Table:
         b = winnow_batch(batch)
@@ -399,7 +417,7 @@ def q_winnow(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs (est. Jaccard ≥ 0.7)."""
     return minhash_lsh_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
+        _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256),
         id_col="doc_id",
         text_col="text",
         threshold=0.7,
@@ -409,7 +427,7 @@ def q_minhash_pairs(sf_dir: str):
 def q_simhash_pairs(sf_dir: str):
     """SimHash Hamming-≤3 near-dup pairs."""
     return simhash_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
+        _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256),
         id_col="doc_id",
         text_col="text",
         max_dist=3,
@@ -590,7 +608,7 @@ def q_ann_ivf(sf_dir: str):
 def q_media_features(sf_dir: str):
     """documents → synthetic media refs → materialize payloads → decode
     features, both stages as actor pools over binary batches."""
-    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"], rows_per_block=512)
 
     def to_refs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -603,14 +621,14 @@ def q_media_features(sf_dir: str):
         )
 
     media = ds.map_batches(to_refs, batch_format="pyarrow").map_batches(
-        MediaMaterializer, batch_format="pyarrow", batch_size=256, concurrency=2
+        MediaMaterializer, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
     return media.map_batches(
         ImageDecoder,
         fn_constructor_kwargs=dict(fake=True),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(1, 8),
     ).select_columns(["doc_id", "media_ref", "content_hash", "nbytes", "width", "height"])
 
 

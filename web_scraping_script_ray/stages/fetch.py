@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+import ray
 
 from ..schemas import WEB_SCHEMA
 from ..urlnorm import url_hash64
@@ -83,66 +84,173 @@ def append_fetch_columns(batch: pa.Table, found: dict[str, list]) -> pa.Table:
     return batch.append_column("spans", pa.array(spans, span_type))
 
 
-def make_bucket_fetcher(web_dir: str):
-    """Per-bucket lookup join for ``groupby('bucket').map_groups``: the
-    frontier is hash-partitioned by ``url_hash % n_buckets`` so EACH web
-    bucket is scanned exactly once per round (predicate-pushdown isin scan)
-    — vs. every fetch task scanning every bucket.  The frontier group is
-    the small side; the web table never shuffles.  At 100 TB the per-group
-    body becomes a Lance take-by-key on the bucket's fragment.
+def fetch_rows_in_bucket(web_dir: str, bucket: int, group: pa.Table) -> pa.Table:
+    """Lookup-join ``group`` (frontier rows whose url_hash maps to
+    ``bucket``) against that ONE web bucket; appends ok/nbytes/spans.
 
     The span payloads never round-trip through Python: lookup is
     ``pc.index_in`` + Arrow ``take``; misses become empty span lists via
-    offset surgery; ``nbytes`` is a vectorized utf8-length reduction."""
+    offset surgery; ``nbytes`` is a vectorized utf8-length reduction.
+    At 100 TB the scan becomes a Lance take-by-key on the bucket."""
     span_type = WEB_SCHEMA.field("spans").type
+    n = group.num_rows
+    path = os.path.join(web_dir, "web", f"bucket={bucket}")
+    urls = group.column("url")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    t = None
+    if n and os.path.isdir(path):
+        t = pads.dataset(path).to_table(
+            filter=pc.field("doc_id").isin(urls.to_pylist())
+        )
+    if t is None or t.num_rows == 0:
+        group = group.append_column("ok", pa.array(np.zeros(n, dtype=bool)))
+        group = group.append_column("nbytes", pa.array(np.zeros(n, np.int64), pa.int64()))
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+            pa.array([], span_type.value_type),
+        )
+        return group.append_column("spans", empty)
+
+    idx = pc.index_in(urls, value_set=t.column("doc_id").combine_chunks())
+    ok_np = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    spans_src = t.column("spans")
+    if isinstance(spans_src, pa.ChunkedArray):
+        spans_src = spans_src.combine_chunks()
+    # rows that hit, in group order -> flat child values
+    taken_ok = spans_src.take(idx.filter(pc.is_valid(idx)))
+    flat = pc.list_flatten(taken_ok)
+    lengths = np.zeros(n, dtype=np.int64)
+    lengths[ok_np] = pc.list_value_length(taken_ok).to_numpy(zero_copy_only=False)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    spans_out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    # nbytes = sum chars(text) + chars(media_ref) per row (vectorized)
+    span_chars = (
+        pc.utf8_length(pc.struct_field(flat, "text")).to_numpy(zero_copy_only=False)
+        + pc.utf8_length(pc.struct_field(flat, "media_ref")).to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    nbytes = np.zeros(n, dtype=np.int64)
+    parents = pc.list_parent_indices(spans_out).to_numpy(zero_copy_only=False)
+    np.add.at(nbytes, parents, span_chars)
+    group = group.append_column("ok", pa.array(ok_np))
+    group = group.append_column("nbytes", pa.array(nbytes, pa.int64()))
+    return group.append_column("spans", spans_out)
+
+
+def make_bucket_fetcher(web_dir: str):
+    """Per-bucket lookup join for ``groupby('bucket').map_groups`` — the
+    PARTITION fetch path (used when a round is too large to broadcast):
+    the frontier is hash-partitioned by ``url_hash % n_buckets`` so each
+    web bucket is scanned exactly once per round; the web table itself
+    never shuffles."""
 
     def fetch_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return group
-        n = group.num_rows
         b = int(group.column("bucket")[0].as_py())
-        path = os.path.join(web_dir, "web", f"bucket={b}")
-        group = group.drop_columns(["bucket"])
-        urls = group.column("url")
-        if isinstance(urls, pa.ChunkedArray):
-            urls = urls.combine_chunks()
-        t = None
-        if os.path.isdir(path):
-            t = pads.dataset(path).to_table(
-                filter=pc.field("doc_id").isin(urls.to_pylist())
-            )
-        if t is None or t.num_rows == 0:
-            group = group.append_column("ok", pa.array(np.zeros(n, dtype=bool)))
-            group = group.append_column("nbytes", pa.array(np.zeros(n, np.int64), pa.int64()))
-            empty = pa.ListArray.from_arrays(
-                pa.array(np.zeros(n + 1, np.int32), pa.int32()),
-                pa.array([], span_type.value_type),
-            )
-            return group.append_column("spans", empty)
-
-        idx = pc.index_in(urls, value_set=t.column("doc_id").combine_chunks())
-        ok_np = pc.is_valid(idx).to_numpy(zero_copy_only=False)
-        spans_src = t.column("spans")
-        if isinstance(spans_src, pa.ChunkedArray):
-            spans_src = spans_src.combine_chunks()
-        # rows that hit, in group order → flat child values
-        taken_ok = spans_src.take(idx.filter(pc.is_valid(idx)))
-        flat = pc.list_flatten(taken_ok)
-        lengths = np.zeros(n, dtype=np.int64)
-        lengths[ok_np] = pc.list_value_length(taken_ok).to_numpy(zero_copy_only=False)
-        offsets = np.zeros(n + 1, dtype=np.int32)
-        np.cumsum(lengths, out=offsets[1:])
-        spans_out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
-        # nbytes = Σ chars(text) + chars(media_ref) per row (vectorized)
-        span_chars = (
-            pc.utf8_length(pc.struct_field(flat, "text")).to_numpy(zero_copy_only=False)
-            + pc.utf8_length(pc.struct_field(flat, "media_ref")).to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        nbytes = np.zeros(n, dtype=np.int64)
-        parents = pc.list_parent_indices(spans_out).to_numpy(zero_copy_only=False)
-        np.add.at(nbytes, parents, span_chars)
-        group = group.append_column("ok", pa.array(ok_np))
-        group = group.append_column("nbytes", pa.array(nbytes, pa.int64()))
-        return group.append_column("spans", spans_out)
+        return fetch_rows_in_bucket(web_dir, b, group.drop_columns(["bucket"]))
 
     return fetch_group
+
+
+@ray.remote
+def fetch_bucket_broadcast(
+    web_dir: str, bucket: int, n_buckets: int, block_refs: list, parse: bool = False
+) -> pa.Table:
+    """BROADCAST fetch path: one task per bucket; the whole (light)
+    scheduled frontier is shared via the object store (zero-copy on-node),
+    each task masks out its bucket's rows and scans only its bucket — no
+    shuffle at all.  Right whenever the round frontier fits the object
+    store comfortably (<= a few million rows); beyond that the engine
+    switches to the partition path (make_bucket_fetcher)."""
+    blocks = [b for b in ray.get(list(block_refs)) if b.num_rows]
+    t = pa.concat_tables(blocks).combine_chunks()  # caller guarantees rows
+    h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    mask = (h % np.uint64(n_buckets)).astype(np.int64) == bucket
+    out = fetch_rows_in_bucket(web_dir, bucket, t.filter(pa.array(mask)))
+    if parse:
+        # fetched-AND-parsed in one task: the per-worker parser singleton
+        # amortizes setup across rounds with no actor-pool ramp-up
+        from .parse import get_parser
+
+        out = get_parser().append_parse_columns(out)
+    return out
+
+
+@ray.remote(num_returns=2)
+def crawl_bucket_task(
+    web_dir: str,
+    bucket: int,
+    n_buckets: int,
+    block_refs: list,
+    rnd: int,
+    parse: bool,
+    crawled_dir: str,
+    parsed_dir: str | None,
+    frontier_dir: str | None,
+):
+    """Fused per-bucket round superstage: fetch (bucketed lookup join) +
+    parse + parquet sinks (crawled/parsed/frontier partitions) + metrics
+    partials + link expansion, in ONE raw task.
+
+    Fusing the five consumers collapses per-round driver coordination
+    from three extra Dataset executions (hundreds of task completions
+    the driver must schedule under the GIL — a fixed, non-scaling cost)
+    to just these n_buckets tasks.  Returns (frontier_table_for_bucket,
+    meta) where meta carries n_next and the per-host metric partials.
+    Output files are per-bucket partitions → a failed run resumes by
+    round manifest, never re-writing finished rounds."""
+    import pyarrow.parquet as _pq
+
+    from ..schemas import CRAWLED_SCHEMA
+    from .spans import expand_links
+
+    blocks = [b for b in ray.get(list(block_refs)) if b.num_rows]
+    t = pa.concat_tables(blocks).combine_chunks()
+    h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    mask = (h % np.uint64(n_buckets)).astype(np.int64) == bucket
+    group = t.filter(pa.array(mask))
+    out = fetch_rows_in_bucket(web_dir, bucket, group)
+    out = out.append_column(
+        "round", pa.array(np.full(out.num_rows, rnd, dtype=np.int32))
+    )
+    crawled = out.select(list(CRAWLED_SCHEMA.names))
+    if out.num_rows:
+        _pq.write_table(crawled, os.path.join(crawled_dir, f"part-{bucket:05d}.parquet"))
+    if parse and out.num_rows:
+        from .parse import PARSE_COLUMNS, get_parser
+
+        parsed = get_parser().append_parse_columns(crawled).select(
+            ["url", "crawl_seq", "round", *PARSE_COLUMNS]
+        )
+        if parsed_dir is not None:
+            _pq.write_table(parsed, os.path.join(parsed_dir, f"part-{bucket:05d}.parquet"))
+
+    # per-host metric partials (host, fetched, errors, bytes)
+    mets: list = []
+    if out.num_rows:
+        hosts = np.asarray(out.column("host").to_pylist(), dtype=object)
+        okc = out.column("ok").to_numpy(zero_copy_only=False)
+        nb = out.column("nbytes").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        f = np.zeros(len(uniq), np.int64)
+        e = np.zeros(len(uniq), np.int64)
+        by = np.zeros(len(uniq), np.int64)
+        np.add.at(f, inv, okc.astype(np.int64))
+        np.add.at(e, inv, (~okc).astype(np.int64))
+        np.add.at(by, inv, nb * okc.astype(np.int64))
+        mets = list(zip(uniq.tolist(), f.tolist(), e.tolist(), by.tolist()))
+
+    if frontier_dir is None:
+        # budget exhausted or depth cap reached — expanding links the
+        # engine will never fetch is pure waste
+        from ..schemas import FRONTIER_SCHEMA
+
+        return FRONTIER_SCHEMA.empty_table(), {"n_next": 0, "metrics": mets}
+    frontier = expand_links(crawled)
+    if frontier.num_rows:
+        _pq.write_table(
+            frontier, os.path.join(frontier_dir, f"part-{bucket:05d}.parquet")
+        )
+    return frontier, {"n_next": frontier.num_rows, "metrics": mets}

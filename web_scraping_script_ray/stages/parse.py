@@ -1,0 +1,126 @@
+"""Per-document parse stage — the "parsed" half of fetched-and-parsed.
+
+What a production crawl computes per fetched page before storage
+(SURVEY.md §2.3 + the training-data additions): text projection from the
+span array (M2 semantics), token counts, quality score, language ID and
+the MinHash signature that downstream near-dup detection keys on.
+
+Runs as ``map_batches(DocParser, ...)`` over the crawled table — the
+expensive setup (permutation matrices, language profiles) happens once
+per actor; per batch everything row-wise is a tight loop over
+already-projected text."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dedup import MinHasher, simhash64
+from ..functions.text import LangId, quality_scores, token_counts
+
+PARSED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("crawl_seq", pa.int64()),
+        ("round", pa.int32()),
+        ("n_ws_tokens", pa.int64()),
+        ("n_bpe_tokens", pa.int64()),
+        ("quality", pa.float64()),
+        ("lang_pred", pa.string()),
+        ("simhash", pa.uint64()),
+        ("sig", pa.list_(pa.uint64())),  # MinHash signature (num_perm)
+    ]
+)
+
+
+PARSE_COLUMNS = (
+    "n_ws_tokens",
+    "n_bpe_tokens",
+    "quality",
+    "lang_pred",
+    "simhash",
+    "sig",
+)
+
+
+class DocParser:
+    """Callable: crawled batch → PARSED_SCHEMA batch.  Usable as a
+    map_batches actor class OR via the per-worker-process singleton
+    (``get_parser``) inside raw fetch tasks — worker processes persist
+    across rounds, so setup (permutation params, language profiles)
+    amortizes without an actor pool's startup ramp."""
+
+    def __init__(self, num_perm: int = 128):
+        self.mh = MinHasher(num_perm=num_perm)
+        self.langid = LangId()
+
+    def parse_columns(self, batch: pa.Table) -> dict:
+        """Row-aligned parse columns for a batch that has ``spans``."""
+        t = _project_text_fast_cols(batch)
+        t = token_counts(t)
+        t = quality_scores(t)
+        t = self.langid(t)
+        texts = t.column("text").to_pylist()
+        sigs = [self.mh.signature(x).tolist() for x in texts]
+        shs = [simhash64(x) for x in texts]
+        return {
+            "n_ws_tokens": t.column("n_ws_tokens"),
+            "n_bpe_tokens": t.column("n_bpe_tokens"),
+            "quality": t.column("quality"),
+            "lang_pred": t.column("lang_pred"),
+            "simhash": pa.array(shs, pa.uint64()),
+            "sig": pa.array(sigs, pa.list_(pa.uint64())),
+        }
+
+    def append_parse_columns(self, batch: pa.Table) -> pa.Table:
+        for name, col in self.parse_columns(batch).items():
+            batch = batch.append_column(name, col)
+        return batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.parse_columns(batch)
+        return pa.Table.from_arrays(
+            [
+                batch.column("url"),
+                batch.column("crawl_seq"),
+                batch.column("round"),
+                *cols.values(),
+            ],
+            schema=PARSED_SCHEMA,
+        )
+
+
+_PARSER: DocParser | None = None
+
+
+def get_parser() -> DocParser:
+    """Per-worker-process DocParser singleton (raw-task amortization)."""
+    global _PARSER
+    if _PARSER is None:
+        _PARSER = DocParser()
+    return _PARSER
+
+
+def _project_text_fast_cols(batch: pa.Table) -> pa.Table:
+    """Like _project_text_fast but only needs the spans column."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    is_text = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(zero_copy_only=False)
+    texts = pc.struct_field(flat, "text")
+    n = batch.num_rows
+    sel = np.where(is_text)[0]
+    t_par = parents[sel]
+    out = np.empty(n, dtype=object)
+    out[:] = ""
+    if len(sel):
+        tl = texts.take(pa.array(sel)).to_pylist()
+        bounds = np.searchsorted(t_par, np.arange(n + 1))
+        for i in range(n):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                out[i] = " ".join(tl[lo:hi])
+    return pa.Table.from_arrays([pa.array(out.tolist(), pa.string())], names=["text"])

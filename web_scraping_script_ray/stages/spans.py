@@ -82,7 +82,7 @@ def expand_links(batch: pa.Table) -> pa.Table:
     keep = np.array(keep, dtype=np.int64)
     if len(keep) == 0:
         return FRONTIER_SCHEMA.empty_table()
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [
             pa.array(urls, pa.string()),
             pa.array(hosts, pa.string()),
@@ -94,6 +94,23 @@ def expand_links(batch: pa.Table) -> pa.Table:
         ],
         schema=FRONTIER_SCHEMA,
     )
+    # map-side combine: block-local first-wins dedup on url_hash (keep the
+    # min (disc_primary, disc_secondary) per hash).  Popular targets are
+    # rediscovered constantly; dropping block-local repeats shrinks the
+    # frontier shipped to the scheduler without changing its global
+    # first-wins result (each block's surviving row is its block-minimum,
+    # so the global minimum always survives).
+    uh = out.column("url_hash").to_numpy(zero_copy_only=False)
+    dp = out.column("disc_primary").to_numpy(zero_copy_only=False)
+    ds2 = out.column("disc_secondary").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ds2, dp, uh))
+    suh = uh[order]
+    first = np.ones(len(suh), dtype=bool)
+    first[1:] = suh[1:] != suh[:-1]
+    sel2 = np.sort(order[first])
+    if len(sel2) < len(uh):
+        out = out.take(pa.array(sel2))
+    return out
 
 
 def project_text(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .util import retry_actor_get
+
 _EMPTY = np.uint16(0)
 _BUCKET_SLOTS = 4
 _MAX_KICKS = 500
@@ -111,13 +113,42 @@ class SeenShard:
     """One shard of the URL-seen set (run as a Ray actor).
 
     Probe path: cuckoo-negative → definitely new (no exact lookup);
-    cuckoo-positive → confirm against the exact set, so false positives
+    cuckoo-positive → confirm against the exact store, so false positives
     never drop a URL and the final seen set matches the oracle exactly.
+
+    The exact store is a sorted uint64 array plus a small unsorted
+    pending buffer (merged when it grows): probes are vectorized
+    ``np.searchsorted`` instead of per-key Python set lookups — crawl
+    frontiers probe millions of keys per round and most positives are
+    true duplicates, so the confirm path must be vectorized.
     """
+
+    _MERGE_AT = 65_536
 
     def __init__(self, capacity: int = 1 << 20):
         self.filter = CuckooFilter(capacity)
-        self.exact: set[int] = set()
+        self.sorted = np.empty(0, dtype=np.uint64)
+        self.pending: set[int] = set()
+
+    def _merge(self) -> None:
+        if self.pending:
+            arr = np.fromiter(self.pending, dtype=np.uint64, count=len(self.pending))
+            self.sorted = np.sort(np.concatenate([self.sorted, arr]))
+            self.pending = set()
+
+    def _contains_exact(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        if len(self.sorted):
+            pos = np.searchsorted(self.sorted, hashes)
+            in_range = pos < len(self.sorted)
+            out[in_range] = self.sorted[pos[in_range]] == hashes[in_range]
+        if self.pending:
+            pend = self.pending
+            miss = np.where(~out)[0]
+            for i in miss:
+                if int(hashes[i]) in pend:
+                    out[i] = True
+        return out
 
     def probe(self, hashes: np.ndarray) -> np.ndarray:
         """→ boolean mask: True = already seen."""
@@ -126,29 +157,32 @@ class SeenShard:
         out = np.zeros(len(hashes), dtype=bool)
         idx = np.where(maybe)[0]
         if len(idx):
-            ex = self.exact
-            out[idx] = [int(hashes[i]) in ex for i in idx]
+            out[idx] = self._contains_exact(hashes[idx])
         return out
 
     def add(self, hashes: np.ndarray) -> int:
-        hashes = np.asarray(hashes, dtype=np.uint64)
-        new = [h for h in hashes.tolist() if h not in self.exact]
-        if new:
-            arr = np.array(new, dtype=np.uint64)
-            self.filter.add(arr)
-            self.exact.update(new)
-        return len(new)
+        hashes = np.unique(np.asarray(hashes, dtype=np.uint64))
+        new_mask = ~self._contains_exact(hashes)
+        new = hashes[new_mask]
+        if len(new):
+            self.filter.add(new)
+            self.pending.update(new.tolist())
+            if len(self.pending) >= self._MERGE_AT:
+                self._merge()
+        return int(len(new))
 
     def size(self) -> int:
-        return len(self.exact)
+        return len(self.sorted) + len(self.pending)
 
     def dump(self) -> tuple[bytes, np.ndarray]:
         """Checkpoint payload: (cuckoo bytes, exact hashes)."""
-        return self.filter.serialize(), np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        self._merge()
+        return self.filter.serialize(), self.sorted.copy()
 
     def load(self, cuckoo_bytes: bytes, exact: np.ndarray) -> None:
         self.filter = CuckooFilter.deserialize(cuckoo_bytes)
-        self.exact = set(np.asarray(exact, dtype=np.uint64).tolist())
+        self.sorted = np.sort(np.asarray(exact, dtype=np.uint64))
+        self.pending = set()
 
 
 class ShardedSeen:
@@ -171,30 +205,26 @@ class ShardedSeen:
         return hashes, sid
 
     def probe(self, hashes: np.ndarray) -> np.ndarray:
-        import ray
-
         hashes, sid = self._route(hashes)
         out = np.zeros(len(hashes), dtype=bool)
-        futs, idxs = [], []
-        for s in range(self.n_shards):
-            idx = np.where(sid == s)[0]
-            if len(idx):
-                futs.append(self.shards[s].probe.remote(hashes[idx]))
-                idxs.append(idx)
-        for idx, mask in zip(idxs, ray.get(futs)):
-            out[idx] = mask
+        idxs = [np.where(sid == s)[0] for s in range(self.n_shards)]
+        live = [s for s in range(self.n_shards) if len(idxs[s])]
+
+        def calls():
+            return [self.shards[s].probe.remote(hashes[idxs[s]]) for s in live]
+
+        for s, mask in zip(live, retry_actor_get(calls)):  # idempotent
+            out[idxs[s]] = mask
         return out
 
     def add(self, hashes: np.ndarray) -> None:
-        import ray
-
         hashes, sid = self._route(hashes)
-        futs = []
-        for s in range(self.n_shards):
-            idx = np.where(sid == s)[0]
-            if len(idx):
-                futs.append(self.shards[s].add.remote(hashes[idx]))
-        ray.get(futs)
+        idxs = [np.where(sid == s)[0] for s in range(self.n_shards)]
+        live = [s for s in range(self.n_shards) if len(idxs[s])]
+        # set semantics -> re-issuing on actor timeout is safe
+        retry_actor_get(
+            lambda: [self.shards[s].add.remote(hashes[idxs[s]]) for s in live]
+        )
 
     def add_blocks(self, block_refs, hash_col: str = "url_hash") -> None:
         """Distributed insert: one remote task per Arrow block routes its
@@ -205,12 +235,13 @@ class ShardedSeen:
         def _add(t, shards, n_shards):
             h = t.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
             sid = (h % np.uint64(n_shards)).astype(np.int64)
-            futs = []
-            for s in range(n_shards):
-                idx = np.where(sid == s)[0]
-                if len(idx):
-                    futs.append(shards[s].add.remote(h[idx]))
-            ray.get(futs)
+            from web_scraping_script_ray.state.util import retry_actor_get
+
+            idxs = [np.where(sid == s)[0] for s in range(n_shards)]
+            live = [s for s in range(n_shards) if len(idxs[s])]
+            retry_actor_get(
+                lambda: [shards[s].add.remote(h[idxs[s]]) for s in live]
+            )
             return None
 
         ray.get([_add.remote(r, self.shards, self.n_shards) for r in block_refs])

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..schemas import HOST_CLOCK_SCHEMA
+from .util import retry_actor_get
 
 
 def host_shard(host: str, n_shards: int) -> int:
@@ -32,11 +33,18 @@ class PolitenessShard:
 
     def __init__(self):
         self.clock: dict[str, float] = {}
+        self._applied: set = set()  # advance tokens already applied
 
     def get_clocks(self, hosts: list[str]) -> list[float]:
         return [self.clock.get(h, 0.0) for h in hosts]
 
-    def advance(self, hosts: list[str], deltas: list[float]) -> None:
+    def advance(self, hosts: list[str], deltas: list[float], token=None) -> None:
+        # token guard makes advance idempotent: a retried RPC whose first
+        # attempt DID execute (actor-unavailable is ambiguous) is a no-op
+        if token is not None:
+            if token in self._applied:
+                return
+            self._applied.add(token)
         for h, d in zip(hosts, deltas):
             self.clock[h] = self.clock.get(h, 0.0) + d
 
@@ -61,6 +69,7 @@ class PolitenessScheduler:
         import ray
 
         self.n_shards = n_shards
+        self._advance_seq = 0
         actor = ray.remote(num_cpus=0)(PolitenessShard)
         self.shards = [actor.remote() for _ in range(n_shards)]
 
@@ -71,23 +80,26 @@ class PolitenessScheduler:
         return groups
 
     def get_clocks(self, hosts: list[str]) -> dict[str, float]:
-        import ray
-
         groups = self._group(hosts)
-        futs = {s: self.shards[s].get_clocks.remote(hs) for s, hs in groups.items()}
+        items = sorted(groups.items())
+        results = retry_actor_get(  # idempotent read
+            lambda: [self.shards[s].get_clocks.remote(hs) for s, hs in items]
+        )
         out: dict[str, float] = {}
-        for s, hs in groups.items():
-            for h, t in zip(hs, ray.get(futs[s])):
+        for (s, hs), vals in zip(items, results):
+            for h, t in zip(hs, vals):
                 out[h] = t
         return out
 
-    def advance(self, deltas: dict[str, float]) -> None:
-        import ray
-
+    def advance(self, deltas: dict[str, float], token=None) -> None:
+        self._advance_seq += 1
+        seq = self._advance_seq if token is None else token
         groups = self._group(list(deltas))
-        ray.get(
-            [
-                self.shards[s].advance.remote(hs, [deltas[h] for h in hs])
+        retry_actor_get(
+            lambda: [
+                self.shards[s].advance.remote(
+                    hs, [deltas[h] for h in hs], (seq, s)
+                )
                 for s, hs in groups.items()
             ]
         )
@@ -146,4 +158,23 @@ class RobotsRules:
             pre = dis.get(h)
             if pre and any(p.startswith(x) for x in pre):
                 out[i] = False
+        return out
+
+    def allowed_mask_urls(self, hosts: np.ndarray, urls: list) -> np.ndarray:
+        """Vectorized variant: only rows whose host actually has disallow
+        rules need a path parse — for typical rule tables that is a tiny
+        fraction, so the hot path is one ``np.isin`` over hosts."""
+        out = np.ones(len(hosts), dtype=bool)
+        ruled = [h for h, pre in self.disallow.items() if pre]
+        if not ruled:
+            return out
+        candidates = np.isin(hosts, ruled)
+        for i in np.where(candidates)[0]:
+            pre = self.disallow.get(hosts[i])
+            if pre:
+                u = urls[i]
+                cut = u.find("/", u.find("//") + 2)
+                path = u[cut:] if cut != -1 else "/"
+                if any(path.startswith(x) for x in pre):
+                    out[i] = False
         return out

@@ -219,7 +219,8 @@ def make_seeds(p: WebParams, starts: np.ndarray, n_seeds: int | None = None) -> 
         extra = np.unique(
             np.linspace(0, p.n_docs - 1, n_seeds - p.n_hosts).astype(np.int64)
         )
-        seed_idx.extend(int(i) for i in extra if i not in set(seed_idx))
+        taken = set(seed_idx)
+        seed_idx.extend(int(i) for i in extra if int(i) not in taken)
     urls.extend(str(u) for u in doc_url(seed_idx, p, starts))
     # dangling seed + duplicate seed (first-wins dedup exercise)
     urls.append(f"http://h0000.example/p/{p.n_docs + 999:07d}")
