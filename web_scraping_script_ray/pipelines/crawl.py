@@ -39,6 +39,18 @@ cyclic crawl dataflow natively, so the driver iterates rounds):
 Scale notes: each round materializes only that round's candidate table and
 fetched block set (spillable, bounded by the frontier budget); driver
 traffic is O(#blocks + #active-hosts) per round, never O(rows).
+
+Host-skew note (north_rule "salted repartitioning of hot domains"): the
+engine never partitions WORK by host — fetch/parse partition by
+``url_hash % n_buckets``, which spreads a hot domain's URLs uniformly
+across buckets (the hash of the full URL acts as a built-in per-URL
+salt), so a domain holding 20%+ of the web costs no worker more than any
+other.  The only per-host-serial thing is the politeness VIRTUAL clock
+(semantics, not wall time); per-host state itself is sharded by
+``hash(host) % n_shards`` across the scheduler actors.  An explicit
+salted repartition is therefore only needed on the host-keyed aggregates,
+which this engine already reduces map-side (per-block partials) instead
+of shuffling by host.
 """
 
 from __future__ import annotations

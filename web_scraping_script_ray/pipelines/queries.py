@@ -708,6 +708,36 @@ def q_crawl(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_crawl_parsed(sf_dir: str):
+    """The fetched-AND-parsed output: per-crawled-doc token counts,
+    quality, language and fingerprints computed inside the fused fetch
+    tasks (deterministic; rows-only check — crawl+parse semantics are
+    pytest-gated against the sequential oracle)."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..synthweb import Budget, WebParams, fixture_dir
+    from .crawl import run_crawl
+
+    web_dir = fixture_dir(WebParams(n_docs=1000, n_hosts=20, seed=42))
+    out_dir = tempfile.mkdtemp(prefix="crawlpq_")
+    try:
+        eng, _ = run_crawl(web_dir, out_dir, Budget(max_rounds=3, max_urls=2000))
+        t = (
+            ray.data.read_parquet(os.path.join(out_dir, "parsed"))
+            .select_columns(
+                ["url", "crawl_seq", "round", "n_ws_tokens", "quality", "lang_pred", "simhash"]
+            )
+            .to_pandas()
+        )
+        eng.shutdown()
+        return t
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -739,6 +769,7 @@ QUERIES = {
     "media_features": q_media_features,
     "html_spans": q_html_spans,
     "crawl_bfs": q_crawl,
+    "crawl_parsed": q_crawl_parsed,
 }
 
 ORACLE_SQL = {
