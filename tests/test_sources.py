@@ -22,3 +22,20 @@ def test_seeds_from_file_filters_comments(tmp_path):
     df = seeds_from_file(str(p)).to_pandas()
     assert df.url.tolist() == ["http://a/", "http://b/", "http://c/"]
     assert df.seed_rank.tolist() == [0, 1, 2]
+
+
+def test_fetch_and_sink_registries(tmp_path):
+    from web_scraping_script_ray.sources.registry import get_fetcher, get_sink
+
+    f = get_fetcher("playwright", "/tmp/nonexistent")
+    assert callable(f)
+    assert callable(get_fetcher("not-a-mode", "/tmp/nonexistent"))  # fallback
+
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"x": [1, 2, 3]}))
+    sink = get_sink("json")
+    sink(ds, str(tmp_path / "out"))
+    assert any((tmp_path / "out").iterdir())
+    assert callable(get_sink("mongodb"))  # fallback → parquet

@@ -48,6 +48,10 @@ def seeds_from_file(path: str) -> "ray.data.Dataset":
     global order via a driver-side pass — seed lists are small by
     definition (they bootstrap the crawl), so this is not a scale concern.
     """
-    ds = ray.data.read_text(path).map_batches(parse_url_lines, batch_format="pyarrow")
+    # one block: block order across a parallel read is not a contract,
+    # and seed_rank must follow file order exactly
+    ds = ray.data.read_text(path, override_num_blocks=1).map_batches(
+        parse_url_lines, batch_format="pyarrow"
+    )
     urls = [r["url"] for r in ds.take_all()]
     return seeds_from_urls(urls)
