@@ -99,3 +99,42 @@ def test_budget_truncation_parity(t1_web, tmp_path_factory):
         assert (got["fetch_time"].values == exp["fetch_time"].values).all()
     finally:
         eng.shutdown()
+
+
+def test_politeness_token_window_bounded():
+    """Stale-token replay within the window is a no-op; the applied-token
+    set itself stays bounded (no per-round leak)."""
+    from web_scraping_script_ray.state.politeness import PolitenessShard
+
+    sh = PolitenessShard()
+    sh.advance(["h"], [1.0], token=("r", 0))
+    sh.advance(["h"], [1.0], token=("r", 0))  # replay → no-op
+    assert sh.clock["h"] == 1.0
+    for i in range(PolitenessShard.TOKEN_WINDOW + 10):
+        sh.advance(["h"], [0.0], token=("x", i))
+    assert len(sh._applied) <= PolitenessShard.TOKEN_WINDOW
+    # a recent token still replays as a no-op
+    sh.advance(["h"], [5.0], token=("x", PolitenessShard.TOKEN_WINDOW + 9))
+    assert sh.clock["h"] == 1.0
+
+
+def test_robots_query_string_path_parity():
+    """allowed_mask_urls must match prefixes against the urlsplit path
+    only — '?' / '#' suffixes cut before matching."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_scraping_script_ray.state.politeness import RobotsRules
+
+    robots = pa.table(
+        {"host": ["h.example"], "disallow": [["/private"]], "crawl_delay": [1.0]}
+    )
+    r = RobotsRules(robots, 1.0)
+    hosts = np.array(["h.example"] * 3, dtype=object)
+    urls = [
+        "http://h.example/private?x=1",
+        "http://h.example/ok?path=/private",
+        "http://h.example/priv#ate",
+    ]
+    mask = r.allowed_mask_urls(hosts, urls)
+    assert mask.tolist() == [False, True, True]

@@ -121,3 +121,17 @@ def test_media_pipeline_stages():
 def test_real_decoder_requires_codec():
     with pytest.raises(NotImplementedError):
         ImageDecoder(fake=False)
+
+
+def test_filter_accepts_reference_condition_key():
+    """The reference spells the filter op key 'condition'
+    (src/main.py:174); a reference-format spec must not silently fall
+    back to equals."""
+    out = apply_ops(_ds(), [{"type": "filter", "column": "cat", "condition": "contains", "value": "x"}]).to_pandas()
+    assert sorted(out.rid.tolist()) == [2, 3, 5]
+
+
+def test_sort_missing_column_is_noop():
+    """Reference warns and skips a missing sort column (src/main.py:188-195)."""
+    out = apply_ops(_ds(), [{"type": "sort", "column": "nope"}]).to_pandas()
+    assert len(out) == 5

@@ -59,3 +59,28 @@ def test_dedup_first_wins_matches_pandas():
     )
     assert (out["k"].values == exp["k"].values).all()
     assert (out["v"].values == exp["v"].values).all()
+
+
+def test_dedup_first_wins_composite_key(ray_session):
+    """Composite (id_a, id_b) dedup must not alias distinct pairs the way a
+    32-bit packed key would (ids >= 2^32)."""
+    import ray.data
+
+    from web_scraping_script_ray.stages.rank import dedup_first_wins
+
+    big = 1 << 33
+    t = pa.Table.from_arrays(
+        [
+            pa.array([1, 1, big, big + 1, 1], pa.int64()),
+            pa.array([2, 3, big + 1, big + 2, 2], pa.int64()),
+            pa.array([0, 1, 2, 3, 4], pa.int64()),
+        ],
+        names=["id_a", "id_b", "ordc"],
+    )
+    out = dedup_first_wins(
+        ray.data.from_arrow(t).repartition(3), ["id_a", "id_b"], ["ordc"]
+    ).to_pandas()
+    pairs = sorted(zip(out.id_a, out.id_b))
+    assert pairs == [(1, 2), (1, 3), (big, big + 1), (big + 1, big + 2)]
+    # first-wins: the (1,2) survivor is the ordc=0 row
+    assert out[(out.id_a == 1) & (out.id_b == 2)].ordc.iloc[0] == 0

@@ -9,23 +9,29 @@ The reference deduplicates twice — post-hoc row dedup on a column
 - **exact**: 128-bit content hash (md5) added per batch, then the engine's
   sort-based first-wins dedup (one range-partition shuffle + a narrow
   block pass, ``stages.rank.dedup_first_wins``) — no per-group Python.
-- **MinHash+LSH**: shingle → 128-perm minhash signature (vectorized
-  ``(a·s + b) mod p`` matrix min) → banded bucket keys → ``groupby(band)``
-  emits candidate pairs → signature-estimate verify.  The only shuffle
-  moves ``(band_key, doc_id)`` pairs, never documents.
-- **SimHash**: 64-bit sign-of-weighted-sum fingerprint; near-dup blocking
-  on 4×16-bit bands (any Hamming-≤3 pair shares a band by pigeonhole),
-  verify by popcount.
+- **MinHash+LSH**: shingle → 128-perm minhash signature (fully vectorized:
+  Arrow tokenization, dictionary-hashed tokens, numpy polynomial shingle
+  mix, segmented ``minimum.reduceat`` signature minima) → banded bucket
+  keys → ``groupby(band)`` emits candidate pairs → signature-estimate
+  verify.  The only shuffle moves ``(band_key, doc_id, sig)`` rows, never
+  documents.
+- **SimHash**: 64-bit sign-of-summed-bits fingerprint (vectorized via
+  ``unpackbits`` + segmented sums); near-dup blocking on 4×16-bit bands
+  (any Hamming-≤3 pair shares a band by pigeonhole), verify by table-driven
+  popcount.
 - **n-gram Jaccard**: exact verify kernel over shingle sets, used as the
   re-rank stage after LSH candidate generation.
-- **embedding cosine**: normalized-matrix near-dup; exact path broadcasts
-  the (small) normalized matrix via ``ray.put`` and each batch does one
-  numpy matmul; scale path buckets by random-hyperplane LSH first.
+- **embedding cosine**: normalized-matrix near-dup; exact path builds the
+  broadcast matrix in a REMOTE task (the driver never holds rows) and each
+  batch does one numpy matmul; above ``auto_lsh_rows`` it auto-switches to
+  the random-hyperplane LSH bucket path.
 
-Pair outputs are canonicalized (``id_a < id_b``) and deduplicated; the
-"keep" policy is min-id connected component (union-find over the pair
-list — pairs are tiny relative to docs; document-scale path is iterative
-label propagation over the pairs Dataset).
+Pair outputs are canonicalized (``id_a < id_b``) and deduplicated on the
+composite ``(id_a, id_b)`` key — ids of any width, no 32-bit packing that
+could alias distinct pairs.  The "keep" policy is min-id connected
+component (union-find over the pair list — pairs are tiny relative to
+docs; document-scale path is iterative label propagation over the pairs
+Dataset).
 """
 
 from __future__ import annotations
@@ -39,8 +45,9 @@ import ray
 import ray.data
 
 from ..stages.rank import dedup_first_wins
+from .hashing import band_salt, flat_tokens, mix64, popcount64, shingle_hash_flat, token_hashes
 
-_P = np.uint64((1 << 61) - 1)  # Mersenne prime modulus for minhash perms
+_B = np.uint64(0x100000001B3)
 
 
 # ---------------------------------------------------------------------------
@@ -72,23 +79,11 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """uint64 hashes of the k-word shingles of ``text`` (lowercased)."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    b2b = hashlib.blake2b
-    return np.unique(
-        np.fromiter(
-            (
-                int.from_bytes(b2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-                for s in shingles
-            ),
-            dtype=np.uint64,
-            count=len(shingles),
-        )
-    )
+    """Sorted-unique uint64 hashes of the k-word shingles of ``text``
+    (lowercased) — single-document convenience over the batch kernel."""
+    flat, offsets = flat_tokens(pa.array([text]))
+    sh, _ = shingle_hash_flat(token_hashes(flat), offsets, k)
+    return np.unique(sh)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -103,12 +98,16 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 class MinHasher:
     """Actor-pool callable: draws the (a_i, b_i) permutation parameters once
     per actor from a fixed seed, then per batch computes signatures and
-    banded LSH bucket keys.
+    banded LSH bucket keys — all vectorized, no per-row Python.
+
+    Each permutation is ``π_i(s) = a_i·s + b_i (mod 2^64)`` with odd
+    ``a_i`` — a bijection on uint64, the standard multiply-shift minhash
+    family (no per-element mod-prime division on the hot path).
 
     Emits ``sig`` (list<uint64>, len ``num_perm``) and ``bands``
-    (list<uint64>, len ``n_bands``) where
-    ``bands[j] = blake2b(j, sig[j·r:(j+1)·r])`` — docs agreeing on any
-    band land in the same LSH bucket.
+    (list<uint64>, len ``n_bands``) where band j's key mixes rows
+    ``sig[j·r:(j+1)·r]`` with a per-band salt — docs agreeing on any band
+    land in the same LSH bucket.
     """
 
     def __init__(
@@ -126,49 +125,65 @@ class MinHasher:
         self.n_bands = n_bands
         self.rows_per_band = num_perm // n_bands
         rng = np.random.Generator(np.random.PCG64(seed))
-        self.a = (rng.integers(1, _P, size=num_perm, dtype=np.uint64) | np.uint64(1))
-        self.b = rng.integers(0, _P, size=num_perm, dtype=np.uint64)
+        self.a = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64)
+        self._salts = band_salt(n_bands)
 
+    def signatures_matrix(self, texts: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+        """(n_rows, num_perm) uint64 signature matrix for a string column.
+        Rows with no shingles (empty text) get all-zero signatures."""
+        flat, offsets = flat_tokens(texts)
+        sh, soff = shingle_hash_flat(token_hashes(flat), offsets, self.k)
+        n = len(offsets) - 1
+        sig = np.zeros((n, self.num_perm), np.uint64)
+        if len(sh) == 0:
+            return sig
+        nonempty = np.nonzero(np.diff(soff) > 0)[0]
+        # per-doc (num_perm × shingles) matrix min — the doc-sized work
+        # matrix stays in cache; this beats segmented reduceat ~16×
+        aC = self.a[:, None]
+        bC = self.b[:, None]
+        for i in nonempty:
+            seg = sh[soff[i] : soff[i + 1]]
+            sig[i] = (aC * seg[None, :] + bC).min(axis=1)
+        return sig
+
+    def band_keys_matrix(self, sig: np.ndarray) -> np.ndarray:
+        """(n_rows, n_bands) uint64 LSH bucket keys from a signature matrix."""
+        n = sig.shape[0]
+        r = self.rows_per_band
+        s3 = sig.reshape(n, self.n_bands, r)
+        acc = np.zeros((n, self.n_bands), np.uint64)
+        for i in range(r):
+            acc = acc * _B + s3[:, :, i]
+        acc ^= self._salts[None, :]
+        return mix64(acc)
+
+    # single-row conveniences (tests / ad-hoc use)
     def signature(self, text: str) -> np.ndarray:
-        s = shingle_hashes(text, self.k)
-        if len(s) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) — integer ops mod 2^64 then mod P is fine
-        # for minhash purposes (uniform-ish, deterministic).
-        vals = (self.a[:, None] * s[None, :] + self.b[:, None]) % _P
-        return vals.min(axis=1)
+        return self.signatures_matrix(pa.array([text]))[0]
 
     def band_keys(self, sig: np.ndarray) -> np.ndarray:
-        r = self.rows_per_band
-        b2b = hashlib.blake2b
-        return np.fromiter(
-            (
-                int.from_bytes(
-                    b2b(
-                        bytes([j]) + sig[j * r : (j + 1) * r].tobytes(),
-                        digest_size=8,
-                    ).digest(),
-                    "big",
-                )
-                for j in range(self.n_bands)
-            ),
-            dtype=np.uint64,
-            count=self.n_bands,
-        )
+        return self.band_keys_matrix(np.asarray(sig, np.uint64)[None, :])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch.column(self.text_col).to_pylist()]
-        bands = [self.band_keys(s) for s in sigs]
-        batch = batch.append_column(
-            "sig", pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64()))
+        sig = self.signatures_matrix(batch.column(self.text_col))
+        bands = self.band_keys_matrix(sig)
+        n = batch.num_rows
+        sig_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * self.num_perm, pa.int32()),
+            pa.array(sig.ravel(), pa.uint64()),
         )
-        return batch.append_column(
-            "bands", pa.array([b.tolist() for b in bands], pa.list_(pa.uint64()))
+        band_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * self.n_bands, pa.int32()),
+            pa.array(bands.ravel(), pa.uint64()),
         )
+        batch = batch.append_column("sig", sig_col)
+        return batch.append_column("bands", band_col)
 
 
 def sig_jaccard_estimate(sa: np.ndarray, sb: np.ndarray) -> float:
-    return float((sa == sb).mean()) if len(sa) else 0.0
+    return float((np.asarray(sa) == np.asarray(sb)).mean()) if len(sa) else 0.0
 
 
 def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
@@ -192,29 +207,39 @@ def _pairs_from_band_group(
     g: pa.Table, id_col: str, threshold: float, max_bucket: int = 256
 ) -> pa.Table:
     """Candidate pairs within one LSH bucket, verified by signature
-    Jaccard estimate.  Oversized buckets (degenerate content, e.g. empty
-    docs) are truncated at ``max_bucket`` — logged via the ``truncated``
-    column rather than silently dropped."""
-    ids = g.column(id_col).to_pylist()
-    sigs = [np.asarray(s, dtype=np.uint64) for s in g.column("sig").to_pylist()]
-    order = np.argsort(ids)
+    Jaccard estimate (vectorized equality-mean over the bucket's signature
+    matrix).  Oversized buckets (degenerate content, e.g. empty docs) are
+    truncated at ``max_bucket``; truncation is observable — every emitted
+    pair carries ``truncated=true``, and a truncated bucket that yields no
+    pairs still emits one marker row with ``id_a = id_b = -1``."""
+    ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
     truncated = len(ids) > max_bucket
     order = order[:max_bucket]
-    out_a, out_b, out_j = [], [], []
-    for x in range(len(order)):
-        for y in range(x + 1, len(order)):
-            i, j = order[x], order[y]
-            est = sig_jaccard_estimate(sigs[i], sigs[j])
-            if est >= threshold:
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-                out_j.append(round(est, 6))
+    ids = ids[order]
+    m = len(ids)
+    sigm = np.asarray(
+        [np.asarray(s, dtype=np.uint64) for s in g.column("sig").take(pa.array(order)).to_pylist()]
+    )
+    if m >= 2:
+        est = (sigm[:, None, :] == sigm[None, :, :]).mean(axis=2)
+        ia, ib = np.nonzero(np.triu(est >= threshold, k=1))
+        out_a = ids[ia]
+        out_b = ids[ib]
+        out_j = np.round(est[ia, ib], 6)
+    else:
+        out_a = out_b = np.zeros(0, np.int64)
+        out_j = np.zeros(0, np.float64)
+    if truncated and len(out_a) == 0:
+        out_a = np.array([-1], np.int64)
+        out_b = np.array([-1], np.int64)
+        out_j = np.array([0.0])
     return pa.Table.from_arrays(
         [
             pa.array(out_a, pa.int64()),
             pa.array(out_b, pa.int64()),
             pa.array(out_j, pa.float64()),
-            pa.array([truncated] * len(out_a), pa.bool_()),
+            pa.array(np.full(len(out_a), truncated), pa.bool_()),
         ],
         names=["id_a", "id_b", "est_jaccard", "truncated"],
     )
@@ -231,7 +256,10 @@ def minhash_lsh_pairs(
     concurrency: tuple[int, int] | int = (1, 16),
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash+LSH: returns
-    ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``, deduplicated.
+    ``(id_a, id_b, est_jaccard, truncated)`` with ``id_a < id_b``,
+    deduplicated on the composite pair key.  ``truncated=true`` rows came
+    from buckets clipped at the bucket cap (recall-loss marker; rows with
+    ``id_a = -1`` are pure markers from truncated-but-pairless buckets).
 
     Shuffle cost: one groupby on ``(band_key)`` over (band_key, id, sig)
     rows — ``n_bands`` light rows per doc; documents never move.
@@ -251,23 +279,10 @@ def minhash_lsh_pairs(
         lambda g: _pairs_from_band_group(g, id_col, threshold),
         batch_format="pyarrow",
     )
-    # same pair can surface from multiple bands → dedup on (id_a, id_b)
-    pairs = pairs.map_batches(
-        lambda b: b.append_column(
-            "pair_key",
-            pa.array(
-                (
-                    b.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-                    << np.uint64(32)
-                )
-                | b.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64),
-                pa.uint64(),
-            ),
-        ),
-        batch_format="pyarrow",
-    )
-    return dedup_first_wins(pairs, "pair_key", []).select_columns(
-        ["id_a", "id_b", "est_jaccard"]
+    # same pair can surface from multiple bands → dedup on the composite
+    # (id_a, id_b) key — no packed-integer key that could alias wide ids
+    return dedup_first_wins(pairs, ["id_a", "id_b"], []).select_columns(
+        ["id_a", "id_b", "est_jaccard", "truncated"]
     )
 
 
@@ -306,33 +321,42 @@ def keep_mask_from_pairs(pairs: pa.Table, all_ids: np.ndarray) -> pa.Table:
 # SimHash.
 # ---------------------------------------------------------------------------
 
+def simhash_texts(texts: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Vectorized 64-bit SimHash over whitespace unigrams (term-frequency
+    weighted) for a whole string column: token hashes → per-token bit
+    matrix (``unpackbits``) → segmented per-doc bit sums → sign → packed
+    uint64.  Empty rows hash to 0."""
+    flat, offsets = flat_tokens(texts)
+    th = token_hashes(flat)
+    n = len(offsets) - 1
+    counts = np.diff(offsets)
+    out = np.zeros(n, np.uint64)
+    if len(th) == 0:
+        return out
+    bits = np.unpackbits(
+        th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    ends = offsets[1:][nonempty]
+    # per-doc C reductions beat reduceat/cumsum by ~100× here (strided
+    # axis-0 reductions over a wide uint8 matrix are reduceat's worst case)
+    sums = np.empty((len(starts), 64), np.int32)
+    for i in range(len(starts)):
+        sums[i] = bits[starts[i] : ends[i]].sum(axis=0, dtype=np.int32)
+    acc = 2 * sums - counts[nonempty][:, None].astype(np.int32)
+    packed = np.ascontiguousarray(np.packbits(acc > 0, axis=1, bitorder="little"))
+    out[nonempty] = packed.view(np.uint64).ravel()
+    return out
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace unigrams (term-frequency weighted)."""
-    toks = text.lower().split()
-    if not toks:
-        return 0
-    b2b = hashlib.blake2b
-    hs = np.fromiter(
-        (
-            int.from_bytes(b2b(t.encode("utf-8"), digest_size=8).digest(), "big")
-            for t in toks
-        ),
-        dtype=np.uint64,
-        count=len(toks),
-    )
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    acc = (2 * bits - 1).sum(axis=0)
-    return int(
-        np.bitwise_or.reduce(
-            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-        )
-    )
+    """Single-document SimHash (convenience over the batch kernel)."""
+    return int(simhash_texts(pa.array([text]))[0])
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    vals = [simhash64(t) for t in batch.column(text_col).to_pylist()]
+    vals = simhash_texts(batch.column(text_col))
     return batch.append_column("simhash", pa.array(vals, pa.uint64()))
 
 
@@ -359,23 +383,27 @@ def _explode_simhash_bands(batch: pa.Table, id_col: str) -> pa.Table:
 def _simhash_pairs_group(g: pa.Table, id_col: str, max_dist: int) -> pa.Table:
     ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
     sh = np.asarray(g.column("simhash").to_pylist(), dtype=np.uint64)
-    order = np.argsort(ids)
+    order = np.argsort(ids, kind="stable")
     ids, sh = ids[order], sh[order]
     out_a, out_b, out_d = [], [], []
     for x in range(len(ids)):
         xor = sh[x] ^ sh[x + 1 :]
-        dist = np.array([bin(int(v)).count("1") for v in xor])
-        hit = np.where(dist <= max_dist)[0]
-        for h in hit:
-            out_a.append(int(ids[x]))
-            out_b.append(int(ids[x + 1 + h]))
-            out_d.append(int(dist[h]))
+        if len(xor) == 0:
+            continue
+        dist = popcount64(xor)
+        hit = np.nonzero(dist <= max_dist)[0]
+        if len(hit):
+            out_a.append(np.full(len(hit), ids[x], np.int64))
+            out_b.append(ids[x + 1 + hit])
+            out_d.append(dist[hit])
+    if out_a:
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        d = np.concatenate(out_d)
+    else:
+        a = b = d = np.zeros(0, np.int64)
     return pa.Table.from_arrays(
-        [
-            pa.array(out_a, pa.int64()),
-            pa.array(out_b, pa.int64()),
-            pa.array(out_d, pa.int64()),
-        ],
+        [pa.array(a, pa.int64()), pa.array(b, pa.int64()), pa.array(d, pa.int64())],
         names=["id_a", "id_b", "hamming"],
     )
 
@@ -398,21 +426,7 @@ def simhash_pairs(
         lambda g: _simhash_pairs_group(g, id_col, max_dist),
         batch_format="pyarrow",
     )
-    pairs = pairs.map_batches(
-        lambda b: b.append_column(
-            "pair_key",
-            pa.array(
-                (
-                    b.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-                    << np.uint64(32)
-                )
-                | b.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64),
-                pa.uint64(),
-            ),
-        ),
-        batch_format="pyarrow",
-    )
-    return dedup_first_wins(pairs, "pair_key", []).select_columns(
+    return dedup_first_wins(pairs, ["id_a", "id_b"], []).select_columns(
         ["id_a", "id_b", "hamming"]
     )
 
@@ -428,6 +442,24 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+@ray.remote
+def _gather_normalized(refs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Build the broadcast (ids, normalized matrix) in a REMOTE task so the
+    driver never materializes the embedding table; the result lands in the
+    object store and map tasks read it zero-copy."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    ids = np.concatenate(
+        [t.column(0).to_numpy(zero_copy_only=False) for t in tables]
+    )
+    mat = _normalize(
+        np.concatenate(
+            [np.stack(t.column(1).to_numpy(zero_copy_only=False)) for t in tables]
+        )
+    )
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
 def embedding_neardup_pairs(
     ds: "ray.data.Dataset",
     id_col: str = "vec_id",
@@ -435,18 +467,26 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 0,
     seed: int = 7,
+    auto_lsh_rows: int = 2_000_000,
+    auto_planes: int = 16,
 ) -> "ray.data.Dataset":
     """Pairs with cosine ≥ threshold.
 
-    ``n_planes=0`` → exact: the normalized matrix (ids + float64 vectors)
-    is built once with a streaming pass, put in the object store, and every
-    batch does one ``(B,d)·(d,N)`` matmul against it — vectorized, no
-    shuffle; O(N·d) broadcast memory.  Right up to ~10^7 vectors.
+    Exact path (default): the normalized matrix (ids + float64 vectors) is
+    assembled by a remote task, lives in the object store, and every batch
+    does one ``(B,d)·(d,N)`` matmul against it — vectorized, no shuffle;
+    O(N·d) broadcast memory.  Right up to ~10^6–10^7 vectors.
 
-    ``n_planes=k`` → scale path: random-hyperplane LSH signature buckets
+    Above ``auto_lsh_rows`` rows (or with explicit ``n_planes>0``) it
+    switches to the scale path: random-hyperplane LSH signature buckets
     (groupby) then exact cosine within buckets only; recall < 1 by design
-    (documented approximation).
+    (documented approximation; recall vs the exact path is test-asserted).
     """
+    if not n_planes:
+        n_rows = ds.count()  # parquet metadata / cached count — cheap
+        if n_rows > auto_lsh_rows:
+            n_planes = auto_planes
+
     if n_planes:
         rng = np.random.Generator(np.random.PCG64(seed))
         planes_ref = None  # created lazily below once dim is known
@@ -468,7 +508,7 @@ def embedding_neardup_pairs(
         def pairs_in_bucket(g: pa.Table) -> pa.Table:
             ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
             mat = _normalize(np.stack([np.asarray(v) for v in g.column(vec_col).to_pylist()]))
-            order = np.argsort(ids)
+            order = np.argsort(ids, kind="stable")
             ids, mat = ids[order], mat[order]
             sims = mat @ mat.T
             ia, ib = np.where(np.triu(sims >= threshold, k=1))
@@ -487,24 +527,10 @@ def embedding_neardup_pairs(
             .map_groups(pairs_in_bucket, batch_format="pyarrow")
         )
 
-    # exact path: broadcast normalized matrix, one matmul per batch
-    all_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-    tables = ray.get(all_tbl)
-    ids_all = np.concatenate(
-        [t.column(id_col).to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
+    # exact path: broadcast built remotely, one matmul per batch
+    broadcast = _gather_normalized.remote(
+        ds.select_columns([id_col, vec_col]).to_arrow_refs()
     )
-    mat_all = _normalize(
-        np.concatenate(
-            [
-                np.stack(t.column(vec_col).to_numpy(zero_copy_only=False))
-                for t in tables
-                if t.num_rows
-            ]
-        )
-    )
-    order = np.argsort(ids_all)
-    ids_all, mat_all = ids_all[order], mat_all[order]
-    broadcast = ray.put((ids_all, mat_all))
 
     def pairs_vs_all(batch: pa.Table) -> pa.Table:
         ids_b = batch.column(id_col).to_numpy(zero_copy_only=False)

@@ -30,6 +30,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .hashing import flat_tokens
+
 # Whitespace tokenization: runs of non-space (mirrors the reference's
 # space-joined text model, src/parser.py:51-52).
 WS_TOKEN_RE = r"\S+"
@@ -43,6 +45,7 @@ STOPWORDS = frozenset(
         "for", "on", "with", "as", "by", "at", "from",
     )
 )
+_STOP_ARR = pa.array(sorted(STOPWORDS), pa.string())
 _PUNCT_RE = r"[.,!?;:]"
 
 
@@ -80,15 +83,13 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64())
         .to_numpy(zero_copy_only=False).astype(np.float64)
     )
-    stop = STOPWORDS
-    n_stop = np.fromiter(
-        (
-            sum(t in stop for t in s.lower().split())
-            for s in batch.column(text_col).to_pylist()
-        ),
-        dtype=np.float64,
-        count=batch.num_rows,
-    )
+    # stopword count: Arrow tokenize (lower + whitespace split) → one is_in
+    # membership probe over the flat token array → per-row bincount — the
+    # same "token in STOPWORDS" semantics, no per-row Python
+    flat, offsets = flat_tokens(text)
+    parents = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets))
+    is_stop = pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parents[is_stop], minlength=batch.num_rows).astype(np.float64)
     n_punct = (
         pc.count_substring_regex(text, _PUNCT_RE).cast(pa.int64())
         .to_numpy(zero_copy_only=False).astype(np.float64)
@@ -121,50 +122,44 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-_WORD_RE = re.compile(r"[a-zà-ÿ]+")
+# words = maximal [a-zà-ÿ]+ runs of the lowercased text — tokenized by
+# splitting on the complement (identical to re.findall of _WORD_PATTERN)
+_WORD_PATTERN = "[a-zà-ÿ]+"
+_WORD_SPLIT = "[^a-zà-ÿ]+"
+_WORD_RE = re.compile(_WORD_PATTERN)
 
 
 class LangId:
-    """Actor-pool callable: builds frozen profile sets and a word→langmask
-    table once per actor (`__init__`); per batch, tokenizes each text once
-    and scores profile-word membership per language.
+    """Actor-pool callable: builds per-language profile-word Arrow arrays
+    once per actor (`__init__`); per batch, tokenizes the whole column with
+    Arrow kernels and scores profile-word membership per language with one
+    ``is_in`` probe + bincount per language — no per-row Python.
 
     Score(lang) = profile-word hits / max(word tokens, 1); predicted
     language is the argmax (ties → lexicographic first), or 'und'
-    (undetermined) when the best score < ``min_score``.  Profile sets are
-    tiny; the per-token work is one dict lookup (no regex per language —
-    RE2 engines have no lookahead, and alternation scans are slower than
-    a hash probe).
+    (undetermined) when the best score < ``min_score``.
     """
 
     def __init__(self, min_score: float = 0.05, text_col: str = "text"):
         self.min_score = min_score
         self.text_col = text_col
         self.langs = sorted(_LANG_PROFILES)
-        self.word_mask: dict[str, int] = {}
-        for li, lang in enumerate(self.langs):
-            for w in _LANG_PROFILES[lang]:
-                self.word_mask[w] = self.word_mask.get(w, 0) | (1 << li)
+        self.profiles = {
+            lang: pa.array(sorted(set(_LANG_PROFILES[lang])), pa.string())
+            for lang in self.langs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_langs = len(self.langs)
         n = batch.num_rows
-        scores = np.zeros((n_langs, n), dtype=np.float64)
-        wm = self.word_mask
-        for i, s in enumerate(batch.column(self.text_col).to_pylist()):
-            words = _WORD_RE.findall(s.lower())
-            if not words:
-                continue
-            hits = [0] * n_langs
-            for w in words:
-                mask = wm.get(w)
-                if mask:
-                    for li in range(n_langs):
-                        if mask & (1 << li):
-                            hits[li] += 1
-            denom = float(len(words))
-            for li in range(n_langs):
-                scores[li, i] = hits[li] / denom
+        flat, offsets = flat_tokens(batch.column(self.text_col), pattern=_WORD_SPLIT)
+        counts = np.diff(offsets)
+        parents = np.repeat(np.arange(n, dtype=np.int64), counts)
+        denom = np.maximum(counts, 1).astype(np.float64)
+        scores = np.zeros((len(self.langs), n), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            hit = pc.is_in(flat, value_set=self.profiles[lang]).to_numpy(zero_copy_only=False)
+            hits = np.bincount(parents[hit], minlength=n).astype(np.float64)
+            scores[li] = hits / denom
         best = scores.argmax(axis=0)
         best_score = scores.max(axis=0)
         pred = np.array(self.langs, dtype=object)[best]

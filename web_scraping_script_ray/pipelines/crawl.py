@@ -160,7 +160,7 @@ def _host_metrics_partial(t: pa.Table) -> pa.Table:
     )
 
 
-@ray.remote
+@ray.remote(max_retries=0)
 def _schedule_small_round(
     block_refs: list,
     rules: "RobotsRules",
@@ -182,8 +182,11 @@ def _schedule_small_round(
     spend 100× longer on task scheduling alone.  Rounds above
     ``schedule_small_limit`` use the distributed path (dedup_first_wins /
     per_key_rank / zip_with_index), which this task is pytest-verified
-    to match exactly.  All state RPCs are idempotent / token-guarded, so
-    a retried task is safe."""
+    to match exactly.  Declared ``max_retries=0``: the task mutates the
+    seen-set before returning, so a Ray re-execution after a mid-task
+    crash would see its own first attempt's inserts and silently schedule
+    a different (possibly empty) round — better to fail the round loudly
+    and let manifest-based resume recover."""
     from ..state.politeness import host_shard
     from ..state.util import retry_actor_get
 

@@ -71,8 +71,17 @@ def apply_ops(
     for op in ops:
         typ = op.get("type")
         if typ == "filter":
-            ds = _apply_filter(ds, op["column"], op.get("operation", "equals"), op.get("value"))
+            # the reference spells the op key 'condition' (src/main.py:174);
+            # accept both spellings so reference-format YAML works verbatim
+            cond = op.get("condition", op.get("operation", "equals"))
+            ds = _apply_filter(ds, op["column"], cond, op.get("value"))
         elif typ == "sort":
+            # reference warns and skips a missing sort column
+            # (src/main.py:188-195); ds.sort would raise instead
+            schema = ds.schema()
+            if schema is not None and op["column"] not in schema.names:
+                logger.warning("sort column %r missing — skipping (reference no-op)", op["column"])
+                continue
             ds = ds.sort(op["column"], descending=not op.get("ascending", True))
         elif typ == "deduplicate":
             cols = op.get("columns") or op.get("subset") or []

@@ -180,15 +180,18 @@ def q_broadcast_join(sf_dir: str):
     import pyarrow.parquet as pq
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
-    lookup = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    lref = ray.put(
+        (
+            nation.column("n_nationkey").combine_chunks(),
+            nation.column("n_name").combine_chunks(),
+        )
     )
-    lref = ray.put(lookup)
 
     def add_nation(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lref)
-        names = [lk.get(k) for k in batch.column("c_nationkey").to_pylist()]
-        b = batch.append_column("n_name", pa.array(names, pa.string()))
+        keys, names = ray.get(lref)
+        # vectorized dimension probe: index_in + take (no per-row Python)
+        idx = pc.index_in(batch.column("c_nationkey"), value_set=keys)
+        b = batch.append_column("n_name", names.take(idx))
         return _cents(b, "c_acctbal", "acctbal_cents")
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(

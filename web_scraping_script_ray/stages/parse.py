@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.dedup import MinHasher, simhash64
+from ..functions.dedup import MinHasher, simhash_texts
 from ..functions.text import LangId, quality_scores, token_counts
 
 PARSED_SCHEMA = pa.schema(
@@ -61,16 +61,21 @@ class DocParser:
         t = token_counts(t)
         t = quality_scores(t)
         t = self.langid(t)
-        texts = t.column("text").to_pylist()
-        sigs = [self.mh.signature(x).tolist() for x in texts]
-        shs = [simhash64(x) for x in texts]
+        texts = t.column("text")
+        sig = self.mh.signatures_matrix(texts)  # (n, num_perm), vectorized
+        shs = simhash_texts(texts)
+        n = t.num_rows
+        sig_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * self.mh.num_perm, pa.int32()),
+            pa.array(sig.ravel(), pa.uint64()),
+        )
         return {
             "n_ws_tokens": t.column("n_ws_tokens"),
             "n_bpe_tokens": t.column("n_bpe_tokens"),
             "quality": t.column("quality"),
             "lang_pred": t.column("lang_pred"),
             "simhash": pa.array(shs, pa.uint64()),
-            "sig": pa.array(sigs, pa.list_(pa.uint64())),
+            "sig": sig_col,
         }
 
     def append_parse_columns(self, batch: pa.Table) -> pa.Table:

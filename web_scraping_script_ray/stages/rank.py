@@ -71,19 +71,26 @@ def zip_with_index(
 
 
 @ray.remote(num_cpus=0)
-def _last_key(t: pa.Table, key: str):
-    return t.column(key)[t.num_rows - 1].as_py() if t.num_rows else None
+def _last_key(t: pa.Table, keys: list[str]):
+    if t.num_rows == 0:
+        return None
+    return tuple(t.column(k)[t.num_rows - 1].as_py() for k in keys)
 
 
 @ray.remote
-def _dedup_block(t: pa.Table, key: str, prev_last) -> pa.Table:
+def _dedup_block(t: pa.Table, keys: list[str], prev_last) -> pa.Table:
     if t.num_rows == 0:
         return t
-    keys = t.column(key).to_numpy(zero_copy_only=False)
-    first = np.ones(len(keys), dtype=bool)
-    first[1:] = keys[1:] != keys[:-1]
+    cols = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    first = np.zeros(len(cols[0]), dtype=bool)
+    first[0] = True
+    for c in cols:
+        first[1:] |= c[1:] != c[:-1]
     if prev_last is not None:
-        first &= keys != keys.dtype.type(prev_last)
+        same_prev = np.ones(len(cols[0]), dtype=bool)
+        for c, pv in zip(cols, prev_last):
+            same_prev &= c == c.dtype.type(pv)
+        first &= ~same_prev
     return t.filter(pa.array(first))
 
 
@@ -146,24 +153,28 @@ def per_key_rank(
 
 
 def dedup_first_wins(
-    ds: "ray.data.Dataset", key: str, order_cols: list[str]
+    ds: "ray.data.Dataset", key: "str | list[str]", order_cols: list[str]
 ) -> "ray.data.Dataset":
-    """Keep, per ``key``, the row with the smallest ``order_cols`` tuple.
+    """Keep, per (possibly composite) ``key``, the row with the smallest
+    ``order_cols`` tuple.
 
-    Implementation: range-partitioning sort on (key, *order_cols), then a
+    Implementation: range-partitioning sort on (*keys, *order_cols), then a
     narrow per-block pass that drops repeats — a block consults only the
-    previous block's last key (O(blocks) driver traffic), so key groups
-    spanning block boundaries dedup correctly without a second shuffle.
+    previous block's last key tuple (O(blocks) driver traffic), so key
+    groups spanning block boundaries dedup correctly without a second
+    shuffle.  Composite keys are deduped as real tuples — no packed-integer
+    key that could alias distinct values.
     """
-    ds = ds.sort([key, *order_cols])
+    keys = [key] if isinstance(key, str) else list(key)
+    ds = ds.sort([*keys, *order_cols])
     refs = ds.to_arrow_refs()
     if not refs:
         return ds
-    lasts = ray.get([_last_key.remote(r, key) for r in refs])
+    lasts = ray.get([_last_key.remote(r, keys) for r in refs])
     prev = None
     out = []
     for r, last in zip(refs, lasts):
-        out.append(_dedup_block.remote(r, key, prev))
+        out.append(_dedup_block.remote(r, keys, prev))
         if last is not None:
             prev = last
     return ray.data.from_arrow_refs(out)

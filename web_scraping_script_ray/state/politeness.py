@@ -31,9 +31,15 @@ def host_shard(host: str, n_shards: int) -> int:
 class PolitenessShard:
     """One shard of per-host clocks (run as a Ray actor)."""
 
+    # retries only ever replay the most recent advances, so the token
+    # window stays small and bounded — an unbounded set would leak one
+    # entry per round for the life of a 10^10-URL crawl
+    TOKEN_WINDOW = 64
+
     def __init__(self):
         self.clock: dict[str, float] = {}
-        self._applied: set = set()  # advance tokens already applied
+        self._applied: set = set()            # advance tokens already applied
+        self._applied_order: list = []        # FIFO for the bounded window
 
     def get_clocks(self, hosts: list[str]) -> list[float]:
         return [self.clock.get(h, 0.0) for h in hosts]
@@ -45,6 +51,9 @@ class PolitenessShard:
             if token in self._applied:
                 return
             self._applied.add(token)
+            self._applied_order.append(token)
+            if len(self._applied_order) > self.TOKEN_WINDOW:
+                self._applied.discard(self._applied_order.pop(0))
         for h, d in zip(hosts, deltas):
             self.clock[h] = self.clock.get(h, 0.0) + d
 
@@ -175,6 +184,12 @@ class RobotsRules:
                 u = urls[i]
                 cut = u.find("/", u.find("//") + 2)
                 path = u[cut:] if cut != -1 else "/"
+                # match against the urlsplit().path only — strip query and
+                # fragment so this agrees with allowed_mask/path_of exactly
+                for stop in ("?", "#"):
+                    j = path.find(stop)
+                    if j != -1:
+                        path = path[:j]
                 if any(path.startswith(x) for x in pre):
                     out[i] = False
         return out
