@@ -139,3 +139,31 @@ def test_embedding_neardup_exact_and_lsh():
     e = {(r.id_a, r.id_b) for r in exact.itertuples()}
     l = {(r.id_a, r.id_b) for r in lsh.itertuples()}
     assert l <= e
+
+
+def test_embedding_neardup_auto_lsh_switch_and_recall():
+    """Above auto_lsh_rows the exact path must NOT be used (no full-table
+    broadcast); the LSH path's recall vs exact is bounded below."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs = [base[i % 30] + 0.02 * rng.standard_normal(16).astype(np.float32) for i in range(120)]
+    t = pa.Table.from_arrays(
+        [
+            pa.array(range(120), pa.int64()),
+            pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
+    # force the auto-switch with a tiny threshold: implies the LSH plan
+    auto = embedding_neardup_pairs(
+        ds, threshold=0.98, auto_lsh_rows=50, auto_planes=6
+    ).to_pandas()
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    a = {(r.id_a, r.id_b) for r in auto.itertuples()}
+    assert a <= e                       # LSH candidates ⊆ exact pairs
+    assert len(e) > 20
+    assert len(a) / len(e) >= 0.5       # stated recall bound at 6 planes

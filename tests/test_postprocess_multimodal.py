@@ -135,3 +135,85 @@ def test_sort_missing_column_is_noop():
     """Reference warns and skips a missing sort column (src/main.py:188-195)."""
     out = apply_ops(_ds(), [{"type": "sort", "column": "nope"}]).to_pandas()
     assert len(out) == 5
+
+
+def test_flatten_one_level():
+    """M24 (reference src/storage.py:72-81): struct columns flatten one
+    level to parent.child; deeper nesting stays nested."""
+    from web_scraping_script_ray.pipelines.postprocess import flatten_one_level
+
+    t = pa.Table.from_pylist(
+        [
+            {"id": 1, "meta": {"a": 1, "deep": {"x": 9}}},
+            {"id": 2, "meta": {"a": 2, "deep": {"x": 8}}},
+        ]
+    )
+    out = flatten_one_level(t)
+    assert "meta.a" in out.column_names and "id" in out.column_names
+    assert pa.types.is_struct(out.schema.field("meta.deep").type)  # one level only
+
+
+def test_media_materializer_max_file_size():
+    """M18 (reference src/media_downloader.py:156-179): oversized media
+    rows are rejected (dropped), like the reference's pre/mid-download
+    size guard."""
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["1", "2", "3"], pa.string()),
+            pa.array(
+                ["http://c/x1.jpg", "http://c/x2.jpg", "http://c/x3.jpg"], pa.string()
+            ),
+        ],
+        names=["doc_id", "media_ref"],
+    )
+    free = MediaMaterializer()(t)
+    sizes = [len(p) for p in free.column("payload").to_pylist()]
+    cap = sorted(sizes)[1]  # cap chosen to reject exactly the largest
+    capped = MediaMaterializer(max_file_size=cap)(t)
+    assert capped.num_rows == 2
+    assert all(len(p) <= cap for p in capped.column("payload").to_pylist())
+
+
+def test_fetch_max_nbytes_guard(t1_web):
+    """M18 on the crawl fetch path: documents over max_nbytes come back
+    ok=False with empty spans but a recorded size."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from web_scraping_script_ray.stages.fetch import fetch_rows_in_bucket
+    from web_scraping_script_ray.schemas import FRONTIER_SCHEMA
+    from web_scraping_script_ray.urlnorm import host_of, url_hash64
+
+    n_buckets = json.load(open(os.path.join(t1_web, "params.json")))["n_buckets"]
+    bucket0 = pq.read_table(os.path.join(t1_web, "web", "bucket=0"))
+    urls = bucket0.column("doc_id").to_pylist()[:50]
+    g = pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array([host_of(u) for u in urls], pa.string()),
+            pa.array([url_hash64(u) for u in urls], pa.uint64()),
+            pa.array(np.zeros(len(urls), np.int32), pa.int32()),
+            pa.array(np.arange(len(urls)), pa.int64()),
+            pa.array(np.zeros(len(urls), np.int64), pa.int64()),
+            pa.array([""] * len(urls), pa.string()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+    free = fetch_rows_in_bucket(t1_web, 0, g)
+    nbytes = free.column("nbytes").to_numpy(zero_copy_only=False)
+    cap = int(np.sort(nbytes)[len(nbytes) // 2])  # half the docs oversized
+    capped = fetch_rows_in_bucket(t1_web, 0, g, max_nbytes=cap)
+    ok = capped.column("ok").to_numpy(zero_copy_only=False)
+    nb = capped.column("nbytes").to_numpy(zero_copy_only=False)
+    spans_len = pa.compute.list_value_length(capped.column("spans")).to_numpy(
+        zero_copy_only=False
+    )
+    over = nb > cap
+    assert over.any() and (~ok[over]).all()          # oversized → not ok
+    assert (spans_len[over] == 0).all()              # content rejected
+    assert (nb[over] > 0).all()                      # size still recorded
+    # under-cap rows identical to the unguarded fetch
+    under = ~over
+    assert (ok[under] == free.column("ok").to_numpy(zero_copy_only=False)[under]).all()

@@ -51,8 +51,11 @@ _RE_VIDEO = re.compile(r'<video[^>]+src=["\']([^"\']+)["\']', re.I)
 _RE_AUDIO_SRC = re.compile(r'<audio[^>]*>.*?<source[^>]+src=["\']([^"\']+)["\']', re.I | re.S)
 _RE_AUDIO = re.compile(r'<audio[^>]+src=["\']([^"\']+)["\']', re.I)
 _RE_IFRAME = re.compile(r'<iframe[^>]+src=["\']([^"\']+)["\']', re.I)
+# quirk parity: the reference's <a href> media regex hardcodes ONLY these
+# eight extensions (src/media_downloader.py:340) — NOT the full config.yaml
+# list — so a page linking e.g. foo.docx yields no doc_link span
 _RE_DOC_LINK = re.compile(
-    r'<a[^>]+href=["\']([^"\']+(?:' + "|".join(re.escape(e) for e in _ALL_MEDIA_EXT) + r'))["\']',
+    r'<a[^>]+href=["\']([^"\']+\.(?:jpg|jpeg|png|gif|mp4|webm|mp3|pdf))["\']',
     re.I,
 )
 _RE_A_HREF = re.compile(r'<a\b[^>]*\bhref=["\']([^"\']*)["\'][^>]*>(.*?)</a>', re.I | re.S)

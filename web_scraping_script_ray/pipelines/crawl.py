@@ -160,6 +160,65 @@ def _host_metrics_partial(t: pa.Table) -> pa.Table:
     )
 
 
+@ray.remote
+def _shard_dedup_probe(
+    block_refs: list, shard: int, n_shards: int, seen_shard, rules: "RobotsRules"
+) -> pa.Table:
+    """Parallel pre-scheduling stage, one task per seen-set shard: selects
+    the candidate rows whose ``url_hash % n_shards == shard``, applies the
+    robots filter, dedups first-wins on url_hash in discovery order, and
+    probes THIS shard's seen set (one aligned RPC — the hash partition is
+    the same one the seen actors shard by).
+
+    Equal url_hashes always land in the same shard, so per-shard dedup IS
+    global dedup; robots filtering commutes with it (all rows of a hash
+    share one URL).  Everything here is read-only on actor state → safe
+    under Ray's default task retry.  This parallelizes what used to be
+    the serial head of ``_schedule_small_round`` across n_shards cores."""
+    from ..state.util import retry_actor_get
+
+    # filter each block to this shard BEFORE concatenating — the blocks
+    # arrive zero-copy from the object store and only ~1/n_shards of the
+    # rows are materialized per task (a concat-first approach would copy
+    # the whole frontier n_shards times)
+    pieces = []
+    for b in ray.get(list(block_refs)):
+        if b.num_rows == 0:
+            continue
+        uh = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = (uh % np.uint64(n_shards)).astype(np.int64) == shard
+        if mask.any():
+            pieces.append(b.select(FRONTIER_SCHEMA.names).filter(pa.array(mask)))
+    if not pieces:
+        return FRONTIER_SCHEMA.empty_table()
+    t = pa.concat_tables(pieces).combine_chunks()
+    if t.num_rows == 0:
+        return t
+    # ``rules`` arrives as the broadcast ray.put ref — Ray resolves it
+    # zero-copy from the local object store, once per task
+    hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+    rmask = rules.allowed_mask_urls(hosts, t.column("url").to_pylist())
+    if not rmask.all():
+        t = t.filter(pa.array(rmask))
+        if t.num_rows == 0:
+            return t
+    uh = t.column("url_hash").to_numpy(zero_copy_only=False)
+    dp = t.column("disc_primary").to_numpy(zero_copy_only=False)
+    ds_ = t.column("disc_secondary").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ds_, dp, uh))
+    suh = uh[order]
+    first = np.ones(len(suh), dtype=bool)
+    first[1:] = suh[1:] != suh[:-1]
+    keep = order[first]
+    t = t.take(pa.array(keep))
+    seen_mask = retry_actor_get(
+        lambda: [seen_shard.probe.remote(uh[keep])]
+    )[0]
+    if seen_mask.any():
+        t = t.filter(pa.array(~seen_mask))
+    return t
+
+
 @ray.remote(max_retries=0)
 def _schedule_small_round(
     block_refs: list,
@@ -170,12 +229,12 @@ def _schedule_small_round(
     pol_shards: list,
     advance_token,
 ) -> pa.Table:
-    """Small-round scheduling fast path: dedup-first-wins + per-host
-    politeness rank + global (fetch_time, host, disc) order + budget
-    truncation + crawl_seq, all in ONE remote task with numpy lexsorts —
-    PLUS the surrounding state traffic (clock reads, seen-set insert,
-    clock advance), so the driver pays a single barrier per round instead
-    of five.
+    """Small-round scheduling fast path: per-host politeness rank + global
+    (fetch_time, host, disc) order + budget truncation + crawl_seq over
+    the PRE-deduped, robots-filtered, seen-probed shard tables produced by
+    ``_shard_dedup_probe``, all in ONE remote task with numpy lexsorts —
+    plus the state writes (seen-set insert, clock advance), so the driver
+    pays a single barrier per round.
 
     A candidate table of ≤ ~1M light rows sorts in milliseconds in a
     single process — three distributed range-partition shuffles would
@@ -197,25 +256,6 @@ def _schedule_small_round(
         t = t.append_column("fetch_time", pa.array([], pa.float64()))
         return t.append_column("crawl_seq", pa.array([], pa.int64()))
     t = pa.concat_tables(blocks).combine_chunks().select(schema_cols)
-
-    # seen-set probe — issued HERE (one task, one RPC per shard) rather
-    # than from every filter task: actor calls from wide map fan-outs can
-    # trip Ray's 30 s ordered-call timeout under full CPU load.
-    n_seen = len(seen_shards)
-    uh0 = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-    sid0 = (uh0 % np.uint64(n_seen)).astype(np.int64)
-    live0 = [s for s in range(n_seen) if (sid0 == s).any()]
-    probe_masks = retry_actor_get(
-        lambda: [seen_shards[s].probe.remote(uh0[sid0 == s]) for s in live0]
-    )
-    seen_mask = np.zeros(len(uh0), dtype=bool)
-    for s, mask in zip(live0, probe_masks):
-        seen_mask[sid0 == s] = mask
-    if seen_mask.any():
-        t = t.filter(pa.array(~seen_mask))
-        if t.num_rows == 0:
-            t = t.append_column("fetch_time", pa.array([], pa.float64()))
-            return t.append_column("crawl_seq", pa.array([], pa.int64()))
 
     uh = t.column("url_hash").to_numpy(zero_copy_only=False)
     dp = t.column("disc_primary").to_numpy(zero_copy_only=False)
@@ -244,15 +284,6 @@ def _schedule_small_round(
     )
     clocks = {h: v for (s, hs), vals in zip(items, clock_vals) for h, v in zip(hs, vals)}
     delays = {h: rules.delay(h) for h in hcodes}
-
-    # first-wins dedup on url_hash in discovery order
-    order = np.lexsort((ds_, dp, uh))
-    suh = uh[order]
-    first = np.ones(len(suh), dtype=bool)
-    first[1:] = suh[1:] != suh[:-1]
-    keep = order[first]
-    uh, dp, ds_, hinv = uh[keep], dp[keep], ds_[keep], hinv[keep]
-    t = t.take(pa.array(keep))
 
     # per-host rank in discovery order → fetch_time
     horder = np.lexsort((ds_, dp, hinv))
@@ -325,6 +356,7 @@ class CrawlEngine:
         fetch_broadcast_limit: int = 8_000_000,
         schedule_small_limit: int = 8_000_000,
         parse: bool = True,
+        max_file_size: int | None = None,
     ):
         self.web_dir = web_dir
         self.out_dir = out_dir
@@ -340,6 +372,9 @@ class CrawlEngine:
         self.fetch_batch_size = fetch_batch_size
         self.fetch_broadcast_limit = fetch_broadcast_limit
         self.parse = parse
+        # M18 size guard (reference src/media_downloader.py:156-179 +
+        # config.yaml max_file_size): oversized docs fetch as ok=False
+        self.max_file_size = max_file_size
         # block-count floor for each round's candidate table.  Sorts and
         # groupbys inherit parallelism from input block count — a 1-block
         # frontier serializes the round — but too many blocks turns each
@@ -352,6 +387,7 @@ class CrawlEngine:
         self.parse_concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)))
         self.schedule_small_limit = schedule_small_limit
         self._last_frontier_size = 0  # candidate count entering the round
+        self._pending_shard_refs = None  # speculative next-round shard stage
         self.seq = 0
         self.metrics: dict[str, list[int]] = {}
 
@@ -384,6 +420,18 @@ class CrawlEngine:
         return ray.data.from_arrow(t)
 
     # ------------------------------------------------------------------ round
+    def _launch_shard_stage(self, cand_refs: list) -> list:
+        """Launch the parallel robots+dedup+seen-probe shard tasks over
+        candidate block refs (which may still be pending — the tasks start
+        as the blocks materialize)."""
+        n_shards = len(self.seen.shards)
+        return [
+            _shard_dedup_probe.remote(
+                cand_refs, s, n_shards, self.seen.shards[s], self.rules_ref
+            )
+            for s in range(n_shards)
+        ]
+
     def run_round(self, rnd: int, cands: "ray.data.Dataset"):
         """One BFS wave; returns (next_candidates, next_count)."""
         tr = _Trace(rnd)
@@ -412,16 +460,25 @@ class CrawlEngine:
         remaining = self.budget.max_urls - self.seq
         small = self._last_frontier_size <= self.schedule_small_limit
         if small:
-            # ---- small-round path: filter distributed, then dedup +
-            # politeness rank + global order + crawl_seq in ONE remote
-            # task (numpy lexsorts) — three distributed shuffles would be
-            # 100× slower on task latency alone for ≤1M light rows.
-            filt_refs = cands.map_batches(
-                robots_allowed, batch_format="pyarrow"
-            ).to_arrow_refs()
-            tr.mark("filter")
+            # ---- small-round path: robots filter + first-wins dedup +
+            # seen probe run in PARALLEL hash-shard tasks (aligned with
+            # the seen actors' sharding), then politeness rank + global
+            # order + crawl_seq in ONE remote task (numpy lexsorts) —
+            # three distributed shuffles would be 100× slower on task
+            # latency alone for ≤1M light rows, and the shard fan-out
+            # removes the old serial probe/dedup head of the round.
+            # The previous round may already have launched this stage
+            # speculatively (pipelined with its bucket tasks).
+            shard_refs = self._pending_shard_refs
+            self._pending_shard_refs = None
+            if shard_refs is None:
+                shard_refs = self._launch_shard_stage(cands.to_arrow_refs())
+            tr.mark("shard-filter-launch")
+            # the pending checkpoint (previous round, overlapped with the
+            # shard stage) must land before this round mutates state
+            self._join_checkpoint()
             tbl_ref = _schedule_small_round.remote(
-                filt_refs,
+                shard_refs,
                 self.rules_ref,
                 remaining,
                 self.seq,
@@ -439,6 +496,7 @@ class CrawlEngine:
         else:
             # ---- distributed path: the same five steps as range-partition
             # shuffles; pytest-verified to produce identical output.
+            self._pending_shard_refs = None  # speculative small-path stage unused
             if cands.num_blocks() < self.round_blocks:
                 cands = cands.repartition(self.round_blocks)
             cands = cands.map_batches(not_seen_and_allowed, batch_format="pyarrow")
@@ -491,6 +549,7 @@ class CrawlEngine:
             self.seq += n_fetched
 
             sched_refs = scheduled.to_arrow_refs()
+            self._join_checkpoint()  # snapshot must precede state writes
             self.seen.add_blocks(sched_refs)
             count_blocks = scheduled.map_batches(
                 lambda t: _host_value_counts(t, "host"), batch_format="pyarrow"
@@ -537,10 +596,18 @@ class CrawlEngine:
                     crawled_dir,
                     parsed_dir,
                     fdir,
+                    self.max_file_size,
                 )
                 for b in range(self.n_buckets)
             ]
             frontier_refs = [p[0] for p in pairs]
+            if fdir:
+                # pipeline: the NEXT round's shard filter/dedup/probe stage
+                # can start on each frontier block the moment its bucket
+                # task finishes — round r's seen inserts all happened in
+                # the schedule task above, so the probe is consistent.
+                # Overlaps the shard stage with bucket-task stragglers.
+                self._pending_shard_refs = self._launch_shard_stage(frontier_refs)
             metas = ray.get([p[1] for p in pairs])
             tr.mark("fetch+parse+sink+expand")
             n_next = sum(m["n_next"] for m in metas)
@@ -553,6 +620,7 @@ class CrawlEngine:
             if n_next == 0:
                 if fdir:
                     shutil.rmtree(fdir, ignore_errors=True)
+                self._pending_shard_refs = None  # nothing to schedule
                 return None, 0
             nxt = ray.data.from_arrow_refs(frontier_refs)
             return nxt, n_next
@@ -566,7 +634,10 @@ class CrawlEngine:
         crawled = (
             scheduled.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(make_bucket_fetcher(self.web_dir), batch_format="pyarrow")
+            .map_groups(
+                make_bucket_fetcher(self.web_dir, self.max_file_size),
+                batch_format="pyarrow",
+            )
         )
         keep_cols = list(CRAWLED_SCHEMA.names)
         crawled = crawled.map_batches(
@@ -641,6 +712,25 @@ class CrawlEngine:
         return nxt, n_next
 
     # ------------------------------------------------------------- checkpoint
+    def _start_checkpoint(self, rnd: int) -> None:
+        """Kick the round-``rnd`` checkpoint on a background thread so the
+        dump + file writes overlap the NEXT round's read-only stages
+        (shard filter/probe).  ``_join_checkpoint`` is called before any
+        state-mutating step of the next round, so the snapshot is always
+        a consistent post-round-``rnd`` image."""
+        import threading
+
+        self._join_checkpoint()
+        t = threading.Thread(target=self._checkpoint, args=(rnd,), daemon=True)
+        t.start()
+        self._ckpt_thread = t
+
+    def _join_checkpoint(self) -> None:
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+
     def _checkpoint(self, rnd: int) -> None:
         sdir = self._round_dir("state", rnd)
         tmp = sdir + ".tmp"
@@ -722,11 +812,12 @@ class CrawlEngine:
             cands, n_next = self.run_round(rnd, cands)
             self._last_frontier_size = n_next
             tck = _Trace(rnd)
-            self._checkpoint(rnd)
-            tck.mark("checkpoint")
+            self._start_checkpoint(rnd)  # overlaps next round's read stages
+            tck.mark("checkpoint-launch")
             rounds_run += 1
             if n_next == 0:
                 cands = None
+        self._join_checkpoint()
         return self.summary(start + rounds_run)
 
     def summary(self, rounds: int) -> dict:
@@ -753,6 +844,7 @@ class CrawlEngine:
         return ray.data.read_parquet(os.path.join(self.out_dir, "crawled"))
 
     def shutdown(self) -> None:
+        self._join_checkpoint()
         self.seen.shutdown()
         self.sched.shutdown()
 

@@ -113,13 +113,22 @@ def apply_ops(
     return ds
 
 
+def flatten_one_level(batch: pa.Table) -> pa.Table:
+    """M24: one-level flatten of struct columns into ``parent.child``
+    columns (reference: src/storage.py:72-81 flattens nested dicts exactly
+    one level before CSV append); non-struct columns pass through, deeper
+    nesting stays nested — same contract as the reference."""
+    return batch.flatten()
+
+
 def export(ds: "ray.data.Dataset", path: str, fmt: str = "parquet") -> None:
     """K5 export (reference: src/main.py:208-222): parquet (the engine
-    default — partitioned, resumable), csv or json."""
+    default — partitioned, resumable), csv or json.  CSV flattens struct
+    columns one level first (M24, reference src/storage.py:72-81)."""
     if fmt == "parquet":
         ds.write_parquet(path)
     elif fmt == "csv":
-        ds.write_csv(path)
+        ds.map_batches(flatten_one_level, batch_format="pyarrow").write_csv(path)
     elif fmt == "json":
         ds.write_json(path)
     else:

@@ -387,12 +387,59 @@ SQL_LANG_COUNTS = (
 
 
 def q_langid(sf_dir: str):
-    """Heuristic language ID (rows-only check; accuracy tested in pytest
-    against hand-written multilingual fixtures)."""
+    """Heuristic language ID — profile-word hit ratio per language, argmax
+    with lexicographic tie-break, 'und' below min_score.  SQL-oracled: the
+    score definition is exactly expressible as regexp word extraction +
+    list_filter membership counts."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8)).select_columns(
         ["doc_id", "lang_pred", "lang_score"]
     )
+
+
+def _lang_profile_sql(lang: str) -> str:
+    from ..functions.text import _LANG_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in sorted(set(_LANG_PROFILES[lang])))
+    return f"len(list_filter(ws, x -> x IN ({words})))"
+
+
+def _sql_langid() -> str:
+    from ..functions.text import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)  # lexicographic = numpy argmax tie order
+    hits = ",\n         ".join(f"{_lang_profile_sql(l)} AS h_{l}" for l in langs)
+    scores = ",\n         ".join(
+        f"(h_{l} * 1.0) / greatest(n, 1) AS s_{l}" for l in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pick = "\n    ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws FROM documents
+), h AS (
+  SELECT doc_id, len(ws) AS n,
+         {hits}
+  FROM w
+), s AS (
+  SELECT doc_id,
+         {scores}
+  FROM h
+), b AS (
+  SELECT *, {best} AS best FROM s
+)
+SELECT doc_id,
+  CASE WHEN best < 0.05 THEN 'und'
+    {pick}
+  END AS lang_pred,
+  floor(best * 1000000) / 1000000 AS lang_score
+FROM b
+"""
+
+
+SQL_LANGID = _sql_langid()
 
 
 def q_winnow(sf_dir: str):
@@ -418,13 +465,96 @@ def q_winnow(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs (est. Jaccard ≥ 0.7)."""
-    return minhash_lsh_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256),
-        id_col="doc_id",
-        text_col="text",
-        threshold=0.7,
+    """MinHash+LSH near-dup pairs, EXACT-verified: LSH (32 bands × 4 rows,
+    candidate est ≥ 0.4) generates candidates, then each candidate pair is
+    re-ranked by exact 3-gram Jaccard and kept at ≥ 0.7 — the standard
+    LSH-then-verify pipeline, end-to-end.
+
+    SQL-oracled: at the banding used, P(miss) for a true j ≥ 0.7 pair is
+    (1−(1−j⁴))^32 < 3·10⁻⁴ and the pipeline is deterministic (fixed
+    seeds), so the result equals the oracle's exhaustive exact-Jaccard
+    self-join — verified bit-for-bit at sf 0.001/0.01 in CI.  Only the
+    tiny candidate set and its documents are ever collected."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
+    cand = minhash_lsh_pairs(
+        ds, id_col="doc_id", text_col="text",
+        threshold=0.4, num_perm=128, n_bands=32,
     )
+    cand_tbl = pa.concat_tables(
+        [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        or [pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()]
+    )
+    mask = pc.greater_equal(cand_tbl.column("id_a"), 0)  # drop truncation markers
+    cand_tbl = cand_tbl.filter(mask)
+    ids = sorted(
+        set(cand_tbl.column("id_a").to_pylist()) | set(cand_tbl.column("id_b").to_pylist())
+    )
+    id_set_ref = ray.put(set(ids))
+
+    def shingles_of_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(id_set_ref)
+        keep = pa.array([i in wanted for i in batch.column("doc_id").to_pylist()])
+        batch = batch.filter(keep)
+        from ..functions.dedup import shingle_hashes
+
+        sets = [
+            shingle_hashes(t).tolist() for t in batch.column("text").to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(sets, pa.list_(pa.uint64()))],
+            names=["doc_id", "sh"],
+        )
+
+    sh_rows = ds.map_batches(shingles_of_candidates, batch_format="pyarrow").take_all()
+    sh_of = {r["doc_id"]: frozenset(r["sh"]) for r in sh_rows}
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(
+        zip(cand_tbl.column("id_a").to_pylist(), cand_tbl.column("id_b").to_pylist())
+    ):
+        sa, sb = sh_of[a], sh_of[b]
+        uni = len(sa | sb)
+        if uni == 0:
+            continue  # two contentless docs — not a near-dup pair (SQL parity)
+        j = len(sa & sb) / uni
+        if j >= 0.7:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(np.floor(j * 1e6) / 1e6)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_a, pa.int64()),
+            pa.array(out_b, pa.int64()),
+            pa.array(out_j, pa.float64()),
+        ],
+        names=["id_a", "id_b", "jaccard"],
+    )
+
+
+SQL_MINHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+expl AS (
+  SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, t, 0 AS i FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+sh AS (
+  SELECT doc_id,
+         list(DISTINCT CASE WHEN i = 0 AND len(t) < 3
+                            THEN array_to_string(t, ' ')
+                            ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END) AS s
+  FROM expl GROUP BY doc_id
+),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         len(list_intersect(x.s, y.s)) AS inter,
+         len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, floor(inter * 1.0 / uni * 1000000) / 1000000 AS jaccard
+FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.7
+"""
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -687,9 +817,79 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# The crawl itself (rows-only; parity vs the sequential oracle is the
-# pytest gate — tests/test_crawl_parity.py).
+# Per-group top-1 over nested data: the reference's stream-selection
+# semantics (reference: src/youtube_downloader.py:217-221 —
+# ``streams.order_by('resolution').desc().first()`` — and :111 for audio
+# abr).  Formats are synthesized DETERMINISTICALLY from the orders table on
+# both sides (no external data), exploded to one row per (video, format),
+# then the per-video arg-max by (resolution desc, abr desc) is taken with
+# the engine's sort-based first-wins dedup — one shuffle, no per-group
+# Python.
 # ---------------------------------------------------------------------------
+
+def q_stream_select(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def explode_formats(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = k % 4 + 1
+        vid = np.repeat(k, nf)
+        ends = np.cumsum(nf)
+        i = np.arange(ends[-1], dtype=np.int64) - np.repeat(ends - nf, nf)
+        res = ((vid * 31 + i * 7) % 9) * 120 + 144
+        abr = ((vid * 17 + i * 13) % 8) * 32 + 64
+        # order keys negated: dedup_first_wins keeps the SMALLEST tuple,
+        # stream selection wants the largest (resolution, abr)
+        return pa.Table.from_arrays(
+            [
+                pa.array(vid, pa.int64()),
+                pa.array(i, pa.int64()),
+                pa.array(res, pa.int64()),
+                pa.array(abr, pa.int64()),
+                pa.array(-res, pa.int64()),
+                pa.array(-abr, pa.int64()),
+            ],
+            names=["video_id", "format_id", "resolution", "abr", "_nres", "_nabr"],
+        )
+
+    formats = ds.map_batches(explode_formats, batch_format="pyarrow")
+    best = dedup_first_wins(formats, "video_id", ["_nres", "_nabr", "format_id"])
+    return best.drop_columns(["_nres", "_nabr"])
+
+
+SQL_STREAM_SELECT = """
+WITH f AS (
+  SELECT o_orderkey AS video_id, i AS format_id,
+         ((o_orderkey * 31 + i * 7) % 9) * 120 + 144 AS resolution,
+         ((o_orderkey * 17 + i * 13) % 8) * 32 + 64 AS abr
+  FROM (SELECT o_orderkey, unnest(range(0, o_orderkey % 4 + 1)) AS i FROM orders)
+)
+SELECT video_id, format_id, resolution, abr FROM f
+QUALIFY row_number() OVER (PARTITION BY video_id ORDER BY resolution DESC, abr DESC, format_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# The crawl itself.  ``crawl_bfs`` is SQL-oracled against a GOLDEN table
+# produced by the independent sequential oracle (``oracle.run_oracle``,
+# the reference-semantics implementation) on the same fixture web —
+# committed at tests/fixtures/crawl_bfs_golden.parquet; full row/schema/
+# value-hash compare.  ``crawl_parsed`` stays rows-only (the parse columns
+# exist only in this engine); its semantics are pytest-gated.
+# ---------------------------------------------------------------------------
+
+_FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+
+SQL_CRAWL_BFS = (
+    "SELECT url, host, depth, round, crawl_seq, ok, nbytes FROM read_parquet('"
+    + os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet").replace("'", "''")
+    + "')"
+)
+
 
 def q_crawl(sf_dir: str):
     import shutil
@@ -771,6 +971,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
     "html_spans": q_html_spans,
+    "stream_select": q_stream_select,
     "crawl_bfs": q_crawl,
     "crawl_parsed": q_crawl_parsed,
 }
@@ -791,8 +992,12 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "lang_counts": SQL_LANG_COUNTS,
+    "langid": SQL_LANGID,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
     "ann_topk": SQL_ANN_TOPK,
     "html_spans": SQL_HTML_SPANS,
+    "stream_select": SQL_STREAM_SELECT,
+    "crawl_bfs": SQL_CRAWL_BFS,
 }

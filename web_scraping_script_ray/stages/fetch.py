@@ -84,14 +84,23 @@ def append_fetch_columns(batch: pa.Table, found: dict[str, list]) -> pa.Table:
     return batch.append_column("spans", pa.array(spans, span_type))
 
 
-def fetch_rows_in_bucket(web_dir: str, bucket: int, group: pa.Table) -> pa.Table:
+def fetch_rows_in_bucket(
+    web_dir: str, bucket: int, group: pa.Table, max_nbytes: int | None = None
+) -> pa.Table:
     """Lookup-join ``group`` (frontier rows whose url_hash maps to
     ``bucket``) against that ONE web bucket; appends ok/nbytes/spans.
 
     The span payloads never round-trip through Python: lookup is
     ``pc.index_in`` + Arrow ``take``; misses become empty span lists via
     offset surgery; ``nbytes`` is a vectorized utf8-length reduction.
-    At 100 TB the scan becomes a Lance take-by-key on the bucket."""
+    At 100 TB the scan becomes a Lance take-by-key on the bucket.
+
+    ``max_nbytes`` models the reference's ``max_file_size`` guard
+    (reference: src/media_downloader.py:156-159 content-length pre-check
+    and :174-179 mid-download abort): documents over the cap come back
+    ``ok=False`` with empty spans — their size is known (recorded in
+    ``nbytes``) but their content is rejected, exactly like an aborted
+    download."""
     span_type = WEB_SCHEMA.field("spans").type
     n = group.num_rows
     path = os.path.join(web_dir, "web", f"bucket={bucket}")
@@ -133,12 +142,21 @@ def fetch_rows_in_bucket(web_dir: str, bucket: int, group: pa.Table) -> pa.Table
     nbytes = np.zeros(n, dtype=np.int64)
     parents = pc.list_parent_indices(spans_out).to_numpy(zero_copy_only=False)
     np.add.at(nbytes, parents, span_chars)
+    if max_nbytes is not None:
+        over = nbytes > max_nbytes
+        if over.any():
+            ok_np = ok_np & ~over
+            flat = flat.filter(pa.array(~over[parents]))
+            kept = np.where(over, 0, lengths)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(kept, out=offsets[1:])
+            spans_out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
     group = group.append_column("ok", pa.array(ok_np))
     group = group.append_column("nbytes", pa.array(nbytes, pa.int64()))
     return group.append_column("spans", spans_out)
 
 
-def make_bucket_fetcher(web_dir: str):
+def make_bucket_fetcher(web_dir: str, max_nbytes: int | None = None):
     """Per-bucket lookup join for ``groupby('bucket').map_groups`` — the
     PARTITION fetch path (used when a round is too large to broadcast):
     the frontier is hash-partitioned by ``url_hash % n_buckets`` so each
@@ -149,9 +167,32 @@ def make_bucket_fetcher(web_dir: str):
         if group.num_rows == 0:
             return group
         b = int(group.column("bucket")[0].as_py())
-        return fetch_rows_in_bucket(web_dir, b, group.drop_columns(["bucket"]))
+        return fetch_rows_in_bucket(
+            web_dir, b, group.drop_columns(["bucket"]), max_nbytes
+        )
 
     return fetch_group
+
+
+def _bucket_rows(block_refs: list, bucket: int, n_buckets: int) -> pa.Table:
+    """Select this bucket's frontier rows: filter each shared block before
+    concatenating, so a task materializes only ~1/n_buckets of the frontier
+    instead of a full copy per bucket."""
+    pieces = []
+    for b in ray.get(list(block_refs)):
+        if b.num_rows == 0:
+            continue
+        h = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = (h % np.uint64(n_buckets)).astype(np.int64) == bucket
+        if mask.any():
+            pieces.append(b.filter(pa.array(mask)))
+    if not pieces:
+        from ..schemas import FRONTIER_SCHEMA
+
+        t = FRONTIER_SCHEMA.empty_table()
+        t = t.append_column("fetch_time", pa.array([], pa.float64()))
+        return t.append_column("crawl_seq", pa.array([], pa.int64()))
+    return pa.concat_tables(pieces).combine_chunks()
 
 
 @ray.remote
@@ -164,11 +205,8 @@ def fetch_bucket_broadcast(
     shuffle at all.  Right whenever the round frontier fits the object
     store comfortably (<= a few million rows); beyond that the engine
     switches to the partition path (make_bucket_fetcher)."""
-    blocks = [b for b in ray.get(list(block_refs)) if b.num_rows]
-    t = pa.concat_tables(blocks).combine_chunks()  # caller guarantees rows
-    h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-    mask = (h % np.uint64(n_buckets)).astype(np.int64) == bucket
-    out = fetch_rows_in_bucket(web_dir, bucket, t.filter(pa.array(mask)))
+    group = _bucket_rows(block_refs, bucket, n_buckets)
+    out = fetch_rows_in_bucket(web_dir, bucket, group)
     if parse:
         # fetched-AND-parsed in one task: the per-worker parser singleton
         # amortizes setup across rounds with no actor-pool ramp-up
@@ -189,6 +227,7 @@ def crawl_bucket_task(
     crawled_dir: str,
     parsed_dir: str | None,
     frontier_dir: str | None,
+    max_nbytes: int | None = None,
 ):
     """Fused per-bucket round superstage: fetch (bucketed lookup join) +
     parse + parquet sinks (crawled/parsed/frontier partitions) + metrics
@@ -206,12 +245,8 @@ def crawl_bucket_task(
     from ..schemas import CRAWLED_SCHEMA
     from .spans import expand_links
 
-    blocks = [b for b in ray.get(list(block_refs)) if b.num_rows]
-    t = pa.concat_tables(blocks).combine_chunks()
-    h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-    mask = (h % np.uint64(n_buckets)).astype(np.int64) == bucket
-    group = t.filter(pa.array(mask))
-    out = fetch_rows_in_bucket(web_dir, bucket, group)
+    group = _bucket_rows(block_refs, bucket, n_buckets)
+    out = fetch_rows_in_bucket(web_dir, bucket, group, max_nbytes)
     out = out.append_column(
         "round", pa.array(np.full(out.num_rows, rnd, dtype=np.int32))
     )

@@ -78,15 +78,30 @@ class MediaMaterializer:
     (src/media_downloader.py:125-179) — per-actor "session" init happens
     once here; per-batch work is payload synthesis + typing."""
 
-    def __init__(self, min_bytes: int = 64, max_bytes: int = 4096):
+    def __init__(
+        self,
+        min_bytes: int = 64,
+        max_bytes: int = 4096,
+        max_file_size: int | None = None,
+    ):
         self.min_bytes = min_bytes
         self.max_bytes = max_bytes
+        # M18 guard (reference src/media_downloader.py:156-159,174-179 +
+        # config.yaml:53 max_file_size): oversized media are skipped, the
+        # row dropped — like the reference's pre/mid-download rejection
+        self.max_file_size = max_file_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..htmlparse import get_extension, get_media_type
 
         refs = batch.column("media_ref").to_pylist()
         payloads = [synthesize_payload(r, self.min_bytes, self.max_bytes) for r in refs]
+        if self.max_file_size is not None:
+            keep = [len(p) <= self.max_file_size for p in payloads]
+            if not all(keep):
+                batch = batch.filter(pa.array(keep))
+                refs = [r for r, k in zip(refs, keep) if k]
+                payloads = [p for p, k in zip(payloads, keep) if k]
         mtypes = [get_media_type(get_extension(r)) for r in refs]
         ctypes = [
             {"images": "image/jpeg", "videos": "video/mp4", "audio": "audio/mpeg",
