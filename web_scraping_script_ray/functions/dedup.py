@@ -186,60 +186,107 @@ def sig_jaccard_estimate(sa: np.ndarray, sb: np.ndarray) -> float:
     return float((np.asarray(sa) == np.asarray(sb)).mean()) if len(sa) else 0.0
 
 
+_MH_CACHE: dict[tuple, "MinHasher"] = {}
+
+
+def _cached_minhasher(**kwargs) -> "MinHasher":
+    """Per-process MinHasher cache keyed by params — construction is cheap
+    but the permutation arrays are reused across a worker's batches."""
+    key = tuple(sorted(kwargs.items()))
+    if key not in _MH_CACHE:
+        _MH_CACHE[key] = MinHasher(**kwargs)
+    return _MH_CACHE[key]
+
+
+_N_BAND_PARTS = 64  # coarse hash partitions for the LSH-bucket groupby
+
+
 def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
-    """(id, sig, bands) → one row per (band_key, id, sig)."""
+    """(id, sig, bands) → one row per (band_key, id, sig), plus a COARSE
+    partition key ``band_part = band_key % N``: grouping by the coarse key
+    gives N big groups instead of one Ray group per LSH bucket (bucket
+    count ≈ rows — per-group dispatch overhead would dominate), while
+    still colocating every complete bucket inside one group."""
     bands = batch.column("bands")
     if isinstance(bands, pa.ChunkedArray):
         bands = bands.combine_chunks()
     flat = pc.list_flatten(bands)
     parents = pc.list_parent_indices(bands)
+    part = (
+        flat.to_numpy(zero_copy_only=False) % np.uint64(_N_BAND_PARTS)
+    ).astype(np.int64)
     return pa.Table.from_arrays(
         [
+            pa.array(part, pa.int64()),
             flat,
             batch.column(id_col).take(parents),
             batch.column("sig").take(parents),
         ],
-        names=["band_key", id_col, "sig"],
+        names=["band_part", "band_key", id_col, "sig"],
     )
 
 
-def _pairs_from_band_group(
+def _pairs_from_band_part(
     g: pa.Table, id_col: str, threshold: float, max_bucket: int = 256
 ) -> pa.Table:
-    """Candidate pairs within one LSH bucket, verified by signature
-    Jaccard estimate (vectorized equality-mean over the bucket's signature
-    matrix).  Oversized buckets (degenerate content, e.g. empty docs) are
-    truncated at ``max_bucket``; truncation is observable — every emitted
-    pair carries ``truncated=true``, and a truncated bucket that yields no
-    pairs still emits one marker row with ``id_a = id_b = -1``."""
-    ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    truncated = len(ids) > max_bucket
-    order = order[:max_bucket]
-    ids = ids[order]
-    m = len(ids)
-    sigm = np.asarray(
-        [np.asarray(s, dtype=np.uint64) for s in g.column("sig").take(pa.array(order)).to_pylist()]
-    )
-    if m >= 2:
-        est = (sigm[:, None, :] == sigm[None, :, :]).mean(axis=2)
-        ia, ib = np.nonzero(np.triu(est >= threshold, k=1))
-        out_a = ids[ia]
-        out_b = ids[ib]
-        out_j = np.round(est[ia, ib], 6)
-    else:
-        out_a = out_b = np.zeros(0, np.int64)
-        out_j = np.zeros(0, np.float64)
-    if truncated and len(out_a) == 0:
-        out_a = np.array([-1], np.int64)
-        out_b = np.array([-1], np.int64)
-        out_j = np.array([0.0])
+    """Candidate pairs within ONE coarse partition (many complete LSH
+    buckets): rows are sorted by (band_key, id) in-task, singleton buckets
+    (the vast majority) are skipped wholesale, and each multi-row bucket
+    is verified by a vectorized signature-equality-mean.  Oversized
+    buckets (degenerate content, e.g. empty docs) are truncated at
+    ``max_bucket``; truncation is observable — every emitted pair carries
+    ``truncated=true``, and a truncated bucket that yields no pairs still
+    emits one marker row with ``id_a = id_b = -1``."""
+    keys = g.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    n = len(keys)
+    change = np.ones(n, dtype=bool)
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    multi = np.nonzero(ends - starts >= 2)[0]
+    out_a: list = []
+    out_b: list = []
+    out_j: list = []
+    out_t: list = []
+    if len(multi):
+        sig_col = g.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        flat_sig = pc.list_flatten(sig_col).to_numpy(zero_copy_only=False)
+        num_perm = (
+            pc.list_value_length(sig_col)[0].as_py() if len(sig_col) else 0
+        )
+        sig_mat = flat_sig.reshape(-1, num_perm)[order]
+        for r in multi:
+            s, e = starts[r], min(ends[r], starts[r] + max_bucket)
+            truncated = bool(ends[r] - starts[r] > max_bucket)
+            bids = ids[s:e]
+            sigm = sig_mat[s:e]
+            est = (sigm[:, None, :] == sigm[None, :, :]).mean(axis=2)
+            ia, ib = np.nonzero(np.triu(est >= threshold, k=1))
+            if len(ia):
+                out_a.append(bids[ia])
+                out_b.append(bids[ib])
+                out_j.append(np.round(est[ia, ib], 6))
+                out_t.append(np.full(len(ia), truncated))
+            elif truncated:
+                out_a.append(np.array([-1], np.int64))
+                out_b.append(np.array([-1], np.int64))
+                out_j.append(np.array([0.0]))
+                out_t.append(np.array([True]))
+    a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+    j = np.concatenate(out_j) if out_j else np.zeros(0, np.float64)
+    tr = np.concatenate(out_t) if out_t else np.zeros(0, bool)
     return pa.Table.from_arrays(
         [
-            pa.array(out_a, pa.int64()),
-            pa.array(out_b, pa.int64()),
-            pa.array(out_j, pa.float64()),
-            pa.array(np.full(len(out_a), truncated), pa.bool_()),
+            pa.array(a, pa.int64()),
+            pa.array(b, pa.int64()),
+            pa.array(j, pa.float64()),
+            pa.array(tr, pa.bool_()),
         ],
         names=["id_a", "id_b", "est_jaccard", "truncated"],
     )
@@ -253,7 +300,6 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     n_bands: int = 16,
     k: int = 3,
-    concurrency: tuple[int, int] | int = (1, 16),
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash+LSH: returns
     ``(id_a, id_b, est_jaccard, truncated)`` with ``id_a < id_b``,
@@ -261,22 +307,25 @@ def minhash_lsh_pairs(
     from buckets clipped at the bucket cap (recall-loss marker; rows with
     ``id_a = -1`` are pure markers from truncated-but-pairless buckets).
 
-    Shuffle cost: one groupby on ``(band_key)`` over (band_key, id, sig)
-    rows — ``n_bands`` light rows per doc; documents never move.
+    Shuffle cost: one groupby on the COARSE ``band_part`` key over
+    (band_part, band_key, id, sig) rows — ``n_bands`` light rows per doc;
+    documents never move, and the groupby dispatches ~64 big groups
+    instead of one per LSH bucket.  The MinHasher is constructed per task
+    via a keyed cache — its setup is microseconds, so no actor-pool ramp.
     """
-    signed = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, k=k, num_perm=num_perm, n_bands=n_bands
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    ).select_columns([id_col, "sig", "bands"])
+    mh_kwargs = dict(text_col=text_col, k=k, num_perm=num_perm, n_bands=n_bands)
+
+    def sign_batch(b: pa.Table) -> pa.Table:
+        return _cached_minhasher(**mh_kwargs)(b)
+
+    signed = ds.map_batches(sign_batch, batch_format="pyarrow").select_columns(
+        [id_col, "sig", "bands"]
+    )
     exploded = signed.map_batches(
         lambda b: _explode_bands(b, id_col), batch_format="pyarrow"
     )
-    pairs = exploded.groupby("band_key").map_groups(
-        lambda g: _pairs_from_band_group(g, id_col, threshold),
+    pairs = exploded.groupby("band_part").map_groups(
+        lambda g: _pairs_from_band_part(g, id_col, threshold),
         batch_format="pyarrow",
     )
     # same pair can surface from multiple bands → dedup on the composite
@@ -361,8 +410,9 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def _explode_simhash_bands(batch: pa.Table, id_col: str) -> pa.Table:
-    """simhash → 4 rows of (band_key, id, simhash); Hamming-≤3 pairs share
-    at least one of the 4 16-bit bands (pigeonhole)."""
+    """simhash → 4 rows of (band_part, band_key, id, simhash); Hamming-≤3
+    pairs share at least one of the 4 16-bit bands (pigeonhole).  The
+    coarse ``band_part`` key keeps the Ray groupby at ~64 groups."""
     sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     n = len(sh)
@@ -372,30 +422,41 @@ def _explode_simhash_bands(batch: pa.Table, id_col: str) -> pa.Table:
         band_keys[j * n : (j + 1) * n] = chunk | (np.uint64(j) << np.uint64(60))
     return pa.Table.from_arrays(
         [
+            pa.array((band_keys % np.uint64(_N_BAND_PARTS)).astype(np.int64), pa.int64()),
             pa.array(band_keys, pa.uint64()),
             pa.array(np.tile(ids, 4), pa.int64()),
             pa.array(np.tile(sh, 4), pa.uint64()),
         ],
-        names=["band_key", id_col, "simhash"],
+        names=["band_part", "band_key", id_col, "simhash"],
     )
 
 
-def _simhash_pairs_group(g: pa.Table, id_col: str, max_dist: int) -> pa.Table:
-    ids = np.asarray(g.column(id_col).to_pylist(), dtype=np.int64)
-    sh = np.asarray(g.column("simhash").to_pylist(), dtype=np.uint64)
-    order = np.argsort(ids, kind="stable")
-    ids, sh = ids[order], sh[order]
+def _simhash_pairs_part(g: pa.Table, id_col: str, max_dist: int) -> pa.Table:
+    """Hamming-verified pairs for one coarse partition: sort by
+    (band_key, id), skip singleton buckets, table-driven popcount."""
+    keys = g.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    sh = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((ids, keys))
+    keys, ids, sh = keys[order], ids[order], sh[order]
+    n = len(keys)
+    change = np.ones(n, dtype=bool)
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    multi = np.nonzero(ends - starts >= 2)[0]
     out_a, out_b, out_d = [], [], []
-    for x in range(len(ids)):
-        xor = sh[x] ^ sh[x + 1 :]
-        if len(xor) == 0:
-            continue
-        dist = popcount64(xor)
-        hit = np.nonzero(dist <= max_dist)[0]
-        if len(hit):
-            out_a.append(np.full(len(hit), ids[x], np.int64))
-            out_b.append(ids[x + 1 + hit])
-            out_d.append(dist[hit])
+    for r in multi:
+        s, e = starts[r], ends[r]
+        bids, bsh = ids[s:e], sh[s:e]
+        for x in range(len(bids) - 1):
+            xor = bsh[x] ^ bsh[x + 1 :]
+            dist = popcount64(xor)
+            hit = np.nonzero(dist <= max_dist)[0]
+            if len(hit):
+                out_a.append(np.full(len(hit), bids[x], np.int64))
+                out_b.append(bids[x + 1 + hit])
+                out_d.append(dist[hit])
     if out_a:
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
@@ -422,8 +483,8 @@ def simhash_pairs(
     exploded = hashed.map_batches(
         lambda b: _explode_simhash_bands(b, id_col), batch_format="pyarrow"
     )
-    pairs = exploded.groupby("band_key").map_groups(
-        lambda g: _simhash_pairs_group(g, id_col, max_dist),
+    pairs = exploded.groupby("band_part").map_groups(
+        lambda g: _simhash_pairs_part(g, id_col, max_dist),
         batch_format="pyarrow",
     )
     return dedup_first_wins(pairs, ["id_a", "id_b"], []).select_columns(
