@@ -92,6 +92,27 @@ def bench_crawl(num_cpus: int) -> dict:
         n_politeness_shards=4,
     )
     crawl_s = time.time() - t0
+    # hot-host skew evidence: the bench web puts 22% of all docs on ONE
+    # host; url_hash % n_buckets partitioning must still balance the
+    # per-bucket fetch tasks (rows and wall).  max/median close to 1 ⇒ no
+    # straggler bucket despite the hot domain.
+    skew = {}
+    if eng.bucket_stats:
+        import numpy as np
+
+        rows = np.concatenate([np.array(s["rows"]) for s in eng.bucket_stats])
+        walls = np.concatenate([np.array(s["walls"]) for s in eng.bucket_stats])
+        rows = rows[rows > 0]
+        walls = walls[walls > 0]
+        if len(rows):
+            skew = {
+                "bucket_rows_p50": int(np.median(rows)),
+                "bucket_rows_max": int(rows.max()),
+                "bucket_rows_skew": round(float(rows.max() / np.median(rows)), 2),
+                "bucket_wall_p50": round(float(np.median(walls)), 2),
+                "bucket_wall_max": round(float(walls.max()), 2),
+                "bucket_wall_skew": round(float(walls.max() / np.median(walls)), 2),
+            }
     eng.shutdown()
     return {
         "web_docs": p.n_docs,
@@ -101,6 +122,7 @@ def bench_crawl(num_cpus: int) -> dict:
         "fetched": info["fetched"],
         "rounds": info["rounds"],
         "urls_per_sec": round(info["fetched"] / crawl_s, 1),
+        **skew,
     }
 
 

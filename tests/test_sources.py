@@ -39,3 +39,26 @@ def test_fetch_and_sink_registries(tmp_path):
     sink(ds, str(tmp_path / "out"))
     assert any((tmp_path / "out").iterdir())
     assert callable(get_sink("mongodb"))  # fallback → parquet
+
+
+def test_lance_seam_probe():
+    """The Lance adapter seam: active iff the package exists (probed each
+    round); otherwise the documented NotImplementedError with the parquet
+    stand-in pointer."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from web_scraping_script_ray.sources import lance_io
+
+    t = pa.table({"doc_id": ["a", "b"], "v": [1, 2]})
+    if not lance_io.HAVE_LANCE:
+        with _pytest.raises(NotImplementedError, match="bucketed-parquet"):
+            lance_io.write_lance(t, "/tmp/never.lance")
+        return
+    import tempfile
+
+    d = tempfile.mkdtemp() + "/t.lance"
+    lance_io.write_lance(t, d)
+    back = lance_io.read_lance(d)
+    assert back.num_rows == 2
+    assert lance_io.take_by_key(d, ["a"]).num_rows == 1

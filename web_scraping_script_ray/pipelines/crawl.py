@@ -388,6 +388,7 @@ class CrawlEngine:
         self.schedule_small_limit = schedule_small_limit
         self._last_frontier_size = 0  # candidate count entering the round
         self._pending_shard_refs = None  # speculative next-round shard stage
+        self.bucket_stats: list[dict] = []  # per-round bucket row/wall spread
         self.seq = 0
         self.metrics: dict[str, list[int]] = {}
 
@@ -610,6 +611,16 @@ class CrawlEngine:
                 self._pending_shard_refs = self._launch_shard_stage(frontier_refs)
             metas = ray.get([p[1] for p in pairs])
             tr.mark("fetch+parse+sink+expand")
+            # per-bucket load/wall spread — evidence for the hot-host-skew
+            # claim (url_hash partitioning spreads a hot domain uniformly;
+            # see module docstring).  Consumed by bench.py.
+            self.bucket_stats.append(
+                {
+                    "round": rnd,
+                    "rows": [m.get("n_rows", 0) for m in metas],
+                    "walls": [round(m.get("wall", 0.0), 3) for m in metas],
+                }
+            )
             n_next = sum(m["n_next"] for m in metas)
             for m in metas:
                 for host, f, e, b in m["metrics"]:

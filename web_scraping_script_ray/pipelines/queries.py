@@ -817,6 +817,66 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# J3: media-info-by-id keyed join (reference: src/youtube_downloader.py
+# thumbnail/info lookup per video id) — media rows synthesized
+# deterministically from each document (two media refs per page), joined
+# against the ``part`` dimension by key.  The dimension ships ONCE via
+# ``ray.put`` and every batch probes it with vectorized ``index_in`` +
+# ``take`` — the broadcast hash-join plan (no shuffle; at 10^6+-row
+# dimensions this becomes a bucketed shuffle join instead).
+# ---------------------------------------------------------------------------
+
+def q_media_info_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    n_part = part.num_rows
+    pref = ray.put(
+        (part.column("p_partkey").combine_chunks(), part.column("p_name").combine_chunks())
+    )
+
+    def media_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, 2)
+        idx = np.tile(np.array([0, 1], np.int64), len(ids))
+        pid = (doc * 7 + idx * 13) % n_part  # part keys are 0-based
+        refs = pa.array(
+            [f"http://cdn0.example/img/{d}-{i}.jpg" for d, i in zip(doc, idx)],
+            pa.string(),
+        )
+        keys, names = ray.get(pref)
+        at = pc.index_in(pa.array(pid, pa.int64()), value_set=keys)
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc, pa.int64()),
+                pa.array(idx, pa.int64()),
+                refs,
+                pa.array(pid, pa.int64()),
+                names.take(at),
+            ],
+            names=["doc_id", "media_idx", "media_ref", "p_partkey", "p_name"],
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        media_rows, batch_format="pyarrow"
+    )
+
+
+SQL_MEDIA_INFO_JOIN = """
+WITH m AS (
+  SELECT doc_id, i AS media_idx,
+         'http://cdn0.example/img/' || doc_id || '-' || i || '.jpg' AS media_ref,
+         (doc_id * 7 + i * 13) % (SELECT count(*) FROM part) AS p_partkey
+  FROM (SELECT doc_id, unnest(range(0, 2)) AS i FROM documents)
+)
+SELECT m.doc_id, m.media_idx, m.media_ref, m.p_partkey, p.p_name
+FROM m JOIN part p USING (p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-group top-1 over nested data: the reference's stream-selection
 # semantics (reference: src/youtube_downloader.py:217-221 —
 # ``streams.order_by('resolution').desc().first()`` — and :111 for audio
@@ -970,6 +1030,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
+    "media_info_join": q_media_info_join,
     "html_spans": q_html_spans,
     "stream_select": q_stream_select,
     "crawl_bfs": q_crawl,
@@ -998,6 +1059,7 @@ ORACLE_SQL = {
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
     "ann_topk": SQL_ANN_TOPK,
     "html_spans": SQL_HTML_SPANS,
+    "media_info_join": SQL_MEDIA_INFO_JOIN,
     "stream_select": SQL_STREAM_SELECT,
     "crawl_bfs": SQL_CRAWL_BFS,
 }

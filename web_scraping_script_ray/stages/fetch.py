@@ -240,11 +240,14 @@ def crawl_bucket_task(
     meta) where meta carries n_next and the per-host metric partials.
     Output files are per-bucket partitions → a failed run resumes by
     round manifest, never re-writing finished rounds."""
+    import time as _time
+
     import pyarrow.parquet as _pq
 
     from ..schemas import CRAWLED_SCHEMA
     from .spans import expand_links
 
+    _t0 = _time.time()
     group = _bucket_rows(block_refs, bucket, n_buckets)
     out = fetch_rows_in_bucket(web_dir, bucket, group, max_nbytes)
     out = out.append_column(
@@ -282,10 +285,20 @@ def crawl_bucket_task(
         # engine will never fetch is pure waste
         from ..schemas import FRONTIER_SCHEMA
 
-        return FRONTIER_SCHEMA.empty_table(), {"n_next": 0, "metrics": mets}
+        return FRONTIER_SCHEMA.empty_table(), {
+            "n_next": 0,
+            "metrics": mets,
+            "n_rows": out.num_rows,
+            "wall": _time.time() - _t0,
+        }
     frontier = expand_links(crawled)
     if frontier.num_rows:
         _pq.write_table(
             frontier, os.path.join(frontier_dir, f"part-{bucket:05d}.parquet")
         )
-    return frontier, {"n_next": frontier.num_rows, "metrics": mets}
+    return frontier, {
+        "n_next": frontier.num_rows,
+        "metrics": mets,
+        "n_rows": out.num_rows,
+        "wall": _time.time() - _t0,
+    }
