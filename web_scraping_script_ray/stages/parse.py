@@ -108,24 +108,24 @@ def get_parser() -> DocParser:
 
 
 def _project_text_fast_cols(batch: pa.Table) -> pa.Table:
-    """Like _project_text_fast but only needs the spans column."""
+    """Ordered text spans joined by ' ' — fully vectorized: filter the
+    flat span values to kind=='text', regroup them per row with rebuilt
+    list offsets (span order within a row is preserved by list_flatten),
+    and join with Arrow's ``binary_join`` — no per-row Python."""
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     flat = pc.list_flatten(spans)
     parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-    is_text = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(zero_copy_only=False)
-    texts = pc.struct_field(flat, "text")
+    is_text = pc.equal(pc.struct_field(flat, "kind"), "text")
+    texts = pc.struct_field(flat, "text").filter(is_text)
+    t_par = parents[is_text.to_numpy(zero_copy_only=False)]
     n = batch.num_rows
-    sel = np.where(is_text)[0]
-    t_par = parents[sel]
-    out = np.empty(n, dtype=object)
-    out[:] = ""
-    if len(sel):
-        tl = texts.take(pa.array(sel)).to_pylist()
-        bounds = np.searchsorted(t_par, np.arange(n + 1))
-        for i in range(n):
-            lo, hi = bounds[i], bounds[i + 1]
-            if hi > lo:
-                out[i] = " ".join(tl[lo:hi])
-    return pa.Table.from_arrays([pa.array(out.tolist(), pa.string())], names=["text"])
+    counts = np.bincount(t_par, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), texts)
+    joined = pc.binary_join(lists, " ")
+    return pa.Table.from_arrays([joined], names=["text"])

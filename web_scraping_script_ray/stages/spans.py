@@ -53,39 +53,58 @@ def expand_links(batch: pa.Table) -> pa.Table:
     if not mask.any():
         return FRONTIER_SCHEMA.empty_table()
     sel = np.where(mask)[0]
-    refs = pc.struct_field(flat, "media_ref").take(pa.array(sel)).to_pylist()
+    refs_arr = pc.struct_field(flat, "media_ref").take(pa.array(sel))
+    if isinstance(refs_arr, pa.ChunkedArray):
+        refs_arr = refs_arr.combine_chunks()
     parents_sel = parents[sel]
     span_idx_sel = span_idx[sel]
     base_urls = batch.column("url").to_pylist()
     seqs = batch.column("crawl_seq").to_numpy(zero_copy_only=False)
     depths = batch.column("depth").to_numpy(zero_copy_only=False)
 
-    # canonicalization memo: link targets are popularity-skewed, so the
-    # same absolute ref recurs many times per batch; relative refs depend
-    # on the base URL and bypass the memo.
-    memo: dict[str, str | None] = {}
-    urls, hosts, keep = [], [], []
-    for i, ref in enumerate(refs):
-        if ref.startswith(("http://", "https://")):
-            if ref in memo:
-                cu = memo[ref]
+    # vectorized fast path (one RE2 pass): absolute http URLs that are
+    # ALREADY canonical — lowercase host, no port/query/fragment/space,
+    # non-empty path — pass through unchanged with the host extracted by
+    # the same regex; canonicalize() is the identity on exactly this set.
+    # The per-row fallback (relative refs, schemes, ports, fragments)
+    # keeps a memo because link targets are popularity-skewed.
+    ext = pc.extract_regex(refs_arr, r"^http://(?P<h>[a-z0-9.\-]+)(?P<p>/[^?#\s]*)$")
+    fast = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+    n_sel = len(sel)
+    urls_np = np.empty(n_sel, dtype=object)
+    hosts_np = np.empty(n_sel, dtype=object)
+    keep_mask = np.zeros(n_sel, dtype=bool)
+    if fast.any():
+        refs_np = refs_arr.to_numpy(zero_copy_only=False)
+        urls_np[fast] = refs_np[fast]
+        hosts_np[fast] = pc.struct_field(ext, "h").to_numpy(zero_copy_only=False)[fast]
+        keep_mask[fast] = True
+    slow = np.nonzero(~fast)[0]
+    if len(slow):
+        refs_slow = refs_arr.take(pa.array(slow)).to_pylist()
+        memo: dict[str, str | None] = {}
+        for i, ref in zip(slow, refs_slow):
+            if ref.startswith(("http://", "https://")):
+                if ref in memo:
+                    cu = memo[ref]
+                else:
+                    cu = canonicalize(ref)
+                    memo[ref] = cu
             else:
-                cu = canonicalize(ref)
-                memo[ref] = cu
-        else:
-            cu = canonicalize(ref, base_url=base_urls[parents_sel[i]])
-        if cu is None:
-            continue
-        keep.append(i)
-        urls.append(cu)
-        hosts.append(host_of(cu))
-    keep = np.array(keep, dtype=np.int64)
+                cu = canonicalize(ref, base_url=base_urls[parents_sel[i]])
+            if cu is None:
+                continue
+            keep_mask[i] = True
+            urls_np[i] = cu
+            hosts_np[i] = host_of(cu)
+    keep = np.nonzero(keep_mask)[0]
     if len(keep) == 0:
         return FRONTIER_SCHEMA.empty_table()
+    urls = urls_np[keep].tolist()
     out = pa.Table.from_arrays(
         [
             pa.array(urls, pa.string()),
-            pa.array(hosts, pa.string()),
+            pa.array(hosts_np[keep].tolist(), pa.string()),
             pa.array(np.array(url_hashes(urls), dtype=np.uint64), pa.uint64()),
             pa.array((depths[parents_sel[keep]] + 1).astype(np.int32), pa.int32()),
             pa.array(seqs[parents_sel[keep]].astype(np.int64), pa.int64()),
@@ -114,16 +133,13 @@ def expand_links(batch: pa.Table) -> pa.Table:
 
 
 def project_text(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """doc → full visible text (ordered text spans joined by ' ')."""
-    flat, parents, _ = _flat_spans(batch)
-    is_text = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(zero_copy_only=False)
-    texts = pc.struct_field(flat, "text").to_pylist()
-    out: list[list[str]] = [[] for _ in range(batch.num_rows)]
-    for i in np.where(is_text)[0]:
-        out[parents[i]].append(texts[i])
+    """doc → full visible text (ordered text spans joined by ' ') —
+    vectorized via regrouped list offsets + Arrow ``binary_join``."""
+    from .parse import _project_text_fast_cols
+
+    text = _project_text_fast_cols(batch).column("text")
     return pa.Table.from_arrays(
-        [batch.column(id_col), pa.array([" ".join(p) for p in out], pa.string())],
-        names=[id_col, "text"],
+        [batch.column(id_col), text], names=[id_col, "text"]
     )
 
 
