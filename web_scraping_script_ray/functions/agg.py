@@ -1,0 +1,60 @@
+"""Map-side partial aggregation (combiner) for grouped sums/counts.
+
+Ray Data's ``groupby(...).aggregate(...)`` shuffles the RAW rows into a
+range-partitioned sort before reducing — at 100 TB that is an all-to-all
+exchange of the whole table.  For algebraic aggregates (sum/count) the
+combine can run inside ``map_batches`` first: each block collapses to one
+row per distinct key (Arrow's C++ ``Table.group_by`` hash aggregation),
+and only those partials move through the shuffle — rows exchanged drop
+from O(table) to O(blocks × distinct-keys).
+
+``grouped_sum_count`` is the engine's standard plan for every
+sum/count-by-key query (A4 per-page counts, reference src/cli.py:206-208,
+and the TPC-H-ish aggregates).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _partial(batch: pa.Table, keys: list[str], sum_cols: list[str]) -> pa.Table:
+    aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
+    out = batch.group_by(keys).aggregate(aggs)
+    # arrow names: <col>_sum, count_all → stable partial names
+    ren = {f"{c}_sum": f"__p_{c}" for c in sum_cols}
+    ren["count_all"] = "__p_n"
+    return out.rename_columns([ren.get(n, n) for n in out.column_names])
+
+
+def grouped_sum_count(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sum_cols: list[str],
+    out_names: dict[str, str],
+    count_name: str = "n_rows",
+) -> "ray.data.Dataset":
+    """sum(col) + count(*) grouped by ``keys``, with map-side combining.
+
+    ``out_names`` maps each sum col to its output column name; the final
+    row count column is ``count_name``.  Only algebraic aggregates —
+    partial sums re-sum exactly (the engine's money columns are integer
+    cents for this reason).
+    """
+    partials = ds.map_batches(
+        lambda b: _partial(b, keys, sum_cols), batch_format="pyarrow"
+    )
+    agg = partials.groupby(keys).aggregate(
+        *[Sum(f"__p_{c}") for c in sum_cols], Sum("__p_n")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        mapping = {f"sum(__p_{c})": out_names[c] for c in sum_cols}
+        mapping["sum(__p_n)"] = count_name
+        return batch.rename_columns(
+            [mapping.get(n, n) for n in batch.column_names]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -30,6 +30,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ..functions.agg import grouped_sum_count
 from ..functions.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
@@ -88,26 +89,21 @@ def _rename(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def q_agg_lineitem(sf_dir: str):
-    """A4-style grouped aggregate with partial pre-aggregation semantics:
-    integer-cent sums make the result independent of combine order."""
+    """A4-style grouped aggregate with MAP-SIDE partial aggregation: each
+    block collapses to one row per key inside ``map_batches`` (Arrow hash
+    aggregation) and only those partials shuffle — integer-cent sums make
+    the result independent of combine order."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
     ds = ds.map_batches(
         lambda b: _cents(_cents(b, "l_quantity", "qty_cents"), "l_extendedprice", "price_cents"),
         batch_format="pyarrow",
-    )
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_cents"), Sum("price_cents"), Count()
-    )
-    return agg.map_batches(
-        lambda b: _rename(
-            b,
-            {
-                "sum(qty_cents)": "sum_qty_cents",
-                "sum(price_cents)": "sum_price_cents",
-                "count()": "n_rows",
-            },
-        ),
-        batch_format="pyarrow",
+    ).select_columns(["l_returnflag", "l_linestatus", "qty_cents", "price_cents"])
+    return grouped_sum_count(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        ["qty_cents", "price_cents"],
+        {"qty_cents": "sum_qty_cents", "price_cents": "sum_price_cents"},
+        count_name="n_rows",
     )
 
 
@@ -196,13 +192,13 @@ def q_broadcast_join(sf_dir: str):
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
         add_nation, batch_format="pyarrow"
-    )
-    agg = ds.groupby("n_name").aggregate(Count(), Sum("acctbal_cents"))
-    return agg.map_batches(
-        lambda b: _rename(
-            b, {"count()": "n_customers", "sum(acctbal_cents)": "sum_acctbal_cents"}
-        ),
-        batch_format="pyarrow",
+    ).select_columns(["n_name", "acctbal_cents"])
+    return grouped_sum_count(
+        ds,
+        ["n_name"],
+        ["acctbal_cents"],
+        {"acctbal_cents": "sum_acctbal_cents"},
+        count_name="n_customers",
     )
 
 
@@ -246,14 +242,15 @@ def q_events_hourly(sf_dir: str):
         b = batch.append_column("ts_hour", pc.floor_temporal(batch.column("ts"), unit="hour"))
         return _cents(b, "value", "value_cents")
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "ts_hour"])
-        .aggregate(Count(), Sum("value_cents"))
+    prepped = ds.map_batches(prep, batch_format="pyarrow").select_columns(
+        ["event_type", "ts_hour", "value_cents"]
     )
-    return agg.map_batches(
-        lambda b: _rename(b, {"count()": "n_events", "sum(value_cents)": "sum_value_cents"}),
-        batch_format="pyarrow",
+    return grouped_sum_count(
+        prepped,
+        ["event_type", "ts_hour"],
+        ["value_cents"],
+        {"value_cents": "sum_value_cents"},
+        count_name="n_events",
     )
 
 
@@ -374,10 +371,8 @@ QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 
 def q_lang_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    agg = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
-    return agg.map_batches(
-        lambda b: _rename(b, {"count()": "n_docs", "sum(n_chars)": "sum_chars"}),
-        batch_format="pyarrow",
+    return grouped_sum_count(
+        ds, ["lang"], ["n_chars"], {"n_chars": "sum_chars"}, count_name="n_docs"
     )
 
 
@@ -653,6 +648,70 @@ pairs AS (
 )
 SELECT id_a, id_b, floor(inter * 1.0 / uni * 1000000) / 1000000 AS jaccard
 FROM pairs WHERE inter * 1.0 / uni >= 0.5
+"""
+
+
+def q_neardup_canonical(sf_dir: str):
+    """Dedup KEEP policy over the near-dup graph: union-find (min-id
+    canonical per connected component) over the exact-verified MinHash
+    pairs, then a streamed assignment over all documents — pairs are
+    O(dups) ≪ O(docs), so the component map broadcasts and documents
+    never shuffle.  SQL oracle: recursive-CTE transitive closure
+    (min reachable label) over the same pair set."""
+    pairs = q_minhash_pairs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    canon = {x: find(x) for x in touched}
+    keys = pa.array(sorted(canon), pa.int64())
+    vals = pa.array([canon[k] for k in sorted(canon)], pa.int64())
+    cref = ray.put((keys, vals))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(cref)
+        ids = batch.column("doc_id")
+        at = pc.index_in(ids, value_set=k)
+        canonical = pc.coalesce(v.take(at), ids).cast(pa.int64())
+        keep = pc.equal(canonical, ids)
+        return pa.Table.from_arrays(
+            [ids, canonical, keep], names=["doc_id", "canonical_id", "keep"]
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+SQL_NEARDUP_CANONICAL = f"""
+WITH RECURSIVE
+pairs AS ({SQL_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+canon AS (SELECT u AS doc_id, min(label) AS canonical_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+       coalesce(c.canonical_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN canon c USING (doc_id)
 """
 
 
@@ -1026,6 +1085,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "neardup_canonical": q_neardup_canonical,
     "neardup_embeddings": q_neardup_embeddings,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -1056,6 +1116,7 @@ ORACLE_SQL = {
     "langid": SQL_LANGID,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "neardup_canonical": SQL_NEARDUP_CANONICAL,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
     "ann_topk": SQL_ANN_TOPK,
     "html_spans": SQL_HTML_SPANS,
