@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "neardup_embeddings",
     "ann_topk",
     "media_features",
+    "langid",
+    "winnow",
+    "stream_select",
+    "media_info_join",
+    "neardup_canonical",
 ]
 
 

@@ -62,3 +62,52 @@ def test_lance_seam_probe():
     back = lance_io.read_lance(d)
     assert back.num_rows == 2
     assert lance_io.take_by_key(d, ["a"]).num_rows == 1
+
+
+def test_sqlite_sink_roundtrip(tmp_path, ray_session):
+    """K4 (reference src/storage.py:90-150): stream a Dataset into one
+    SQLite db; types map int/bool->INTEGER, float->REAL, rest->TEXT."""
+    import sqlite3
+
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.sources.registry import get_sink
+    from web_scraping_script_ray.sources.sqlite_sink import (
+        write_sqlite,
+        write_sqlite_partitioned,
+    )
+
+    t = pa.table(
+        {
+            "k": [1, 2, 3],
+            "v": [1.5, 2.5, None],
+            "s": ["a", "b", "c"],
+            "b": [True, False, True],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    db = str(tmp_path / "out.sqlite")
+    n = write_sqlite(ds, db, table="r")
+    assert n == 3
+    con = sqlite3.connect(db)
+    rows = con.execute('SELECT k, v, s, b FROM "r" ORDER BY k').fetchall()
+    con.close()
+    assert rows == [(1, 1.5, "a", 1), (2, 2.5, "b", 0), (3, None, "c", 1)]
+    # registry surface
+    db2 = str(tmp_path / "out2.sqlite")
+    get_sink("sqlite")(ray.data.from_arrow(t), db2)
+    con = sqlite3.connect(db2)
+    assert con.execute('SELECT count(*) FROM "results"').fetchone()[0] == 3
+    con.close()
+    # partitioned scale path: one file per block
+    pdir = tmp_path / "parts"
+    write_sqlite_partitioned(ray.data.from_arrow(t).repartition(2), str(pdir))
+    files = list(pdir.glob("part-*.sqlite"))
+    assert len(files) >= 1
+    total = 0
+    for f in files:
+        con = sqlite3.connect(str(f))
+        total += con.execute('SELECT count(*) FROM "results"').fetchone()[0]
+        con.close()
+    assert total == 3

@@ -41,10 +41,16 @@ def get_sink(fmt: str):
     engine's schema-stable equivalent)."""
     import ray.data  # noqa: F401  (Dataset methods bound below)
 
+    from .sqlite_sink import write_sqlite
+
     sinks = {
         "parquet": lambda ds, path: ds.write_parquet(path),
         "csv": lambda ds, path: ds.write_csv(path),
         "json": lambda ds, path: ds.write_json(path),
+        # reference K4 storage backend (src/storage.py:90-150): single-file
+        # driver-streamed SQLite; see sqlite_sink.write_sqlite_partitioned
+        # for the per-block scale path
+        "sqlite": lambda ds, path: write_sqlite(ds, path),
     }
     if fmt not in sinks:
         logger.warning("unknown sink format %r — falling back to parquet", fmt)
