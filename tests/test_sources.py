@@ -111,3 +111,19 @@ def test_sqlite_sink_roundtrip(tmp_path, ray_session):
         total += con.execute('SELECT count(*) FROM "results"').fetchone()[0]
         con.close()
     assert total == 3
+
+
+def test_sqlite_loader_with_limit(tmp_path, ray_session):
+    """S9/K4 read side (reference src/storage.py:259-282 load(limit))."""
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.sources.sqlite_sink import read_sqlite, write_sqlite
+
+    t = pa.table({"k": list(range(10)), "s": [f"r{i}" for i in range(10)]})
+    db = str(tmp_path / "l.sqlite")
+    write_sqlite(ray.data.from_arrow(t), db, table="tt")
+    full = read_sqlite(db, "tt").to_pandas()
+    assert len(full) == 10 and sorted(full.k) == list(range(10))
+    lim = read_sqlite(db, "tt", limit=3).to_pandas()
+    assert len(lim) == 3

@@ -89,6 +89,27 @@ def write_sqlite(ds, path: str, table: str = "results", batch_size: int = 4096) 
     return n
 
 
+def read_sqlite(path: str, table: str = "results", limit: int | None = None):
+    """Storage loader (reference: src/storage.py:259-282,395-421
+    ``load(limit)``): SQLite table → Ray Dataset.  The LIMIT is pushed
+    into the SQL so only the requested rows ever leave the database."""
+    import ray.data
+
+    con = sqlite3.connect(path)
+    try:
+        q = f'SELECT * FROM "{table}"'
+        if limit is not None:
+            q += f" LIMIT {int(limit)}"
+        cur = con.execute(q)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        con.close()
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    t = pa.Table.from_arrays([pa.array(list(c)) for c in cols], names=names)
+    return ray.data.from_arrow(t)
+
+
 def write_sqlite_partitioned(ds, out_dir: str, table: str = "results") -> None:
     """Scale path: one SQLite file per block, written by the map tasks —
     no driver bottleneck, resumable per partition."""
