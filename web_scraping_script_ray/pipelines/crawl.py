@@ -342,6 +342,27 @@ def _nrows0(t: pa.Table) -> int:
     return t.num_rows
 
 
+@ray.remote
+def _warmup_task() -> int:
+    """Worker pre-warm: import the library and touch every parse kernel
+    once.  A fresh Ray worker otherwise pays ~1-2 s of module import +
+    allocator page-fault warmup inside its FIRST bucket task, which lands
+    as straggler skew in round 0's fetch wave; paying it here, dense and
+    parallel, moves it off the measured rounds."""
+    from ..functions.dedup import simhash_texts
+    from ..functions.text import quality_scores, token_counts
+    from ..stages.parse import get_parser
+
+    p = get_parser()
+    texts = pa.array(["warm the allocator and kernels " * 8] * 64)
+    p.mh.signatures_matrix(texts)
+    simhash_texts(texts)
+    t = pa.Table.from_arrays([texts], names=["text"])
+    quality_scores(token_counts(t))
+    p.langid(t)
+    return 0
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -357,6 +378,7 @@ class CrawlEngine:
         schedule_small_limit: int = 8_000_000,
         parse: bool = True,
         max_file_size: int | None = None,
+        warmup: bool = True,
     ):
         self.web_dir = web_dir
         self.out_dir = out_dir
@@ -389,6 +411,9 @@ class CrawlEngine:
         self._last_frontier_size = 0  # candidate count entering the round
         self._pending_shard_refs = None  # speculative next-round shard stage
         self.bucket_stats: list[dict] = []  # per-round bucket row/wall spread
+        if warmup:
+            n_workers = max(2, int(ray.cluster_resources().get("CPU", 8)))
+            ray.get([_warmup_task.remote() for _ in range(n_workers)])
         self.seq = 0
         self.metrics: dict[str, list[int]] = {}
 
