@@ -263,24 +263,51 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 
 def q_sessionize(sf_dir: str):
     """Stateful per-key windowing: sessions split on >30 min gaps.
-    ``groupby(user).map_groups`` — per-user state never crosses groups."""
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(g) -> pa.Table:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        # unit-safe epoch-ms regardless of the pandas datetime64 unit
-        ms = g["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
-        n_sessions = 1 + int((np.diff(ms) > 1_800_000).sum()) if len(ms) else 0
+    Coarse-partition plan: groupby on ``user_id % P`` (P big groups, not
+    one Ray group per user), then ONE vectorized pass per partition —
+    lexsort by (user, ts, event), run detection, gap counting with
+    numpy — no per-user dispatch or pandas."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    P = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("upart", pa.array(uid % P, pa.int64()))
+
+    def sessions_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # unit-safe epoch-ms (events are post-epoch, so floor == truncate)
+        ms = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False) // 1000
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ms, uid))
+        u, m = uid[order], ms[order]
+        n = len(u)
+        newu = np.ones(n, dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (m[1:] - m[:-1] > 1_800_000) & ~newu[1:]
+        run_ids = np.cumsum(newu) - 1
+        n_users = int(run_ids[-1]) + 1 if n else 0
+        n_events = np.bincount(run_ids, minlength=n_users)
+        n_sessions = 1 + np.bincount(run_ids, weights=gap, minlength=n_users).astype(np.int64)
         return pa.Table.from_arrays(
             [
-                pa.array([int(g["user_id"].iloc[0])], pa.int64()),
-                pa.array([len(g)], pa.int64()),
-                pa.array([n_sessions], pa.int64()),
+                pa.array(u[newu], pa.int64()),
+                pa.array(n_events.astype(np.int64), pa.int64()),
+                pa.array(n_sessions, pa.int64()),
             ],
             names=["user_id", "n_events", "n_sessions"],
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(sessions_part, batch_format="pyarrow")
+    )
 
 
 SQL_SESSIONIZE = """
