@@ -133,7 +133,12 @@ class MinHasher:
         """(n_rows, num_perm) uint64 signature matrix for a string column.
         Rows with no shingles (empty text) get all-zero signatures."""
         flat, offsets = flat_tokens(texts)
-        sh, soff = shingle_hash_flat(token_hashes(flat), offsets, self.k)
+        return self.signatures_from_hashes(token_hashes(flat), offsets)
+
+    def signatures_from_hashes(self, th: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Signature matrix from pre-computed flat token hashes — lets the
+        crawl parse tokenize ONCE and share tokens across kernels."""
+        sh, soff = shingle_hash_flat(th, offsets, self.k)
         n = len(offsets) - 1
         sig = np.zeros((n, self.num_perm), np.uint64)
         if len(sh) == 0:
@@ -376,7 +381,11 @@ def simhash_texts(texts: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     matrix (``unpackbits``) → segmented per-doc bit sums → sign → packed
     uint64.  Empty rows hash to 0."""
     flat, offsets = flat_tokens(texts)
-    th = token_hashes(flat)
+    return simhash_from_hashes(token_hashes(flat), offsets)
+
+
+def simhash_from_hashes(th: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """SimHash from pre-computed flat token hashes (shared tokenization)."""
     n = len(offsets) - 1
     counts = np.diff(offsets)
     out = np.zeros(n, np.uint64)

@@ -56,16 +56,28 @@ def floor6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e6) / 1e6
 
 
-def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append ``n_ws_tokens`` / ``n_bpe_tokens`` (int64) columns."""
+def token_counts(
+    batch: pa.Table, text_col: str = "text", pretok=None
+) -> pa.Table:
+    """Append ``n_ws_tokens`` / ``n_bpe_tokens`` (int64) columns.
+
+    ``pretok=(flat, offsets)`` reuses a shared whitespace tokenization:
+    ``n_ws_tokens`` = per-row token count (identical to the ``\\S+`` regex
+    count), saving one full regex scan in the crawl parse."""
     text = batch.column(text_col)
-    ws = pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64())
+    if pretok is not None:
+        _, offsets = pretok
+        ws = pa.array(np.diff(offsets), pa.int64())
+    else:
+        ws = pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64())
     bpe = pc.count_substring_regex(text, BPE_TOKEN_RE).cast(pa.int64())
     batch = batch.append_column("n_ws_tokens", ws)
     return batch.append_column("n_bpe_tokens", bpe)
 
 
-def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def quality_scores(
+    batch: pa.Table, text_col: str = "text", pretok=None
+) -> pa.Table:
     """Append quality columns: ``q_chars``, ``q_tokens``, ``stop_ratio``,
     ``punct_ratio``, ``quality`` (all deterministic; ratios floored to 6dp).
 
@@ -79,14 +91,16 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """
     text = batch.column(text_col)
     n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
-    n_tok = (
-        pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64())
-        .to_numpy(zero_copy_only=False).astype(np.float64)
-    )
     # stopword count: Arrow tokenize (lower + whitespace split) → one is_in
     # membership probe over the flat token array → per-row bincount — the
-    # same "token in STOPWORDS" semantics, no per-row Python
-    flat, offsets = flat_tokens(text)
+    # same "token in STOPWORDS" semantics, no per-row Python.  A caller
+    # that already tokenized (the crawl parse) passes pretok to skip the
+    # re-tokenization AND the \S+ count scan (token count == len(tokens)).
+    if pretok is not None:
+        flat, offsets = pretok
+    else:
+        flat, offsets = flat_tokens(text)
+    n_tok = np.diff(offsets).astype(np.float64)
     parents = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets))
     is_stop = pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False)
     n_stop = np.bincount(parents[is_stop], minlength=batch.num_rows).astype(np.float64)

@@ -16,7 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.dedup import MinHasher, simhash_texts
+from ..functions.dedup import MinHasher, simhash_from_hashes
+from ..functions.hashing import flat_tokens, token_hashes
 from ..functions.text import LangId, quality_scores, token_counts
 
 PARSED_SCHEMA = pa.schema(
@@ -56,14 +57,21 @@ class DocParser:
         self.langid = LangId()
 
     def parse_columns(self, batch: pa.Table) -> dict:
-        """Row-aligned parse columns for a batch that has ``spans``."""
+        """Row-aligned parse columns for a batch that has ``spans``.
+
+        Whitespace tokenization + token hashing happen ONCE; token counts,
+        stopword quality, MinHash and SimHash all consume the shared
+        (flat, offsets, hashes) — langid keeps its own letters-only
+        tokenization."""
         t = _project_text_fast_cols(batch)
-        t = token_counts(t)
-        t = quality_scores(t)
-        t = self.langid(t)
         texts = t.column("text")
-        sig = self.mh.signatures_matrix(texts)  # (n, num_perm), vectorized
-        shs = simhash_texts(texts)
+        flat, offsets = flat_tokens(texts)
+        th = token_hashes(flat)
+        t = token_counts(t, pretok=(flat, offsets))
+        t = quality_scores(t, pretok=(flat, offsets))
+        t = self.langid(t)
+        sig = self.mh.signatures_from_hashes(th, offsets)
+        shs = simhash_from_hashes(th, offsets)
         n = t.num_rows
         sig_col = pa.ListArray.from_arrays(
             pa.array(np.arange(n + 1, dtype=np.int64) * self.mh.num_perm, pa.int32()),
