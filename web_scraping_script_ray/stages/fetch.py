@@ -84,6 +84,35 @@ def append_fetch_columns(batch: pa.Table, found: dict[str, list]) -> pa.Table:
     return batch.append_column("spans", pa.array(spans, span_type))
 
 
+# per-worker decoded-bucket cache: a crawl touches every bucket every
+# round, and parquet decode was re-paid each time.  Worker processes
+# persist across rounds, so a small FIFO of decoded bucket tables turns
+# round 2+ reads into an index_in over in-memory Arrow.  Oversized
+# buckets (beyond what a 1-CPU task should pin) bypass the cache — at
+# 100 TB the bucket store is Lance take-by-key, not a RAM cache.
+_BUCKET_CACHE: dict[tuple[str, int], pa.Table] = {}
+_BUCKET_CACHE_ORDER: list[tuple[str, int]] = []
+_BUCKET_CACHE_SLOTS = 16
+_BUCKET_CACHE_MAX_BYTES = 256 << 20
+
+
+def _load_bucket(web_dir: str, bucket: int) -> pa.Table | None:
+    key = (web_dir, bucket)
+    t = _BUCKET_CACHE.get(key)
+    if t is not None:
+        return t
+    path = os.path.join(web_dir, "web", f"bucket={bucket}")
+    if not os.path.isdir(path):
+        return None
+    t = pads.dataset(path).to_table()
+    if t.nbytes <= _BUCKET_CACHE_MAX_BYTES:
+        _BUCKET_CACHE[key] = t
+        _BUCKET_CACHE_ORDER.append(key)
+        if len(_BUCKET_CACHE_ORDER) > _BUCKET_CACHE_SLOTS:
+            _BUCKET_CACHE.pop(_BUCKET_CACHE_ORDER.pop(0), None)
+    return t
+
+
 def fetch_rows_in_bucket(
     web_dir: str, bucket: int, group: pa.Table, max_nbytes: int | None = None
 ) -> pa.Table:
@@ -103,15 +132,15 @@ def fetch_rows_in_bucket(
     download."""
     span_type = WEB_SCHEMA.field("spans").type
     n = group.num_rows
-    path = os.path.join(web_dir, "web", f"bucket={bucket}")
     urls = group.column("url")
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
     t = None
-    if n and os.path.isdir(path):
-        t = pads.dataset(path).to_table(
-            filter=pc.field("doc_id").isin(urls.to_pylist())
-        )
+    if n:
+        bucket_tbl = _load_bucket(web_dir, bucket)
+        if bucket_tbl is not None:
+            sel = pc.index_in(bucket_tbl.column("doc_id"), value_set=urls)
+            t = bucket_tbl.filter(pc.is_valid(sel))
     if t is None or t.num_rows == 0:
         group = group.append_column("ok", pa.array(np.zeros(n, dtype=bool)))
         group = group.append_column("nbytes", pa.array(np.zeros(n, np.int64), pa.int64()))
