@@ -79,3 +79,65 @@ def test_bucketed_layout(t1_web):
     t = pads.dataset(b3).to_table()
     for u in t.column("doc_id").to_pylist():
         assert url_hash64(u) % 16 == 3
+
+
+def test_expand_links_fast_path_matches_canonicalize():
+    """The vectorized already-canonical fast path in expand_links must
+    agree with per-row canonicalize() on adversarial URLs (uppercase
+    hosts, default/explicit ports, query strings, fragments, userinfo,
+    relative refs, bad schemes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_scraping_script_ray.schemas import SPAN_STRUCT
+    from web_scraping_script_ray.stages.spans import expand_links
+    from web_scraping_script_ray.urlnorm import canonicalize
+
+    refs = [
+        "http://plain.example/a/b",                 # fast path
+        "http://plain.example/a?q=1#frag",          # query+fragment → slow
+        "http://UPPER.example/Path",                # uppercase host → slow
+        "http://host.example:80/x",                 # default port → strip
+        "http://host.example:8080/x",               # explicit port → keep
+        "https://secure.example/y",                 # https → slow path
+        "HTTP://caps.example/z",                    # scheme case
+        "http://user@host.example/w",               # userinfo
+        "/relative/path",                           # relative → base join
+        "javascript:void(0)",                       # dropped
+        "mailto:x@y.z",                             # dropped
+        "http://spaced.example/a b",                # space in path
+        "http://dot.example",                       # no path → '/'
+    ]
+    base = "http://base.example/dir/page"
+    spans = [
+        [
+            {"kind": "link", "text": "", "media_ref": r, "offset": i}
+            for i, r in enumerate(refs)
+        ]
+    ]
+    batch = pa.Table.from_arrays(
+        [
+            pa.array([base], pa.string()),
+            pa.array([7], pa.int64()),
+            pa.array([1], pa.int32()),
+            pa.array([True], pa.bool_()),
+            pa.array(spans, pa.list_(SPAN_STRUCT)),
+        ],
+        names=["url", "crawl_seq", "depth", "ok", "spans"],
+    )
+    out = expand_links(batch)
+    got = out.column("url").to_pylist()
+    expected = []
+    for r in refs:
+        cu = (
+            canonicalize(r)
+            if r.lower().startswith(("http://", "https://"))
+            else canonicalize(r, base_url=base)
+        )
+        if cu is not None:
+            expected.append(cu)
+    assert got == expected
+    # hosts agree with canonical urls
+    from web_scraping_script_ray.urlnorm import host_of
+
+    assert out.column("host").to_pylist() == [host_of(u) for u in expected]
