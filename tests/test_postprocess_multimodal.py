@@ -217,3 +217,51 @@ def test_fetch_max_nbytes_guard(t1_web):
     # under-cap rows identical to the unguarded fetch
     under = ~over
     assert (ok[under] == free.column("ok").to_numpy(zero_copy_only=False)[under]).all()
+
+
+def test_audio_decoder_and_frame_sampler_plumbing():
+    """Audio decode + video frame-sample actor stages: deterministic fake
+    codecs behind the real Ray plumbing (schema, batch expansion)."""
+    import ray.data
+
+    from web_scraping_script_ray.stages.multimodal import (
+        AUDIO_FEATURES_SCHEMA,
+        VIDEO_FRAMES_SCHEMA,
+        AudioDecoder,
+        MediaMaterializer,
+        VideoFrameSampler,
+    )
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["1", "2"], pa.string()),
+            pa.array(["http://c/a.mp3", "http://c/b.mp4"], pa.string()),
+        ],
+        names=["doc_id", "media_ref"],
+    )
+    media = MediaMaterializer()(t)
+    audio = AudioDecoder()(media)
+    assert audio.schema.equals(AUDIO_FEATURES_SCHEMA)
+    assert (np.array(audio.column("duration_ms").to_pylist()) > 0).all()
+    # deterministic across calls
+    audio2 = AudioDecoder()(media)
+    assert audio.equals(audio2)
+
+    frames = VideoFrameSampler(n_frames=3)(media)
+    assert frames.schema.equals(VIDEO_FRAMES_SCHEMA)
+    assert frames.num_rows == 2 * 3
+    assert frames.column("frame_idx").to_pylist() == [0, 1, 2, 0, 1, 2]
+    ts = frames.column("ts_ms").to_pylist()
+    assert ts[0] == 0 and ts[1] < ts[2]
+    # as a Dataset actor-pool stage
+    ds = ray.data.from_arrow(t).map_batches(
+        MediaMaterializer, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    ).map_batches(
+        VideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    )
+    assert ds.count() == 2 * 4  # default n_frames=4
+
+    with pytest.raises(NotImplementedError):
+        AudioDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(fake=False)

@@ -120,6 +120,138 @@ class MediaMaterializer:
         )
 
 
+AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("content_hash", pa.string()),
+        ("nbytes", pa.int64()),
+        ("duration_ms", pa.int64()),
+        ("sample_rate", pa.int32()),
+        ("feat", pa.list_(pa.float32())),
+    ]
+)
+
+VIDEO_FRAMES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int64()),
+        ("frame", pa.binary()),      # encoded frame payload
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+class AudioDecoder:
+    """Actor-pool stage: MEDIA_SCHEMA → AUDIO_FEATURES_SCHEMA.
+
+    Same contract as ImageDecoder: the codec is a deterministic fake in
+    this container (duration/sample-rate/features derived from the payload
+    hash — a real decoder would be librosa/ffmpeg in ``_decode_real``);
+    the Ray plumbing (batch sizing, actor signature, schema) is real."""
+
+    def __init__(self, fake: bool = True, feat_dim: int = 8):
+        self.fake = fake
+        self.feat_dim = feat_dim
+        if not fake:
+            raise NotImplementedError(
+                "real audio decode needs an audio codec library, which is "
+                "not in this container; construct AudioDecoder(fake=True)"
+            )
+
+    def _decode_fake(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        duration_ms = 500 + int.from_bytes(h[0:3], "big") % 600_000
+        sample_rate = (8000, 16000, 22050, 44100)[h[3] % 4]
+        feat = (
+            np.frombuffer(
+                hashlib.blake2b(payload, digest_size=4 * self.feat_dim).digest(),
+                dtype=np.uint32,
+            ).astype(np.float32)
+            / np.float32(2**32)
+        )
+        return duration_ms, sample_rate, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        durs, rates, feats, hashes, sizes = [], [], [], [], []
+        for p in payloads:
+            d, r, f = self._decode_fake(p)
+            durs.append(d)
+            rates.append(r)
+            feats.append(f.tolist())
+            hashes.append(hashlib.md5(p).hexdigest()[:10])
+            sizes.append(len(p))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("media_ref"),
+                pa.array(hashes, pa.string()),
+                pa.array(sizes, pa.int64()),
+                pa.array(durs, pa.int64()),
+                pa.array(rates, pa.int32()),
+                pa.array(feats, pa.list_(pa.float32())),
+            ],
+            schema=AUDIO_FEATURES_SCHEMA,
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: MEDIA_SCHEMA → one row per sampled frame
+    (``flat_map``-shaped batch expansion: k evenly-spaced frames per
+    video).  Frame payloads are deterministic fakes (a real sampler would
+    shell to ffmpeg in ``_sample_real``); batch_size guidance is stricter
+    here — output is ``k×`` the input rows with binary payloads."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = n_frames
+        if not fake:
+            raise NotImplementedError(
+                "real frame sampling needs ffmpeg, which is not in this "
+                "container; construct VideoFrameSampler(fake=True)"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, refs, fidx, tss, frames, ws, hs = [], [], [], [], [], [], []
+        for doc_id, ref, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            h = hashlib.blake2b(payload, digest_size=16).digest()
+            duration_ms = 1000 + int.from_bytes(h[0:3], "big") % 120_000
+            w = 160 + h[4] % 8 * 80
+            ht = 120 + h[5] % 8 * 60
+            for i in range(self.n_frames):
+                ts = duration_ms * i // self.n_frames
+                ids.append(doc_id)
+                refs.append(ref)
+                fidx.append(i)
+                tss.append(ts)
+                frames.append(
+                    hashlib.blake2b(
+                        h + i.to_bytes(4, "big"), digest_size=32
+                    ).digest()
+                )
+                ws.append(w)
+                hs.append(ht)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(refs, pa.string()),
+                pa.array(fidx, pa.int32()),
+                pa.array(tss, pa.int64()),
+                pa.array(frames, pa.binary()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+            ],
+            schema=VIDEO_FRAMES_SCHEMA,
+        )
+
+
 class ImageDecoder:
     """Actor-pool stage: MEDIA_SCHEMA → IMAGE_FEATURES_SCHEMA.
 
