@@ -1036,6 +1036,17 @@ SQL_CRAWL_BFS = (
     + "')"
 )
 
+# crawl_parsed golden: the INDEPENDENT sequential-oracle crawl with the
+# engine's parse kernels applied to its output (the parse columns have no
+# second implementation — this fixture checks crawl-parity + parse
+# determinism, honestly labeled; the crawl half is independent).
+SQL_CRAWL_PARSED = (
+    "SELECT url, crawl_seq, round, n_ws_tokens, quality, lang_pred, simhash"
+    " FROM read_parquet('"
+    + os.path.join(_FIXTURES_DIR, "crawl_parsed_golden.parquet").replace("'", "''")
+    + "')"
+)
+
 
 def q_crawl(sf_dir: str):
     import shutil
@@ -1150,4 +1161,5 @@ ORACLE_SQL = {
     "media_info_join": SQL_MEDIA_INFO_JOIN,
     "stream_select": SQL_STREAM_SELECT,
     "crawl_bfs": SQL_CRAWL_BFS,
+    "crawl_parsed": SQL_CRAWL_PARSED,
 }
