@@ -474,14 +474,29 @@ class CrawlEngine:
                 return batch
             return batch.filter(pa.array(mask))
 
-        def not_seen_and_allowed(batch: pa.Table) -> pa.Table:
-            """Robots + seen probe — the distributed (large-round) path;
-            the small path probes once inside _schedule_small_round."""
-            batch = robots_allowed(batch)
-            if batch.num_rows == 0:
-                return batch
-            hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(~seen.probe(hashes)))
+        seen_shards = seen.shards
+        n_seen = len(seen_shards)
+
+        def add_seen_shard(batch: pa.Table) -> pa.Table:
+            uh = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return batch.append_column(
+                "__sshard", pa.array((uh % np.uint64(n_seen)).astype(np.int64), pa.int64())
+            )
+
+        def probe_shard_group(g: pa.Table) -> pa.Table:
+            """One seen-probe RPC per shard GROUP (n_seen tasks total) —
+            actor calls from wide map fan-outs can trip Ray's 30 s
+            ordered-call timeout under full CPU load, so the distributed
+            path groups by the seen-shard key first."""
+            from ..state.util import retry_actor_get
+
+            s = int(g.column("__sshard")[0].as_py())
+            g = g.drop_columns(["__sshard"])
+            uh = g.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            mask = retry_actor_get(lambda: [seen_shards[s].probe.remote(uh)])[0]
+            if mask.any():
+                g = g.filter(pa.array(~mask))
+            return g
 
         remaining = self.budget.max_urls - self.seq
         small = self._last_frontier_size <= self.schedule_small_limit
@@ -525,11 +540,18 @@ class CrawlEngine:
             self._pending_shard_refs = None  # speculative small-path stage unused
             if cands.num_blocks() < self.round_blocks:
                 cands = cands.repartition(self.round_blocks)
-            cands = cands.map_batches(not_seen_and_allowed, batch_format="pyarrow")
+            cands = cands.map_batches(robots_allowed, batch_format="pyarrow")
             cands = dedup_first_wins(
                 cands, "url_hash", ["disc_primary", "disc_secondary"]
             )
-            tr.mark("filter+dedup")
+            # seen probe AFTER dedup (commutes — seen is keyed by url_hash)
+            # over fewer rows, one RPC per shard group
+            cands = (
+                cands.map_batches(add_seen_shard, batch_format="pyarrow")
+                .groupby("__sshard")
+                .map_groups(probe_shard_group, batch_format="pyarrow")
+            )
+            tr.mark("filter+dedup+probe")
 
             # per-block partial unique → driver set union (no shuffle)
             host_blocks = cands.map_batches(
