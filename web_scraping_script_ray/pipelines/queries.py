@@ -408,6 +408,59 @@ SQL_LANG_COUNTS = (
 )
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic hash-based sampling (the reproducible form of
+    ``Dataset.random_sample`` a training pipeline needs): keep a doc iff
+    ``(doc_id·2654435761) mod 100 < 10`` — content-stable, shard-order-
+    independent, and exactly SQL-expressible."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((ids * 2654435761) % 100 < 10))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_SAMPLE_DOCS = """
+SELECT doc_id, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 100 < 10
+"""
+
+
+def q_vocab_topk(sf_dir: str):
+    """Vocabulary frequency analysis: top-100 whitespace tokens
+    (lowercased) by total count, ties broken by token — per-batch Arrow
+    hash-aggregation partials, then one small groupby over (token,
+    partial_count) rows; documents never shuffle."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def token_partials(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import flat_tokens
+
+        flat, _ = flat_tokens(batch.column("text"))
+        t = pa.Table.from_arrays([flat], names=["token"])
+        return t.group_by(["token"]).aggregate([([], "count_all")]).rename_columns(
+            ["token", "__p_n"]
+        )
+
+    partials = ds.map_batches(token_partials, batch_format="pyarrow")
+    agg = partials.groupby("token").aggregate(Sum("__p_n"))
+    agg = agg.map_batches(
+        lambda b: _rename(b, {"sum(__p_n)": "n"}), batch_format="pyarrow"
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(100)
+
+
+SQL_VOCAB_TOPK = r"""
+SELECT t AS token, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS t FROM documents)
+GROUP BY t
+ORDER BY n DESC, t
+LIMIT 100
+"""
+
+
 def q_langid(sf_dir: str):
     """Heuristic language ID — profile-word hit ratio per language, argmax
     with lexicographic tie-break, 'und' below min_score.  SQL-oracled: the
@@ -1118,6 +1171,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "exact_dedup_docs": q_exact_dedup_docs,
     "lang_counts": q_lang_counts,
+    "sample_docs": q_sample_docs,
+    "vocab_topk": q_vocab_topk,
     "langid": q_langid,
     "winnow": q_winnow,
     "minhash_pairs": q_minhash_pairs,
@@ -1151,6 +1206,8 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "lang_counts": SQL_LANG_COUNTS,
+    "sample_docs": SQL_SAMPLE_DOCS,
+    "vocab_topk": SQL_VOCAB_TOPK,
     "langid": SQL_LANGID,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
