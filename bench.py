@@ -199,7 +199,7 @@ def measure_ceiling(n: int = SCALING_N, units_total: int = 32) -> dict:
     scaling efficiency must be read against this ceiling."""
     import multiprocessing as mp
 
-    def run(n_procs: int) -> float:
+    def run(n_procs: int) -> tuple[float, int]:
         q = mp.Queue()
         per = max(1, units_total // n_procs)
         t0 = time.time()
@@ -208,12 +208,18 @@ def measure_ceiling(n: int = SCALING_N, units_total: int = 32) -> dict:
             p.start()
         for p in ps:
             p.join()
-        return time.time() - t0
+        return time.time() - t0, per * n_procs
 
-    t_n = run(n)
-    t_4n = run(4 * n)
-    # same total work at both widths → ideal t_4n = t_n/4; eff = speedup/4
-    return {"t_n": round(t_n, 2), "t_4n": round(t_4n, 2), "eff": round(t_n / (4.0 * t_4n), 3)}
+    t_n, units_n = run(n)
+    t_4n, units_4n = run(4 * n)
+    # compare per-unit THROUGHPUT so non-divisor n values stay fair
+    rate_n = units_n / t_n
+    rate_4n = units_4n / t_4n
+    return {
+        "t_n": round(t_n, 2),
+        "t_4n": round(t_4n, 2),
+        "eff": round(rate_4n / (4.0 * rate_n), 3),
+    }
 
 
 def run_scaling() -> dict:

@@ -265,3 +265,24 @@ def test_audio_decoder_and_frame_sampler_plumbing():
         AudioDecoder(fake=False)
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(fake=False)
+
+
+def test_export_csv_handles_deep_nesting(tmp_path):
+    """CSV export must not crash on 2+-level nesting: one-level flatten
+    then str() coercion of the remainder (reference CSV semantics)."""
+    import ray.data
+
+    t = pa.Table.from_pylist(
+        [
+            {"id": 1, "meta": {"a": 1, "deep": {"x": 9}}},
+            {"id": 2, "meta": {"a": 2, "deep": {"x": 8}}},
+        ]
+    )
+    out = tmp_path / "csvdir"
+    export(ray.data.from_arrow(t), str(out), fmt="csv")
+    import glob
+
+    files = glob.glob(str(out / "*"))
+    assert files
+    body = "".join(open(f).read() for f in files)
+    assert "meta.a" in body and "'x': 9" in body  # deep struct stringified

@@ -107,6 +107,7 @@ def test_expand_links_fast_path_matches_canonicalize():
         "mailto:x@y.z",                             # dropped
         "http://spaced.example/a b",                # space in path
         "http://dot.example",                       # no path → '/'
+        "http://nbsp.example/x ",              # unicode ws → slow path strips
     ]
     base = "http://base.example/dir/page"
     spans = [

@@ -68,3 +68,34 @@ def test_winnow_fingerprint_properties():
     fp3 = set(winnow_fingerprint("completely different content " * 10))
     assert len(set(fp1) & fp3) / len(fp1) < 0.1
     assert winnow_fingerprint("") == []
+
+
+def test_token_count_matches_regex_on_unicode_whitespace():
+    """flat_tokens splits on ASCII whitespace only, so n_ws_tokens equals
+    the \\S+ regex count (the DuckDB-oracle tokenization) even when the
+    text contains NBSP / unicode spaces."""
+    import re
+
+    import pyarrow as pa
+
+    from web_scraping_script_ray.functions.text import token_counts
+
+    texts = ["a b c", "x y", "plain words here", ""]
+    t = pa.Table.from_arrays([pa.array(texts)], names=["text"])
+    out = token_counts(t)
+    got = out.column("n_ws_tokens").to_pylist()
+    expected = [len(re.findall(r"[^ \t\n\r\f\v]+", s)) for s in texts]
+    assert got == expected  # NBSP glues tokens on both sides
+
+
+def test_token_count_pretok_consistent():
+    import pyarrow as pa
+
+    from web_scraping_script_ray.functions.hashing import flat_tokens
+    from web_scraping_script_ray.functions.text import token_counts
+
+    texts = ["a b c", "one two  three", ""]
+    t = pa.Table.from_arrays([pa.array(texts)], names=["text"])
+    plain = token_counts(t).column("n_ws_tokens").to_pylist()
+    pre = token_counts(t, pretok=flat_tokens(t.column("text")))
+    assert pre.column("n_ws_tokens").to_pylist() == plain

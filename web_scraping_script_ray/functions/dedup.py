@@ -334,8 +334,15 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
     )
     # same pair can surface from multiple bands → dedup on the composite
-    # (id_a, id_b) key — no packed-integer key that could alias wide ids
-    return dedup_first_wins(pairs, ["id_a", "id_b"], []).select_columns(
+    # (id_a, id_b) key — no packed-integer key that could alias wide ids.
+    # Order by NOT(truncated) so a pair seen from any clipped bucket keeps
+    # truncated=true deterministically (the flag is the recall-loss audit
+    # signal; an arbitrary-survivor dedup would make it flap run-to-run).
+    pairs = pairs.map_batches(
+        lambda b: b.append_column("__nt", pc.invert(b.column("truncated"))),
+        batch_format="pyarrow",
+    )
+    return dedup_first_wins(pairs, ["id_a", "id_b"], ["__nt"]).select_columns(
         ["id_a", "id_b", "est_jaccard", "truncated"]
     )
 

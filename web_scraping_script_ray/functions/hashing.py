@@ -56,15 +56,18 @@ def flat_tokens(
     strings of all rows (no empties) and ``offsets`` is int64 of length
     ``n_rows+1`` — row i's tokens are ``flat[offsets[i]:offsets[i+1]]``.
 
-    ``pattern=None`` splits on whitespace runs (== Python ``str.split()``);
-    otherwise splits on the regex (== ``re.findall`` of its complement).
+    ``pattern=None`` splits on ASCII-whitespace runs — exactly the token
+    boundaries of the RE2/DuckDB ``\\S+`` idiom every SQL oracle uses
+    (``\\s`` in RE2 is ASCII-only; Unicode spaces like NBSP glue into
+    their neighbors on BOTH sides, so engine and oracle always agree).
+    Otherwise splits on the regex (== ``re.findall`` of its complement).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
     low = pc.utf8_lower(texts)
     lists = (
-        pc.utf8_split_whitespace(low)
+        pc.ascii_split_whitespace(low)
         if pattern is None
         else pc.split_pattern_regex(low, pattern)
     )

@@ -594,10 +594,13 @@ class CrawlEngine:
             tr.mark("schedule+rank")
             if n_fetched == 0:
                 return None, 0
+            # the overlapped previous-round checkpoint reads self.seq and
+            # the seen/politeness actors — it must land before ANY of this
+            # round's state mutations, including the driver-side seq bump
+            self._join_checkpoint()
             self.seq += n_fetched
 
             sched_refs = scheduled.to_arrow_refs()
-            self._join_checkpoint()  # snapshot must precede state writes
             self.seen.add_blocks(sched_refs)
             count_blocks = scheduled.map_batches(
                 lambda t: _host_value_counts(t, "host"), batch_format="pyarrow"

@@ -121,14 +121,34 @@ def flatten_one_level(batch: pa.Table) -> pa.Table:
     return batch.flatten()
 
 
+def _stringify_nested(batch: pa.Table) -> pa.Table:
+    """Remaining nested columns → their str() form, like the reference's
+    CSV writer coerces values deeper than one level (Arrow's CSV writer
+    would raise on struct/list columns instead)."""
+    for i, name in enumerate(batch.column_names):
+        col = batch.column(i)
+        if pa.types.is_nested(col.type):
+            vals = pa.array(
+                [None if v is None else str(v) for v in col.to_pylist()],
+                pa.string(),
+            )
+            batch = batch.set_column(i, name, vals)
+    return batch
+
+
 def export(ds: "ray.data.Dataset", path: str, fmt: str = "parquet") -> None:
     """K5 export (reference: src/main.py:208-222): parquet (the engine
     default — partitioned, resumable), csv or json.  CSV flattens struct
-    columns one level first (M24, reference src/storage.py:72-81)."""
+    columns one level first (M24, reference src/storage.py:72-81), then
+    str()-coerces anything still nested so deep structures export instead
+    of crashing the Arrow CSV writer."""
     if fmt == "parquet":
         ds.write_parquet(path)
     elif fmt == "csv":
-        ds.map_batches(flatten_one_level, batch_format="pyarrow").write_csv(path)
+        ds.map_batches(
+            lambda b: _stringify_nested(flatten_one_level(b)),
+            batch_format="pyarrow",
+        ).write_csv(path)
     elif fmt == "json":
         ds.write_json(path)
     else:

@@ -548,8 +548,12 @@ def q_minhash_pairs(sf_dir: str):
     SQL-oracled: at the banding used, P(miss) for a true j ≥ 0.7 pair is
     (1−(1−j⁴))^32 < 3·10⁻⁴ and the pipeline is deterministic (fixed
     seeds), so the result equals the oracle's exhaustive exact-Jaccard
-    self-join — verified bit-for-bit at sf 0.001/0.01 in CI.  Only the
-    tiny candidate set and its documents are ever collected."""
+    self-join — verified bit-for-bit at sf 0.001/0.01 in CI.  Parity
+    PRECONDITION: no LSH bucket above the cap — a corpus with > 256
+    mutually-near-identical docs deterministically clips that bucket
+    (recall < 1 by design at scale); any truncation is surfaced loudly
+    below rather than silently diverging from the oracle.  Only the tiny
+    candidate set and its documents are ever collected."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     cand = minhash_lsh_pairs(
         ds, id_col="doc_id", text_col="text",
@@ -559,17 +563,26 @@ def q_minhash_pairs(sf_dir: str):
         [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
         or [pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()]
     )
+    if (
+        "truncated" in cand_tbl.column_names
+        and pc.any(cand_tbl.column("truncated")).as_py()
+    ):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_pairs: LSH bucket(s) exceeded the cap — recall < 1, "
+            "exact-oracle parity not guaranteed on this corpus"
+        )
     mask = pc.greater_equal(cand_tbl.column("id_a"), 0)  # drop truncation markers
     cand_tbl = cand_tbl.filter(mask)
     ids = sorted(
         set(cand_tbl.column("id_a").to_pylist()) | set(cand_tbl.column("id_b").to_pylist())
     )
-    id_set_ref = ray.put(set(ids))
+    id_set_ref = ray.put(pa.array(ids, pa.int64()))
 
     def shingles_of_candidates(batch: pa.Table) -> pa.Table:
         wanted = ray.get(id_set_ref)
-        keep = pa.array([i in wanted for i in batch.column("doc_id").to_pylist()])
-        batch = batch.filter(keep)
+        batch = batch.filter(pc.is_in(batch.column("doc_id"), value_set=wanted))
         from ..functions.dedup import shingle_hashes
 
         sets = [

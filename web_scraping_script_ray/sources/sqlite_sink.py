@@ -112,21 +112,39 @@ def read_sqlite(path: str, table: str = "results", limit: int | None = None):
 
 def write_sqlite_partitioned(ds, out_dir: str, table: str = "results") -> None:
     """Scale path: one SQLite file per block, written by the map tasks —
-    no driver bottleneck, resumable per partition."""
+    no driver bottleneck, resumable per partition.
+
+    Retry-safe and collision-free: each file is named by the Ray task id
+    (stable across re-executions of the same task, unique across tasks —
+    falls back to a content hash of the whole block outside Ray), written
+    to a temp path and atomically renamed, so a task retried after a
+    partial or complete write REPLACES its file instead of appending
+    duplicate rows."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            # name by content hash of the first row-group key space to stay
-            # deterministic under retries
             import hashlib
 
-            h = hashlib.blake2b(
-                batch.slice(0, 1).to_pandas().to_json().encode(), digest_size=8
-            ).hexdigest()
-            write_table_sqlite(
-                batch, os.path.join(out_dir, f"part-{h}.sqlite"), table
-            )
+            try:
+                import ray as _ray
+
+                name = _ray.get_runtime_context().get_task_id()
+            except Exception:
+                name = None
+            if not name:
+                h = hashlib.blake2b(digest_size=8)
+                for c in batch.columns:
+                    for buf in c.combine_chunks().buffers():
+                        if buf is not None:
+                            h.update(buf)
+                name = h.hexdigest()
+            final = os.path.join(out_dir, f"part-{name}.sqlite")
+            tmp = final + ".tmp"
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            write_table_sqlite(batch, tmp, table)
+            os.replace(tmp, final)  # atomic; retry overwrites, never appends
         return batch.slice(0, 0)
 
     ds.map_batches(write_block, batch_format="pyarrow").materialize()

@@ -92,8 +92,8 @@ def append_fetch_columns(batch: pa.Table, found: dict[str, list]) -> pa.Table:
 # 100 TB the bucket store is Lance take-by-key, not a RAM cache.
 _BUCKET_CACHE: dict[tuple[str, int], pa.Table] = {}
 _BUCKET_CACHE_ORDER: list[tuple[str, int]] = []
-_BUCKET_CACHE_SLOTS = 16
-_BUCKET_CACHE_MAX_BYTES = 256 << 20
+_BUCKET_CACHE_TOTAL_BYTES = 512 << 20  # per-worker TOTAL budget
+_BUCKET_CACHE_BYTES = [0]
 
 
 def _load_bucket(web_dir: str, bucket: int) -> pa.Table | None:
@@ -105,11 +105,21 @@ def _load_bucket(web_dir: str, bucket: int) -> pa.Table | None:
     if not os.path.isdir(path):
         return None
     t = pads.dataset(path).to_table()
-    if t.nbytes <= _BUCKET_CACHE_MAX_BYTES:
+    # bound the TOTAL cache footprint per worker, not just per table —
+    # evict FIFO until the new entry fits; tables larger than half the
+    # budget bypass the cache entirely
+    if t.nbytes <= _BUCKET_CACHE_TOTAL_BYTES // 2:
+        while (
+            _BUCKET_CACHE_ORDER
+            and _BUCKET_CACHE_BYTES[0] + t.nbytes > _BUCKET_CACHE_TOTAL_BYTES
+        ):
+            old = _BUCKET_CACHE_ORDER.pop(0)
+            dropped = _BUCKET_CACHE.pop(old, None)
+            if dropped is not None:
+                _BUCKET_CACHE_BYTES[0] -= dropped.nbytes
         _BUCKET_CACHE[key] = t
         _BUCKET_CACHE_ORDER.append(key)
-        if len(_BUCKET_CACHE_ORDER) > _BUCKET_CACHE_SLOTS:
-            _BUCKET_CACHE.pop(_BUCKET_CACHE_ORDER.pop(0), None)
+        _BUCKET_CACHE_BYTES[0] += t.nbytes
     return t
 
 

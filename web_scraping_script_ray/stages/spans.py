@@ -63,12 +63,18 @@ def expand_links(batch: pa.Table) -> pa.Table:
     depths = batch.column("depth").to_numpy(zero_copy_only=False)
 
     # vectorized fast path (one RE2 pass): absolute http URLs that are
-    # ALREADY canonical — lowercase host, no port/query/fragment/space,
-    # non-empty path — pass through unchanged with the host extracted by
-    # the same regex; canonicalize() is the identity on exactly this set.
-    # The per-row fallback (relative refs, schemes, ports, fragments)
-    # keeps a memo because link targets are popularity-skewed.
-    ext = pc.extract_regex(refs_arr, r"^http://(?P<h>[a-z0-9.\-]+)(?P<p>/[^?#\s]*)$")
+    # ALREADY canonical — lowercase host, no port/query/fragment, path of
+    # printable ASCII only (\x21-\x7e minus '?' '#'; RE2's \s is
+    # ASCII-only, so Unicode whitespace that canonicalize() would strip
+    # must fall back too) — pass through unchanged with the host extracted
+    # by the same regex; canonicalize() is the identity on exactly this
+    # set (tested against adversarial URLs).  The per-row fallback
+    # (relative refs, schemes, ports, fragments) keeps a memo because
+    # link targets are popularity-skewed.
+    ext = pc.extract_regex(
+        refs_arr,
+        r"^http://(?P<h>[a-z0-9.\-]+)(?P<p>/[\x21\x22\x24-\x3e\x40-\x7e]*)$",
+    )
     fast = pc.is_valid(ext).to_numpy(zero_copy_only=False)
     n_sel = len(sel)
     urls_np = np.empty(n_sel, dtype=object)
