@@ -58,3 +58,51 @@ def grouped_sum_count(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def salted_grouped_sum(
+    ds: "ray.data.Dataset",
+    key: str,
+    sum_cols: list[str],
+    out_names: dict[str, str],
+    count_name: str = "n_rows",
+    n_salts: int = 16,
+) -> "ray.data.Dataset":
+    """Hot-key-safe grouped sum/count: stage 1 groups by
+    ``(key, row_hash % n_salts)`` so a key holding 20%+ of all rows
+    spreads over ``n_salts`` reducers; stage 2 merges the salted partials
+    with a tiny groupby on ``key`` alone (north_rule "salted
+    repartitioning of hot domains").
+
+    Composes with the map-side combiner: each block still pre-aggregates
+    per (key, salt) before anything shuffles, so the salt only matters
+    when per-key partials themselves are reducer-skewed — i.e. exactly
+    the hot-key regime.
+    """
+    import numpy as np
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # deterministic per-row salt from row position hash — any even
+        # spread works; the salt never affects the final sums
+        salt = np.arange(batch.num_rows, dtype=np.int64) % n_salts
+        return batch.append_column("__salt", pa.array(salt, pa.int64()))
+
+    stage1 = grouped_sum_count(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        [key, "__salt"],
+        sum_cols,
+        {c: f"__s_{c}" for c in sum_cols},
+        count_name="__s_n",
+    )
+    stage2 = stage1.groupby(key).aggregate(
+        *[Sum(f"__s_{c}") for c in sum_cols], Sum("__s_n")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        mapping = {f"sum(__s_{c})": out_names[c] for c in sum_cols}
+        mapping["sum(__s_n)"] = count_name
+        return batch.rename_columns(
+            [mapping.get(n, n) for n in batch.column_names]
+        )
+
+    return stage2.map_batches(rename, batch_format="pyarrow")

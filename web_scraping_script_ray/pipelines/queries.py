@@ -261,6 +261,29 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_user_salted(sf_dir: str):
+    """Per-user event sums via the SALTED two-stage aggregation
+    (north_rule "salted repartitioning of hot domains"): stage 1 groups by
+    (user_id, salt) so a hot key spreads across reducers, stage 2 merges
+    the salted partials — bit-identical to the direct groupby."""
+    from ..functions.agg import salted_grouped_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        lambda b: _cents(b, "value", "value_cents"), batch_format="pyarrow"
+    ).select_columns(["user_id", "value_cents"])
+    return salted_grouped_sum(
+        ds, "user_id", ["value_cents"], {"value_cents": "sum_value_cents"},
+        count_name="n_events",
+    )
+
+
+SQL_EVENTS_USER_SALTED = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY user_id
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Stateful per-key windowing: sessions split on >30 min gaps.
 
@@ -1178,6 +1201,7 @@ QUERIES = {
     "broadcast_join": q_broadcast_join,
     "union_parties": q_union_parties,
     "events_hourly": q_events_hourly,
+    "events_user_salted": q_events_user_salted,
     "sessionize": q_sessionize,
     "token_stats": q_token_stats,
     "quality": q_quality,
@@ -1213,6 +1237,7 @@ ORACLE_SQL = {
     "broadcast_join": SQL_BROADCAST_JOIN,
     "union_parties": SQL_UNION_PARTIES,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_user_salted": SQL_EVENTS_USER_SALTED,
     "sessionize": SQL_SESSIONIZE,
     "token_stats": SQL_TOKEN_STATS,
     "quality": SQL_QUALITY,
