@@ -84,3 +84,35 @@ def test_dedup_first_wins_composite_key(ray_session):
     assert pairs == [(1, 2), (1, 3), (big, big + 1), (big + 1, big + 2)]
     # first-wins: the (1,2) survivor is the ordc=0 row
     assert out[(out.id_a == 1) & (out.id_b == 2)].ordc.iloc[0] == 0
+
+
+def test_asof_join_semantics(ray_session):
+    """As-of join: latest right value <= left time per key; unmatched
+    rows null; exact-equal times match."""
+    import ray.data
+
+    from web_scraping_script_ray.functions.joins import asof_join
+
+    left = pa.table(
+        {
+            "k": [1, 1, 1, 2, 3],
+            "t": [5, 10, 3, 7, 1],
+            "tag": ["a", "b", "c", "d", "e"],
+        }
+    )
+    right = pa.table(
+        {"k": [1, 1, 2], "rt": [4, 10, 9], "val": [100, 200, 300]}
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(2),
+            by="k", left_on="t", right_on="rt", right_vals=["val"],
+        )
+        .to_pandas()
+        .sort_values("tag")
+    )
+    # t=5 -> rt=4 (val 100); t=10 -> rt=10 exact match (val 200);
+    # t=3 -> no right <= 3; k=2 t=7 < rt=9 -> null; k=3 no rights -> null
+    vals = [None if v != v else int(v) for v in out.asof_val.tolist()]
+    assert vals == [100, 200, None, None, None]

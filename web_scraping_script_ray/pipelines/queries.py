@@ -261,6 +261,85 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_asof_order(sf_dir: str):
+    """As-of join (an operator Ray Data lacks; implemented as a
+    co-partitioned vectorized merge, ``functions/joins.py``): each event
+    gets the customer's LATEST order on-or-before the event date.
+    Orders are pre-reduced to one row per (custkey, date) — the max
+    orderkey — because as-of ties are ambiguous in every engine,
+    DuckDB's native ASOF JOIN included (which is the oracle here)."""
+    from ..functions.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.cast(batch.column("ts"), pa.date32()), pa.int32()
+        ).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), batch.column("user_id"), days],
+            names=["event_id", "user_id", "event_day"],
+        )
+
+    left = events.map_batches(ev_prep, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.cast(batch.column("o_orderdate"), pa.date32()), pa.int32()
+        ).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("o_custkey"), days, batch.column("o_orderkey")],
+            names=["o_custkey", "order_day", "o_orderkey"],
+        )
+
+    # one row per (custkey, day): max orderkey — deterministic as-of ties
+    right = ord_prep_ds = orders.map_batches(ord_prep, batch_format="pyarrow")
+    right = dedup_first_wins(
+        right.map_batches(
+            lambda b: b.append_column(
+                "__negk", pc.negate_checked(b.column("o_orderkey"))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["o_custkey", "order_day"],
+        ["__negk"],
+    ).drop_columns(["__negk"])
+    right = right.map_batches(
+        lambda b: _rename(b, {"o_custkey": "user_id"}), batch_format="pyarrow"
+    )
+
+    joined = asof_join(
+        left, right, by="user_id", left_on="event_day", right_on="order_day",
+        right_vals=["o_orderkey"],
+    )
+    return joined.map_batches(
+        lambda b: _rename(
+            b, {"asof_order_day": "order_day", "asof_o_orderkey": "o_orderkey"}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ASOF_ORDER = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS event_day
+  FROM events
+),
+o AS (
+  SELECT o_custkey AS user_id,
+         CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS order_day,
+         max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.event_day, o.order_day, o.o_orderkey
+FROM e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.event_day >= o.order_day
+"""
+
+
 def q_events_user_salted(sf_dir: str):
     """Per-user event sums via the SALTED two-stage aggregation
     (north_rule "salted repartitioning of hot domains"): stage 1 groups by
@@ -1202,6 +1281,7 @@ QUERIES = {
     "union_parties": q_union_parties,
     "events_hourly": q_events_hourly,
     "events_user_salted": q_events_user_salted,
+    "asof_order": q_asof_order,
     "sessionize": q_sessionize,
     "token_stats": q_token_stats,
     "quality": q_quality,
@@ -1238,6 +1318,7 @@ ORACLE_SQL = {
     "union_parties": SQL_UNION_PARTIES,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_user_salted": SQL_EVENTS_USER_SALTED,
+    "asof_order": SQL_ASOF_ORDER,
     "sessionize": SQL_SESSIONIZE,
     "token_stats": SQL_TOKEN_STATS,
     "quality": SQL_QUALITY,
