@@ -261,6 +261,58 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """SLIDING-window aggregate (3-hour window, 1-hour step) per
+    event_type: each event explodes into the 3 windows covering it
+    (vectorized repeat — the streaming-window pattern as a batch
+    transform), then the map-side-combined grouped sum.  A window row
+    (type, window_start) covers [window_start, window_start+3h)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts_hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        unit = ts_hour.type.unit if hasattr(ts_hour.type, "unit") else "us"
+        per_s = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
+        us = ts_hour.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = (
+            pc.round(pc.multiply(batch.column("value"), 100.0))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        etype = batch.column("event_type")
+        idx = np.repeat(np.arange(n, dtype=np.int64), 3)
+        offs = np.tile(np.arange(3, dtype=np.int64), n)
+        win = us[idx] - offs * 3600 * per_s
+        return pa.Table.from_arrays(
+            [
+                etype.take(pa.array(idx)),
+                pa.array(win, pa.int64()).cast(ts_hour.type),
+                pa.array(cents[idx], pa.int64()),
+            ],
+            names=["event_type", "window_start", "value_cents"],
+        )
+
+    exploded = ds.map_batches(explode_windows, batch_format="pyarrow")
+    return grouped_sum_count(
+        exploded,
+        ["event_type", "window_start"],
+        ["value_cents"],
+        {"value_cents": "sum_value_cents"},
+        count_name="n_events",
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type,
+       date_trunc('hour', ts) - to_hours(i) AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM (SELECT event_type, ts, value, unnest(range(0, 3)) AS i FROM events)
+GROUP BY event_type, date_trunc('hour', ts) - to_hours(i)
+"""
+
+
 def q_asof_order(sf_dir: str):
     """As-of join (an operator Ray Data lacks; implemented as a
     co-partitioned vectorized merge, ``functions/joins.py``): each event
@@ -1281,6 +1333,7 @@ QUERIES = {
     "union_parties": q_union_parties,
     "events_hourly": q_events_hourly,
     "events_user_salted": q_events_user_salted,
+    "events_sliding": q_events_sliding,
     "asof_order": q_asof_order,
     "sessionize": q_sessionize,
     "token_stats": q_token_stats,
@@ -1318,6 +1371,7 @@ ORACLE_SQL = {
     "union_parties": SQL_UNION_PARTIES,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_user_salted": SQL_EVENTS_USER_SALTED,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "asof_order": SQL_ASOF_ORDER,
     "sessionize": SQL_SESSIONIZE,
     "token_stats": SQL_TOKEN_STATS,
