@@ -151,8 +151,25 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def machine_probe() -> float:
+    """Seconds for a fixed single-process burn (8 units) — a machine-
+    health reading stamped into every bench line.  The sandbox box is a
+    SHARED host whose effective speed swings >10×; readings: ~1.2 s in
+    burst windows, ~3.3 s nominal, 9 s+ when co-tenants thrash.  Compare
+    results ONLY against runs with similar probe values."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    t0 = time.time()
+    p = mp.Process(target=_burn, args=(8, q))
+    p.start()
+    p.join()
+    return round(time.time() - t0, 2)
+
+
 def run_single(num_cpus: int, crawl_only: bool = False) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    probe = machine_probe()
     _init_ray(num_cpus)
     crawl = bench_crawl(num_cpus)
     queries = {} if crawl_only else bench_queries(SF_DIR)
@@ -164,6 +181,7 @@ def run_single(num_cpus: int, crawl_only: bool = False) -> dict:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": num_cpus,
+        "machine_probe_sec": probe,
         "crawl": crawl,
     }
     import ray
