@@ -392,6 +392,54 @@ FROM e ASOF LEFT JOIN o
 """
 
 
+def q_price_bands(sf_dir: str):
+    """Range join (interval classification): each order joins the band
+    whose [lo, hi) interval contains its total price.  Bands are a small
+    sorted side → broadcast + one vectorized ``searchsorted`` per batch
+    (the band table is synthesized deterministically on both sides; for a
+    large interval side the same semantics run through the as-of
+    machinery — a range join with non-overlapping intervals IS an as-of
+    join on the interval starts)."""
+    n_bands = 12
+    width = 50_000
+    lo = np.arange(n_bands, dtype=np.int64) * width
+    labels = [f"band_{i:02d}" for i in range(n_bands)]
+    bref = ray.put((lo, labels))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        lo_, labels_ = ray.get(bref)
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        band = np.searchsorted(lo_, price, side="right") - 1
+        in_range = (band >= 0) & (price < lo_[-1] + width)
+        idx = pa.array(
+            [int(b) if ok else None for b, ok in zip(band, in_range)], pa.int64()
+        )
+        lab = pa.array(labels_, pa.string()).take(idx)
+        blo = pa.array(lo_, pa.int64()).take(idx)
+        return pa.Table.from_arrays(
+            [batch.column("o_orderkey"), batch.column("o_totalprice"), lab, blo],
+            names=["o_orderkey", "o_totalprice", "band", "band_lo"],
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        classify, batch_format="pyarrow"
+    )
+
+
+SQL_PRICE_BANDS = """
+WITH bands AS (
+  SELECT i AS band_idx,
+         'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band,
+         CAST(i * 50000 AS BIGINT) AS band_lo,
+         CAST((i + 1) * 50000 AS BIGINT) AS band_hi
+  FROM (SELECT unnest(range(0, 12)) AS i)
+)
+SELECT o.o_orderkey, o.o_totalprice, b.band, b.band_lo
+FROM orders o LEFT JOIN bands b
+  ON o.o_totalprice >= b.band_lo AND o.o_totalprice < b.band_hi
+"""
+
+
 def q_events_user_salted(sf_dir: str):
     """Per-user event sums via the SALTED two-stage aggregation
     (north_rule "salted repartitioning of hot domains"): stage 1 groups by
@@ -1334,6 +1382,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_user_salted": q_events_user_salted,
     "events_sliding": q_events_sliding,
+    "price_bands": q_price_bands,
     "asof_order": q_asof_order,
     "sessionize": q_sessionize,
     "token_stats": q_token_stats,
@@ -1372,6 +1421,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_user_salted": SQL_EVENTS_USER_SALTED,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "price_bands": SQL_PRICE_BANDS,
     "asof_order": SQL_ASOF_ORDER,
     "sessionize": SQL_SESSIONIZE,
     "token_stats": SQL_TOKEN_STATS,
