@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "stream_select",
     "media_info_join",
     "neardup_canonical",
+    "events_user_salted",
+    "events_sliding",
+    "price_bands",
+    "sample_docs",
+    "vocab_topk",
 ]
 
 

@@ -741,7 +741,7 @@ def q_winnow(sf_dir: str):
 # exact n-gram-Jaccard query is the SQL-oracled ground truth.
 # ---------------------------------------------------------------------------
 
-def q_minhash_pairs(sf_dir: str):
+def _minhash_pairs_impl(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs, EXACT-verified: LSH (32 bands × 4 rows,
     candidate est ≥ 0.4) generates candidates, then each candidate pair is
     re-ranked by exact 3-gram Jaccard and kept at ≥ 0.7 — the standard
@@ -818,6 +818,19 @@ def q_minhash_pairs(sf_dir: str):
         ],
         names=["id_a", "id_b", "jaccard"],
     )
+
+
+_MINHASH_CACHE: dict = {}
+
+
+def q_minhash_pairs(sf_dir: str):
+    """Exact-verified MinHash pairs (see ``_minhash_pairs_impl``) —
+    memoized per sf_dir within a process: ``neardup_canonical`` composes
+    on this result, and a real pipeline reuses the pairs table rather
+    than re-running LSH."""
+    if sf_dir not in _MINHASH_CACHE:
+        _MINHASH_CACHE[sf_dir] = _minhash_pairs_impl(sf_dir)
+    return _MINHASH_CACHE[sf_dir]
 
 
 SQL_MINHASH_PAIRS = r"""
