@@ -188,6 +188,16 @@ def machine_probe() -> float:
 
 def run_single(num_cpus: int, crawl_only: bool = False) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("GRAFT_PIN_CPUS") == "1":
+        # scaling-protocol fairness: confine the WHOLE process tree (Ray
+        # workers, Arrow thread pools, object store — all inherit the
+        # affinity mask) to exactly num_cpus cores.  Without this the
+        # "N-CPU" run overdraws via num_cpus=0 tasks and Arrow's internal
+        # pools, inflating the denominator of the efficiency ratio.
+        try:
+            os.sched_setaffinity(0, set(range(num_cpus)))
+        except (AttributeError, OSError):
+            pass
     probe = machine_probe()
     _init_ray(num_cpus)
     crawl = bench_crawl(num_cpus)
@@ -274,7 +284,7 @@ def run_scaling() -> dict:
     for _ in range(SCALING_RUNS):
         trial = {"ceiling": measure_ceiling()}
         for cpus in (4 * SCALING_N, SCALING_N):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_PIN_CPUS="1")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only"],
                 env=env,
