@@ -116,3 +116,46 @@ def test_asof_join_semantics(ray_session):
     # t=3 -> no right <= 3; k=2 t=7 < rt=9 -> null; k=3 no rights -> null
     vals = [None if v != v else int(v) for v in out.asof_val.tolist()]
     assert vals == [100, 200, None, None, None]
+
+
+def test_asof_join_matches_bruteforce_random(ray_session):
+    """Randomized (seeded) asof_join vs an O(n²) reference."""
+    import ray.data
+
+    from web_scraping_script_ray.functions.joins import asof_join
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        nl, nr = 120, 60
+        lk = rng.integers(0, 12, nl)
+        lt = rng.integers(0, 1000, nl)
+        rk = rng.integers(0, 12, nr)
+        rt_raw = rng.integers(0, 1000, nr)
+        # unique (key, time) on the right — as-of ties are ambiguous
+        seen = set()
+        keep = []
+        for i, (k, t) in enumerate(zip(rk, rt_raw)):
+            if (k, t) not in seen:
+                seen.add((k, t))
+                keep.append(i)
+        rk, rt_, rv = rk[keep], rt_raw[keep], np.arange(len(keep)) * 10
+        left = pa.table({"k": lk, "t": lt, "row": np.arange(nl)})
+        right = pa.table({"k": rk, "rt": rt_, "val": rv})
+        out = (
+            asof_join(
+                ray.data.from_arrow(left).repartition(3),
+                ray.data.from_arrow(right).repartition(2),
+                by="k", left_on="t", right_on="rt", right_vals=["val"],
+            )
+            .to_pandas()
+            .sort_values("row")
+        )
+        exp = []
+        for k, t in zip(lk, lt):
+            best = None
+            for k2, t2, v in zip(rk, rt_, rv):
+                if k2 == k and t2 <= t and (best is None or t2 > best[0]):
+                    best = (t2, v)
+            exp.append(None if best is None else int(best[1]))
+        got = [None if v != v else int(v) for v in out.asof_val.tolist()]
+        assert got == exp, f"trial {trial} mismatch"
