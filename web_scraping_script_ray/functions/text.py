@@ -63,14 +63,32 @@ def token_counts(
 
     ``pretok=(flat, offsets)`` reuses a shared whitespace tokenization:
     ``n_ws_tokens`` = per-row token count (identical to the ``\\S+`` regex
-    count), saving one full regex scan in the crawl parse."""
+    count), and ``n_bpe_tokens`` is counted over the DICTIONARY of unique
+    tokens then scatter-summed — the BPE pattern cannot match across
+    whitespace, so per-token counts sum to the full-text count exactly,
+    at a fraction of the regex-scan cost (corpora repeat tokens heavily).
+    """
     text = batch.column(text_col)
     if pretok is not None:
-        _, offsets = pretok
+        flat, offsets = pretok
         ws = pa.array(np.diff(offsets), pa.int64())
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        per_uniq = (
+            pc.count_substring_regex(enc.dictionary, BPE_TOKEN_RE)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tok = per_uniq[enc.indices.to_numpy(zero_copy_only=False)]
+        parents = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets))
+        bpe = pa.array(
+            np.bincount(parents, weights=tok, minlength=batch.num_rows).astype(np.int64),
+            pa.int64(),
+        )
     else:
         ws = pc.count_substring_regex(text, WS_TOKEN_RE).cast(pa.int64())
-    bpe = pc.count_substring_regex(text, BPE_TOKEN_RE).cast(pa.int64())
+        bpe = pc.count_substring_regex(text, BPE_TOKEN_RE).cast(pa.int64())
     batch = batch.append_column("n_ws_tokens", ws)
     return batch.append_column("n_bpe_tokens", bpe)
 
@@ -102,7 +120,11 @@ def quality_scores(
         flat, offsets = flat_tokens(text)
     n_tok = np.diff(offsets).astype(np.float64)
     parents = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets))
-    is_stop = pc.is_in(flat, value_set=_STOP_ARR).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    stop_uniq = pc.is_in(enc.dictionary, value_set=_STOP_ARR).to_numpy(zero_copy_only=False)
+    is_stop = stop_uniq[enc.indices.to_numpy(zero_copy_only=False)]
     n_stop = np.bincount(parents[is_stop], minlength=batch.num_rows).astype(np.float64)
     n_punct = (
         pc.count_substring_regex(text, _PUNCT_RE).cast(pa.int64())
@@ -170,9 +192,20 @@ class LangId:
         parents = np.repeat(np.arange(n, dtype=np.int64), counts)
         denom = np.maximum(counts, 1).astype(np.float64)
         scores = np.zeros((len(self.langs), n), dtype=np.float64)
+        # membership over the dictionary of UNIQUE tokens, scattered back
+        # through the indices — one small is_in per language instead of a
+        # full-column pass (corpora repeat tokens heavily)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
         for li, lang in enumerate(self.langs):
-            hit = pc.is_in(flat, value_set=self.profiles[lang]).to_numpy(zero_copy_only=False)
-            hits = np.bincount(parents[hit], minlength=n).astype(np.float64)
+            hit_uniq = pc.is_in(enc.dictionary, value_set=self.profiles[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            hits = np.bincount(
+                parents, weights=hit_uniq[idx].astype(np.float64), minlength=n
+            )
             scores[li] = hits / denom
         best = scores.argmax(axis=0)
         best_score = scores.max(axis=0)
