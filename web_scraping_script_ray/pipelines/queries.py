@@ -170,6 +170,46 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderk
 """
 
 
+def q_topk_per_customer(sf_dir: str):
+    """Top-3 orders per customer by (price desc, key asc) — per-group
+    top-k via the engine's sort-based ``per_key_rank`` (one range
+    shuffle + a narrow carry pass; no per-group dispatch), the same
+    operator that assigns within-host politeness ranks in the crawl."""
+    from ..stages.rank import per_key_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: _cents(b, "o_totalprice", "price_cents"), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.append_column(
+            "_negp", pc.negate_checked(b.column("price_cents"))
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = per_key_rank(ds, "o_custkey", ["_negp", "o_orderkey"], out_col="rk")
+    return (
+        ranked.map_batches(
+            lambda b: b.filter(pc.less(b.column("rk"), 3)), batch_format="pyarrow"
+        )
+        .drop_columns(["_negp", "price_cents"])
+        .map_batches(
+            lambda b: b.append_column("rnk", pc.add(b.column("rk"), 1)).drop_columns(["rk"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_TOPK_PER_CUSTOMER = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+       ) AS BIGINT) AS rnk
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
 def q_broadcast_join(sf_dir: str):
     """J1 broadcast-small-side lookup: nation (25 rows) shipped once via
     ``ray.put``, probed per batch — no shuffle join."""
@@ -1389,6 +1429,7 @@ QUERIES = {
     "filter_contains": q_filter_contains,
     "filter_range": q_filter_range,
     "topk_orders": q_topk_orders,
+    "topk_per_customer": q_topk_per_customer,
     "dedup_orders": q_dedup_orders,
     "broadcast_join": q_broadcast_join,
     "union_parties": q_union_parties,
@@ -1428,6 +1469,7 @@ ORACLE_SQL = {
     "filter_contains": SQL_FILTER_CONTAINS,
     "filter_range": SQL_FILTER_RANGE,
     "topk_orders": SQL_TOPK_ORDERS,
+    "topk_per_customer": SQL_TOPK_PER_CUSTOMER,
     "dedup_orders": SQL_DEDUP_ORDERS,
     "broadcast_join": SQL_BROADCAST_JOIN,
     "union_parties": SQL_UNION_PARTIES,
