@@ -123,8 +123,23 @@ class IVFIndex:
         sample_rows: int = 4096,
         iters: int = 10,
         seed: int = 13,
+        id_col: str = "vec_id",
     ) -> "IVFIndex":
-        sample = ds.limit(sample_rows).to_pandas()[vec_col]
+        # deterministic SPREAD sample: a modular hash filter keeps rows
+        # from every block (limit() alone would take the first file's
+        # vectors only — biased centroids at scale), then cap the count
+        total = ds.count()
+        if total > sample_rows:
+            thresh = max(1, (1009 * sample_rows) // total + 1)
+
+            def spread(batch: pa.Table) -> pa.Table:
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                return batch.filter(pa.array((ids * 2654435761) % 1009 < thresh))
+
+            sampled = ds.map_batches(spread, batch_format="pyarrow").limit(sample_rows)
+        else:
+            sampled = ds
+        sample = sampled.to_pandas()[vec_col]
         mat = _normalize(np.stack(sample.to_numpy()))
         rng = np.random.Generator(np.random.PCG64(seed))
         cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
