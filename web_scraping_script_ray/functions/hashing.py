@@ -2,11 +2,12 @@
 (MinHash, SimHash, language ID, quality scoring, crawl parse).
 
 Everything here is batch-vectorized: tokenization is Arrow C++ kernels
-(``utf8_lower`` → ``utf8_split_whitespace`` / ``split_pattern_regex``),
-token hashing is one ``pandas.util.hash_array`` call over the *dictionary*
-of unique tokens (SipHash-class, C speed, deterministic fixed key), and
-everything downstream (shingle mixing, signature minima, band keys,
-popcounts) is numpy over uint64 arrays.  No per-row or per-token Python in
+(``utf8_lower`` → ``ascii_split_whitespace`` / ``split_pattern_regex``),
+token hashing is md5-prefix over the *dictionary* of unique tokens
+(deterministic AND SQL-reproducible — DuckDB computes the identical
+uint64, which is what makes SimHash oracle-able), and everything
+downstream (shingle mixing, signature minima, band keys, popcounts) is
+numpy over uint64 arrays.  No per-row or per-token Python in
 any of it — the per-shingle ``hashlib`` loops these replace were the
 engine's single hottest code path (both the near-dup queries and the
 crawl's fused parse).
@@ -19,8 +20,9 @@ shingle over all their tokens, empty documents contribute none.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -89,16 +91,29 @@ def flat_tokens(
 
 
 def token_hashes(flat: pa.Array) -> np.ndarray:
-    """uint64 hash per token — hash only the *unique* tokens (dictionary
-    encode in C++), then gather: corpora repeat tokens heavily."""
+    """uint64 hash per token: the FIRST 8 BYTES (big-endian) OF md5 —
+    chosen because a SQL engine can reproduce it exactly
+    (``('0x' || substr(md5(t),1,16))::UBIGINT`` in DuckDB), which makes
+    every token-hash-derived value (SimHash in particular) oracle-able.
+    Hashed only over the *unique* tokens (dictionary encode in C++), then
+    gathered: corpora repeat tokens heavily, so the per-unique md5 loop
+    is small."""
     if len(flat) == 0:
         return np.zeros(0, np.uint64)
     enc = pc.dictionary_encode(flat)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     idx = enc.indices.to_numpy(zero_copy_only=False)
-    words = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-    hv = pd.util.hash_array(words, categorize=False)  # fixed-key, deterministic
+    md5 = hashlib.md5
+    words = enc.dictionary.to_pylist()
+    hv = np.fromiter(
+        (
+            int.from_bytes(md5(w.encode("utf-8")).digest()[:8], "big")
+            for w in words
+        ),
+        dtype=np.uint64,
+        count=len(words),
+    )
     return hv[idx]
 
 

@@ -901,13 +901,42 @@ FROM pairs WHERE uni > 0 AND inter * 1.0 / uni >= 0.7
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash Hamming-≤3 near-dup pairs."""
+    """SimHash Hamming-≤3 near-dup pairs.  FULLY SQL-oracled: the token
+    hash is an md5 prefix DuckDB reproduces exactly, and the 4×16-bit
+    band blocking is COMPLETE for distance ≤ 3 (pigeonhole), so the
+    banded engine result equals the oracle's exhaustive all-pairs scan
+    bit-for-bit — no recall caveat."""
     return simhash_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256),
         id_col="doc_id",
         text_col="text",
         max_dist=3,
     )
+
+
+SQL_SIMHASH_PAIRS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok),
+bits AS (
+  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h, (SELECT unnest(range(0, 64)) AS j) js GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)::UBIGINT AS s
+  FROM bits GROUP BY doc_id
+),
+docs AS (
+  SELECT d.doc_id, coalesce(sh.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sh USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 _JACCARD_SUBSET = 200  # bounded all-pairs probe of the exact kernel
@@ -1488,6 +1517,7 @@ ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "langid": SQL_LANGID,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "neardup_canonical": SQL_NEARDUP_CANONICAL,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
