@@ -759,8 +759,25 @@ FROM b
 SQL_LANGID = _sql_langid()
 
 
+def _winnow_pow_terms() -> str:
+    """The 8 polynomial-power terms of the k=8 rolling byte hash, as SQL —
+    B^j mod 2^64 precomputed so DuckDB reproduces the uint64 wraparound
+    through HUGEINT intermediate arithmetic."""
+    B, M = 1000003, 1 << 64
+    return " +\n        ".join(
+        f"ord(substr(text, CAST(i + {j + 1} AS INT), 1))::HUGEINT * {(B ** (7 - j)) % M}::HUGEINT"
+        for j in range(8)
+    )
+
+
 def q_winnow(sf_dir: str):
-    """Winnowing fingerprint sizes (rows-only; semantics pytest-covered)."""
+    """Winnowing fingerprint counts (Schleimer et al. SIGMOD'03: min
+    rolling 8-byte hash per 16-hash window, deduplicated).  SQL-oracled:
+    the rolling hash is a direct (non-recursive) polynomial over byte
+    values, reproduced in DuckDB via HUGEINT arithmetic mod 2^64 and a
+    sliding window-min; PRECONDITION: ASCII corpus (SQL ``ord`` yields
+    codepoints, the kernel hashes UTF-8 bytes — equal only for ASCII;
+    the driver tables are verified pure-ASCII)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
 
     def n_fp(batch: pa.Table) -> pa.Table:
@@ -771,6 +788,29 @@ def q_winnow(sf_dir: str):
         )
 
     return ds.map_batches(n_fp, batch_format="pyarrow")
+
+
+SQL_WINNOW = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (SELECT doc_id, text, n, unnest(range(0, greatest(n - 7, 0))) AS i FROM d),
+h AS (
+  SELECT doc_id, i,
+    CAST(({_winnow_pow_terms()}) % 18446744073709551616::HUGEINT AS UBIGINT) AS hv
+  FROM pos
+),
+wm AS (
+  SELECT doc_id, i, count(*) OVER (PARTITION BY doc_id) AS cnt,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+  FROM h
+),
+agg AS (SELECT doc_id, count(DISTINCT m) AS nf FROM wm WHERE i <= cnt - 16 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.n < 8 THEN 0
+                 WHEN d.n - 7 <= 16 THEN 1
+                 ELSE coalesce(agg.nf, 0) END AS BIGINT) AS n_fingerprints
+FROM d LEFT JOIN agg USING (doc_id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1516,6 +1556,7 @@ ORACLE_SQL = {
     "sample_docs": SQL_SAMPLE_DOCS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "langid": SQL_LANGID,
+    "winnow": SQL_WINNOW,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
