@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "price_bands",
     "sample_docs",
     "vocab_topk",
+    "topk_per_customer",
 ]
 
 
