@@ -250,6 +250,32 @@ GROUP BY n_name
 """
 
 
+def q_orders_customer_join(sf_dir: str):
+    """Large-side ⋈ large-side via Ray Data's NATIVE hash-shuffle join
+    (``Dataset.join``, hash-partitioned on the key) — the engine uses the
+    native operator where both sides are big; broadcast ``index_in``
+    probes (J1/J3) when one side is a dimension; the hand-rolled
+    co-partitioned merge only where Ray lacks the semantics (as-of)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    j = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return j.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"]
+    )
+
+
+SQL_ORDERS_CUSTOMER_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_union_parties(sf_dir: str):
     """Set op: union of customer and supplier (name, nationkey)."""
     cust = _read(sf_dir, "customer", ["c_name", "c_nationkey"]).map_batches(
@@ -1501,6 +1527,7 @@ QUERIES = {
     "topk_per_customer": q_topk_per_customer,
     "dedup_orders": q_dedup_orders,
     "broadcast_join": q_broadcast_join,
+    "orders_customer_join": q_orders_customer_join,
     "union_parties": q_union_parties,
     "events_hourly": q_events_hourly,
     "events_user_salted": q_events_user_salted,
@@ -1541,6 +1568,7 @@ ORACLE_SQL = {
     "topk_per_customer": SQL_TOPK_PER_CUSTOMER,
     "dedup_orders": SQL_DEDUP_ORDERS,
     "broadcast_join": SQL_BROADCAST_JOIN,
+    "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
     "union_parties": SQL_UNION_PARTIES,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_user_salted": SQL_EVENTS_USER_SALTED,
