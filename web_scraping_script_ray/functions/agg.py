@@ -16,6 +16,7 @@ and the TPC-H-ish aggregates).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -67,24 +68,36 @@ def salted_grouped_sum(
     out_names: dict[str, str],
     count_name: str = "n_rows",
     n_salts: int = 16,
+    hot_frac: float = 0.02,
+    hot_min: int = 64,
 ) -> "ray.data.Dataset":
-    """Hot-key-safe grouped sum/count: stage 1 groups by
-    ``(key, row_hash % n_salts)`` so a key holding 20%+ of all rows
-    spreads over ``n_salts`` reducers; stage 2 merges the salted partials
-    with a tiny groupby on ``key`` alone (north_rule "salted
-    repartitioning of hot domains").
+    """Hot-key-safe grouped sum/count: stage 1 groups by ``(key, salt)``
+    so a key holding 20%+ of all rows spreads over ``n_salts`` reducers;
+    stage 2 merges the salted partials with a tiny groupby on ``key``
+    alone (north_rule "salted repartitioning of hot domains").
 
-    Composes with the map-side combiner: each block still pre-aggregates
-    per (key, salt) before anything shuffles, so the salt only matters
-    when per-key partials themselves are reducer-skewed — i.e. exactly
-    the hot-key regime.
+    The salt is **adaptive**: only block-local heavy hitters (keys with
+    ≥ ``hot_frac`` of the block's rows, min ``hot_min``) get a non-zero
+    salt.  Salting every key would multiply the map-side partials'
+    cardinality by ``n_salts`` — defeating the combiner and making BOTH
+    shuffles O(keys × salts) — while the salt only matters for keys big
+    enough to skew a reducer, and a globally-hot key is hot in (nearly)
+    every block.  Cold keys keep salt 0, so partial cardinality stays
+    ≈ distinct-keys and stage 2's input is barely larger than the final
+    result.  The final sums are salt-invariant either way.
     """
     import numpy as np
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        # deterministic per-row salt from row position hash — any even
-        # spread works; the salt never affects the final sums
-        salt = np.arange(batch.num_rows, dtype=np.int64) % n_salts
+        enc = pc.dictionary_encode(batch.column(key))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(enc.dictionary))
+        hot = counts >= max(hot_min, int(batch.num_rows * hot_frac))
+        salt = np.where(
+            hot[idx], np.arange(batch.num_rows, dtype=np.int64) % n_salts, 0
+        )
         return batch.append_column("__salt", pa.array(salt, pa.int64()))
 
     stage1 = grouped_sum_count(
