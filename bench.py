@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "sample_docs",
     "vocab_topk",
     "topk_per_customer",
+    "ann_lsh",
+    "distinct_users",
+    "kmv_distinct",
+    "running_sum",
+    "group_stats",
+    "customers_no_orders",
 ]
 
 

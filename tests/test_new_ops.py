@@ -1,0 +1,120 @@
+"""KMV sketch, sign-LSH ANN, running sum and grouped exact-median ops."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from web_scraping_script_ray.functions.sketch import kmv_distinct
+from web_scraping_script_ray.functions.sim import (
+    ann_lsh_topk,
+    lsh_buckets,
+    rademacher_planes,
+)
+
+
+def _events(n=30_000, n_users=2_000, seed=5) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "event_type": pa.array(
+                np.array(["a", "b", "c"])[rng.integers(0, 3, n)], pa.string()
+            ),
+            "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+        }
+    )
+
+
+def test_kmv_accuracy_and_exact_small():
+    tbl = _events()
+    out = (
+        kmv_distinct(ray.data.from_arrow(tbl).repartition(8), "event_type", "user_id", k=64)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    truth = (
+        tbl.to_pandas().groupby("event_type")["user_id"].nunique()
+    )
+    for t in ["a", "b", "c"]:
+        est = out.loc[t, "n_distinct_est"]
+        # KMV std-err ~ 1/sqrt(k-1) = 12.6%; 3 sigma bound
+        assert abs(est - truth[t]) / truth[t] < 0.38, (t, est, truth[t])
+
+    # below k distinct values the sketch is exact
+    small = pa.table(
+        {
+            "event_type": pa.array(["x"] * 100, pa.string()),
+            "user_id": pa.array(np.arange(100) % 40, pa.int64()),
+        }
+    )
+    out2 = kmv_distinct(ray.data.from_arrow(small), "event_type", "user_id", k=64).to_pandas()
+    assert out2.loc[0, "n_distinct_est"] == 40
+
+
+def test_kmv_partition_invariant():
+    """Mergeability: the estimate is a pure function of the value SET —
+    identical regardless of block layout."""
+    tbl = _events(seed=9)
+    a = kmv_distinct(ray.data.from_arrow(tbl), "event_type", "user_id", k=64).to_pandas()
+    b = kmv_distinct(
+        ray.data.from_arrow(tbl).repartition(16), "event_type", "user_id", k=64
+    ).to_pandas()
+    a = a.sort_values("event_type").reset_index(drop=True)
+    b = b.sort_values("event_type").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_ann_lsh_bucket_semantics():
+    rng = np.random.default_rng(11)
+    n, d = 400, 64
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    planes = rademacher_planes(d, 4, seed=271)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": pa.array(list(mat), pa.list_(pa.float32()))})
+    ).repartition(4)
+    qids = ids[:3]
+    out = ann_lsh_topk(ds, mat[:3], qids, planes, k=5).to_pandas()
+    buckets = lsh_buckets(mat.astype(np.float64), planes)
+    for _, row in out.iterrows():
+        # every candidate shares its query's bucket; never the query itself
+        assert row["bucket"] == buckets[int(row["qid"])]
+        assert row["vec_id"] != row["qid"]
+    assert (out.groupby("qid").size() <= 5).all()
+    # cos equals the exact normalized dot for each returned pair
+    norm = mat.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    for _, row in out.iterrows():
+        expect = float(norm[int(row["qid"])] @ norm[int(row["vec_id"])])
+        assert abs(row["cos"] - expect) < 1e-9
+
+
+def test_running_sum_matches_pandas():
+    from web_scraping_script_ray.pipelines.queries import q_running_sum
+
+    out = (
+        q_running_sum("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["run_cents"] = ev.groupby("user_id")["cents"].cumsum()
+    ev = ev.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(out) == len(ev)
+    assert (out["run_cents"].values == ev["run_cents"].values).all()
+
+
+def test_group_stats_matches_numpy():
+    from web_scraping_script_ray.pipelines.queries import q_group_stats
+
+    out = q_group_stats("/root/testdata/sf0.001").to_pandas().set_index("l_returnflag")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li["cents"] = np.round(li["l_extendedprice"] * 100).astype(np.int64)
+    for flag, grp in li.groupby("l_returnflag"):
+        assert out.loc[flag, "n_rows"] == len(grp)
+        assert out.loc[flag, "median_cents"] == float(np.median(grp["cents"]))
+        assert out.loc[flag, "min_cents"] == grp["cents"].min()
+        assert out.loc[flag, "max_cents"] == grp["cents"].max()

@@ -230,3 +230,102 @@ class IVFIndex:
         return cands.groupby("qid").map_groups(
             lambda g: _final_topk(g, k), batch_format="pyarrow"
         )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH ANN — the SQL-oracle-able approximate path.
+# ---------------------------------------------------------------------------
+
+def rademacher_planes(dim: int, n_planes: int, seed: int = 271) -> np.ndarray:
+    """Deterministic ±1 hyperplanes (Charikar, STOC'02 sign-LSH).  ±1
+    entries (not gaussians) so the plane values embed exactly as SQL
+    literals and ``list_dot_product`` reproduces the bucket bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, (dim, n_planes)) * 2 - 1).astype(np.float64)
+
+
+def lsh_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """bucket = Σ_j 2^j · [dot(v, plane_j) ≥ 0] over the RAW (unnormalized)
+    vectors — sign is norm-invariant, and skipping the normalize keeps the
+    SQL side a plain ``list_dot_product``."""
+    dots = np.asarray(mat, dtype=np.float64) @ planes
+    bits = (dots >= 0).astype(np.int64)
+    return bits @ (1 << np.arange(planes.shape[1], dtype=np.int64))
+
+
+def ann_lsh_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    qids: np.ndarray,
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Sign-LSH bucketed ANN: candidates = vectors in the query's bucket,
+    exact cosine top-k within them → (qid, vec_id, cos, bucket).
+
+    One streaming pass: each block computes its rows' buckets (one
+    matmul), keeps only rows bucket-matching ≥1 query, emits block-local
+    top-k per query; a tiny groupby merges.  At 100 TB the bucket column
+    is precomputed once and the table written partitioned by bucket, so a
+    probe reads only its partition — same layout contract as IVF
+    (`IVFIndex` above), but with a train-free, SQL-checkable quantizer.
+    """
+    qmat_n = _normalize(queries)
+    qbuck = lsh_buckets(np.asarray(queries, dtype=np.float64), planes)
+    qref = ray.put((np.asarray(qids, dtype=np.int64), qmat_n, qbuck, planes))
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, qbuck_, planes_ = (
+            ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        raw = _stack_vecs(batch, vec_col)
+        buck = lsh_buckets(raw, planes_)
+        keep = np.isin(buck, qbuck_)
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], pa.int64()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.float64()),
+                pa.array([], pa.int64()),
+            ],
+            names=["qid", "vec_id", "cos", "bucket"],
+        )
+        if not keep.any():
+            return empty
+        ids, buck, raw = ids[keep], buck[keep], raw[keep]
+        mat = _normalize(raw)
+        sims = qmat_ @ mat.T
+        out_q, out_i, out_c, out_b = [], [], [], []
+        for qi in range(len(qids_)):
+            mask = buck == qbuck_[qi]
+            if exclude_self:
+                mask &= ids != qids_[qi]
+            idx = np.where(mask)[0]
+            if not len(idx):
+                continue
+            kk = min(k, len(idx))
+            sel = idx[np.argpartition(-sims[qi, idx], kk - 1)[:kk]]
+            out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
+            out_i.append(ids[sel].astype(np.int64))
+            out_c.append(sims[qi, sel])
+            out_b.append(buck[sel])
+        if not out_q:
+            return empty
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q), pa.int64()),
+                pa.array(np.concatenate(out_i), pa.int64()),
+                pa.array(np.concatenate(out_c), pa.float64()),
+                pa.array(np.concatenate(out_b), pa.int64()),
+            ],
+            names=["qid", "vec_id", "cos", "bucket"],
+        )
+
+    cands = ds.map_batches(probe_batch, batch_format="pyarrow")
+    return cands.groupby("qid").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )

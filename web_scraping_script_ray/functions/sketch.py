@@ -1,0 +1,104 @@
+"""KMV (k-minimum-values) distinct-count sketch — a mergeable cardinality
+estimator for grouped COUNT(DISTINCT) at 100 TB.
+
+An exact grouped count-distinct must co-locate every (key, value) pair —
+an all-to-all shuffle of the raw pairs.  The KMV sketch (Bar-Yossef et
+al., RANDOM'02 — the "KMV synopsis" of Beyer et al., SIGMOD'07) replaces
+that with a bounded summary: hash every value to a uniform 64-bit point,
+keep only the ``k`` smallest distinct hashes per key.  Two properties
+make it distributed-friendly:
+
+- **mergeable**: the union of two KMV sets, re-truncated to the k
+  smallest, is exactly the KMV set of the combined stream — so per-block
+  partials (map-side, O(k) rows per key per block) merge associatively
+  in one tiny groupby; raw pairs never shuffle.
+- **deterministic**: the estimate is a pure function of the value set
+  (no RNG), so a DuckDB oracle reproduces it bit-for-bit.
+
+Estimator: with m = |distinct hashes seen| ≤ k the sketch is exact
+(est = m); otherwise est = floor((k-1) · 2^64 / h_(k)) where h_(k) is the
+k-th smallest hash — the classic (k-1)/h_(k) estimator on hashes
+normalized to [0, 1).
+
+The hash is the md5-prefix uint64 (``functions/hashing.py:token_hashes``)
+of the value's decimal string — the same SQL-reproducible construction
+the SimHash oracle uses (``('0x'||substr(md5(v),1,16))::UBIGINT``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .hashing import token_hashes
+
+TWO64 = float(2**64)
+
+
+def _kmv_hashes(values: pa.Array) -> np.ndarray:
+    """Distinct uint64 md5-prefix hashes of the values' decimal strings."""
+    s = pc.cast(values, pa.string())
+    uniq = pc.unique(s)
+    return token_hashes(uniq)
+
+
+def _kmv_partial(batch: pa.Table, key_col: str, val_col: str, k: int) -> pa.Table:
+    """Per-block partial: for each key, the k smallest distinct hashes."""
+    enc = pc.dictionary_encode(batch.column(key_col))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    keys_out, hv_out = [], []
+    for ki in range(len(enc.dictionary)):
+        vals = batch.column(val_col).filter(pa.array(idx == ki))
+        hv = np.unique(_kmv_hashes(vals))[:k]
+        keys_out.append(np.full(len(hv), ki, dtype=np.int64))
+        hv_out.append(hv)
+    ki_arr = np.concatenate(keys_out) if keys_out else np.zeros(0, np.int64)
+    key_arr = enc.dictionary.take(pa.array(ki_arr, pa.int64()))
+    return pa.Table.from_arrays(
+        [
+            key_arr,
+            pa.array(
+                np.concatenate(hv_out) if hv_out else np.zeros(0, np.uint64),
+                pa.uint64(),
+            ),
+        ],
+        names=[key_col, "__hv"],
+    )
+
+
+def _kmv_final(g: pa.Table, key_col: str, k: int) -> pa.Table:
+    hv = np.unique(g.column("__hv").to_numpy(zero_copy_only=False))[:k]
+    m = len(hv)
+    if m < k:
+        est = float(m)
+    else:
+        est = np.floor((k - 1) * (TWO64 / float(hv[-1])))
+    return pa.Table.from_arrays(
+        [
+            g.column(key_col).slice(0, 1),
+            pa.array([k], pa.int64()),
+            pa.array([int(est)], pa.int64()),
+        ],
+        names=[key_col, "k", "n_distinct_est"],
+    )
+
+
+def kmv_distinct(
+    ds: "ray.data.Dataset", key_col: str, val_col: str, k: int = 64
+) -> "ray.data.Dataset":
+    """Grouped approximate COUNT(DISTINCT val) → (key, k, n_distinct_est).
+
+    Map-side: each block emits ≤ k hash rows per key it contains; the
+    groupby then moves only those partials (O(keys × blocks × k), never
+    the raw pairs) and the per-key merge re-truncates to the k smallest.
+    """
+    partials = ds.map_batches(
+        lambda b: _kmv_partial(b, key_col, val_col, k), batch_format="pyarrow"
+    )
+    return partials.groupby(key_col).map_groups(
+        lambda g: _kmv_final(g, key_col, k), batch_format="pyarrow"
+    )

@@ -1515,6 +1515,303 @@ def q_crawl_parsed(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Distinct counting: exact (shuffled pair-dedup) and KMV sketch.
+# ---------------------------------------------------------------------------
+
+def q_distinct_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT user_id): map-side per-block pair
+    dedup (Arrow hash group_by) → global pair dedup shuffle → tiny
+    map-side-combined count per event_type.  The wide exchange moves only
+    each block's UNIQUE (event_type, user_id) pairs, never raw rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow")
+    deduped = (
+        pairs.groupby(["event_type", "user_id"])
+        .aggregate(Count())
+        .select_columns(["event_type", "user_id"])
+    )
+    return grouped_sum_count(deduped, ["event_type"], [], {}, count_name="n_users")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count SKETCH per event_type — the
+    scale path for count-distinct: per-block partials of ≤ k hashes per
+    key merge associatively, so raw pairs never shuffle (see
+    functions/sketch.py).  Deterministic md5-prefix hashing makes the
+    estimate itself SQL-oracle-able — an *approximate* operator with an
+    *exact* correctness gate."""
+    from ..functions.sketch import kmv_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_distinct(ds, "event_type", "user_id", k=64)
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM h
+)
+SELECT event_type, 64 AS k,
+       CAST(CASE WHEN max(m) < 64 THEN max(m)
+            ELSE floor(63.0 * (18446744073709551616.0 /
+                               CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)))
+       END AS BIGINT) AS n_distinct_est
+FROM r WHERE rn <= 64 GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window function: per-key running sum (cumulative aggregate).
+# ---------------------------------------------------------------------------
+
+def q_running_sum(sf_dir: str):
+    """Per-user cumulative event-value sum ordered by (ts, event_id) —
+    the sessionize coarse-partition plan (user_id % P groups, ONE
+    vectorized lexsort + segmented cumsum per partition; no per-user
+    dispatch).  Emits every event row with its running total."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
+    )
+    P = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("upart", pa.array(uid % P, pa.int64()))
+
+    def running_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ms = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ms, uid))
+        u, e, c = uid[order], eid[order], cents[order]
+        cs = np.cumsum(c)
+        newu = np.ones(len(u), dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        # running sum within each user run: cumsum minus the prefix before
+        # the user's first row
+        base = np.repeat(cs[newu] - c[newu], np.diff(np.append(np.where(newu)[0], len(u))))
+        run = cs - base
+        return pa.Table.from_arrays(
+            [
+                pa.array(e, pa.int64()),
+                pa.array(u, pa.int64()),
+                pa.array(run, pa.int64()),
+            ],
+            names=["event_id", "user_id", "run_cents"],
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(running_part, batch_format="pyarrow")
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS run_cents
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped median via bounded-cardinality count partials.
+# ---------------------------------------------------------------------------
+
+def q_group_stats(sf_dir: str):
+    """Exact per-group median/min/max/count of integer-cent prices WITHOUT
+    shuffling raw rows: map-side (flag, cents) → count partials (Arrow
+    hash group_by — cardinality ≤ distinct prices per block), then one
+    groupby(flag) merge computing the weighted median from the counts.
+    This is the scalable exact-median plan for bounded-cardinality values
+    (integer cents); unbounded domains would swap in a quantile sketch."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]).map_batches(
+        lambda b: _cents(b, "l_extendedprice", "cents"), batch_format="pyarrow"
+    ).select_columns(["l_returnflag", "cents"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["l_returnflag", "cents"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["l_returnflag", "cents", "__n"]
+            if out.column_names[0] == "l_returnflag"
+            else out.column_names
+        )
+
+    def weighted_stats(g: pa.Table) -> pa.Table:
+        cents = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g.column("__n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(cents)
+        v, w = cents[order], cnt[order]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        # positions are 0-based ranks into the sorted multiset
+        lo_pos, hi_pos = (n - 1) // 2, n // 2
+        lo = v[np.searchsorted(cum, lo_pos + 1)]
+        hi = v[np.searchsorted(cum, hi_pos + 1)]
+        med = (float(lo) + float(hi)) / 2.0
+        return pa.Table.from_arrays(
+            [
+                g.column("l_returnflag").slice(0, 1),
+                pa.array([n], pa.int64()),
+                pa.array([med], pa.float64()),
+                pa.array([int(v[0])], pa.int64()),
+                pa.array([int(v[-1])], pa.int64()),
+            ],
+            names=["l_returnflag", "n_rows", "median_cents", "min_cents", "max_cents"],
+        )
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    return partials.groupby("l_returnflag").map_groups(
+        weighted_stats, batch_format="pyarrow"
+    )
+
+
+SQL_GROUP_STATS = """
+WITH c AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(median(cents) AS DOUBLE) AS median_cents,
+       min(cents) AS min_cents, max(cents) AS max_cents
+FROM c GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: keys present in one table and absent from another.
+# ---------------------------------------------------------------------------
+
+def q_customers_no_orders(sf_dir: str):
+    """Customers with no URGENT-priority order — broadcast anti-join: the
+    orders side is pruned at the read (priority filter pushed into the
+    scan), collapses to per-block DISTINCT custkeys (map-side), the
+    driver only ever touches those partials (O(distinct × blocks)), and
+    the deduped key set broadcasts once (ray.put) into a vectorized
+    ``is_in`` filter.  Above broadcast size the same semantics fall back
+    to a hash-partition anti-join (both sides keyed on custkey — the
+    orders_customer_join shuffle plan with an absence filter)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_custkey"])
+        return batch.group_by(["o_custkey"]).aggregate([])
+
+    parts = orders.map_batches(uniq, batch_format="pyarrow").take_all()
+    keys = np.unique(np.array([r["o_custkey"] for r in parts], dtype=np.int64))
+    keys_ref = ray.put(pa.array(keys, pa.int64()))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        has = pc.is_in(batch.column("c_custkey"), value_set=ks)
+        return batch.filter(pc.invert(has))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketed ANN — approximate search with a full SQL oracle.
+# ---------------------------------------------------------------------------
+
+_LSH_N_PLANES = 4
+_LSH_PLANES = None
+
+
+def _lsh_planes():
+    global _LSH_PLANES
+    if _LSH_PLANES is None:
+        from ..functions.sim import rademacher_planes
+
+        _LSH_PLANES = rademacher_planes(64, _LSH_N_PLANES, seed=271)
+    return _LSH_PLANES
+
+
+def q_ann_lsh(sf_dir: str):
+    """ANN via random-hyperplane sign buckets (Charikar sign-LSH): exact
+    cosine top-10 WITHIN the query's bucket.  Unlike IVF (trained
+    centroids → rows-only check), the ±1 planes embed as SQL literals, so
+    this approximate index has a bit-exact DuckDB oracle."""
+    from ..functions.sim import ann_lsh_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_lsh_topk(ds, qmat, qids, _lsh_planes(), k=10)
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("cos"),
+            "cos",
+            pa.array(floor6(b.column("cos").to_numpy(zero_copy_only=False)), pa.float64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _gen_ann_lsh_sql() -> str:
+    planes = _lsh_planes()
+    terms = []
+    for j in range(_LSH_N_PLANES):
+        lit = "[" + ", ".join(f"{v:.1f}" for v in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(em, {lit}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket_expr = "\n         + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings),
+     b AS (SELECT vec_id, em,
+           {bucket_expr} AS bucket
+           FROM e),
+     q AS (SELECT vec_id AS qid, em AS qe, bucket AS qb FROM b WHERE vec_id < 5)
+SELECT qid, vec_id, floor(cosf * 1000000) / 1000000 AS cos, bucket
+FROM (
+    SELECT q.qid, b.vec_id, b.bucket,
+           list_cosine_similarity(b.em, q.qe) AS cosf
+    FROM b JOIN q ON b.bucket = q.qb
+    WHERE b.vec_id != q.qid
+)
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, vec_id) <= 10
+"""
+
+
+SQL_ANN_LSH = _gen_ann_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -1550,7 +1847,13 @@ QUERIES = {
     "neardup_canonical": q_neardup_canonical,
     "neardup_embeddings": q_neardup_embeddings,
     "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "distinct_users": q_distinct_users,
+    "kmv_distinct": q_kmv_distinct,
+    "running_sum": q_running_sum,
+    "group_stats": q_group_stats,
+    "customers_no_orders": q_customers_no_orders,
     "media_features": q_media_features,
     "media_info_join": q_media_info_join,
     "html_spans": q_html_spans,
@@ -1591,6 +1894,12 @@ ORACLE_SQL = {
     "neardup_canonical": SQL_NEARDUP_CANONICAL,
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_lsh": SQL_ANN_LSH,
+    "distinct_users": SQL_DISTINCT_USERS,
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "running_sum": SQL_RUNNING_SUM,
+    "group_stats": SQL_GROUP_STATS,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "html_spans": SQL_HTML_SPANS,
     "media_info_join": SQL_MEDIA_INFO_JOIN,
     "stream_select": SQL_STREAM_SELECT,
