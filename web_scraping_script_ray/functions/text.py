@@ -185,28 +185,52 @@ class LangId:
             for lang in self.langs
         }
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, pretok=None) -> pa.Table:
+        """``pretok=(flat, offsets)`` reuses a shared lowercased
+        whitespace tokenization (the fused crawl parse computes it once
+        for every kernel).  Word tokens are the letters-only runs, but
+        the ``_WORD_SPLIT`` regex runs over the DICTIONARY of unique
+        whitespace tokens only — a letter run can never cross whitespace,
+        so per-unique word counts/profile hits scatter-summed through the
+        dictionary indices equal the full-text values exactly, at a
+        fraction of the regex-scan cost (corpora repeat tokens heavily)."""
         n = batch.num_rows
-        flat, offsets = flat_tokens(batch.column(self.text_col), pattern=_WORD_SPLIT)
-        counts = np.diff(offsets)
-        parents = np.repeat(np.arange(n, dtype=np.int64), counts)
-        denom = np.maximum(counts, 1).astype(np.float64)
-        scores = np.zeros((len(self.langs), n), dtype=np.float64)
-        # membership over the dictionary of UNIQUE tokens, scattered back
-        # through the indices — one small is_in per language instead of a
-        # full-column pass (corpora repeat tokens heavily)
+        if pretok is None:
+            flat, offsets = flat_tokens(batch.column(self.text_col))
+        else:
+            flat, offsets = pretok
+        parents = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
         enc = pc.dictionary_encode(flat)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         idx = enc.indices.to_numpy(zero_copy_only=False)
+        n_uniq = len(enc.dictionary)
+        # letters-only word tokens of each UNIQUE whitespace token
+        lists = pc.split_pattern_regex(enc.dictionary, _WORD_SPLIT)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        sub = pc.list_flatten(lists)
+        subp = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.binary_length(sub), 0)
+        ne = nonempty.to_numpy(zero_copy_only=False)
+        if not ne.all():
+            sub = sub.filter(nonempty)
+            subp = subp[ne]
+        m_u = np.bincount(subp, minlength=n_uniq).astype(np.float64)
+        denom = np.maximum(np.bincount(parents, weights=m_u[idx], minlength=n), 1.0)
+        scores = np.zeros((len(self.langs), n), dtype=np.float64)
+        sub_enc = pc.dictionary_encode(sub)
+        if isinstance(sub_enc, pa.ChunkedArray):
+            sub_enc = sub_enc.combine_chunks()
+        sidx = sub_enc.indices.to_numpy(zero_copy_only=False)
         for li, lang in enumerate(self.langs):
-            hit_uniq = pc.is_in(enc.dictionary, value_set=self.profiles[lang]).to_numpy(
-                zero_copy_only=False
+            hit_uniq = pc.is_in(
+                sub_enc.dictionary, value_set=self.profiles[lang]
+            ).to_numpy(zero_copy_only=False)
+            hits_u = np.bincount(
+                subp, weights=hit_uniq[sidx].astype(np.float64), minlength=n_uniq
             )
-            hits = np.bincount(
-                parents, weights=hit_uniq[idx].astype(np.float64), minlength=n
-            )
-            scores[li] = hits / denom
+            scores[li] = np.bincount(parents, weights=hits_u[idx], minlength=n) / denom
         best = scores.argmax(axis=0)
         best_score = scores.max(axis=0)
         pred = np.array(self.langs, dtype=object)[best]

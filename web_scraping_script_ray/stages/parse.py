@@ -60,16 +60,16 @@ class DocParser:
         """Row-aligned parse columns for a batch that has ``spans``.
 
         Whitespace tokenization + token hashing happen ONCE; token counts,
-        stopword quality, MinHash and SimHash all consume the shared
-        (flat, offsets, hashes) — langid keeps its own letters-only
-        tokenization."""
+        stopword quality, language ID, MinHash and SimHash all consume the
+        shared (flat, offsets, hashes) — langid's letters-only word split
+        runs over the token dictionary only."""
         t = _project_text_fast_cols(batch)
         texts = t.column("text")
         flat, offsets = flat_tokens(texts)
         th = token_hashes(flat)
         t = token_counts(t, pretok=(flat, offsets))
         t = quality_scores(t, pretok=(flat, offsets))
-        t = self.langid(t)
+        t = self.langid(t, pretok=(flat, offsets))
         sig = self.mh.signatures_from_hashes(th, offsets)
         shs = simhash_from_hashes(th, offsets)
         n = t.num_rows
