@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "running_sum",
     "group_stats",
     "customers_no_orders",
+    "tfidf_top",
 ]
 
 

@@ -1746,6 +1746,122 @@ WHERE c_custkey NOT IN
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF: corpus-wide statistics joined back into a per-doc scoring pass.
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top(sf_dir: str):
+    """Each document's top TF-IDF term (score = tf/df, ties →
+    lexicographic term).  Two streaming passes: (1) document frequency
+    per token WITHOUT shuffling documents — per-block per-doc-UNIQUE
+    token partials (Arrow hash group_by) → one small token groupby;
+    (2) the DF table broadcasts back (``ray.put``) into a per-block
+    (doc, token) count + argmax pass.  At 100 TB the DF table outgrows a
+    broadcast and becomes a hash-partition join on token — the two-pass
+    shape is unchanged."""
+    from ..functions.hashing import flat_tokens
+
+    def _tok(batch: pa.Table):
+        flat, offsets = flat_tokens(batch.column("text"))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets)
+        )
+        return enc.dictionary, idx, parents
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        vocab, idx, parents = _tok(batch)
+        d = len(vocab)
+        if d == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "__p_df": pa.array([], pa.int64())})
+        uniq = np.unique(parents * d + idx)  # per-doc unique (doc, token)
+        toks = vocab.take(pa.array(uniq % d, pa.int64()))
+        t = pa.Table.from_arrays([toks], names=["token"])
+        out = t.group_by(["token"]).aggregate([([], "count_all")])
+        return out.rename_columns(["token", "__p_df"])
+
+    df_ds = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("__p_df"))
+    )
+    rows = df_ds.take_all()  # O(vocab) — the corpus statistic, not the corpus
+    df_tokens = pa.array([r["token"] for r in rows], pa.string())
+    df_counts = np.array([r["sum(__p_df)"] for r in rows], dtype=np.int64)
+    df_ref = ray.put((df_tokens, df_counts))
+
+    def top_term(batch: pa.Table) -> pa.Table:
+        toks_, dfs_ = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        vocab, idx, parents = _tok(batch)
+        d = len(vocab)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+        if d == 0 or len(parents) == 0:
+            return empty
+        key, tf = np.unique(parents * d + idx, return_counts=True)
+        pair_doc, pair_tok = key // d, key % d
+        terms = vocab.take(pa.array(pair_tok, pa.int64()))
+        pos = pc.index_in(terms, value_set=toks_).to_numpy(zero_copy_only=False)
+        dfv = dfs_[pos.astype(np.int64)]
+        score = tf.astype(np.float64) / dfv.astype(np.float64)
+        terms_np = np.asarray(terms.to_pylist(), dtype=object)
+        order = np.lexsort((terms_np, -score, pair_doc))
+        pd_, tf_, df_, tm_ = (
+            pair_doc[order], tf[order], dfv[order], terms_np[order]
+        )
+        first = np.ones(len(pd_), dtype=bool)
+        first[1:] = pd_[1:] != pd_[:-1]
+        doc_ids = (
+            batch.column("doc_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[pd_[first]]
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.int64()),
+                pa.array(tm_[first].tolist(), pa.string()),
+                pa.array(tf_[first].astype(np.int64), pa.int64()),
+                pa.array(df_[first], pa.int64()),
+            ],
+            names=["doc_id", "term", "tf", "df"],
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        top_term, batch_format="pyarrow"
+    )
+
+
+SQL_TFIDF_TOP = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT doc_id, term, tf, df
+FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, t.term
+         ) AS rn
+  FROM tf t JOIN df d USING (term)
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sign-LSH bucketed ANN — approximate search with a full SQL oracle.
 # ---------------------------------------------------------------------------
 
@@ -1854,6 +1970,7 @@ QUERIES = {
     "running_sum": q_running_sum,
     "group_stats": q_group_stats,
     "customers_no_orders": q_customers_no_orders,
+    "tfidf_top": q_tfidf_top,
     "media_features": q_media_features,
     "media_info_join": q_media_info_join,
     "html_spans": q_html_spans,
@@ -1900,6 +2017,7 @@ ORACLE_SQL = {
     "running_sum": SQL_RUNNING_SUM,
     "group_stats": SQL_GROUP_STATS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "tfidf_top": SQL_TFIDF_TOP,
     "html_spans": SQL_HTML_SPANS,
     "media_info_join": SQL_MEDIA_INFO_JOIN,
     "stream_select": SQL_STREAM_SELECT,
