@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "group_stats",
     "customers_no_orders",
     "tfidf_top",
+    "repetition",
+    "decontaminate",
+    "pagerank",
 ]
 
 

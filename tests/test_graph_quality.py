@@ -1,0 +1,113 @@
+"""Gopher-style repetition rules, benchmark decontamination, PageRank."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from web_scraping_script_ray.functions.graph import (
+    PR_SCALE,
+    pagerank_fixed_point,
+    synth_out_edges,
+)
+from web_scraping_script_ray.functions.text import repetition_scores
+
+
+def _docs_dir(tmp_path, texts):
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_repetition_planted():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a a a",                      # degenerate repeat
+                    "the quick brown fox jumps over",   # all distinct
+                    "ab cd ab cd ab cd ab cd",          # alternating repeat
+                    "hi",                               # too short for any gram
+                ]
+            ),
+        }
+    )
+    out = repetition_scores(batch).to_pandas().set_index("doc_id")
+    r0 = out.loc[0]
+    assert r0.n_tokens == 6 and r0.top2gram_frac == 1.0 and r0.dup3gram_frac == 1.0
+    assert r0.mean_wlen == 1.0 and r0.keep_doc == 0  # mean_wlen < 2
+    r1 = out.loc[1]
+    assert r1.top2gram_frac == 0.2 and r1.dup3gram_frac == 0.0
+    assert r1.mean_wlen == np.floor(25 / 6 * 1e6) / 1e6 and r1.keep_doc == 1
+    r2 = out.loc[2]
+    assert r2.top2gram_frac == np.floor(4 / 7 * 1e6) / 1e6  # "ab cd" x4 of 7
+    assert r2.dup3gram_frac == 1.0 and r2.keep_doc == 0
+    r3 = out.loc[3]
+    assert r3.n_tokens == 1 and r3.top2gram_frac == 0.0 and r3.keep_doc == 0
+
+
+def test_decontaminate_planted(tmp_path, ray_session):
+    from web_scraping_script_ray.pipelines.queries import q_decontaminate
+
+    # doc 0 is the benchmark slice (0 % 53 == 0); doc 1 shares its first
+    # five tokens; doc 2 shares none; doc 3 is too short to probe.
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon other words here",
+        "totally different content with many more tokens",
+        "tiny doc",
+    ]
+    out = (
+        q_decontaminate(_docs_dir(tmp_path, texts))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]  # benchmark doc excluded
+    assert out.loc[1, "n_hits"] == 1  # shares "alpha ... epsilon" only
+    assert out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "n_hits"] == 0 and out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "n_hits"] == 0  # <5 tokens: no probe, still present
+
+
+def _pagerank_reference(n, iters=5, degree=3):
+    r = np.full(n, PR_SCALE // n, np.int64)
+    base = (15 * PR_SCALE // 100) // n
+    ids = np.arange(n, dtype=np.int64)
+    dsts = synth_out_edges(ids, n, degree)
+    for _ in range(iters):
+        s = np.zeros(n, np.int64)
+        np.add.at(s, dsts.ravel(), np.repeat(r // degree, degree))
+        r = base + (85 * s) // 100
+    return r
+
+
+def test_pagerank_matches_sequential_reference(ray_session):
+    import ray.data
+
+    n = 128
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+    ).repartition(8)
+    out = (
+        pagerank_fixed_point(nodes, n, iters=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    expect = _pagerank_reference(n)
+    assert len(out) == n
+    np.testing.assert_array_equal(out["pr_rank"].to_numpy(), expect)
+    # damped mass: total <= SCALE, and within floor-loss of it
+    total = int(out["pr_rank"].sum())
+    assert 0 < PR_SCALE - total < n * 150

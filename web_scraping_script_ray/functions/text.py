@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import flat_tokens
+from .hashing import flat_tokens, shingle_hash_flat, token_hashes
 
 # Whitespace tokenization: runs of non-space (mirrors the reference's
 # space-joined text model, src/parser.py:51-52).
@@ -142,6 +142,94 @@ def quality_scores(
     batch = batch.append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
     batch = batch.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
     return batch.append_column("quality", pa.array(quality, pa.float64()))
+
+
+def _gram_stats(
+    th: np.ndarray, offsets: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-gram repetition stats from flat token hashes.
+
+    Returns ``(top_frac, dup_frac)`` float64 arrays (floored to 6dp):
+    ``top_frac`` = occurrences of the single most frequent k-gram / total
+    k-gram occurrences; ``dup_frac`` = occurrences belonging to k-grams
+    that appear >= 2 times / total occurrences.  Docs with fewer than k
+    tokens score 0 on both (they have no k-grams — matches the SQL
+    oracle's empty-group semantics, so the whole-doc fallback shingle
+    ``shingle_hash_flat`` emits for short docs is masked out here).
+
+    Fully vectorized: one lexsort of (doc, gram_hash) pairs, run-length
+    encoding, then ``reduceat`` per doc — no per-row Python.  Grouping is
+    by 64-bit shingle hash; the oracle groups by the gram string (token
+    strings contain no whitespace, so the space-joined gram is injective)
+    — identical absent a 64-bit collision inside one document.
+    """
+    n = len(counts)
+    top = np.zeros(n, np.float64)
+    dup = np.zeros(n, np.float64)
+    sh, soff = shingle_hash_flat(th, offsets, k)
+    m = len(sh)
+    if m:
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(soff))
+        order = np.lexsort((sh, doc_of))
+        sd, dd = sh[order], doc_of[order]
+        new_run = np.ones(m, bool)
+        new_run[1:] = (sd[1:] != sd[:-1]) | (dd[1:] != dd[:-1])
+        run_starts = np.nonzero(new_run)[0]
+        run_len = np.diff(np.append(run_starts, m))
+        run_doc = dd[run_starts]
+        first_of_doc = np.ones(len(run_starts), bool)
+        first_of_doc[1:] = run_doc[1:] != run_doc[:-1]
+        firsts = np.nonzero(first_of_doc)[0]
+        docs_present = run_doc[firsts]
+        top_c = np.maximum.reduceat(run_len, firsts)
+        dup_c = np.add.reduceat(np.where(run_len >= 2, run_len, 0), firsts)
+        tot_c = np.add.reduceat(run_len, firsts)
+        valid = counts[docs_present] >= k  # mask whole-doc fallback shingles
+        dv = docs_present[valid]
+        top[dv] = top_c[valid] / tot_c[valid]
+        dup[dv] = dup_c[valid] / tot_c[valid]
+    return floor6(top), floor6(dup)
+
+
+def repetition_scores(
+    batch: pa.Table, text_col: str = "text", pretok=None
+) -> pa.Table:
+    """Gopher/C4-style repetition + shape quality rules, per document.
+
+    Appends ``n_tokens``, ``mean_wlen`` (mean token length, 6dp floor),
+    ``top2gram_frac`` (share of 2-gram occurrences taken by the most
+    frequent 2-gram), ``dup3gram_frac`` (share of 3-gram occurrences
+    whose 3-gram repeats), and ``keep_doc`` (int64 0/1): the document
+    passes when 5 <= n_tokens <= 1000, 2.0 <= mean_wlen <= 12.0,
+    top2gram_frac < 0.35 and dup3gram_frac < 0.4 — the repetition /
+    word-shape filters of Rae et al. (Gopher) §A1.1, adapted to the
+    corpus's whitespace tokens.  All thresholds compare 6dp-floored
+    values, so a SQL oracle reproduces ``keep_doc`` exactly.
+    """
+    text = batch.column(text_col)
+    if pretok is not None:
+        flat, offsets = pretok
+    else:
+        flat, offsets = flat_tokens(text)
+    n = batch.num_rows
+    counts = np.diff(offsets)
+    tlen = pc.binary_length(flat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    parents = np.repeat(np.arange(n, dtype=np.int64), counts)
+    chars = np.bincount(parents, weights=tlen, minlength=n)
+    mean_wlen = floor6(np.where(counts > 0, chars / np.maximum(counts, 1), 0.0))
+    th = token_hashes(flat)
+    top2, _ = _gram_stats(th, offsets, counts, 2)
+    _, dup3 = _gram_stats(th, offsets, counts, 3)
+    keep = (
+        (counts >= 5) & (counts <= 1000)
+        & (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+        & (top2 < 0.35) & (dup3 < 0.4)
+    ).astype(np.int64)
+    batch = batch.append_column("n_tokens", pa.array(counts, pa.int64()))
+    batch = batch.append_column("mean_wlen", pa.array(mean_wlen, pa.float64()))
+    batch = batch.append_column("top2gram_frac", pa.array(top2, pa.float64()))
+    batch = batch.append_column("dup3gram_frac", pa.array(dup3, pa.float64()))
+    return batch.append_column("keep_doc", pa.array(keep, pa.int64()))
 
 
 # ---------------------------------------------------------------------------

@@ -37,12 +37,14 @@ from ..functions.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from ..functions.graph import pagerank_fixed_point
 from ..functions.sim import IVFIndex, ann_topk
 from ..functions.text import (
     LangId,
     floor6,
     md5_fingerprint,
     quality_scores,
+    repetition_scores,
     token_counts,
     winnow_batch,
 )
@@ -727,6 +729,207 @@ GROUP BY t
 ORDER BY n DESC, t
 LIMIT 100
 """
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition/shape quality rules (top-2-gram share,
+    duplicated-3-gram share, mean word length, keep flag) — one
+    vectorized ``map_batches`` pass per block, nothing shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_scores, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "mean_wlen", "top2gram_frac", "dup3gram_frac", "keep_doc"]
+    )
+
+
+SQL_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN floor(COALESCE(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)
+                         * 1.0 / len(t) * 1000000) / 1000000
+              ELSE 0.0 END AS mean_wlen
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+g2s AS (
+  SELECT doc_id,
+         floor(max(c) * 1.0 / sum(c) * 1000000) / 1000000 AS top2
+  FROM g2c GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)
+),
+g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+g3s AS (
+  SELECT doc_id,
+         floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c) * 1000000) / 1000000 AS dup3
+  FROM g3c GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.mean_wlen,
+       COALESCE(g2s.top2, 0.0) AS top2gram_frac,
+       COALESCE(g3s.dup3, 0.0) AS dup3gram_frac,
+       CAST(CASE WHEN b.n_tokens >= 5 AND b.n_tokens <= 1000
+                  AND b.mean_wlen >= 2.0 AND b.mean_wlen <= 12.0
+                  AND COALESCE(g2s.top2, 0.0) < 0.35
+                  AND COALESCE(g3s.dup3, 0.0) < 0.4
+             THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+FROM base b
+LEFT JOIN g2s ON g2s.doc_id = b.doc_id
+LEFT JOIN g3s ON g3s.doc_id = b.doc_id
+"""
+
+
+_DECON_MOD = 53  # benchmark slice: doc_id % 53 == 0 (~2% of the corpus)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training documents sharing any
+    5-token shingle with the "evaluation benchmark" slice (docs with
+    ``doc_id % 53 == 0``) — the standard n-gram-overlap decontamination
+    step of LLM data pipelines (GPT-3 appendix C / PaLM style), shaped as
+    a broadcast semi-join.
+
+    The benchmark side's distinct shingle hashes are built remotely from
+    the filtered slice (tiny by construction — eval sets are small) and
+    broadcast once via ``ray.put``; every training block then probes the
+    sorted hash array with ``np.isin`` — no shuffle touches the corpus.
+    Docs shorter than 5 tokens contribute/probe no shingles (the
+    whole-doc fallback shingle is excluded on BOTH sides, matching the
+    SQL oracle).  Output: (doc_id, n_hits = distinct matching shingles,
+    contaminated 0/1) for every non-benchmark doc."""
+    from ..functions.hashing import flat_tokens, shingle_hash_flat, token_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _doc_shingles(batch: pa.Table):
+        """(ids, uniq_hash, uniq_doc_idx): distinct 5-gram hashes per doc,
+        short docs (<5 tokens) contributing none."""
+        flat, offsets = flat_tokens(batch.column("text"))
+        counts = np.diff(offsets)
+        th = token_hashes(flat)
+        sh, soff = shingle_hash_flat(th, offsets, 5)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(soff))
+        ok = counts[doc_of] >= 5  # drop whole-doc fallback shingles
+        sh, doc_of = sh[ok], doc_of[ok]
+        order = np.lexsort((sh, doc_of))
+        sd, dd = sh[order], doc_of[order]
+        first = np.ones(len(sd), bool)
+        first[1:] = (sd[1:] != sd[:-1]) | (dd[1:] != dd[:-1])
+        return sd[first], dd[first]
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % _DECON_MOD == 0))
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays([pa.array([], pa.uint64())], names=["h"])
+        uh, _ = _doc_shingles(batch)
+        return pa.Table.from_arrays([pa.array(np.unique(uh), pa.uint64())], names=["h"])
+
+    bench_tables = ray.get(
+        ds.map_batches(bench_hashes, batch_format="pyarrow").to_arrow_refs()
+    )
+    bench_set = np.unique(
+        np.concatenate(
+            [t.column("h").to_numpy(zero_copy_only=False) for t in bench_tables]
+            or [np.zeros(0, np.uint64)]
+        )
+    )
+    bref = ray.put(bench_set)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % _DECON_MOD != 0))
+        uh, ud = _doc_shingles(batch)
+        hit_docs = ud[np.isin(uh, bset)]
+        n_hits = np.bincount(hit_docs, minlength=batch.num_rows).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(n_hits, pa.int64()),
+                pa.array((n_hits > 0).astype(np.int64), pa.int64()),
+            ],
+            names=["doc_id", "n_hits", "contaminated"],
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t)-3)) AS i FROM toks WHERE len(t) >= 5)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN bench b USING (g)
+  WHERE s.doc_id % {_DECON_MOD} <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {_DECON_MOD} <> 0
+"""
+
+
+_PR_ITERS = 5
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-point damped PageRank (5 iterations) over the deterministic
+    synthetic link graph — the engine's iterative-distributed-algorithm
+    showcase; see ``functions/graph.py`` for the shuffle shape."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return pagerank_fixed_point(ds, n, iters=_PR_ITERS)
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    """Unrolled-iteration DuckDB oracle: identical integer arithmetic
+    (sum(BIGINT) is HUGEINT in DuckDB — exact, then cast back)."""
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        "e AS (SELECT d.doc_id AS src,"
+        " (d.doc_id * 2654435761 + j.j * 40503) % nn.c AS dst"
+        " FROM documents d CROSS JOIN nn"
+        " CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j)",
+        "it0 AS (SELECT d.doc_id, 1000000000000 // nn.c AS r"
+        " FROM documents d CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"s{k} AS (SELECT e.dst AS doc_id, sum(p.r // 3) AS s"
+            f" FROM e JOIN it{k-1} p ON e.src = p.doc_id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"it{k} AS (SELECT d.doc_id,"
+            f" CAST(150000000000 // nn.c + (85 * COALESCE(s{k}.s, 0)) // 100 AS BIGINT) AS r"
+            f" FROM documents d CROSS JOIN nn"
+            f" LEFT JOIN s{k} ON s{k}.doc_id = d.doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, r AS pr_rank FROM it{iters}"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql()
 
 
 def q_langid(sf_dir: str):
@@ -1957,6 +2160,9 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "langid": q_langid,
     "winnow": q_winnow,
+    "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
+    "pagerank": q_pagerank,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2005,6 +2211,9 @@ ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "langid": SQL_LANGID,
     "winnow": SQL_WINNOW,
+    "repetition": SQL_REPETITION,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pagerank": SQL_PAGERANK,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
