@@ -230,7 +230,13 @@ def run_single(num_cpus: int, crawl_only: bool = False) -> dict:
     return result
 
 
-SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "4"))
+# Default N for the N-vs-4N pair is 1 (1 vs 4 pinned cores): both levels
+# sit inside the box's fixed memory-bandwidth envelope, which is the
+# regime that corresponds to adding NODES (each bringing its own
+# bandwidth) on a real cluster — see BASELINE.md for the 4v16 pairs and
+# the burn-loop ceiling analysis showing why 4→16 cores on ONE box is
+# bandwidth-bound for any workload.  GRAFT_SCALING_N=4 still runs 4v16.
+SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "1"))
 SCALING_RUNS = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
 
 
@@ -295,7 +301,15 @@ def run_scaling() -> dict:
     for _ in range(SCALING_RUNS):
         trial = {"ceiling": measure_ceiling()}
         for cpus in (4 * SCALING_N, SCALING_N):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_PIN_CPUS="1")
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(cpus),
+                GRAFT_PIN_CPUS="1",
+                # one crawl per level inside a trial (trials already
+                # repeat); GRAFT_BENCH_ATTEMPTS in the caller's env still
+                # overrides for explicit best-of-N hunting
+                GRAFT_BENCH_ATTEMPTS=os.environ.get("GRAFT_BENCH_ATTEMPTS", "1"),
+            )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only"],
                 env=env,

@@ -1,0 +1,115 @@
+"""``ray job submit`` entrypoint for the crawl engine (north_rule: "run
+via ray job submit on a fixed-size multi-node Ray cluster").
+
+On a real cluster::
+
+    ray job submit --address http://head:8265 \
+        --working-dir . -- python tools/submit_crawl.py \
+        --web /data/web --out /data/crawl_out \
+        --max-rounds 8 --max-urls 10000000 --resume
+
+In this sandbox the same command line runs against the local node
+(``RAY_ADDRESS=local`` is preset).  The script owns the Ray session (CLI
+entry points do; library code never calls ``ray.init``).  ``--resume``
+continues from the newest complete round manifest — kill the job at any
+point and resubmit with ``--resume`` for identical output lineage
+(``tests/test_resume.py`` is the kill-test).
+
+``--synth-docs`` generates (or reuses, cached by params under
+``/tmp/synthweb``) a synthetic web instead of ``--web`` — handy for
+smoke-testing a cluster before pointing at real data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Submit a crawl run")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--web", help="bucketed web-table directory (params.json + buckets)")
+    src.add_argument("--synth-docs", type=int, help="generate a synthetic web of N docs")
+    ap.add_argument("--synth-hosts", type=int, default=None, help="hosts for --synth-docs")
+    ap.add_argument("--synth-seed", type=int, default=7)
+    ap.add_argument("--out", required=True, help="checkpoint/output directory")
+    ap.add_argument("--max-rounds", type=int, default=4)
+    ap.add_argument("--max-urls", type=int, default=10**9)
+    ap.add_argument("--default-delay", type=float, default=1.0)
+    ap.add_argument("--resume", action="store_true", help="continue from last manifest")
+    ap.add_argument("--seen-shards", type=int, default=8)
+    ap.add_argument("--politeness-shards", type=int, default=4)
+    ap.add_argument("--fetch-concurrency", type=int, default=0, help="0 = CPUs//2")
+    ap.add_argument("--fetch-batch-size", type=int, default=4096)
+    ap.add_argument("--max-file-size", type=int, default=None, help="bytes; oversized docs fetch as ok=False")
+    ap.add_argument("--no-parse", action="store_true", help="skip the span/token parse stage")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        # inside `ray job submit` the job server pre-sets RAY_ADDRESS to
+        # the cluster; standalone it defaults to a local session
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+    web_dir = args.web
+    if web_dir is None:
+        from web_scraping_script_ray.synthweb import WebParams, fixture_dir
+
+        p = WebParams(
+            n_docs=args.synth_docs,
+            n_hosts=args.synth_hosts or max(5, args.synth_docs // 200),
+            seed=args.synth_seed,
+        )
+        web_dir = fixture_dir(p, parallel=True)
+
+    from web_scraping_script_ray.pipelines.crawl import CrawlEngine
+    from web_scraping_script_ray.synthweb import Budget
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    eng = CrawlEngine(
+        web_dir,
+        args.out,
+        Budget(
+            max_rounds=args.max_rounds,
+            max_urls=args.max_urls,
+            default_delay=args.default_delay,
+        ),
+        n_seen_shards=args.seen_shards,
+        n_politeness_shards=args.politeness_shards,
+        fetch_concurrency=args.fetch_concurrency or max(2, n_cpus // 2),
+        fetch_batch_size=args.fetch_batch_size,
+        parse=not args.no_parse,
+        max_file_size=args.max_file_size,
+    )
+    t0 = time.time()
+    info = eng.run(resume=args.resume)
+    secs = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "web_dir": web_dir,
+                "out_dir": args.out,
+                "resumed": bool(args.resume),
+                "crawl_sec": round(secs, 2),
+                "urls_per_sec": round(info["fetched"] / secs, 1) if secs else None,
+                **info,
+            }
+        )
+    )
+    eng.shutdown()
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
