@@ -80,6 +80,56 @@ def test_decontaminate_planted(tmp_path, ray_session):
     assert out.loc[3, "n_hits"] == 0  # <5 tokens: no probe, still present
 
 
+def test_repetition_block_invariant():
+    """Per-doc scores are a pure function of each row — identical whether
+    the batch arrives whole or split (the 100-TB block-layout property)."""
+    rng = np.random.default_rng(3)
+    words = np.array(["aa", "bb", "cc", "dd", "ee"])
+    texts = [
+        " ".join(words[rng.integers(0, 5, rng.integers(1, 40))])
+        for _ in range(60)
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(np.arange(60), pa.int64()), "text": pa.array(texts)}
+    )
+    whole = repetition_scores(batch).to_pandas()
+    parts = [repetition_scores(batch.slice(i, 7)) for i in range(0, 60, 7)]
+    import pandas as pd
+
+    split = pd.concat([p.to_pandas() for p in parts], ignore_index=True)
+    pd.testing.assert_frame_equal(whole, split)
+
+
+def test_decontaminate_partition_invariant(tmp_path, ray_session):
+    """n_hits is a pure function of the corpus content — identical under
+    repartitioning (benchmark set is a global broadcast, not block-local)."""
+    import ray.data
+    from web_scraping_script_ray.pipelines.queries import q_decontaminate
+
+    rng = np.random.default_rng(4)
+    words = np.array(["red", "blue", "green", "gold", "gray", "pink"])
+    texts = [
+        " ".join(words[rng.integers(0, 6, 12)]) for _ in range(120)
+    ]
+    d = _docs_dir(tmp_path, texts)
+    a = q_decontaminate(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # rewrite the same rows shuffled across many small row groups
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120)[::-1].copy(), pa.int64()),
+            "text": pa.array(texts[::-1]),
+        }
+    )
+    d2 = str(tmp_path / "v2")
+    os.makedirs(d2, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d2, "documents.parquet"), row_group_size=11)
+    b = q_decontaminate(d2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert a["contaminated"].sum() > 0  # the overlap actually fired
+
+
 def _pagerank_reference(n, iters=5, degree=3):
     r = np.full(n, PR_SCALE // n, np.int64)
     base = (15 * PR_SCALE // 100) // n
