@@ -161,3 +161,47 @@ def test_pagerank_matches_sequential_reference(ray_session):
     # damped mass: total <= SCALE, and within floor-loss of it
     total = int(out["pr_rank"].sum())
     assert 0 < PR_SCALE - total < n * 150
+
+
+def test_token_chunks_kernel():
+    from web_scraping_script_ray.functions.text import token_chunks
+
+    c, d, t, n = token_chunks(pa.array(["A b C d e", "", "  ", "x Y"]), 3)
+    assert c.to_pylist() == ["a b c", "d e", "x y"]  # lowercased, ragged tail
+    assert d.tolist() == [0, 0, 3]
+    assert t.tolist() == [3, 2, 2]
+    assert n.tolist() == [2, 0, 0, 1]
+
+
+def test_line_dedup_planted(tmp_path, ray_session):
+    """Planted duplicate chunks are removed everywhere; uniques survive;
+    the clean fingerprint equals md5 of the kept chunks in order."""
+    import hashlib
+
+    from web_scraping_script_ray.pipelines.queries import _LINE_W, q_line_dedup
+
+    assert _LINE_W == 3
+    dup = "alpha beta gamma"       # planted in docs 0, 1, 2
+    texts = [
+        f"{dup} uno dos tres",      # 2 chunks, 1 dup
+        f"{dup} quattro cinque sei {dup}",  # chunks: dup | quattro cinque sei | dup
+        f"solo chunk here {dup}",
+        "totally unique words forever",
+        "",                         # empty doc
+    ]
+    d = _docs_dir(tmp_path, texts)
+    out = (
+        q_line_dedup(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out["n_chunks"].tolist() == [2, 3, 2, 2, 0]
+    assert out["n_dup_chunks"].tolist() == [1, 2, 1, 0, 0]
+    assert out["n_kept_tokens"].tolist() == [3, 3, 3, 4, 0]
+    assert out.loc[0, "clean_fp"] == md5("uno dos tres")
+    assert out.loc[1, "clean_fp"] == md5("quattro cinque sei")
+    assert out.loc[2, "clean_fp"] == md5("solo chunk here")
+    assert out.loc[3, "clean_fp"] == md5("totally unique words forever")
+    assert out.loc[4, "clean_fp"] == md5("")

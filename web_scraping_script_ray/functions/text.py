@@ -388,3 +388,47 @@ def winnow_batch(batch: pa.Table, text_col: str = "text", k: int = 8, window: in
         for t in batch.column(text_col).to_pylist()
     ]
     return batch.append_column("fp_winnow", pa.array(fps, pa.list_(pa.uint64())))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width token chunking ("lines" for corpora without newline structure).
+# ---------------------------------------------------------------------------
+
+def token_chunks(
+    texts: "pa.Array | pa.ChunkedArray", width: int = 3
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Split each text into consecutive ``width``-token chunks (lowercased
+    whitespace tokens, last chunk ragged) — the unit of C4/RefinedWeb-style
+    duplicate-"line" removal for a corpus whose documents carry no newline
+    structure.  With a newline-structured corpus the same pipeline splits
+    on ``'\\n'`` instead; only this kernel changes.
+
+    Fully vectorized: one shared tokenization (``flat_tokens``), chunk
+    boundaries by numpy arithmetic, chunk strings via one
+    ``pc.binary_join`` over a ListArray view of the flat token buffer.
+
+    Returns ``(chunks, doc_of_chunk, chunk_tok_counts, n_chunks_per_doc)``:
+    ``chunks`` is a StringArray of all chunk strings (tokens joined by a
+    single space) in document order; ``doc_of_chunk[i]`` is the row index
+    owning chunk i; ``chunk_tok_counts[i]`` its token count;
+    ``n_chunks_per_doc`` has one entry per input row (0 for empty docs).
+    """
+    flat, offsets = flat_tokens(texts)
+    n = len(offsets) - 1
+    ntok = np.diff(offsets)
+    nchunks = (ntok + width - 1) // width
+    total = int(nchunks.sum())
+    doc_of_chunk = np.repeat(np.arange(n, dtype=np.int64), nchunks)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(nchunks) - nchunks, nchunks
+    )
+    starts = offsets[:-1][doc_of_chunk] + within * width
+    ends = np.minimum(starts + width, offsets[1:][doc_of_chunk])
+    # Chunks tile each doc's token range contiguously and docs abut, so
+    # `starts` + the final offset is a valid monotone offsets vector.
+    chunk_offsets = np.append(starts, offsets[-1]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(chunk_offsets, pa.int32()), flat)
+    chunks = pc.binary_join(lists, " ")
+    if isinstance(chunks, pa.ChunkedArray):
+        chunks = chunks.combine_chunks()
+    return chunks, doc_of_chunk, (ends - starts).astype(np.int64), nchunks.astype(np.int64)

@@ -886,6 +886,143 @@ WHERE d.doc_id % {_DECON_MOD} <> 0
 """
 
 
+_LINE_W = 3
+
+
+@ray.remote
+def _gather_string_column(refs: list, col: str) -> pa.Array:
+    """Concatenate one string column of many table refs inside a worker —
+    the broadcast value lives in the object store; the driver only ever
+    holds the ObjectRef (the embedding-neardup gather pattern)."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    if not tables:
+        return pa.array([], pa.string())
+    c = pa.concat_tables(tables).column(col).combine_chunks()
+    return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+
+
+def q_line_dedup(sf_dir: str):
+    """C4/RefinedWeb-style duplicate-"line" removal over ``documents``.
+
+    The corpus has no newline structure, so the "line" unit is a fixed
+    chunk of ``_LINE_W`` consecutive lowercased whitespace tokens (last
+    chunk ragged) — swap ``token_chunks`` for a ``'\\n'`` split and the
+    pipeline is literally C4's dedup step.  A chunk occurring >= 2 times
+    corpus-wide is removed EVERYWHERE (RefinedWeb exact-substring
+    semantics: deterministic and position-free, where C4's keep-one needs
+    a global-position tiebreak).
+
+    Two streaming passes (the ``tfidf_top`` shape):
+
+    1. per-block Arrow ``group_by`` partial chunk counts → one small
+       ``groupby(chunk)`` whose exchange moves only (chunk, count)
+       partials → filter ``count >= 2`` → the duplicate-chunk set,
+       concatenated by a remote task (driver holds only the ref) and
+       broadcast once through the object store;
+    2. every block re-chunks, probes membership with one ``pc.is_in``,
+       and reassembles each doc's kept text with a second
+       ``binary_join``; ``clean_fp`` = md5 of the cleaned text proves
+       order-preserving reconstruction against the SQL oracle.
+
+    At 100 TB the dup set outgrows a broadcast and pass 2 becomes a
+    hash-partition join of exploded chunks on chunk hash; the two-pass
+    shape (and this kernel) is unchanged.
+    """
+    import hashlib
+
+    from ..functions.text import token_chunks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_partials(batch: pa.Table) -> pa.Table:
+        chunks, _, _, _ = token_chunks(batch.column("text"), _LINE_W)
+        if len(chunks) == 0:
+            return pa.table(
+                {"chunk": pa.array([], pa.string()), "__p_cnt": pa.array([], pa.int64())}
+            )
+        t = pa.Table.from_arrays([chunks], names=["chunk"])
+        out = t.group_by(["chunk"]).aggregate([([], "count_all")])
+        return out.rename_columns(["chunk", "__p_cnt"])
+
+    dup_ds = (
+        ds.map_batches(chunk_partials, batch_format="pyarrow")
+        .groupby("chunk")
+        .aggregate(Sum("__p_cnt"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("sum(__p_cnt)"), pa.scalar(2, pa.int64()))
+            ).select(["chunk"]),
+            batch_format="pyarrow",
+        )
+    )
+    dup_ref = _gather_string_column.remote(dup_ds.to_arrow_refs(), "chunk")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        dup_set = ray.get(dup_ref) if isinstance(dup_ref, ray.ObjectRef) else dup_ref
+        n = batch.num_rows
+        chunks, doc_of, ctoks, nchunks = token_chunks(batch.column("text"), _LINE_W)
+        isdup = pc.is_in(chunks, value_set=dup_set).to_numpy(zero_copy_only=False)
+        keep = ~isdup
+        n_dup = np.bincount(doc_of, weights=isdup.astype(np.float64), minlength=n)
+        kept_tok = np.bincount(
+            doc_of[keep], weights=ctoks[keep].astype(np.float64), minlength=n
+        )
+        kept_chunks = chunks.filter(pa.array(keep))
+        ko = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(doc_of[keep], minlength=n), out=ko[1:])
+        lists = pa.ListArray.from_arrays(pa.array(ko, pa.int32()), kept_chunks)
+        joined = pc.binary_join(lists, " ")
+        md5 = hashlib.md5
+        fp = [md5(s.encode("utf-8")).hexdigest() for s in joined.to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(nchunks, pa.int64()),
+                pa.array(n_dup.astype(np.int64), pa.int64()),
+                pa.array(kept_tok.astype(np.int64), pa.int64()),
+                pa.array(fp, pa.string()),
+            ],
+            names=["doc_id", "n_chunks", "n_dup_chunks", "n_kept_tokens", "clean_fp"],
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+SQL_LINE_DEDUP = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(t, j*{_LINE_W}+1, j*{_LINE_W}+{_LINE_W}), ' ') AS chunk,
+         len(list_slice(t, j*{_LINE_W}+1, j*{_LINE_W}+{_LINE_W})) AS ctoks
+  FROM (SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t)/{_LINE_W}.0) AS BIGINT))) AS j
+        FROM toks WHERE len(t) > 0)
+),
+cnt AS (SELECT chunk, count(*) AS c FROM chunks GROUP BY chunk),
+marked AS (
+  SELECT ch.doc_id, ch.j, ch.chunk, ch.ctoks, (cnt.c >= 2) AS dup
+  FROM chunks ch JOIN cnt USING (chunk)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         CAST(sum(CASE WHEN dup THEN 0 ELSE ctoks END) AS BIGINT) AS n_kept_tokens,
+         md5(coalesce(string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY j), ''))
+             AS clean_fp
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_chunks, 0) AS n_chunks,
+       COALESCE(p.n_dup_chunks, 0) AS n_dup_chunks,
+       COALESCE(p.n_kept_tokens, 0) AS n_kept_tokens,
+       COALESCE(p.clean_fp, md5('')) AS clean_fp
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 _PR_ITERS = 5
 
 
@@ -2162,6 +2299,7 @@ QUERIES = {
     "winnow": q_winnow,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
+    "line_dedup": q_line_dedup,
     "pagerank": q_pagerank,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2213,6 +2351,7 @@ ORACLE_SQL = {
     "winnow": SQL_WINNOW,
     "repetition": SQL_REPETITION,
     "decontaminate": SQL_DECONTAMINATE,
+    "line_dedup": SQL_LINE_DEDUP,
     "pagerank": SQL_PAGERANK,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
