@@ -175,9 +175,15 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         exclude_self: bool = True,
+        round_cos: bool = True,
     ) -> "ray.data.Dataset":
         """Probe the ``nprobe`` nearest lists per query; exact cosine
-        within the probed subset (recall < 1 vs brute force)."""
+        within the probed subset (recall < 1 vs brute force).
+
+        ``round_cos=False`` keeps full-precision scores so the
+        ``nprobe = n_lists`` instantiation reproduces brute-force top-k
+        bit-for-bit (the merge tie-breaks on raw cos) — the SQL-oracled
+        full-probe query uses this."""
         qmat = _normalize(queries)
         probe = np.argsort(-(qmat @ self.centroids.T), axis=1)[:, :nprobe]
         # rows searched per query = union of probed lists; implement as one
@@ -211,7 +217,7 @@ class IVFIndex:
                 sel = idx[np.argpartition(-sims[qi, idx], kk - 1)[:kk]]
                 out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
                 out_i.append(ids[sel].astype(np.int64))
-                out_c.append(np.round(sims[qi, sel], 6))
+                out_c.append(np.round(sims[qi, sel], 6) if round_cos else sims[qi, sel])
             if not out_q:
                 return pa.Table.from_arrays(
                     [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],

@@ -1576,6 +1576,32 @@ def q_ann_ivf(sf_dir: str):
     return index.search(assigned, qmat, qids, k=10, nprobe=4)
 
 
+def q_ann_ivf_full(sf_dir: str):
+    """Full-probe IVF: ``nprobe = n_lists`` makes the IVF plan
+    (train → broadcast-assign → probe-filtered partial top-k → tiny
+    groupby merge) EXACTLY equal to brute-force cosine top-k, so the
+    whole machinery gets a hard SQL oracle (the brute-force query);
+    ``ann_ivf`` (nprobe=4) remains the approximate scale path whose
+    recall pytest asserts.  ``round_cos=False`` keeps raw scores so the
+    merge tie-breaks identically to the oracle's ORDER BY."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index = IVFIndex.train(ds, n_lists=16)
+    assigned = index.assign(ds)
+    out = index.search(assigned, qmat, qids, k=10, nprobe=16, round_cos=False)
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("cos"),
+            "cos",
+            pa.array(floor6(b.column("cos").to_numpy(zero_copy_only=False)), pa.float64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANN_IVF_FULL = SQL_ANN_TOPK
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed — rows-only; see stages/multimodal.py).
 # ---------------------------------------------------------------------------
@@ -2309,6 +2335,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_full": q_ann_ivf_full,
     "distinct_users": q_distinct_users,
     "kmv_distinct": q_kmv_distinct,
     "running_sum": q_running_sum,
@@ -2360,6 +2387,7 @@ ORACLE_SQL = {
     "neardup_embeddings": SQL_NEARDUP_EMBEDDINGS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh": SQL_ANN_LSH,
+    "ann_ivf_full": SQL_ANN_IVF_FULL,
     "distinct_users": SQL_DISTINCT_USERS,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "running_sum": SQL_RUNNING_SUM,
