@@ -698,6 +698,64 @@ WHERE (doc_id * 2654435761) % 100 < 10
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Proportional stratified sampling — every language stratum
+    contributes ceil(10%) of its documents, selected by a deterministic
+    integer hash (content-stable, shard-order-independent): the quota
+    sampling step of a multilingual training-data mix.
+
+    Two passes: (1) tiny ``lang → count`` aggregate (5 rows) broadcast as
+    per-stratum quotas; (2) ``per_key_rank`` orders each stratum by
+    ``(hash, doc_id)`` and keeps ``rank < ceil(0.1·count)``.  The rank
+    sort is the only shuffle; at 100 TB the same plan runs with the
+    stratum key salted into the range partitioner (see stages/rank.py).
+    """
+    from ..stages.rank import per_key_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = {
+        r["lang"]: r["count()"]
+        for r in ds.groupby("lang").count().take_all()  # O(strata) rows
+    }
+    quota = {lang: -(-c // 10) for lang, c in counts.items()}  # ceil(c/10)
+
+    def skey(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "skey", pa.array((ids * 2654435761) % 1000003, pa.int64())
+        )
+
+    ranked = per_key_rank(
+        ds.map_batches(skey, batch_format="pyarrow"), "lang", ["skey", "doc_id"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        rank = batch.column("key_rank").to_numpy(zero_copy_only=False)
+        q = np.array([quota.get(l, 0) for l in langs], dtype=np.int64)
+        out = batch.filter(pa.array(rank < q))
+        return out.select(["doc_id", "lang", "key_rank"]).rename_columns(
+            ["doc_id", "lang", "smp_rank"]
+        )
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 1000003, doc_id
+         ) - 1 AS smp_rank,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang, CAST(smp_rank AS BIGINT) AS smp_rank
+FROM r WHERE smp_rank < ceil(n_lang / 10.0)
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Vocabulary frequency analysis: top-100 whitespace tokens
     (lowercased) by total count, ties broken by token — per-batch Arrow
@@ -2320,6 +2378,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "lang_counts": q_lang_counts,
     "sample_docs": q_sample_docs,
+    "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
     "langid": q_langid,
     "winnow": q_winnow,
@@ -2373,6 +2432,7 @@ ORACLE_SQL = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "lang_counts": SQL_LANG_COUNTS,
     "sample_docs": SQL_SAMPLE_DOCS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "vocab_topk": SQL_VOCAB_TOPK,
     "langid": SQL_LANGID,
     "winnow": SQL_WINNOW,
