@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "repetition",
     "decontaminate",
     "pagerank",
+    "line_dedup",
+    "stratified_sample",
+    "ann_ivf_full",
 ]
 
 

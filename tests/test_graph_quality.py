@@ -205,3 +205,28 @@ def test_line_dedup_planted(tmp_path, ray_session):
     assert out.loc[2, "clean_fp"] == md5("solo chunk here")
     assert out.loc[3, "clean_fp"] == md5("totally unique words forever")
     assert out.loc[4, "clean_fp"] == md5("")
+
+
+def test_pagerank_distributed_path_matches_small(ray_session):
+    """The >small_limit groupby plan and the single-task plan agree
+    bit-for-bit (same int64 message arithmetic)."""
+    import ray.data
+
+    n = 96
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+    ).repartition(6)
+    small = (
+        pagerank_fixed_point(nodes, n, iters=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    dist = (
+        pagerank_fixed_point(nodes, n, iters=4, small_limit=0)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    np.testing.assert_array_equal(
+        small["pr_rank"].to_numpy(), dist["pr_rank"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        small["pr_rank"].to_numpy(), _pagerank_reference(n, iters=4)
+    )

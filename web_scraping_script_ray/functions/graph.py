@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from .agg import grouped_sum_count
 
@@ -52,11 +53,27 @@ def pagerank_fixed_point(
     n_nodes: int,
     iters: int = 5,
     degree: int = 3,
+    small_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """``iters`` rounds of damped PageRank over the synthetic out-edges of
     ``nodes`` (a Dataset with a ``doc_id`` column).  Returns (doc_id,
-    pr_rank) with pr_rank in int64 1e-12 units."""
-    import ray.data  # noqa: F401  (typing only)
+    pr_rank) with pr_rank in int64 1e-12 units.
+
+    Size-selected like the crawl's two physical plans: at
+    ``n_nodes <= small_limit`` the whole fixed point runs in ONE remote
+    task on dense numpy arrays (5 chained Ray groupbys on a sub-million-
+    node graph are pure scheduling overhead — measured 6.2 s for 500
+    nodes at 32 CPUs vs ~0.5 s single-task); above it, the per-iteration
+    scatter + map-side-combined groupby below is the plan that scales.
+    Both paths use identical int64 arithmetic and agree bit-for-bit
+    (pytest covers small == distributed == sequential reference)."""
+    import ray
+    import ray.data
+
+    if n_nodes and n_nodes <= small_limit:
+        refs = nodes.select_columns(["doc_id"]).to_arrow_refs()
+        out_ref = _pagerank_small_task.remote(refs, n_nodes, iters, degree)
+        return ray.data.from_arrow_refs([out_ref])
 
     r0 = PR_SCALE // n_nodes
     base = (15 * PR_SCALE // 100) // n_nodes
@@ -101,3 +118,44 @@ def pagerank_fixed_point(
 
         ranks = sums.map_batches(damp, batch_format="pyarrow")
     return ranks
+
+
+def _pagerank_small_kernel(
+    ids: np.ndarray, n_nodes: int, iters: int, degree: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-process emulation of the distributed iteration: same message
+    set (degree edge messages + one zero self-message), same int64 floor
+    arithmetic, keys = union of destinations and senders each round —
+    bit-for-bit the groupby path's semantics for any id set."""
+    r0 = PR_SCALE // n_nodes
+    base = (15 * PR_SCALE // 100) // n_nodes
+    ids = np.sort(ids.astype(np.int64))
+    r = np.full(len(ids), r0, np.int64)
+    for _ in range(iters):
+        dsts = synth_out_edges(ids, n_nodes, degree)
+        out_dst = np.concatenate([dsts.ravel(), ids])
+        out_c = np.concatenate(
+            [np.repeat(r // degree, degree), np.zeros(len(ids), np.int64)]
+        )
+        keys = np.unique(out_dst)
+        s = np.zeros(len(keys), np.int64)
+        np.add.at(s, np.searchsorted(keys, out_dst), out_c)
+        ids, r = keys, base + (85 * s) // 100
+    return ids, r
+
+
+@ray.remote
+def _pagerank_small_task(refs: list, n_nodes: int, iters: int, degree: int):
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    ids = (
+        np.concatenate(
+            [t.column("doc_id").to_numpy(zero_copy_only=False) for t in tables]
+        )
+        if tables
+        else np.zeros(0, np.int64)
+    )
+    ids, r = _pagerank_small_kernel(ids, n_nodes, iters, degree)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(r, pa.int64())],
+        names=["doc_id", "pr_rank"],
+    )
