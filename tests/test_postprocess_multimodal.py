@@ -286,3 +286,50 @@ def test_export_csv_handles_deep_nesting(tmp_path):
     assert files
     body = "".join(open(f).read() for f in files)
     assert "meta.a" in body and "'x': 9" in body  # deep struct stringified
+
+
+def test_export_shards_deterministic_resume(tmp_path, ray_session):
+    """Shard membership is content-stable across runs/partitionings; the
+    manifest-last rename makes aborted attempts rebuildable and resume a
+    no-op; round-trip read returns exactly the input rows."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.postprocess import export_shards
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(200)]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = str(tmp_path / "exp")
+    man = export_shards(ds, out, n_shards=8)
+    assert man["rows"] == 200 and len(man["shard_rows"]) <= 8
+    back = ray.data.read_parquet(out).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == list(range(200))
+    # shard column materialized by hive partitioning and content-stable
+    expect = (back["doc_id"].to_numpy() * 2654435761) % 8
+    assert (back["shard"].to_numpy().astype(np.int64) == expect).all()
+
+    # resume: manifest returned without rewriting (mtime unchanged)
+    mt = os.path.getmtime(os.path.join(out, "_manifest.json"))
+    man2 = export_shards(ds, out, n_shards=8)
+    assert man2 == man and os.path.getmtime(os.path.join(out, "_manifest.json")) == mt
+
+    # different input partitioning -> identical shard membership
+    out2 = str(tmp_path / "exp2")
+    export_shards(ray.data.from_arrow(t).repartition(13), out2, n_shards=8)
+    a = ray.data.read_parquet(out).to_pandas().sort_values("doc_id")
+    b = ray.data.read_parquet(out2).to_pandas().sort_values("doc_id")
+    assert a["shard"].tolist() == b["shard"].tolist()
+
+    # aborted attempt (manifest missing) is rebuilt
+    os.remove(os.path.join(out, "_manifest.json"))
+    man3 = export_shards(ds, out, n_shards=8)
+    assert man3["rows"] == 200

@@ -153,3 +153,83 @@ def export(ds: "ray.data.Dataset", path: str, fmt: str = "parquet") -> None:
         ds.write_json(path)
     else:
         raise ValueError(f"unsupported export format: {fmt}")
+
+
+def export_shards(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    resume: bool = True,
+) -> dict:
+    """Deterministic hash-sharded training-data export — the terminal
+    step of a data pipeline: decorrelate input order and split the
+    corpus into a fixed number of shards a dataloader can stripe over.
+
+    ``shard = (key · 2654435761) mod n_shards`` is content-stable: a
+    re-run (or a resumed failed run) reproduces identical shard
+    MEMBERSHIP regardless of block order or parallelism — the
+    reproducibility a positional ``random_shuffle`` cannot give under
+    retry.  One streaming pass: assign the shard column in
+    ``map_batches``, then one partitioned ``write_parquet``
+    (``shard=K/`` hive dirs; the shard column is real, so hive
+    inference on re-read is the desired behavior, unlike the crawl's
+    ``round-N`` naming).  The manifest is written LAST via atomic
+    rename (the crawl checkpoint discipline): no manifest ⇒ the
+    directory is an aborted attempt and is rebuilt; ``resume=True``
+    returns the manifest of a completed export without rewriting.
+    Within-shard file order is parallel-writer-nondeterministic; shard
+    content is not.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    man_path = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(man_path):
+        if resume:
+            with open(man_path) as f:
+                return json.load(f)
+        shutil.rmtree(out_dir)
+    elif os.path.exists(out_dir):
+        shutil.rmtree(out_dir)  # aborted attempt: no manifest ⇒ rebuild
+
+    tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array((keys * 2654435761) % n_shards, pa.int64())
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["shard"]
+    )
+    # per-shard row counts from file metadata only (no data re-read)
+    counts: dict = {}
+    for shard_dir in sorted(os.listdir(tmp)):
+        full = os.path.join(tmp, shard_dir)
+        if not (os.path.isdir(full) and shard_dir.startswith("shard=")):
+            continue
+        k = int(shard_dir.split("=", 1)[1])
+        counts[str(k)] = sum(
+            pq.read_metadata(os.path.join(full, f)).num_rows
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+    os.rename(tmp, out_dir)
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "rows": sum(counts.values()),
+        "shard_rows": counts,
+    }
+    tmp_man = man_path + ".tmp"
+    with open(tmp_man, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_man, man_path)
+    return manifest
