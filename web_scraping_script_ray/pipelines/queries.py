@@ -698,6 +698,91 @@ WHERE (doc_id * 2654435761) % 100 < 10
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index build: token → (df, sorted posting list) — the
+    search-side operator of a corpus pipeline.  Per-block dictionary-
+    encoded tokenization emits per-doc-UNIQUE (token, doc_id) pairs (the
+    only rows that shuffle); the groupby key is a COARSE 64-way token
+    hash (Ray ``map_groups`` cost scales with group count — the engine's
+    measured lesson), with per-token runs segmented inside each part by
+    one lexsort.  Postings render as a comma-joined string via a
+    vectorized ListArray ``binary_join`` — no per-token Python join.  At
+    100 TB hot tokens get their postings bucketed by doc-id range under
+    the same part key; the plan is otherwise unchanged."""
+    from ..functions.hashing import flat_tokens, token_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        d = len(enc.dictionary)
+        if d == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets)
+        )
+        uniq = np.unique(parents * d + idx)
+        toks = enc.dictionary.take(pa.array(uniq % d, pa.int64()))
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)[
+            uniq // d
+        ]
+        part = (token_hashes(toks) % np.uint64(64)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [toks, pa.array(docs, pa.int64()), pa.array(part, pa.int64())],
+            names=["token", "doc_id", "part"],
+        )
+
+    def build(g: pa.Table) -> pa.Table:
+        t_np = np.asarray(g.column("token").to_pylist(), dtype=object)
+        docs = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((docs, t_np))
+        t_s, d_s = t_np[order], docs[order]
+        first = np.ones(len(t_s), dtype=bool)
+        first[1:] = t_s[1:] != t_s[:-1]
+        starts = np.flatnonzero(first)
+        offsets = np.append(starts, len(t_s)).astype(np.int32)
+        doc_strs = pc.cast(pa.array(d_s, pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), doc_strs)
+        postings = pc.binary_join(lists, ",")
+        df = np.diff(offsets).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(t_s[first].tolist(), pa.string()),
+                pa.array(df, pa.int64()),
+                postings,
+            ],
+            names=["token", "df", "postings"],
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(build, batch_format="pyarrow")
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok AS token
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents)
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(array_agg(doc_id)), ',') AS postings
+FROM pairs GROUP BY token
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Proportional stratified sampling — every language stratum
     contributes ceil(10%) of its documents, selected by a deterministic
@@ -2379,6 +2464,7 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "sample_docs": q_sample_docs,
     "stratified_sample": q_stratified_sample,
+    "inverted_index": q_inverted_index,
     "vocab_topk": q_vocab_topk,
     "langid": q_langid,
     "winnow": q_winnow,
@@ -2433,6 +2519,7 @@ ORACLE_SQL = {
     "lang_counts": SQL_LANG_COUNTS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "inverted_index": SQL_INVERTED_INDEX,
     "vocab_topk": SQL_VOCAB_TOPK,
     "langid": SQL_LANGID,
     "winnow": SQL_WINNOW,
