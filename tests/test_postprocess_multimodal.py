@@ -333,3 +333,21 @@ def test_export_shards_deterministic_resume(tmp_path, ray_session):
     os.remove(os.path.join(out, "_manifest.json"))
     man3 = export_shards(ds, out, n_shards=8)
     assert man3["rows"] == 200
+
+
+def test_export_shards_param_mismatch_raises(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.postprocess import export_shards
+
+    t = pa.table({"doc_id": pa.array(np.arange(20), pa.int64())})
+    out = str(tmp_path / "exp")
+    export_shards(ray.data.from_arrow(t), out, n_shards=4)
+    with pytest.raises(ValueError, match="n_shards"):
+        export_shards(ray.data.from_arrow(t), out, n_shards=8)
+    # resume=False rebuilds under the new parameters
+    man = export_shards(ray.data.from_arrow(t), out, n_shards=8, resume=False)
+    assert man["n_shards"] == 8 and man["rows"] == 20

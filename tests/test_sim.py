@@ -75,3 +75,31 @@ def test_ivf_search_recall(emb_ds):
         recalls.append(len(mine & truth) / 5)
     # clustered data + 3 probes → high recall
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_topk_tie_break_matches_oracle_order(ray_session):
+    """>k candidates tied at the same cosine: per-block selection must
+    keep the LOWEST vec_ids (ORDER BY cos DESC, vec_id), not an
+    arbitrary argpartition subset — even when ids arrive descending."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.sim import ann_topk
+
+    n = 31
+    vec = np.array([1.0, 0.0, 0.0])
+    ids = np.arange(n, 0, -1, dtype=np.int64)  # descending in the block
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([vec.tolist()] * n, pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (
+        ann_topk(ds, vec[None, :], np.array([999]), k=10)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert out["vec_id"].tolist() == list(range(1, 11))

@@ -67,7 +67,6 @@ def pagerank_fixed_point(
     scatter + map-side-combined groupby below is the plan that scales.
     Both paths use identical int64 arithmetic and agree bit-for-bit
     (pytest covers small == distributed == sequential reference)."""
-    import ray
     import ray.data
 
     if n_nodes and n_nodes <= small_limit:

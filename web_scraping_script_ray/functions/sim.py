@@ -31,6 +31,24 @@ def _stack_vecs(batch: pa.Table, vec_col: str) -> np.ndarray:
     return np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False))
 
 
+def _select_topk(vals: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-``kk`` values with the oracle's deterministic
+    tie-break (value DESC, id ASC).  A bare argpartition keeps an
+    ARBITRARY kk among rows tied at the boundary value, which diverges
+    from ``ORDER BY cos DESC, vec_id`` whenever > kk candidates tie
+    (e.g. duplicated embeddings); here the boundary ties are widened and
+    resolved by a lexsort over just the candidate set."""
+    n = len(vals)
+    if kk >= n:
+        cand = np.arange(n)
+    else:
+        part = np.argpartition(-vals, kk - 1)
+        thresh = vals[part[kk - 1]]
+        cand = np.flatnonzero(vals >= thresh)
+    order = np.lexsort((ids[cand], -vals[cand]))[:kk]
+    return cand[order]
+
+
 def _partial_topk(batch: pa.Table, qref, k: int, id_col: str, vec_col: str) -> pa.Table:
     """Block-local top-k per query → (qid, id, cos) candidate rows."""
     qids, qmat = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
@@ -38,12 +56,10 @@ def _partial_topk(batch: pa.Table, qref, k: int, id_col: str, vec_col: str) -> p
     mat = _normalize(_stack_vecs(batch, vec_col))
     sims = qmat @ mat.T  # (q, B)
     kk = min(k, sims.shape[1])
-    # argpartition → top-k per query without a full sort
-    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
     out_q, out_i, out_c = [], [], []
     for qi in range(sims.shape[0]):
-        sel = top[qi]
-        out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+        sel = _select_topk(sims[qi], ids, kk)
+        out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
         out_i.append(ids[sel].astype(np.int64))
         out_c.append(sims[qi, sel])
     return pa.Table.from_arrays(
@@ -214,7 +230,7 @@ class IVFIndex:
                 if not len(idx):
                     continue
                 kk = min(k, len(idx))
-                sel = idx[np.argpartition(-sims[qi, idx], kk - 1)[:kk]]
+                sel = idx[_select_topk(sims[qi, idx], ids[idx], kk)]
                 out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
                 out_i.append(ids[sel].astype(np.int64))
                 out_c.append(np.round(sims[qi, sel], 6) if round_cos else sims[qi, sel])
@@ -314,7 +330,7 @@ def ann_lsh_topk(
             if not len(idx):
                 continue
             kk = min(k, len(idx))
-            sel = idx[np.argpartition(-sims[qi, idx], kk - 1)[:kk]]
+            sel = idx[_select_topk(sims[qi, idx], ids[idx], kk)]
             out_q.append(np.full(len(sel), qids_[qi], dtype=np.int64))
             out_i.append(ids[sel].astype(np.int64))
             out_c.append(sims[qi, sel])

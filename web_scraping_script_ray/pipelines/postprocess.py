@@ -189,14 +189,25 @@ def export_shards(
     import numpy as np
     import pyarrow.parquet as pq
 
+    import glob
+
     man_path = os.path.join(out_dir, "_manifest.json")
     if os.path.exists(man_path):
         if resume:
             with open(man_path) as f:
-                return json.load(f)
+                prior = json.load(f)
+            if prior.get("n_shards") != n_shards or prior.get("key_col") != key_col:
+                raise ValueError(
+                    f"export at {out_dir} was built with n_shards="
+                    f"{prior.get('n_shards')}, key_col={prior.get('key_col')!r}; "
+                    f"requested {n_shards}/{key_col!r} — pass resume=False to rebuild"
+                )
+            return prior
         shutil.rmtree(out_dir)
     elif os.path.exists(out_dir):
         shutil.rmtree(out_dir)  # aborted attempt: no manifest ⇒ rebuild
+    for stale in glob.glob(f"{out_dir}.tmp-*"):  # crashed prior attempts
+        shutil.rmtree(stale, ignore_errors=True)
 
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
 

