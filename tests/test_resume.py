@@ -87,3 +87,48 @@ def test_resume_noop_when_complete(t1_web, tmp_path_factory):
     with open(os.path.join(out, "state", "round-1", "manifest.json")) as f:
         assert json.load(f)["seq"] == len(ref)
     eng_b.shutdown()
+
+
+def test_build_training_set_end_to_end(tmp_path, ray_session):
+    """Crawl → filter → SimHash dedup → sharded export in one call;
+    stats are coherent, the export round-trips, and resume is a no-op."""
+    import os
+
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.crawl import run_crawl
+    from web_scraping_script_ray.pipelines.train_data import build_training_set
+    from web_scraping_script_ray.synthweb import Budget, WebParams, fixture_dir
+
+    web = fixture_dir(WebParams(n_docs=2000, n_hosts=20, seed=23))
+    out = str(tmp_path / "crawl")
+    eng, info = run_crawl(web, out, Budget(max_rounds=3))
+    eng.shutdown()
+    exp = str(tmp_path / "train")
+    stats = build_training_set(out, exp, min_quality=0.0, n_shards=4)
+    assert stats["input_rows"] == info["fetched"]
+    assert stats["kept_rows"] + stats["dropped_filter"] + stats["dropped_neardup"] == (
+        stats["input_rows"]
+    )
+    assert stats["kept_rows"] > 0
+    back = ray.data.read_parquet(exp).to_pandas()
+    assert len(back) == stats["kept_rows"]
+    assert back["simhash"].nunique() == len(back)  # near-identicals removed
+    # resume returns identical stats without recomputation
+    mt = os.path.getmtime(os.path.join(exp, "_manifest.json"))
+    stats2 = build_training_set(out, exp, min_quality=0.0, n_shards=4)
+    assert stats2 == stats
+    assert os.path.getmtime(os.path.join(exp, "_manifest.json")) == mt
+    # a real language filter drops rows and stays coherent
+    top_lang = back["lang_pred"].mode()[0]
+    exp2 = str(tmp_path / "train_lang")
+    s_l = build_training_set(out, exp2, langs=[top_lang], n_shards=4)
+    assert 0 < s_l["kept_rows"] <= stats["kept_rows"]
+    assert (
+        s_l["kept_rows"] + s_l["dropped_filter"] + s_l["dropped_neardup"]
+        == s_l["input_rows"]
+    )
+    # empty selection still produces a valid (zero-row) export
+    exp3 = str(tmp_path / "train_none")
+    s_n = build_training_set(out, exp3, langs=["zz-no-such-lang"], n_shards=4)
+    assert s_n["kept_rows"] == 0 and s_n["manifest"]["rows"] == 0

@@ -220,6 +220,7 @@ def export_shards(
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["shard"]
     )
+    os.makedirs(tmp, exist_ok=True)  # an empty dataset writes no files
     # per-shard row counts from file metadata only (no data re-read)
     counts: dict = {}
     for shard_dir in sorted(os.listdir(tmp)):

@@ -1,0 +1,99 @@
+"""End-to-end training-data pipeline: crawl output → training shards.
+
+The composed product surface a training team actually runs — everything
+downstream of the crawl in one call:
+
+    crawl (pipelines/crawl.py, per-doc parse fused into fetch)
+      → quality / language filter            (columns already computed)
+      → near-identical dedup on SimHash      (first-wins by crawl_seq)
+      → deterministic hash-sharded export    (postprocess.export_shards)
+
+Every stage is a streaming Dataset op over the parsed parquet the crawl
+already wrote (no text re-tokenization: the fused parse computed token
+counts, quality, language and both near-dup signatures in one pass).
+Dedup here is the cheap exact-signature tier — identical 64-bit SimHash
+⇒ near-identical document; the banded MinHash/SimHash pair pipelines in
+``functions/dedup.py`` are the escalation tier when pair-level near-dup
+removal is wanted.
+
+At 100 TB: the parsed table is partitioned by round and bucket, the
+filter is a column-pruned scan, the dedup is one range-partition
+sort-dedup on (simhash, crawl_seq), the export is one partitioned write
+— no stage materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.rank import dedup_first_wins
+from .postprocess import export_shards
+
+
+def build_training_set(
+    crawl_out_dir: str,
+    export_dir: str,
+    min_quality: float = 0.0,
+    langs: list[str] | None = None,
+    n_shards: int = 16,
+    resume: bool = True,
+) -> dict:
+    """Filter + dedup + shard the parsed output of a finished crawl.
+
+    Returns a stats dict: input/kept row counts, rows dropped by the
+    quality/language filter, near-identical rows removed by SimHash
+    dedup, and the export manifest.  ``resume=True`` returns the
+    existing export's stats without recomputation (manifest-gated, the
+    crawl checkpoint discipline).
+    """
+    parsed_root = os.path.join(crawl_out_dir, "parsed")
+    if not os.path.isdir(parsed_root):
+        raise FileNotFoundError(
+            f"{parsed_root} missing — run the crawl with parse=True first"
+        )
+    man_probe = os.path.join(export_dir, "_manifest.json")
+    if resume and os.path.exists(man_probe):
+        import json
+
+        with open(man_probe) as f:
+            man = json.load(f)
+        return man.get("train_stats", {"manifest": man})
+
+    ds = ray.data.read_parquet(parsed_root)
+    n_input = ds.count()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("quality"), min_quality)
+        if langs is not None:
+            mask = pc.and_(
+                mask, pc.is_in(batch.column("lang_pred"), value_set=pa.array(langs))
+            )
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(keep, batch_format="pyarrow")
+    n_filtered = filtered.count()
+    deduped = dedup_first_wins(filtered, "simhash", ["crawl_seq"])
+    manifest = export_shards(
+        deduped, export_dir, n_shards=n_shards, key_col="crawl_seq", resume=False
+    )
+    stats = {
+        "input_rows": n_input,
+        "dropped_filter": n_input - n_filtered,
+        "dropped_neardup": n_filtered - manifest["rows"],
+        "kept_rows": manifest["rows"],
+        "manifest": dict(manifest),
+    }
+    # stamp the stats into the export manifest so resume can return them
+    import json
+
+    stamped = dict(manifest)
+    stamped["train_stats"] = stats
+    tmp = man_probe + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stamped, f)
+    os.replace(tmp, man_probe)
+    return stats
