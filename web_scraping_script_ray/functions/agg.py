@@ -36,6 +36,7 @@ def grouped_sum_count(
     sum_cols: list[str],
     out_names: dict[str, str],
     count_name: str = "n_rows",
+    coarse: int | None = None,
 ) -> "ray.data.Dataset":
     """sum(col) + count(*) grouped by ``keys``, with map-side combining.
 
@@ -43,10 +44,42 @@ def grouped_sum_count(
     row count column is ``count_name``.  Only algebraic aggregates —
     partial sums re-sum exactly (the engine's money columns are integer
     cents for this reason).
-    """
+
+    ``coarse=N``: for HIGH-cardinality keys (thousands+), merge the
+    partials inside an N-way hash-partitioned ``map_groups`` instead of a
+    Ray groupby keyed on the key itself — Ray's aggregate pays
+    per-distinct-key overhead (measured ~2 s for 3.4k keys, ~13 s for
+    27k), while N coarse groups cost N tasks.  Same exchange volume
+    (only partial rows move), same result."""
     partials = ds.map_batches(
         lambda b: _partial(b, keys, sum_cols), batch_format="pyarrow"
     )
+    if coarse:
+        import numpy as np
+
+        from .hashing import token_hashes
+
+        def add_part(b: pa.Table) -> pa.Table:
+            # hash the LAST key: the engine's key lists put the high-
+            # cardinality column last (type first, hour/user last)
+            s = pc.cast(b.column(keys[-1]), pa.string()).combine_chunks()
+            part = (token_hashes(s) % np.uint64(coarse)).astype(np.int64)
+            return b.append_column("__part", pa.array(part, pa.int64()))
+
+        def merge_part(g: pa.Table) -> pa.Table:
+            aggs = [(f"__p_{c}", "sum") for c in sum_cols] + [("__p_n", "sum")]
+            out = g.drop_columns(["__part"]).group_by(keys).aggregate(aggs)
+            ren = {f"__p_{c}_sum": out_names[c] for c in sum_cols}
+            ren["__p_n_sum"] = count_name
+            return out.rename_columns(
+                [ren.get(n, n) for n in out.column_names]
+            )
+
+        return (
+            partials.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(merge_part, batch_format="pyarrow")
+        )
     agg = partials.groupby(keys).aggregate(
         *[Sum(f"__p_{c}") for c in sum_cols], Sum("__p_n")
     )

@@ -319,6 +319,7 @@ def q_events_hourly(sf_dir: str):
         ["value_cents"],
         {"value_cents": "sum_value_cents"},
         count_name="n_events",
+        coarse=64,
     )
 
 
@@ -368,6 +369,7 @@ def q_events_sliding(sf_dir: str):
         ["value_cents"],
         {"value_cents": "sum_value_cents"},
         count_name="n_events",
+        coarse=64,
     )
 
 
@@ -1083,26 +1085,39 @@ def q_line_dedup(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    from ..functions.hashing import token_hashes
+
     def chunk_partials(batch: pa.Table) -> pa.Table:
         chunks, _, _, _ = token_chunks(batch.column("text"), _LINE_W)
         if len(chunks) == 0:
             return pa.table(
-                {"chunk": pa.array([], pa.string()), "__p_cnt": pa.array([], pa.int64())}
+                {
+                    "chunk": pa.array([], pa.string()),
+                    "__p_cnt": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
             )
         t = pa.Table.from_arrays([chunks], names=["chunk"])
         out = t.group_by(["chunk"]).aggregate([([], "count_all")])
-        return out.rename_columns(["chunk", "__p_cnt"])
+        out = out.rename_columns(["chunk", "__p_cnt"])
+        part = (
+            token_hashes(out.column("chunk").combine_chunks()) % np.uint64(64)
+        ).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    # COARSE 64-way partition, totals merged in-task: a Ray groupby keyed
+    # on the chunk string itself costs per-distinct-key overhead (measured
+    # 13 s for 27k keys vs 1-2 s this way — the LSH band-grouping lesson);
+    # the exchange still moves only (chunk, partial count) rows.
+    def dup_in_part(g: pa.Table) -> pa.Table:
+        tot = g.group_by(["chunk"]).aggregate([("__p_cnt", "sum")])
+        mask = pc.greater_equal(tot.column("__p_cnt_sum"), pa.scalar(2, pa.int64()))
+        return tot.filter(mask).select(["chunk"])
 
     dup_ds = (
         ds.map_batches(chunk_partials, batch_format="pyarrow")
-        .groupby("chunk")
-        .aggregate(Sum("__p_cnt"))
-        .map_batches(
-            lambda b: b.filter(
-                pc.greater_equal(b.column("sum(__p_cnt)"), pa.scalar(2, pa.int64()))
-            ).select(["chunk"]),
-            batch_format="pyarrow",
-        )
+        .groupby("part")
+        .map_groups(dup_in_part, batch_format="pyarrow")
     )
     dup_ref = _gather_string_column.remote(dup_ds.to_arrow_refs(), "chunk")
 
@@ -2035,22 +2050,28 @@ def q_crawl_parsed(sf_dir: str):
 
 def q_distinct_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT user_id): map-side per-block pair
-    dedup (Arrow hash group_by) → global pair dedup shuffle → tiny
-    map-side-combined count per event_type.  The wide exchange moves only
-    each block's UNIQUE (event_type, user_id) pairs, never raw rows."""
-    from ray.data.aggregate import Count
-
+    dedup (Arrow hash group_by) → coarse user-hash-partitioned global
+    dedup → tiny map-side-combined count per event_type.  The wide
+    exchange moves only each block's UNIQUE (event_type, user_id) pairs,
+    never raw rows."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def uniq_pairs(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["event_type", "user_id"]).aggregate([])
+        out = batch.group_by(["event_type", "user_id"]).aggregate([])
+        uid = out.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return out.append_column(
+            "part", pa.array((uid * 2654435761) % 64, pa.int64())
+        )
+
+    # coarse 64-way user-hash partition; global pair dedup happens
+    # in-task (a Ray groupby keyed on the pair itself pays per-distinct-
+    # key overhead — ~4 s for 50k pairs; same-user pairs always land in
+    # one part, so in-task dedup is global dedup)
+    def dedup_part(g: pa.Table) -> pa.Table:
+        return g.group_by(["event_type", "user_id"]).aggregate([])
 
     pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow")
-    deduped = (
-        pairs.groupby(["event_type", "user_id"])
-        .aggregate(Count())
-        .select_columns(["event_type", "user_id"])
-    )
+    deduped = pairs.groupby("part").map_groups(dedup_part, batch_format="pyarrow")
     return grouped_sum_count(deduped, ["event_type"], [], {}, count_name="n_users")
 
 
