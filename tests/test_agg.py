@@ -82,3 +82,28 @@ def test_salted_handles_all_cold():
     )
     a, b = _sorted_pd(direct), _sorted_pd(salted)
     assert a.equals(b[a.columns.tolist()])
+
+
+def test_coarse_merge_equals_direct():
+    """grouped_sum_count(coarse=N) must equal the direct groupby plan
+    exactly — multi-column keys, high key cardinality, many blocks."""
+    rng = np.random.default_rng(7)
+    n = 5_000
+    tbl = pa.table(
+        {
+            "t": pa.array(rng.integers(0, 4, n), pa.int64()),      # low-card first
+            "k": pa.array(rng.integers(0, 1500, n), pa.int64()),   # high-card last
+            "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    direct = grouped_sum_count(ds, ["t", "k"], ["v"], {"v": "s"}, count_name="n")
+    coarse = grouped_sum_count(
+        ds, ["t", "k"], ["v"], {"v": "s"}, count_name="n", coarse=16
+    )
+
+    def srt(d):
+        return d.to_pandas().sort_values(["t", "k"]).reset_index(drop=True)
+
+    a, b = srt(direct), srt(coarse)
+    assert a.equals(b[a.columns.tolist()])
