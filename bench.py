@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "stratified_sample",
     "ann_ivf_full",
+    "quantiles",
+    "inverted_index",
 ]
 
 

@@ -2048,6 +2048,77 @@ def q_crawl_parsed(sf_dir: str):
 # Distinct counting: exact (shuffled pair-dedup) and KMV sketch.
 # ---------------------------------------------------------------------------
 
+_QUANTS = (0.5, 0.9, 0.99)
+
+
+def q_quantiles(sf_dir: str):
+    """Exact per-group P50/P90/P99 of integer-cent values WITHOUT
+    shuffling raw rows — the distributed-quantile plan for
+    bounded-cardinality domains: map-side (type, cents) → count partials
+    collapse each block to its value histogram, one tiny groupby merges
+    histograms, and each quantile reads the cumulative counts at an
+    EXPLICIT rank (0-based ``floor(q·(n-1))``, the "lower" rule — pinned
+    identically in the SQL so no engine-specific quantile definition is
+    trusted).  Unbounded domains would swap the exact histogram for a
+    mergeable sketch (KLL); the plan shape is identical."""
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
+    ).select_columns(["event_type", "cents"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "cents", "__n"])
+
+    def quantiles_from_hist(g: pa.Table) -> pa.Table:
+        cents = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g.column("__n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(cents)
+        v, w = cents[order], cnt[order]
+        # merge duplicate values arriving from different blocks
+        first = np.ones(len(v), dtype=bool)
+        first[1:] = v[1:] != v[:-1]
+        vu = v[first]
+        wu = np.add.reduceat(w, np.flatnonzero(first))
+        cum = np.cumsum(wu)
+        n = int(cum[-1])
+        qs = [int(vu[np.searchsorted(cum, int(q * (n - 1)) + 1)]) for q in _QUANTS]
+        return pa.Table.from_arrays(
+            [
+                g.column("event_type").slice(0, 1),
+                pa.array([n], pa.int64()),
+                pa.array([qs[0]], pa.int64()),
+                pa.array([qs[1]], pa.int64()),
+                pa.array([qs[2]], pa.int64()),
+            ],
+            names=["event_type", "n_rows", "p50_cents", "p90_cents", "p99_cents"],
+        )
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    return partials.groupby("event_type").map_groups(
+        quantiles_from_hist, batch_format="pyarrow"
+    )
+
+
+SQL_QUANTILES = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+h AS (SELECT event_type, cents, count(*) AS n FROM c GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1),
+r AS (
+  SELECT h.event_type, h.cents, t.tot,
+         sum(h.n) OVER (PARTITION BY h.event_type ORDER BY h.cents) AS cum
+  FROM h JOIN t USING (event_type)
+)
+SELECT event_type,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       min(CASE WHEN cum >= CAST(floor(0.5  * (tot - 1)) AS BIGINT) + 1 THEN cents END) AS p50_cents,
+       min(CASE WHEN cum >= CAST(floor(0.9  * (tot - 1)) AS BIGINT) + 1 THEN cents END) AS p90_cents,
+       min(CASE WHEN cum >= CAST(floor(0.99 * (tot - 1)) AS BIGINT) + 1 THEN cents END) AS p99_cents
+FROM r GROUP BY event_type
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT user_id): map-side per-block pair
     dedup (Arrow hash group_by) → coarse user-hash-partitioned global
@@ -2508,6 +2579,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
+    "quantiles": q_quantiles,
     "distinct_users": q_distinct_users,
     "kmv_distinct": q_kmv_distinct,
     "running_sum": q_running_sum,
@@ -2562,6 +2634,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf_full": SQL_ANN_IVF_FULL,
+    "quantiles": SQL_QUANTILES,
     "distinct_users": SQL_DISTINCT_USERS,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "running_sum": SQL_RUNNING_SUM,
