@@ -132,3 +132,22 @@ def test_build_training_set_end_to_end(tmp_path, ray_session):
     exp3 = str(tmp_path / "train_none")
     s_n = build_training_set(out, exp3, langs=["zz-no-such-lang"], n_shards=4)
     assert s_n["kept_rows"] == 0 and s_n["manifest"]["rows"] == 0
+
+
+def test_build_training_set_param_mismatch_raises(tmp_path, ray_session):
+    import pytest
+
+    from web_scraping_script_ray.pipelines.crawl import run_crawl
+    from web_scraping_script_ray.pipelines.train_data import build_training_set
+    from web_scraping_script_ray.synthweb import Budget, WebParams, fixture_dir
+
+    web = fixture_dir(WebParams(n_docs=2000, n_hosts=20, seed=23))
+    out = str(tmp_path / "crawl")
+    eng, _ = run_crawl(web, out, Budget(max_rounds=2))
+    eng.shutdown()
+    exp = str(tmp_path / "train")
+    build_training_set(out, exp, min_quality=0.0, n_shards=4)
+    with pytest.raises(ValueError, match="resume=False"):
+        build_training_set(out, exp, min_quality=0.5, n_shards=4)
+    s = build_training_set(out, exp, min_quality=0.5, n_shards=4, resume=False)
+    assert s["params"]["min_quality"] == 0.5

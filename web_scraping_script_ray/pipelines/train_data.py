@@ -55,13 +55,26 @@ def build_training_set(
         raise FileNotFoundError(
             f"{parsed_root} missing — run the crawl with parse=True first"
         )
+    params = {
+        "min_quality": min_quality,
+        "langs": sorted(langs) if langs is not None else None,
+        "n_shards": n_shards,
+    }
     man_probe = os.path.join(export_dir, "_manifest.json")
     if resume and os.path.exists(man_probe):
         import json
 
         with open(man_probe) as f:
             man = json.load(f)
-        return man.get("train_stats", {"manifest": man})
+        stats = man.get("train_stats")
+        if stats is not None:
+            if stats.get("params") != params:
+                raise ValueError(
+                    f"training set at {export_dir} was built with "
+                    f"{stats.get('params')}; requested {params} — pass "
+                    f"resume=False to rebuild"
+                )
+            return stats
 
     ds = ray.data.read_parquet(parsed_root)
     n_input = ds.count()
@@ -81,6 +94,7 @@ def build_training_set(
         deduped, export_dir, n_shards=n_shards, key_col="crawl_seq", resume=False
     )
     stats = {
+        "params": params,
         "input_rows": n_input,
         "dropped_filter": n_input - n_filtered,
         "dropped_neardup": n_filtered - manifest["rows"],
