@@ -351,3 +351,53 @@ def test_export_shards_param_mismatch_raises(tmp_path, ray_session):
     # resume=False rebuilds under the new parameters
     man = export_shards(ray.data.from_arrow(t), out, n_shards=8, resume=False)
     assert man["n_shards"] == 8 and man["rows"] == 20
+
+
+def test_image_resizer_stage(ray_session):
+    """decode → resize chain: aspect-preserving geometry, deterministic
+    fake payload sized by output pixels, no_upscale variant, codec guard."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from web_scraping_script_ray.stages.multimodal import ImageResizer
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["d1", "d2", "d3"], pa.string()),
+            pa.array(["a.jpg", "b.jpg", "c.jpg"], pa.string()),
+            pa.array(["h1", "h2", "h3"], pa.string()),
+            pa.array([448, 100, 10], pa.int32()),
+            pa.array([224, 400, 5], pa.int32()),
+        ],
+        names=["doc_id", "media_ref", "content_hash", "width", "height"],
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            ImageResizer,
+            fn_constructor_kwargs=dict(target_w=224, target_h=224),
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["out_width"].tolist() == [224, 56, 224]
+    assert out["out_height"].tolist() == [112, 224, 112]
+    # fits in the box, aspect preserved within rounding
+    assert (out["out_width"] <= 224).all() and (out["out_height"] <= 224).all()
+    # payload length proportional to output pixel count
+    assert [len(p) for p in out["resized"]] == [
+        max(16, (w * h) // 64)
+        for w, h in zip(out["out_width"], out["out_height"])
+    ]
+    # determinism keyed by (content_hash, dims)
+    r = ImageResizer()
+    assert r._resize_fake("h1", 224, 112) == out.iloc[0]["resized"]
+    # no_upscale caps the small image at source dims
+    nu = ImageResizer(no_upscale=True)
+    ow, oh = nu.fit_dims(np.array([10]), np.array([5]))
+    assert (ow.tolist(), oh.tolist()) == ([10], [5])
+    with pytest.raises(NotImplementedError):
+        ImageResizer(fake=False)

@@ -309,3 +309,91 @@ class ImageDecoder:
             ],
             schema=IMAGE_FEATURES_SCHEMA,
         )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("content_hash", pa.string()),
+        ("width", pa.int32()),       # source dims
+        ("height", pa.int32()),
+        ("out_width", pa.int32()),   # aspect-preserving fit
+        ("out_height", pa.int32()),
+        ("resized", pa.binary()),    # resized payload (fake codec)
+    ]
+)
+
+
+class ImageResizer:
+    """Actor-pool resize stage — the third leg of the multimodal set
+    (decode / feature-extract / RESIZE / frame-sample).
+
+    The GEOMETRY is real and vectorized: aspect-preserving fit of
+    (width, height) into a (target_w, target_h) box — uniform scale
+    ``min(tw/w, th/h)`` (upscaling allowed unless ``no_upscale``),
+    floor-rounded, clamped to ≥ 1 px.  The pixel resampling sits behind
+    the same fake-codec seam as ``ImageDecoder`` (PIL absent in this
+    container): the fake path emits a deterministic payload whose length
+    is proportional to the output pixel count, keyed by the source
+    content hash, so downstream stages see realistic size distributions.
+    Swap ``_resize_real`` for a PIL kernel and nothing else changes.
+    """
+
+    def __init__(
+        self,
+        target_w: int = 224,
+        target_h: int = 224,
+        no_upscale: bool = False,
+        fake: bool = True,
+    ):
+        self.target_w, self.target_h = int(target_w), int(target_h)
+        self.no_upscale = no_upscale
+        self.fake = fake
+        if not fake and not _HAVE_PIL:
+            raise NotImplementedError(
+                "real image resize needs PIL, which is not in this container; "
+                "construct ImageResizer(fake=True) for the deterministic stub"
+            )
+
+    def fit_dims(self, w: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized aspect-preserving fit; returns (out_w, out_h) int32."""
+        w = np.maximum(w.astype(np.float64), 1.0)
+        h = np.maximum(h.astype(np.float64), 1.0)
+        scale = np.minimum(self.target_w / w, self.target_h / h)
+        if self.no_upscale:
+            scale = np.minimum(scale, 1.0)
+        ow = np.maximum(np.floor(w * scale), 1.0).astype(np.int32)
+        oh = np.maximum(np.floor(h * scale), 1.0).astype(np.int32)
+        return ow, oh
+
+    def _resize_real(self, payload: bytes, ow: int, oh: int) -> bytes:
+        raise NotImplementedError("real codec path — swap in PIL resize here")
+
+    def _resize_fake(self, content_hash: str, ow: int, oh: int) -> bytes:
+        n = max(16, (int(ow) * int(oh)) // 64)
+        seed = f"{content_hash}:{ow}x{oh}".encode()
+        block = hashlib.blake2b(seed, digest_size=32).digest()
+        return (block * (n // 32 + 1))[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        ow, oh = self.fit_dims(w, h)
+        hashes = batch.column("content_hash").to_pylist()
+        payloads = [
+            self._resize_fake(ch, a, b) for ch, a, b in zip(hashes, ow, oh)
+        ]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("media_ref"),
+                batch.column("content_hash"),
+                batch.column("width"),
+                batch.column("height"),
+                pa.array(ow, pa.int32()),
+                pa.array(oh, pa.int32()),
+                pa.array(payloads, pa.binary()),
+            ],
+            schema=RESIZED_SCHEMA,
+        )
