@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ann_ivf_full",
     "quantiles",
     "inverted_index",
+    "heavy_hitters",
 ]
 
 

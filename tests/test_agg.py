@@ -107,3 +107,37 @@ def test_coarse_merge_equals_direct():
 
     a, b = srt(direct), srt(coarse)
     assert a.equals(b[a.columns.tolist()])
+
+
+def test_mg_sketch_exact_and_bounded():
+    """Misra-Gries: exact when capacity >= distinct keys; in the
+    approximate regime every estimate is an undercount with total error
+    <= n/(capacity+1), and true heavy hitters survive."""
+    from web_scraping_script_ray.functions.sketch import mg_compress, mg_topk
+
+    rng = np.random.default_rng(11)
+    # skewed stream: key 0 is 30% of rows, long tail of 1000 cold keys
+    hot = np.zeros(3_000, np.int64)
+    tail = rng.integers(1, 1000, 7_000)
+    vals = np.concatenate([hot, tail])
+    rng.shuffle(vals)
+    tbl = pa.table({"k": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+
+    true_counts = {int(k): int(c) for k, c in zip(*np.unique(vals, return_counts=True))}
+
+    exact = mg_topk(ds, "k", capacity=4096, k=5).to_pandas()
+    top_true = sorted(true_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(exact["k"], exact["est_count"])) == top_true
+
+    approx = mg_topk(ds, "k", capacity=32, k=5).to_pandas()
+    n = len(vals)
+    for k, est in zip(approx["k"], approx["est_count"]):
+        true = true_counts[int(k)]
+        assert est <= true
+        assert true - est <= 8 * (n // 33 + 1)  # per-block + merge decrements
+    assert approx.iloc[0]["k"] == 0  # the 30% hitter survives compression
+
+    # kernel: compress keeps <= capacity and only undercounts
+    ks, cs = mg_compress(np.arange(100), np.arange(1, 101), 10)
+    assert len(ks) <= 10 and (cs >= 1).all()

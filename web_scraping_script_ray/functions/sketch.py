@@ -102,3 +102,78 @@ def kmv_distinct(
     return partials.groupby(key_col).map_groups(
         lambda g: _kmv_final(g, key_col, k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (SpaceSaving family) — mergeable frequency
+# summaries.  Each block compresses its exact counts to ``capacity``
+# survivors (subtract the (capacity+1)-th largest count, keep positive:
+# the batch form of the MG decrement); summaries concatenate, re-sum and
+# re-compress associatively, so the merge tree can have any shape.  Every
+# estimate is an UNDERCOUNT with total error ≤ n_rows/(capacity+1); with
+# capacity ≥ distinct keys no decrement ever fires and the result is
+# EXACT — the SQL-oracled instantiation (the ann_ivf_full pattern:
+# oracle the machinery in its exact regime, pytest the bound in the
+# approximate one).
+# ---------------------------------------------------------------------------
+
+def mg_compress(
+    keys: np.ndarray, counts: np.ndarray, capacity: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch Misra-Gries decrement to ≤ ``capacity`` surviving keys."""
+    if len(keys) <= capacity:
+        return keys, counts
+    thresh = np.partition(counts, -(capacity + 1))[-(capacity + 1)]
+    kept = counts - thresh
+    keep = kept > 0
+    return keys[keep], kept[keep]
+
+
+def mg_topk(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    capacity: int = 256,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Top-``k`` keys by frequency via per-block MG summaries.
+
+    One streaming pass: block → exact Arrow counts → MG compress →
+    tiny summary rows; a single merge task re-sums and re-compresses
+    (summaries are ≤ capacity rows each — O(blocks·capacity) total, the
+    whole point of the sketch).  Deterministic output order
+    (count DESC, key ASC)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by([key_col]).aggregate([([], "count_all")])
+        keys = out.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = out.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, cnts = mg_compress(keys, cnts, capacity)
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.int64()), pa.array(cnts, pa.int64())],
+            names=[key_col, "__c"],
+        )
+
+    @ray.remote
+    def merge(refs: list) -> pa.Table:
+        tables = [t for t in ray.get(list(refs)) if t.num_rows]
+        if not tables:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=[key_col, "est_count"],
+            )
+        t = pa.concat_tables(tables)
+        s = t.group_by([key_col]).aggregate([("__c", "sum")])
+        keys = s.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = s.column("__c_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, cnts = mg_compress(keys, cnts, capacity)
+        order = np.lexsort((keys, -cnts))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(keys[order], pa.int64()), pa.array(cnts[order], pa.int64())],
+            names=[key_col, "est_count"],
+        )
+
+    import ray.data
+
+    refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    return ray.data.from_arrow_refs([merge.remote(refs)])

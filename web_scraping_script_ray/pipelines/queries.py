@@ -2048,6 +2048,25 @@ def q_crawl_parsed(sf_dir: str):
 # Distinct counting: exact (shuffled pair-dedup) and KMV sketch.
 # ---------------------------------------------------------------------------
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-10 users by event count via the Misra-Gries sketch run in its
+    EXACT regime (capacity 4096 ≥ distinct users ⇒ no decrement fires),
+    so the whole summary/merge machinery is SQL-oracle-checked; the
+    approximate regime's undercount bound is pytest-asserted
+    (tests/test_agg.py)."""
+    from ..functions.sketch import mg_topk
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return mg_topk(ds, "user_id", capacity=4096, k=10)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS est_count
+FROM events GROUP BY user_id
+QUALIFY row_number() OVER (ORDER BY count(*) DESC, user_id) <= 10
+"""
+
+
 _QUANTS = (0.5, 0.9, 0.99)
 
 
@@ -2579,6 +2598,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
+    "heavy_hitters": q_heavy_hitters,
     "quantiles": q_quantiles,
     "distinct_users": q_distinct_users,
     "kmv_distinct": q_kmv_distinct,
@@ -2634,6 +2654,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf_full": SQL_ANN_IVF_FULL,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "quantiles": SQL_QUANTILES,
     "distinct_users": SQL_DISTINCT_USERS,
     "kmv_distinct": SQL_KMV_DISTINCT,
