@@ -51,7 +51,7 @@ def main() -> None:
         from web_scraping_script_ray.pipelines.spec import PipelineSpec, run_pipeline
         from web_scraping_script_ray.synthweb import WebParams, fixture_dir
 
-        if args.synth_docs:
+        if args.synth_docs is not None:
             hosts = args.synth_hosts or max(1, args.synth_docs // 100)
             web = fixture_dir(
                 WebParams(n_docs=args.synth_docs, n_hosts=hosts, seed=args.synth_seed)

@@ -60,9 +60,16 @@ def grouped_sum_count(
         from .hashing import token_hashes
 
         def add_part(b: pa.Table) -> pa.Table:
-            # hash the LAST key: the engine's key lists put the high-
-            # cardinality column last (type first, hour/user last)
-            s = pc.cast(b.column(keys[-1]), pa.string()).combine_chunks()
+            # hash ALL key columns (joined with an unlikely separator) so
+            # partition spread never depends on key-list ordering
+            cols = [pc.cast(b.column(kcol), pa.string()) for kcol in keys]
+            s = (
+                cols[0]
+                if len(cols) == 1
+                else pc.binary_join_element_wise(*cols, "\x1f")
+            )
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
             part = (token_hashes(s) % np.uint64(coarse)).astype(np.int64)
             return b.append_column("__part", pa.array(part, pa.int64()))
 

@@ -129,49 +129,66 @@ def mg_compress(
     return keys[keep], kept[keep]
 
 
+def _mg_compress_table(t: pa.Table, key_col: str, cnt_col: str, capacity: int) -> pa.Table:
+    """Batch MG decrement over an Arrow (key, count) table — key type
+    agnostic (ints, strings, …); returns (key_col, '__c')."""
+    cnts = t.column(cnt_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(cnts) > capacity:
+        thresh = np.partition(cnts, -(capacity + 1))[-(capacity + 1)]
+        kept = cnts - thresh
+        idx = np.flatnonzero(kept > 0)
+        t = t.take(pa.array(idx, pa.int64()))
+        cnts = kept[idx]
+    return pa.Table.from_arrays(
+        [t.column(key_col), pa.array(cnts, pa.int64())], names=[key_col, "__c"]
+    )
+
+
 def mg_topk(
     ds: "ray.data.Dataset",
     key_col: str,
     capacity: int = 256,
     k: int = 10,
+    exact_guard: bool = False,
 ) -> "ray.data.Dataset":
     """Top-``k`` keys by frequency via per-block MG summaries.
 
     One streaming pass: block → exact Arrow counts → MG compress →
     tiny summary rows; a single merge task re-sums and re-compresses
     (summaries are ≤ capacity rows each — O(blocks·capacity) total, the
-    whole point of the sketch).  Deterministic output order
-    (count DESC, key ASC)."""
+    whole point of the sketch).  Key type agnostic (ints, strings).
+    Deterministic output order (count DESC, key ASC).
+
+    ``exact_guard=True`` makes the merge FAIL LOUDLY if any decrement
+    would fire (summed distinct keys > capacity) — for callers that
+    promise exactness (the SQL-oracled query) rather than silently
+    undercounting."""
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
         out = batch.group_by([key_col]).aggregate([([], "count_all")])
-        keys = out.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cnts = out.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
-        keys, cnts = mg_compress(keys, cnts, capacity)
-        return pa.Table.from_arrays(
-            [pa.array(keys, pa.int64()), pa.array(cnts, pa.int64())],
-            names=[key_col, "__c"],
-        )
+        return _mg_compress_table(out, key_col, "count_all", capacity)
 
     @ray.remote
     def merge(refs: list) -> pa.Table:
         tables = [t for t in ray.get(list(refs)) if t.num_rows]
         if not tables:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64())],
-                names=[key_col, "est_count"],
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "est_count": pa.array([], pa.int64())})
+        s = pa.concat_tables(tables).group_by([key_col]).aggregate([("__c", "sum")])
+        if exact_guard and s.num_rows > capacity:
+            raise RuntimeError(
+                f"mg_topk(exact_guard=True): {s.num_rows} distinct keys exceed "
+                f"capacity {capacity} — the result would undercount; raise "
+                f"capacity or drop the guard for the approximate regime"
             )
-        t = pa.concat_tables(tables)
-        s = t.group_by([key_col]).aggregate([("__c", "sum")])
-        keys = s.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cnts = s.column("__c_sum").to_numpy(zero_copy_only=False).astype(np.int64)
-        keys, cnts = mg_compress(keys, cnts, capacity)
-        order = np.lexsort((keys, -cnts))[:k]
-        return pa.Table.from_arrays(
-            [pa.array(keys[order], pa.int64()), pa.array(cnts[order], pa.int64())],
-            names=[key_col, "est_count"],
-        )
+        s = _mg_compress_table(s, key_col, "__c_sum", capacity)
+        order = pc.sort_indices(
+            s,
+            sort_keys=[("__c", "descending"), (key_col, "ascending")],
+        )[:k]
+        s = s.take(order)
+        return s.rename_columns([key_col, "est_count"])
 
     import ray.data
 

@@ -2057,7 +2057,7 @@ def q_heavy_hitters(sf_dir: str):
     from ..functions.sketch import mg_topk
 
     ds = _read(sf_dir, "events", ["user_id"])
-    return mg_topk(ds, "user_id", capacity=4096, k=10)
+    return mg_topk(ds, "user_id", capacity=4096, k=10, exact_guard=True)
 
 
 SQL_HEAVY_HITTERS = """
@@ -2068,6 +2068,9 @@ QUALIFY row_number() OVER (ORDER BY count(*) DESC, user_id) <= 10
 
 
 _QUANTS = (0.5, 0.9, 0.99)
+# column names and the SQL quantile lines derive from _QUANTS so the two
+# sides cannot drift
+_QUANT_COLS = [f"p{str(q).replace('0.', '').ljust(2, '0')}_cents" for q in _QUANTS]
 
 
 def q_quantiles(sf_dir: str):
@@ -2102,14 +2105,9 @@ def q_quantiles(sf_dir: str):
         n = int(cum[-1])
         qs = [int(vu[np.searchsorted(cum, int(q * (n - 1)) + 1)]) for q in _QUANTS]
         return pa.Table.from_arrays(
-            [
-                g.column("event_type").slice(0, 1),
-                pa.array([n], pa.int64()),
-                pa.array([qs[0]], pa.int64()),
-                pa.array([qs[1]], pa.int64()),
-                pa.array([qs[2]], pa.int64()),
-            ],
-            names=["event_type", "n_rows", "p50_cents", "p90_cents", "p99_cents"],
+            [g.column("event_type").slice(0, 1), pa.array([n], pa.int64())]
+            + [pa.array([v], pa.int64()) for v in qs],
+            names=["event_type", "n_rows"] + _QUANT_COLS,
         )
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow")
@@ -2118,7 +2116,13 @@ def q_quantiles(sf_dir: str):
     )
 
 
-SQL_QUANTILES = """
+_QUANT_SQL_LINES = ",\n".join(
+    f"       min(CASE WHEN cum >= CAST(floor({q} * (tot - 1)) AS BIGINT) + 1 "
+    f"THEN cents END) AS {c}"
+    for q, c in zip(_QUANTS, _QUANT_COLS)
+)
+
+SQL_QUANTILES = f"""
 WITH c AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
 ),
@@ -2131,9 +2135,7 @@ r AS (
 )
 SELECT event_type,
        CAST(max(tot) AS BIGINT) AS n_rows,
-       min(CASE WHEN cum >= CAST(floor(0.5  * (tot - 1)) AS BIGINT) + 1 THEN cents END) AS p50_cents,
-       min(CASE WHEN cum >= CAST(floor(0.9  * (tot - 1)) AS BIGINT) + 1 THEN cents END) AS p90_cents,
-       min(CASE WHEN cum >= CAST(floor(0.99 * (tot - 1)) AS BIGINT) + 1 THEN cents END) AS p99_cents
+{_QUANT_SQL_LINES}
 FROM r GROUP BY event_type
 """
 

@@ -77,18 +77,37 @@ def build_training_set(
             return stats
 
     ds = ray.data.read_parquet(parsed_root)
-    n_input = ds.count()
+    n_input = ds.count()  # metadata-served, no scan
 
-    def keep(batch: pa.Table) -> pa.Table:
+    def _mask(batch: pa.Table):
         mask = pc.greater_equal(batch.column("quality"), min_quality)
         if langs is not None:
             mask = pc.and_(
                 mask, pc.is_in(batch.column("lang_pred"), value_set=pa.array(langs))
             )
-        return batch.filter(mask)
+        return mask
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(_mask(batch))
+
+    # survivor count from a COLUMN-PRUNED side pass (only the two filter
+    # columns leave storage — a filtered.count() would re-scan the whole
+    # corpus; the data pipeline below still executes exactly once)
+    n_filtered = sum(
+        r["__k"]
+        for r in ray.data.read_parquet(
+            parsed_root, columns=["quality", "lang_pred"]
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {"__k": pa.array([pc.sum(_mask(b)).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()  # O(blocks) single-int rows
+    )
 
     filtered = ds.map_batches(keep, batch_format="pyarrow")
-    n_filtered = filtered.count()
     deduped = dedup_first_wins(filtered, "simhash", ["crawl_seq"])
     manifest = export_shards(
         deduped, export_dir, n_shards=n_shards, key_col="crawl_seq", resume=False

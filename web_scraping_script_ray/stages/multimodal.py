@@ -372,7 +372,7 @@ class ImageResizer:
 
     def _resize_fake(self, content_hash: str, ow: int, oh: int) -> bytes:
         n = max(16, (int(ow) * int(oh)) // 64)
-        seed = f"{content_hash}:{ow}x{oh}".encode()
+        seed = f"{content_hash}:{int(ow)}x{int(oh)}".encode()
         block = hashlib.blake2b(seed, digest_size=32).digest()
         return (block * (n // 32 + 1))[:n]
 
@@ -380,10 +380,23 @@ class ImageResizer:
         w = batch.column("width").to_numpy(zero_copy_only=False)
         h = batch.column("height").to_numpy(zero_copy_only=False)
         ow, oh = self.fit_dims(w, h)
-        hashes = batch.column("content_hash").to_pylist()
-        payloads = [
-            self._resize_fake(ch, a, b) for ch, a, b in zip(hashes, ow, oh)
-        ]
+        if self.fake:
+            hashes = batch.column("content_hash").to_pylist()
+            payloads = [
+                self._resize_fake(ch, a, b) for ch, a, b in zip(hashes, ow, oh)
+            ]
+        else:
+            # real path consumes the materialized payload column
+            if "payload" not in batch.column_names:
+                raise ValueError(
+                    "ImageResizer(fake=False) needs a 'payload' binary column "
+                    "(chain it after MediaMaterializer, not after the decoder "
+                    "projection)"
+                )
+            payloads = [
+                self._resize_real(p, a, b)
+                for p, a, b in zip(batch.column("payload").to_pylist(), ow, oh)
+            ]
         return pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
