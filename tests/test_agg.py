@@ -141,3 +141,28 @@ def test_mg_sketch_exact_and_bounded():
     # kernel: compress keeps <= capacity and only undercounts
     ks, cs = mg_compress(np.arange(100), np.arange(1, 101), 10)
     assert len(ks) <= 10 and (cs >= 1).all()
+
+
+def test_mg_sketch_string_keys():
+    """mg_topk is key-type agnostic after the Arrow-native rework."""
+    from web_scraping_script_ray.functions.sketch import mg_topk
+
+    vals = ["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 20 + ["delta"] * 20
+    tbl = pa.table({"host": pa.array(vals, pa.string())})
+    out = mg_topk(
+        ray.data.from_arrow(tbl).repartition(4), "host", capacity=64, k=3
+    ).to_pandas()
+    assert out["host"].tolist() == ["alpha", "beta", "delta"]  # tie: delta < gamma
+    assert out["est_count"].tolist() == [50, 30, 20]
+
+
+def test_mg_exact_guard_raises():
+    import pytest
+
+    from web_scraping_script_ray.functions.sketch import mg_topk
+
+    tbl = pa.table({"k": pa.array(np.arange(100), pa.int64())})
+    with pytest.raises(Exception, match="capacity"):
+        mg_topk(
+            ray.data.from_arrow(tbl), "k", capacity=8, k=3, exact_guard=True
+        ).to_pandas()

@@ -167,6 +167,13 @@ def mg_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         out = batch.group_by([key_col]).aggregate([([], "count_all")])
+        if exact_guard and out.num_rows > capacity:
+            raise RuntimeError(
+                f"mg_topk(exact_guard=True): a block holds {out.num_rows} "
+                f"distinct keys > capacity {capacity} — the decrement would "
+                f"fire and the result would undercount; raise capacity or "
+                f"drop the guard for the approximate regime"
+            )
         return _mg_compress_table(out, key_col, "count_all", capacity)
 
     @ray.remote
