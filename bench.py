@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "pagerank",
     "line_dedup",
     "stratified_sample",
-    "ann_ivf_full",
+    "ann_ivf",
     "quantiles",
     "inverted_index",
     "heavy_hitters",
@@ -174,12 +174,13 @@ def bench_crawl(num_cpus: int) -> dict:
 
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
-    from web_scraping_script_ray.pipelines.queries import QUERIES
+    from web_scraping_script_ray.pipelines.queries import EXTRA_QUERIES, QUERIES
 
+    allq = {**QUERIES, **EXTRA_QUERIES}
     out = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        res = QUERIES[name](sf_dir)
+        res = allq[name](sf_dir)
         # consume the stream (count() avoids a driver-side copy of rows)
         if hasattr(res, "count"):
             res.count()

@@ -52,8 +52,10 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--extras"]
+    extras = "--extras" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -65,6 +67,14 @@ def main():
     import __ray_entry__ as E
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if extras:
+        from web_scraping_script_ray.pipelines.queries import (
+            EXTRA_ORACLE_SQL,
+            EXTRA_QUERIES,
+        )
+
+        qs.update(EXTRA_QUERIES)
+        oracles.update(EXTRA_ORACLE_SQL)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
