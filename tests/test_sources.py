@@ -127,3 +127,82 @@ def test_sqlite_loader_with_limit(tmp_path, ray_session):
     assert len(full) == 10 and sorted(full.k) == list(range(10))
     lim = read_sqlite(db, "tt", limit=3).to_pandas()
     assert len(lim) == 3
+
+
+def test_csv_json_loaders_roundtrip(tmp_path, ray_session):
+    """S9 read side (reference src/storage.py:103-120,193-201): sink →
+    loader round-trips through the registry for csv and json."""
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.sources.registry import get_loader, get_sink
+
+    t = pa.table({"k": [3, 1, 2], "s": ["c", "a", "b"]})
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        get_sink(fmt)(ray.data.from_arrow(t), path)
+        back = get_loader(fmt)(path).to_pandas().sort_values("k").reset_index(drop=True)
+        assert back.k.tolist() == [1, 2, 3]
+        assert back.s.tolist() == ["a", "b", "c"]
+    # missing path → [] (reference returns [] for a missing file)
+    assert get_loader("csv")(str(tmp_path / "absent")).count() == 0
+    assert get_loader("json")(str(tmp_path / "absent")).count() == 0
+
+
+def test_docstore_mongo_semantics(tmp_path, ray_session):
+    """K3 document-store parity (reference src/storage.py:225-257):
+    single-dict coercion, shared per-save timestamp stamp, bulk insert,
+    equality-query load with limit, atomic parts."""
+    from web_scraping_script_ray.sources.docstore import DocStore
+
+    clock = iter([100.0, 200.0])
+    store = DocStore(str(tmp_path / "col"), clock=lambda: next(clock))
+    assert store.save([{"u": "a", "n": 1}, {"u": "b", "n": 2}])
+    assert store.save({"u": "a", "n": 3})  # single dict coerced to list
+    docs = store.load()
+    assert len(docs) == 3
+    # every item of one save() call shares one stamp (reference stamps
+    # one datetime.now() per save)
+    stamps = {d["u"]: set() for d in docs}
+    for d in docs:
+        stamps[d["u"]].add(d["timestamp"])
+    assert {d["timestamp"] for d in docs} == {100.0, 200.0}
+    # equality query + limit
+    assert sorted(d["n"] for d in store.load({"u": "a"})) == [1, 3]
+    assert len(store.load(limit=2)) == 2
+    assert store.load({"missing_col": 1}) == []
+    # bulk read side is a Dataset
+    assert store.as_dataset().count() == 3
+
+
+def test_excel_export_gated(tmp_path, ray_session):
+    """K5 excel (reference src/main.py:219-220): writes a real xlsx when
+    a writer lib is importable, else raises the actionable ImportError."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.postprocess import export
+
+    ds = ray.data.from_arrow(pa.table({"k": [1, 2], "s": ["a", "b"]}))
+    path = str(tmp_path / "out.xlsx")
+    try:
+        import openpyxl  # noqa: F401
+
+        have = True
+    except ImportError:
+        try:
+            import xlsxwriter  # noqa: F401
+
+            have = True
+        except ImportError:
+            have = False
+    if have:
+        export(ds, path, fmt="excel")
+        import pandas as pd
+
+        back = pd.read_excel(path).sort_values("k")
+        assert back.k.tolist() == [1, 2]
+    else:
+        with pytest.raises(ImportError, match="openpyxl or xlsxwriter"):
+            export(ds, path, fmt="excel")

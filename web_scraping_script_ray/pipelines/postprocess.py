@@ -151,6 +151,37 @@ def export(ds: "ray.data.Dataset", path: str, fmt: str = "parquet") -> None:
         ).write_csv(path)
     elif fmt == "json":
         ds.write_json(path)
+    elif fmt == "excel":
+        # K5 excel (reference src/main.py:219-220, ``df.to_excel``): a
+        # presentation export, driver-sized by the format itself — xlsx
+        # caps a sheet at 1,048,576 rows, so the bounded to_pandas here
+        # is the format's own ceiling, not a scale bug.  The writer lib
+        # is optional in this environment; fail with the actionable
+        # message instead of a deep pandas ImportError.
+        try:
+            import openpyxl  # noqa: F401
+
+            engine = "openpyxl"
+        except ImportError:
+            try:
+                import xlsxwriter  # noqa: F401
+
+                engine = "xlsxwriter"
+            except ImportError:
+                raise ImportError(
+                    "excel export needs openpyxl or xlsxwriter installed; "
+                    "neither is available"
+                ) from None
+        df = ds.map_batches(
+            lambda b: _stringify_nested(flatten_one_level(b)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if len(df) > 1_048_576:
+            raise ValueError(
+                f"excel export: {len(df)} rows exceed the xlsx sheet limit "
+                "(1,048,576); export parquet/csv instead"
+            )
+        df.to_excel(path, index=False, engine=engine)
     else:
         raise ValueError(f"unsupported export format: {fmt}")
 

@@ -55,3 +55,21 @@ def get_sink(fmt: str):
     if fmt not in sinks:
         logger.warning("unknown sink format %r — falling back to parquet", fmt)
     return sinks.get(fmt, sinks["parquet"])
+
+
+def get_loader(fmt: str):
+    """→ ``(path) -> Dataset`` readback for each sink format (S9,
+    reference src/storage.py load methods); unknown formats fall back to
+    parquet with a warning, mirroring ``get_sink``."""
+    from .loaders import load_csv, load_json, load_parquet
+    from .sqlite_sink import read_sqlite
+
+    loaders = {
+        "parquet": load_parquet,
+        "csv": load_csv,
+        "json": load_json,
+        "sqlite": read_sqlite,
+    }
+    if fmt not in loaders:
+        logger.warning("unknown loader format %r — falling back to parquet", fmt)
+    return loaders.get(fmt, loaders["parquet"])
