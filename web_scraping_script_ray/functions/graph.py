@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .agg import grouped_sum_count
@@ -157,4 +158,291 @@ def _pagerank_small_task(refs: list, n_nodes: int, iters: int, degree: int):
     return pa.Table.from_arrays(
         [pa.array(ids, pa.int64()), pa.array(r, pa.int64())],
         names=["doc_id", "pr_rank"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-id label propagation) — the distributed keep
+# policy for the near-dup family.  The driver union-find
+# (functions/dedup.py:keep_mask_from_pairs) is O(pairs) Python on the
+# driver: fine while pairs ≪ docs, a driver OOM on a duplicate-heavy
+# 100-TB crawl (10^9+ pairs).  This is the scale plan: labels live in a
+# Dataset, every iteration is two coarse-partition exchanges that move
+# only (node, candidate-label) rows, and nothing ever lands on the
+# driver but the per-iteration changed-row count.
+# ---------------------------------------------------------------------------
+
+_CC_HASH = np.uint64(2654435761)
+
+
+def _cc_part(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    return ((ids.astype(np.uint64) * _CC_HASH) % np.uint64(n_parts)).astype(np.int64)
+
+
+def connected_components_minid(
+    pairs: "ray.data.Dataset",
+    n_parts: int = 64,
+    max_iters: int = 64,
+) -> "ray.data.Dataset":
+    """Connected components over an undirected edge Dataset with int64
+    columns ``id_a``/``id_b`` → ``(doc_id, canonical_id)`` for every
+    node incident to at least one edge, ``canonical_id`` = component min.
+
+    Per iteration every node's label becomes ``min(own, labels of
+    neighbors)`` — converges in (eccentricity from each component's min
+    node) rounds; duplicate clusters are shallow so this is small, and a
+    non-converged run at ``max_iters`` raises instead of returning wrong
+    labels.  The partition key is COARSE (``hash(node) % n_parts``, the
+    LSH band-grouping lesson: Ray's per-distinct-key groupby cost) and
+    identical across stages so edge and label rows for a node always
+    co-locate.  ``pytest tests/test_graph_quality.py`` forces this path
+    against the driver union-find for equality."""
+    import ray.data
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(src, n_parts), pa.int64()),
+                pa.array(src, pa.int64()),
+                pa.array(dst, pa.int64()),
+            ],
+            names=["part", "src", "dst"],
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        # per-block unique sources; global dedup happens in the first
+        # merge round (labels are idempotent: (n, n) duplicates are
+        # min-merged away)
+        u = pc.unique(batch.column("src")).to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(u, n_parts), pa.int64()),
+                pa.array(u, pa.int64()),
+                pa.array(u, pa.int64()),
+            ],
+            names=["part", "node", "label"],
+        )
+
+    def dedup_min(g: pa.Table) -> pa.Table:
+        t = g.select(["node", "label"]).group_by(["node"]).aggregate([("label", "min")])
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(n, n_parts), pa.int64()),
+                t.column("node"),
+                t.column("label_min"),
+            ],
+            names=["part", "node", "label"],
+        )
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_min, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # one unified row shape so edges and labels can union through a single
+    # exchange: edge rows (src, dst), label rows (node, label)
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("part"),
+                batch.column("src"),
+                batch.column("dst"),
+                pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "k1", "k2", "is_edge"],
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("part"),
+                batch.column("node"),
+                batch.column("label"),
+                pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "k1", "k2", "is_edge"],
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def propagate(g: pa.Table) -> pa.Table:
+        """Within one part: edge rows look up their src's label, emit
+        (dst, label) messages pre-minimized per dst (map-side combine)."""
+        is_edge = g.column("is_edge").to_numpy(zero_copy_only=False).astype(bool)
+        lab_t = g.filter(pa.array(~is_edge))
+        edg_t = g.filter(pa.array(is_edge))
+        if edg_t.num_rows == 0 or lab_t.num_rows == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "cand": pa.array([], pa.int64()),
+                }
+            )
+        at = pc.index_in(edg_t.column("k1"), value_set=lab_t.column("k1").combine_chunks())
+        lab = lab_t.column("k2").combine_chunks().take(at)
+        msgs = pa.Table.from_arrays(
+            [edg_t.column("k2"), lab], names=["node", "cand"]
+        )
+        m = msgs.group_by(["node"]).aggregate([("cand", "min")])
+        n = m.column("node").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(n, n_parts), pa.int64()),
+                m.column("node"),
+                m.column("cand_min"),
+            ],
+            names=["part", "node", "cand"],
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        """Within one part: new label = min(current, candidates); a
+        ``changed`` column carries the convergence signal out."""
+        cur = g.filter(pc.equal(g.column("is_cur"), pa.scalar(1, pa.int8())))
+        t = (
+            g.select(["node", "val"])
+            .group_by(["node"])
+            .aggregate([("val", "min")])
+        )
+        at = pc.index_in(t.column("node"), value_set=cur.column("node").combine_chunks())
+        old = cur.column("val").combine_chunks().take(at)
+        new = t.column("val_min")
+        changed = pc.cast(pc.not_equal(new, old), pa.int64())
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(n, n_parts), pa.int64()),
+                t.column("node"),
+                new,
+                changed,
+            ],
+            names=["part", "node", "label", "changed"],
+        )
+
+    for _ in range(max_iters):
+        msgs = (
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+            .union(edges_tagged)
+            .groupby("part")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+
+        def tag_cur(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    batch.column("part"),
+                    batch.column("node"),
+                    batch.column("label"),
+                    pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+                ],
+                names=["part", "node", "val", "is_cur"],
+            )
+
+        def tag_msg(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    batch.column("part"),
+                    batch.column("node"),
+                    batch.column("cand"),
+                    pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+                ],
+                names=["part", "node", "val", "is_cur"],
+            )
+
+        # union doubles the block count and sort-shuffle preserves it, so
+        # an unbounded loop doubles blocks EVERY round (measured: jump
+        # wall 1.3 s → 23.8 s over 5 rounds from task-count explosion
+        # alone) — re-bound to n_parts before materializing
+        merged = (
+            labels.map_batches(tag_cur, batch_format="pyarrow")
+            .union(msgs.map_batches(tag_msg, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(merge, batch_format="pyarrow")
+            .repartition(n_parts)
+            .materialize()
+        )
+        n_changed = merged.sum("changed")
+        labels = merged.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            return labels.select_columns(["node", "label"]).map_batches(
+                lambda b: b.rename_columns(["doc_id", "canonical_id"]),
+                batch_format="pyarrow",
+            )
+        # pointer jumping (label shortcutting): label[x] ← label[label[x]].
+        # One-hop propagation alone needs diameter rounds (a 40-node dup
+        # chain = 40 exchanges); two jumps per round shrink label chains
+        # geometrically → O(log diameter) rounds total.  Jumps only
+        # accelerate: a label value is always a touched node in the same
+        # component with a ≤ id, so min-composition preserves the merge
+        # operator's fixed point (= component min, checked above).
+        for _ in range(2):
+            labels = _cc_jump(labels, n_parts).repartition(n_parts).materialize()
+    raise RuntimeError(
+        f"connected_components_minid did not converge in {max_iters} iterations"
+    )
+
+
+def _cc_jump(labels: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
+    """One pointer-jumping exchange: co-locate each (x, l) row with the
+    (l, m) row for its label via ``hash(l)``, set label[x] = min(l, m),
+    re-key the output by ``hash(x)`` for the next stage."""
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(lab, n_parts), pa.int64()),
+                batch.column("node"),
+                batch.column("label"),
+                pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "node", "label", "is_ref"],
+        )
+
+    def tag_ref(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("part"),  # already hash(node)
+                batch.column("node"),
+                batch.column("label"),
+                pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "node", "label", "is_ref"],
+        )
+
+    def jump_part(g: pa.Table) -> pa.Table:
+        is_ref = pc.equal(g.column("is_ref"), pa.scalar(1, pa.int8()))
+        refs = g.filter(is_ref)
+        srcs = g.filter(pc.invert(is_ref))
+        at = pc.index_in(
+            srcs.column("label"), value_set=refs.column("node").combine_chunks()
+        )
+        m = pc.coalesce(
+            refs.column("label").combine_chunks().take(at), srcs.column("label")
+        )
+        new = pc.min_element_wise(srcs.column("label"), m)
+        n = srcs.column("node").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(n, n_parts), pa.int64()),
+                srcs.column("node"),
+                new.cast(pa.int64()),
+            ],
+            names=["part", "node", "label"],
+        )
+
+    return (
+        labels.map_batches(tag_src, batch_format="pyarrow")
+        .union(labels.map_batches(tag_ref, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(jump_part, batch_format="pyarrow")
     )

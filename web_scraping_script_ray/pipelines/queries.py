@@ -1598,46 +1598,128 @@ FROM pairs WHERE inter * 1.0 / uni >= 0.5
 """
 
 
-def q_neardup_canonical(sf_dir: str):
-    """Dedup KEEP policy over the near-dup graph: union-find (min-id
-    canonical per connected component) over the exact-verified MinHash
-    pairs, then a streamed assignment over all documents — pairs are
-    O(dups) ≪ O(docs), so the component map broadcasts and documents
-    never shuffle.  SQL oracle: recursive-CTE transitive closure
-    (min reachable label) over the same pair set."""
+# above this many verified near-dup pairs the keep policy switches from
+# the driver union-find to distributed min-id label propagation
+# (functions/graph.py:connected_components_minid) — the crawl's
+# size-selected-plan pattern
+_CC_DRIVER_PAIR_LIMIT = 2_000_000
+
+
+def q_neardup_canonical(sf_dir: str, force_plan: str | None = None):
+    """Dedup KEEP policy over the near-dup graph — canonical = min doc_id
+    per connected component of the exact-verified MinHash pairs, applied
+    to every document.  SQL oracle: recursive-CTE transitive closure
+    (min reachable label) over the same pair set.
+
+    Size-selected plans (``force_plan`` pins one for tests):
+
+    - ``driver`` (pairs ≤ _CC_DRIVER_PAIR_LIMIT): union-find on the
+      driver, component map broadcast once (``ray.put``) into a
+      vectorized assignment — documents never shuffle.
+    - ``distributed``: min-id label propagation over the pairs Dataset
+      (two coarse exchanges per round, only (node, label) rows move),
+      then a hash-partition assignment join of documents against the
+      label table — nothing is ever driver-resident.  The 100-TB path:
+      a duplicate-heavy crawl yields 10^9+ pairs, which is a driver OOM
+      under union-find.  Forced-path pytest equality:
+      tests/test_graph_quality.py."""
     pairs = q_minhash_pairs(sf_dir)
-    parent: dict[int, int] = {}
+    plan = force_plan or (
+        "driver" if pairs.num_rows <= _CC_DRIVER_PAIR_LIMIT else "distributed"
+    )
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+    if plan == "driver":
+        parent: dict[int, int] = {}
 
-    for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    touched = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
-    canon = {x: find(x) for x in touched}
-    keys = pa.array(sorted(canon), pa.int64())
-    vals = pa.array([canon[k] for k in sorted(canon)], pa.int64())
-    cref = ray.put((keys, vals))
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
 
-    def assign(batch: pa.Table) -> pa.Table:
-        k, v = ray.get(cref)
-        ids = batch.column("doc_id")
-        at = pc.index_in(ids, value_set=k)
-        canonical = pc.coalesce(v.take(at), ids).cast(pa.int64())
+        for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = set(pairs.column("id_a").to_pylist()) | set(
+            pairs.column("id_b").to_pylist()
+        )
+        canon = {x: find(x) for x in touched}
+        keys = pa.array(sorted(canon), pa.int64())
+        vals = pa.array([canon[k] for k in sorted(canon)], pa.int64())
+        cref = ray.put((keys, vals))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            k, v = ray.get(cref)
+            ids = batch.column("doc_id")
+            at = pc.index_in(ids, value_set=k)
+            canonical = pc.coalesce(v.take(at), ids).cast(pa.int64())
+            keep = pc.equal(canonical, ids)
+            return pa.Table.from_arrays(
+                [ids, canonical, keep], names=["doc_id", "canonical_id", "keep"]
+            )
+
+        return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            assign, batch_format="pyarrow"
+        )
+
+    # ---- distributed plan -------------------------------------------------
+    from ..functions.graph import _cc_part, connected_components_minid
+
+    n_parts = 64
+    labels = connected_components_minid(
+        ray.data.from_arrow(pairs), n_parts=n_parts
+    )
+
+    # assignment join: documents and the label table co-partitioned by
+    # hash(doc_id) — the label table never touches the driver
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(ids, n_parts), pa.int64()),
+                batch.column("doc_id"),
+                pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "doc_id", "label", "is_doc"],
+        )
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(_cc_part(ids, n_parts), pa.int64()),
+                batch.column("doc_id"),
+                batch.column("canonical_id"),
+                pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "doc_id", "label", "is_doc"],
+        )
+
+    def assign_part(g: pa.Table) -> pa.Table:
+        is_doc = pc.equal(g.column("is_doc"), pa.scalar(1, pa.int8()))
+        docs = g.filter(is_doc)
+        labs = g.filter(pc.invert(is_doc))
+        ids = docs.column("doc_id")
+        at = pc.index_in(ids, value_set=labs.column("doc_id").combine_chunks())
+        canonical = pc.coalesce(
+            labs.column("label").combine_chunks().take(at), ids
+        ).cast(pa.int64())
         keep = pc.equal(canonical, ids)
         return pa.Table.from_arrays(
             [ids, canonical, keep], names=["doc_id", "canonical_id", "keep"]
         )
 
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        assign, batch_format="pyarrow"
+    docs_tagged = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        tag_doc, batch_format="pyarrow"
+    )
+    return (
+        docs_tagged.union(labels.map_batches(tag_label, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(assign_part, batch_format="pyarrow")
     )
 
 
