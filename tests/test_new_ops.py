@@ -118,3 +118,72 @@ def test_group_stats_matches_numpy():
         assert out.loc[flag, "median_cents"] == float(np.median(grp["cents"]))
         assert out.loc[flag, "min_cents"] == grp["cents"].min()
         assert out.loc[flag, "max_cents"] == grp["cents"].max()
+
+
+# ---------------------------------------------------------------------------
+# Forced-path equality for the size-selected plans (VERDICT r2 item 3):
+# each broadcast plan's shuffle fallback must produce the identical
+# result at sf0.001, where the size gate would normally pick broadcast.
+# ---------------------------------------------------------------------------
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_customers_no_orders_plans_agree(ray_session):
+    from web_scraping_script_ray.pipelines.queries import q_customers_no_orders
+
+    a = (
+        q_customers_no_orders(_SF, force_plan="broadcast")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_customers_no_orders(_SF, force_plan="shuffle")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.c_custkey.tolist() == b.c_custkey.tolist()
+    assert a.c_name.tolist() == b.c_name.tolist()
+
+
+def test_tfidf_plans_agree(ray_session):
+    from web_scraping_script_ray.pipelines.queries import q_tfidf_top
+
+    a = (
+        q_tfidf_top(_SF, force_plan="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_tfidf_top(_SF, force_plan="join")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    for col in ("doc_id", "term", "tf", "df"):
+        assert a[col].tolist() == b[col].tolist(), col
+
+
+def test_line_dedup_plans_agree(ray_session):
+    from web_scraping_script_ray.pipelines.queries import q_line_dedup
+
+    a = (
+        q_line_dedup(_SF, force_plan="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_line_dedup(_SF, force_plan="shuffle")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    for col in ("doc_id", "n_chunks", "n_dup_chunks", "n_kept_tokens", "clean_fp"):
+        assert a[col].tolist() == b[col].tolist(), col

@@ -1052,7 +1052,12 @@ def _gather_string_column(refs: list, col: str) -> pa.Array:
     return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
 
 
-def q_line_dedup(sf_dir: str):
+# above this many corpus-wide duplicated chunks the dup set stops
+# broadcasting and pass 2 becomes a chunk-hash-partition join
+_LINE_DEDUP_BROADCAST_LIMIT = 10_000_000
+
+
+def q_line_dedup(sf_dir: str, force_plan: str | None = None):
     """C4/RefinedWeb-style duplicate-"line" removal over ``documents``.
 
     The corpus has no newline structure, so the "line" unit is a fixed
@@ -1075,9 +1080,14 @@ def q_line_dedup(sf_dir: str):
        ``binary_join``; ``clean_fp`` = md5 of the cleaned text proves
        order-preserving reconstruction against the SQL oracle.
 
-    At 100 TB the dup set outgrows a broadcast and pass 2 becomes a
-    hash-partition join of exploded chunks on chunk hash; the two-pass
-    shape (and this kernel) is unchanged.
+    Pass 2 is size-selected (``force_plan`` pins one; forced-path pytest
+    equality: tests/test_new_ops.py): at ≤ _LINE_DEDUP_BROADCAST_LIMIT
+    duplicated chunks the dup set broadcasts once through the object
+    store and every block probes membership locally (measured near its
+    ~150 MB useful ceiling at 6M dup chunks); above it, exploded
+    (doc, j, chunk) rows co-partition with the dup set by chunk hash
+    (exchange #1 marks), then re-partition by doc hash (exchange #2
+    reconstructs in j order) — the 100-TB path, nothing driver-resident.
     """
     import hashlib
 
@@ -1118,7 +1128,14 @@ def q_line_dedup(sf_dir: str):
         ds.map_batches(chunk_partials, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dup_in_part, batch_format="pyarrow")
+        .materialize()
     )
+    plan = force_plan or (
+        "broadcast" if dup_ds.count() <= _LINE_DEDUP_BROADCAST_LIMIT else "shuffle"
+    )
+    if plan == "shuffle":
+        return _line_dedup_shuffle(ds, dup_ds, token_hashes, token_chunks)
+
     dup_ref = _gather_string_column.remote(dup_ds.to_arrow_refs(), "chunk")
 
     def mark(batch: pa.Table) -> pa.Table:
@@ -1150,6 +1167,157 @@ def q_line_dedup(sf_dir: str):
         )
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def _line_dedup_shuffle(ds, dup_ds, token_hashes, token_chunks):
+    """line_dedup pass 2 as two coarse-partition exchanges (the 100-TB
+    plan): exploded chunk rows join the dup set on ``hash(chunk) % 64``,
+    then regroup on ``hash(doc_id) % 64`` to reconstruct each document's
+    kept text in j order.  Zero-chunk documents ride along as sentinel
+    rows (j = -1) so the output covers every document like the
+    broadcast plan's per-block map does."""
+    import hashlib
+
+    n_parts = 64
+    hash_mul = np.uint64(2654435761)
+
+    def _dpart(docs: np.ndarray) -> pa.Array:
+        return pa.array(
+            ((docs.astype(np.uint64) * hash_mul) % np.uint64(n_parts)).astype(np.int64),
+            pa.int64(),
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        chunks, doc_of, ctoks, nchunks = token_chunks(batch.column("text"), _LINE_W)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = len(doc_of)
+        ends = np.cumsum(nchunks)
+        j = (
+            np.arange(total, dtype=np.int64) - np.repeat(ends - nchunks, nchunks)
+            if total
+            else np.zeros(0, np.int64)
+        )
+        part = (
+            (token_hashes(chunks) % np.uint64(n_parts)).astype(np.int64)
+            if total
+            else np.zeros(0, np.int64)
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(part, pa.int64()),
+                pa.array(ids[doc_of], pa.int64()),
+                pa.array(j, pa.int64()),
+                chunks,
+                pa.array(ctoks.astype(np.int64), pa.int64()),
+                pa.array(np.ones(total, np.int8), pa.int8()),
+            ],
+            names=["part", "doc_id", "j", "chunk", "ctoks", "is_chunk"],
+        )
+
+    def sentinels(batch: pa.Table) -> pa.Table:
+        _, _, _, nchunks = token_chunks(batch.column("text"), _LINE_W)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = ids[nchunks == 0]
+        k = len(empty)
+        return pa.Table.from_arrays(
+            [
+                _dpart(empty),
+                pa.array(empty, pa.int64()),
+                pa.array(np.full(k, -1, np.int64), pa.int64()),
+                pa.array([""] * k, pa.string()),
+                pa.array(np.zeros(k, np.int64), pa.int64()),
+                pa.array(np.zeros(k, bool)),
+            ],
+            names=["dpart", "doc_id", "j", "chunk", "ctoks", "dup"],
+        )
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        chunks = batch.column("chunk").combine_chunks()
+        part = (token_hashes(chunks) % np.uint64(n_parts)).astype(np.int64)
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.array(part, pa.int64()),
+                pa.array(np.zeros(n, np.int64), pa.int64()),
+                pa.array(np.zeros(n, np.int64), pa.int64()),
+                chunks,
+                pa.array(np.zeros(n, np.int64), pa.int64()),
+                pa.array(np.zeros(n, np.int8), pa.int8()),
+            ],
+            names=["part", "doc_id", "j", "chunk", "ctoks", "is_chunk"],
+        )
+
+    def mark_in_part(g: pa.Table) -> pa.Table:
+        is_chunk = pc.equal(g.column("is_chunk"), pa.scalar(1, pa.int8()))
+        ch = g.filter(is_chunk)
+        dupset = g.filter(pc.invert(is_chunk)).column("chunk").combine_chunks()
+        isdup = pc.is_in(ch.column("chunk"), value_set=dupset)
+        docs = ch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                _dpart(docs),
+                ch.column("doc_id"),
+                ch.column("j"),
+                ch.column("chunk"),
+                ch.column("ctoks"),
+                isdup,
+            ],
+            names=["dpart", "doc_id", "j", "chunk", "ctoks", "dup"],
+        )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        j = g.column("j").to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = g.column("dup").to_numpy(zero_copy_only=False).astype(bool)
+        ct = g.column("ctoks").to_numpy(zero_copy_only=False).astype(np.int64)
+        chunks = g.column("chunk").combine_chunks()
+        order = np.lexsort((j, doc))
+        doc_o, j_o, dup_o, ct_o = doc[order], j[order], dup[order], ct[order]
+        chunks_o = chunks.take(pa.array(order, pa.int64()))
+        real = j_o >= 0
+        docs_u = np.unique(doc_o)
+        n = len(docs_u)
+        slot = np.searchsorted(docs_u, doc_o[real])
+        n_chunks = np.bincount(slot, minlength=n).astype(np.int64)
+        n_dup = np.bincount(
+            slot, weights=dup_o[real].astype(np.float64), minlength=n
+        ).astype(np.int64)
+        kept_mask = real.copy()
+        kept_mask[real] = ~dup_o[real]
+        kept_slot = np.searchsorted(docs_u, doc_o[kept_mask])
+        kept_tok = np.bincount(
+            kept_slot, weights=ct_o[kept_mask].astype(np.float64), minlength=n
+        ).astype(np.int64)
+        kept_chunks = chunks_o.filter(pa.array(kept_mask))
+        ko = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(kept_slot, minlength=n), out=ko[1:])
+        lists = pa.ListArray.from_arrays(pa.array(ko, pa.int32()), kept_chunks)
+        joined = pc.binary_join(lists, " ")
+        md5 = hashlib.md5
+        fp = [md5(s.encode("utf-8")).hexdigest() for s in joined.to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                pa.array(docs_u, pa.int64()),
+                pa.array(n_chunks, pa.int64()),
+                pa.array(n_dup, pa.int64()),
+                pa.array(kept_tok, pa.int64()),
+                pa.array(fp, pa.string()),
+            ],
+            names=["doc_id", "n_chunks", "n_dup_chunks", "n_kept_tokens", "clean_fp"],
+        )
+
+    marked = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .union(dup_ds.map_batches(tag_dup, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(mark_in_part, batch_format="pyarrow")
+    )
+    return (
+        marked.union(ds.map_batches(sentinels, batch_format="pyarrow"))
+        .groupby("dpart")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
 
 
 SQL_LINE_DEDUP = rf"""
@@ -2439,15 +2607,27 @@ FROM c GROUP BY l_returnflag
 # Anti-join: keys present in one table and absent from another.
 # ---------------------------------------------------------------------------
 
-def q_customers_no_orders(sf_dir: str):
-    """Customers with no URGENT-priority order — broadcast anti-join: the
-    orders side is pruned at the read (priority filter pushed into the
-    scan), collapses to per-block DISTINCT custkeys (map-side), the
-    driver only ever touches those partials (O(distinct × blocks)), and
-    the deduped key set broadcasts once (ray.put) into a vectorized
-    ``is_in`` filter.  Above broadcast size the same semantics fall back
-    to a hash-partition anti-join (both sides keyed on custkey — the
-    orders_customer_join shuffle plan with an absence filter)."""
+# above this many EXCLUDE-side key partials the anti-join switches from
+# driver-deduped broadcast to the hash-partition plan
+_ANTI_BROADCAST_LIMIT = 2_000_000
+
+
+def q_customers_no_orders(sf_dir: str, force_plan: str | None = None):
+    """Customers with no URGENT-priority order — size-selected anti-join
+    (``force_plan`` pins one for tests; forced-path pytest equality:
+    tests/test_new_ops.py):
+
+    - ``broadcast`` (exclude-key partials ≤ _ANTI_BROADCAST_LIMIT): the
+      orders side is pruned at the read (priority filter pushed into the
+      scan), collapses to per-block DISTINCT custkeys (map-side), the
+      driver only ever touches those partials, and the deduped key set
+      broadcasts once (ray.put) into a vectorized ``is_in`` filter —
+      customers never shuffle.
+    - ``shuffle``: both sides tagged and co-partitioned by
+      ``hash(custkey) % 64`` in ONE coarse exchange; each group filters
+      its customer rows against its local exclude-key set.  The 100-TB
+      path when the exclude-key set outgrows a broadcast — nothing is
+      ever driver-resident."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
     def uniq(batch: pa.Table) -> pa.Table:
@@ -2456,17 +2636,73 @@ def q_customers_no_orders(sf_dir: str):
         ).select(["o_custkey"])
         return batch.group_by(["o_custkey"]).aggregate([])
 
-    parts = orders.map_batches(uniq, batch_format="pyarrow").take_all()
-    keys = np.unique(np.array([r["o_custkey"] for r in parts], dtype=np.int64))
-    keys_ref = ray.put(pa.array(keys, pa.int64()))
+    key_partials = orders.map_batches(uniq, batch_format="pyarrow").materialize()
+    plan = force_plan or (
+        "broadcast" if key_partials.count() <= _ANTI_BROADCAST_LIMIT else "shuffle"
+    )
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
 
-    def anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        has = pc.is_in(batch.column("c_custkey"), value_set=ks)
-        return batch.filter(pc.invert(has))
+    if plan == "broadcast":
+        parts = key_partials.take_all()
+        keys = np.unique(np.array([r["o_custkey"] for r in parts], dtype=np.int64))
+        keys_ref = ray.put(pa.array(keys, pa.int64()))
 
-    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        anti, batch_format="pyarrow"
+        def anti(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+            has = pc.is_in(batch.column("c_custkey"), value_set=ks)
+            return batch.filter(pc.invert(has))
+
+        return customers.map_batches(anti, batch_format="pyarrow")
+
+    # ---- hash-partition plan ----------------------------------------------
+    n_parts = 64
+    hash_mul = np.uint64(2654435761)
+
+    def _part_of(keys: np.ndarray) -> pa.Array:
+        return pa.array(
+            ((keys.astype(np.uint64) * hash_mul) % np.uint64(n_parts)).astype(np.int64),
+            pa.int64(),
+        )
+
+    def tag_exclude(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                _part_of(k),
+                batch.column("o_custkey"),
+                pa.array([""] * batch.num_rows, pa.string()),
+                pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "c_custkey", "c_name", "is_probe"],
+        )
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                _part_of(k),
+                batch.column("c_custkey"),
+                batch.column("c_name"),
+                pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "c_custkey", "c_name", "is_probe"],
+        )
+
+    def anti_in_part(g: pa.Table) -> pa.Table:
+        is_probe = pc.equal(g.column("is_probe"), pa.scalar(1, pa.int8()))
+        probe = g.filter(is_probe)
+        excl = g.filter(pc.invert(is_probe))
+        has = pc.is_in(
+            probe.column("c_custkey"),
+            value_set=excl.column("c_custkey").combine_chunks(),
+        )
+        return probe.filter(pc.invert(has)).select(["c_custkey", "c_name"])
+
+    return (
+        customers.map_batches(tag_probe, batch_format="pyarrow")
+        .union(key_partials.map_batches(tag_exclude, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(anti_in_part, batch_format="pyarrow")
     )
 
 
@@ -2481,15 +2717,28 @@ WHERE c_custkey NOT IN
 # TF-IDF: corpus-wide statistics joined back into a per-doc scoring pass.
 # ---------------------------------------------------------------------------
 
-def q_tfidf_top(sf_dir: str):
+# above this many distinct tokens the DF table stops broadcasting and
+# joins by token hash partition instead (web-scale vocab is 10^8-10^9)
+_TFIDF_BROADCAST_VOCAB_LIMIT = 5_000_000
+
+
+def q_tfidf_top(sf_dir: str, force_plan: str | None = None):
     """Each document's top TF-IDF term (score = tf/df, ties →
-    lexicographic term).  Two streaming passes: (1) document frequency
-    per token WITHOUT shuffling documents — per-block per-doc-UNIQUE
-    token partials (Arrow hash group_by) → one small token groupby;
-    (2) the DF table broadcasts back (``ray.put``) into a per-block
-    (doc, token) count + argmax pass.  At 100 TB the DF table outgrows a
-    broadcast and becomes a hash-partition join on token — the two-pass
-    shape is unchanged."""
+    lexicographic term).  Pass 1 computes document frequency per token
+    WITHOUT shuffling documents — per-block per-doc-UNIQUE token
+    partials (Arrow hash group_by) → one small token groupby.  Pass 2 is
+    size-selected (``force_plan`` pins one; forced-path pytest equality:
+    tests/test_new_ops.py):
+
+    - ``broadcast`` (vocab ≤ _TFIDF_BROADCAST_VOCAB_LIMIT): the DF table
+      broadcasts back (``ray.put``) into a per-block (doc, token) count
+      + argmax pass; documents never shuffle.
+    - ``join``: exploded (doc, term, tf) rows co-partition with the DF
+      table by ``hash(term) % 64`` (exchange #1 attaches df), then
+      re-partition by ``hash(doc_id) % 64`` for the per-doc argmax
+      (exchange #2).  The 100-TB path when the vocabulary outgrows the
+      driver and the object-store broadcast; the DF table never leaves
+      the Dataset."""
     from ..functions.hashing import flat_tokens
 
     def _tok(batch: pa.Table):
@@ -2520,57 +2769,187 @@ def q_tfidf_top(sf_dir: str):
         .map_batches(df_partials, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("__p_df"))
+        .materialize()  # the corpus statistic, object-store resident
     )
-    rows = df_ds.take_all()  # O(vocab) — the corpus statistic, not the corpus
-    df_tokens = pa.array([r["token"] for r in rows], pa.string())
-    df_counts = np.array([r["sum(__p_df)"] for r in rows], dtype=np.int64)
-    df_ref = ray.put((df_tokens, df_counts))
+    plan = force_plan or (
+        "broadcast" if df_ds.count() <= _TFIDF_BROADCAST_VOCAB_LIMIT else "join"
+    )
 
-    def top_term(batch: pa.Table) -> pa.Table:
-        toks_, dfs_ = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
-        vocab, idx, parents = _tok(batch)
-        d = len(vocab)
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "term": pa.array([], pa.string()),
-                "tf": pa.array([], pa.int64()),
-                "df": pa.array([], pa.int64()),
-            }
-        )
-        if d == 0 or len(parents) == 0:
-            return empty
-        key, tf = np.unique(parents * d + idx, return_counts=True)
-        pair_doc, pair_tok = key // d, key % d
-        terms = vocab.take(pa.array(pair_tok, pa.int64()))
-        pos = pc.index_in(terms, value_set=toks_).to_numpy(zero_copy_only=False)
-        dfv = dfs_[pos.astype(np.int64)]
+    def _argmax_rows(pair_doc, tf, dfv, terms_np):
+        """Per-doc argmax by (tf/df desc, term asc) — shared by both
+        plans so tie-breaks are bit-identical."""
         score = tf.astype(np.float64) / dfv.astype(np.float64)
-        terms_np = np.asarray(terms.to_pylist(), dtype=object)
         order = np.lexsort((terms_np, -score, pair_doc))
         pd_, tf_, df_, tm_ = (
             pair_doc[order], tf[order], dfv[order], terms_np[order]
         )
         first = np.ones(len(pd_), dtype=bool)
         first[1:] = pd_[1:] != pd_[:-1]
+        return pd_[first], tm_[first], tf_[first], df_[first]
+
+    _EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    if plan == "broadcast":
+        rows = df_ds.take_all()  # O(vocab) — small by the gate above
+        df_tokens = pa.array([r["token"] for r in rows], pa.string())
+        df_counts = np.array([r["sum(__p_df)"] for r in rows], dtype=np.int64)
+        df_ref = ray.put((df_tokens, df_counts))
+
+        def top_term(batch: pa.Table) -> pa.Table:
+            toks_, dfs_ = (
+                ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+            )
+            vocab, idx, parents = _tok(batch)
+            d = len(vocab)
+            if d == 0 or len(parents) == 0:
+                return _EMPTY
+            key, tf = np.unique(parents * d + idx, return_counts=True)
+            pair_doc, pair_tok = key // d, key % d
+            terms = vocab.take(pa.array(pair_tok, pa.int64()))
+            pos = pc.index_in(terms, value_set=toks_).to_numpy(zero_copy_only=False)
+            dfv = dfs_[pos.astype(np.int64)]
+            terms_np = np.asarray(terms.to_pylist(), dtype=object)
+            pd_, tm_, tf_, df_ = _argmax_rows(pair_doc, tf, dfv, terms_np)
+            doc_ids = (
+                batch.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)[pd_]
+            )
+            return pa.Table.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    pa.array(tm_.tolist(), pa.string()),
+                    pa.array(tf_.astype(np.int64), pa.int64()),
+                    pa.array(df_, pa.int64()),
+                ],
+                names=["doc_id", "term", "tf", "df"],
+            )
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            top_term, batch_format="pyarrow"
+        )
+
+    # ---- token-keyed join plan ----------------------------------------------
+    from ..functions.hashing import token_hashes
+
+    n_parts = 64
+    hash_mul = np.uint64(2654435761)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        """Exploded (doc_id, term, tf) rows keyed by token hash — these
+        are the rows that shuffle, never the document text."""
+        vocab, idx, parents = _tok(batch)
+        d = len(vocab)
+        if d == 0 or len(parents) == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "is_tf": pa.array([], pa.int8()),
+                }
+            )
+        key, tf = np.unique(parents * d + idx, return_counts=True)
+        pair_doc, pair_tok = key // d, key % d
+        terms = vocab.take(pa.array(pair_tok, pa.int64()))
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        part = (token_hashes(terms) % np.uint64(n_parts)).astype(np.int64)
         doc_ids = (
-            batch.column("doc_id")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)[pd_[first]]
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)[pair_doc]
         )
         return pa.Table.from_arrays(
             [
+                pa.array(part, pa.int64()),
                 pa.array(doc_ids, pa.int64()),
-                pa.array(tm_[first].tolist(), pa.string()),
-                pa.array(tf_[first].astype(np.int64), pa.int64()),
-                pa.array(df_[first], pa.int64()),
+                terms,
+                pa.array(tf.astype(np.int64), pa.int64()),
+                pa.array(np.ones(len(tf), np.int8), pa.int8()),
+            ],
+            names=["part", "doc_id", "term", "n", "is_tf"],
+        )
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        terms = batch.column("token").combine_chunks()
+        part = (token_hashes(terms) % np.uint64(n_parts)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(part, pa.int64()),
+                pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                terms,
+                batch.column("sum(__p_df)"),
+                pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            ],
+            names=["part", "doc_id", "term", "n", "is_tf"],
+        )
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        is_tf = pc.equal(g.column("is_tf"), pa.scalar(1, pa.int8()))
+        tf_t = g.filter(is_tf)
+        df_t = g.filter(pc.invert(is_tf))
+        if tf_t.num_rows == 0:
+            return pa.table(
+                {
+                    "dpart": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        at = pc.index_in(
+            tf_t.column("term"), value_set=df_t.column("term").combine_chunks()
+        )
+        dfv = df_t.column("n").combine_chunks().take(at)
+        docs = tf_t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dpart = ((docs.astype(np.uint64) * hash_mul) % np.uint64(n_parts)).astype(
+            np.int64
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(dpart, pa.int64()),
+                tf_t.column("doc_id"),
+                tf_t.column("term"),
+                tf_t.column("n"),
+                dfv.cast(pa.int64()),
+            ],
+            names=["dpart", "doc_id", "term", "tf", "df"],
+        )
+
+    def argmax_in_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY
+        pair_doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = g.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        terms_np = np.asarray(g.column("term").to_pylist(), dtype=object)
+        pd_, tm_, tf_, df_ = _argmax_rows(pair_doc, tf, dfv, terms_np)
+        return pa.Table.from_arrays(
+            [
+                pa.array(pd_, pa.int64()),
+                pa.array(tm_.tolist(), pa.string()),
+                pa.array(tf_.astype(np.int64), pa.int64()),
+                pa.array(df_, pa.int64()),
             ],
             names=["doc_id", "term", "tf", "df"],
         )
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        top_term, batch_format="pyarrow"
+    joined = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .union(df_ds.map_batches(df_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_df, batch_format="pyarrow")
     )
+    return joined.groupby("dpart").map_groups(argmax_in_part, batch_format="pyarrow")
 
 
 SQL_TFIDF_TOP = r"""
