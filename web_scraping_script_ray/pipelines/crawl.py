@@ -21,9 +21,11 @@ cyclic crawl dataflow natively, so the driver iterates rounds):
      (``_schedule_small_round``) doing numpy lexsorts + the state RPCs —
      a single driver barrier per round;
    - larger rounds: distributed range-partition shuffles
-     (``dedup_first_wins`` → ``per_key_rank`` → ``zip_with_index``) with
-     per-block partial aggregates for host counts — the shuffles move
-     only the light candidate table, never document spans;
+     (``dedup_first_wins`` → sharded schedule carry → ``zip_with_index``)
+     — the shuffles move only the light candidate table, never document
+     spans, and the per-host clock/rank state flows through one carry
+     task per politeness shard (``_shard_clock_carry``), never the
+     driver;
 6. fetch — bucketed lookup join, again two size-selected plans:
    broadcast (≤ ``fetch_broadcast_limit``: frontier blocks shared via
    the object store, one raw task per bucket — zero shuffle) or
@@ -69,9 +71,10 @@ import ray.data
 
 from ..schemas import CRAWLED_SCHEMA, FRONTIER_SCHEMA, METRICS_SCHEMA
 from ..stages.fetch import crawl_bucket_task, make_bucket_fetcher
-from ..stages.rank import dedup_first_wins, per_key_rank, zip_with_index
+from ..stages.rank import dedup_first_wins, zip_with_index
 from ..stages.spans import expand_links
 from ..state.cuckoo import ShardedSeen
+from ..state.metrics import ShardedMetrics
 from ..state.politeness import PolitenessScheduler, RobotsRules
 from ..synthweb import Budget
 from ..urlnorm import canonicalize, host_of, path_of, url_hash64
@@ -120,21 +123,14 @@ def _host_value_counts(t: pa.Table, col: str) -> pa.Table:
 
 
 @ray.remote(num_cpus=0)
-def _host_metrics_block(t: pa.Table) -> list:
-    """Per-block (host, fetched, errors, bytes) rows as plain tuples —
-    raw-task variant used on already-materialized block refs (avoids a
-    whole Dataset execution for a tiny aggregate)."""
+def _host_metrics_partial_block(t: pa.Table) -> "pa.Table | None":
+    """Per-block (host, fetched, errors, bytes) partial table — raw-task
+    variant on already-materialized block refs (no Dataset execution for
+    a tiny aggregate); consumed by ``ShardedMetrics.merge_partial_refs``
+    without ever landing on the driver."""
     if t.num_rows == 0 or "host" not in t.column_names:
-        return []
-    p = _host_metrics_partial(t)
-    return list(
-        zip(
-            p.column("host").to_pylist(),
-            p.column("fetched").to_pylist(),
-            p.column("errors").to_pylist(),
-            p.column("bytes").to_pylist(),
-        )
-    )
+        return None
+    return _host_metrics_partial(t)
 
 
 def _host_metrics_partial(t: pa.Table) -> pa.Table:
@@ -338,6 +334,127 @@ def _schedule_small_round(
 
 
 @ray.remote(num_cpus=0)
+def _host_count_slices(t: pa.Table, n_shards: int):
+    """Per-block per-host row counts of a host-sorted frontier block,
+    split by politeness shard (``host_shard``).  Called with
+    ``num_returns=n_shards`` so each shard's carry task reads ONLY its
+    slice — the driver holds a refs matrix, never host data."""
+    from ..state.politeness import host_shard
+
+    vc = _host_value_counts(t, "host")
+    hosts = vc.column("host").to_pylist()
+    sid = np.fromiter(
+        (host_shard(h, n_shards) for h in hosts), np.int64, len(hosts)
+    )
+    outs = [vc.filter(pa.array(sid == s)) for s in range(n_shards)]
+    return outs[0] if n_shards == 1 else tuple(outs)
+
+
+@ray.remote
+def _shard_clock_carry(pol_shard, rules, n_blocks: int, *slices):
+    """One politeness shard's share of the distributed schedule carry.
+
+    ``slices[b]`` is block ``b``'s (host, n) counts for THIS shard's
+    hosts.  Computes, per (block, host): the within-host rank base (the
+    host's row count in earlier blocks — the ``per_key_rank`` carry,
+    moved off the driver), the host clock (ONE batched actor RPC per
+    round per shard) and the robots delay.  Returns ``n_blocks`` tables
+    (host, base, t0, dh); block b's assignment task reads only its own.
+    Task memory is O(this shard's active hosts this round) — the r2
+    VERDICT driver-resident host dicts are gone entirely."""
+    from ..state.util import retry_actor_get
+
+    tables = list(slices)
+    all_hosts = sorted({h for t in tables for h in t.column("host").to_pylist()})
+    clock_vals = retry_actor_get(lambda: [pol_shard.get_clocks.remote(all_hosts)])[0]
+    clock_map = dict(zip(all_hosts, clock_vals))
+    delay_map = {h: rules.delay(h) for h in all_hosts}
+    running: dict = {}
+    outs = []
+    for t in tables:
+        hosts = t.column("host").to_pylist()
+        ns = t.column("n").to_pylist()
+        outs.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(hosts, pa.string()),
+                    pa.array([running.get(h, 0) for h in hosts], pa.int64()),
+                    pa.array([clock_map[h] for h in hosts], pa.float64()),
+                    pa.array([delay_map[h] for h in hosts], pa.float64()),
+                ],
+                names=["host", "base", "t0", "dh"],
+            )
+        )
+        for h, c in zip(hosts, ns):
+            running[h] = running.get(h, 0) + int(c)
+    return outs[0] if n_blocks == 1 else tuple(outs)
+
+
+@ray.remote
+def _assign_block_fetch_times(t: pa.Table, *carries) -> pa.Table:
+    """Append ``fetch_time`` to one host-sorted frontier block:
+    within-block host-run rank + carried cross-block base →
+    ``t0 + (base + rank)·dh`` (bit-identical formula to the small path
+    and the old per_key_rank plan)."""
+    if t.num_rows == 0:
+        return t.append_column("fetch_time", pa.array([], pa.float64()))
+    carry = pa.concat_tables([c for c in carries if c.num_rows])
+    hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+    n = len(hosts)
+    change = np.ones(n, dtype=bool)
+    change[1:] = hosts[1:] != hosts[:-1]
+    run_starts = np.where(change)[0]
+    run_ids = np.cumsum(change) - 1
+    local_rank = np.arange(n, dtype=np.int64) - run_starts[run_ids]
+    pos = (
+        pa.compute.index_in(
+            pa.array(hosts[run_starts].tolist(), pa.string()),
+            value_set=carry.column("host").combine_chunks(),
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    base = carry.column("base").to_numpy(zero_copy_only=False)[pos]
+    t0 = carry.column("t0").to_numpy(zero_copy_only=False)[pos]
+    dh = carry.column("dh").to_numpy(zero_copy_only=False)[pos]
+    fetch_time = t0[run_ids] + (base[run_ids] + local_rank) * dh[run_ids]
+    return t.append_column("fetch_time", pa.array(fetch_time, pa.float64()))
+
+
+@ray.remote(num_cpus=0)
+def _host_counts_block(t: pa.Table) -> pa.Table:
+    return _host_value_counts(t, "host")
+
+
+@ray.remote
+def _advance_clocks_task(pol_shards: list, rules, token, *count_tables) -> int:
+    """Post-truncation politeness advance in ONE remote task: merge the
+    per-block (host, n) partials of the SCHEDULED rows, split by shard,
+    one token-guarded (idempotent) RPC per politeness shard.  The driver
+    only ever holds the count-table refs."""
+    from ..state.politeness import host_shard
+    from ..state.util import retry_actor_get
+
+    merged: dict[str, int] = {}
+    for t in count_tables:
+        for h, c in zip(t.column("host").to_pylist(), t.column("n").to_pylist()):
+            merged[h] = merged.get(h, 0) + int(c)
+    n_pol = len(pol_shards)
+    adv: dict[int, tuple[list, list]] = {}
+    for h, c in merged.items():
+        s = host_shard(h, n_pol)
+        adv.setdefault(s, ([], []))[0].append(h)
+        adv[s][1].append(float(c) * rules.delay(h))
+    retry_actor_get(
+        lambda: [
+            pol_shards[s].advance.remote(hs, deltas, (token, s))
+            for s, (hs, deltas) in sorted(adv.items())
+        ]
+    )
+    return 0
+
+
+@ray.remote(num_cpus=0)
 def _nrows0(t: pa.Table) -> int:
     return t.num_rows
 
@@ -415,7 +532,9 @@ class CrawlEngine:
             n_workers = max(2, int(ray.cluster_resources().get("CPU", 8)))
             ray.get([_warmup_task.remote() for _ in range(n_workers)])
         self.seq = 0
-        self.metrics: dict[str, list[int]] = {}
+        # cumulative per-host metrics shard across actors (A5 at scale);
+        # the driver only ever touches one round's partials or refs
+        self.metrics = ShardedMetrics(n_politeness_shards)
 
     # ------------------------------------------------------------------ paths
     def _round_dir(self, kind: str, rnd: int) -> str:
@@ -553,37 +672,53 @@ class CrawlEngine:
             )
             tr.mark("filter+dedup+probe")
 
-            # per-block partial unique → driver set union (no shuffle)
-            host_blocks = cands.map_batches(
-                lambda t: pa.Table.from_arrays(
-                    [pa.compute.unique(t.column("host"))], names=["host"]
-                ),
-                batch_format="pyarrow",
-            ).take_all()
-            hosts = sorted({r["host"] for r in host_blocks})
-            tr.mark("unique(host)")
-            clocks = self.sched.get_clocks(hosts)
-            delays = {h: self.rules.delay(h) for h in hosts}
+            # sharded schedule carry (the r2 VERDICT scale item): ONE
+            # (host, disc) sort, then per-block per-host count slices
+            # route to one carry task per politeness shard — clock read
+            # is one batched RPC per shard, per_key_rank's cross-block
+            # rank bases are carried inside the shard task — and each
+            # block's assignment task reads only its own (host, base,
+            # t0, dh) rows.  The driver holds a refs matrix
+            # (O(blocks × shards)); no host set, clock dict or count
+            # dict ever materializes on it.
+            cands = cands.sort(["host", "disc_primary", "disc_secondary"])
+            refs = cands.to_arrow_refs()
+            n_blocks = len(refs)
+            if n_blocks == 0:
+                return None, 0
+            pol_shards = self.sched.shards
+            n_pol = len(pol_shards)
 
-            # fetch_time = clock[h] + i·d_h; i from per_key_rank (sort +
-            # narrow carry pass, no per-host map_groups)
-            ranked = per_key_rank(
-                cands, "host", ["disc_primary", "disc_secondary"], out_col="host_rank"
-            )
-            sched_ref = ray.put((clocks, delays))
+            def _aslist(r, n):
+                return [r] if n == 1 else list(r)
 
-            def assign_fetch_time(batch: pa.Table) -> pa.Table:
-                clocks_, delays_ = ray.get(sched_ref)
-                hosts_ = batch.column("host").to_pylist()
-                i = batch.column("host_rank").to_numpy(zero_copy_only=False).astype(np.float64)
-                t0 = np.fromiter((clocks_[h] for h in hosts_), np.float64, len(hosts_))
-                dh = np.fromiter((delays_[h] for h in hosts_), np.float64, len(hosts_))
-                batch = batch.append_column(
-                    "fetch_time", pa.array(t0 + i * dh, pa.float64())
+            slice_refs = [
+                _aslist(
+                    _host_count_slices.options(num_returns=n_pol).remote(r, n_pol),
+                    n_pol,
                 )
-                return batch.drop_columns(["host_rank"])
-
-            scheduled_lazy = ranked.map_batches(assign_fetch_time, batch_format="pyarrow")
+                for r in refs
+            ]
+            carry_refs = [
+                _aslist(
+                    _shard_clock_carry.options(num_returns=n_blocks).remote(
+                        pol_shards[s],
+                        self.rules_ref,
+                        n_blocks,
+                        *(slice_refs[b][s] for b in range(n_blocks)),
+                    ),
+                    n_blocks,
+                )
+                for s in range(n_pol)
+            ]
+            assigned = [
+                _assign_block_fetch_times.remote(
+                    refs[b], *(carry_refs[s][b] for s in range(n_pol))
+                )
+                for b in range(n_blocks)
+            ]
+            tr.mark("sharded-carry-launch")
+            scheduled_lazy = ray.data.from_arrow_refs(assigned)
             scheduled, n_fetched = zip_with_index(
                 scheduled_lazy,
                 ["fetch_time", "host", "disc_primary", "disc_secondary"],
@@ -602,13 +737,12 @@ class CrawlEngine:
 
             sched_refs = scheduled.to_arrow_refs()
             self.seen.add_blocks(sched_refs)
-            count_blocks = scheduled.map_batches(
-                lambda t: _host_value_counts(t, "host"), batch_format="pyarrow"
-            ).take_all()
-            per_host: dict[str, int] = {}
-            for r in count_blocks:
-                per_host[r["host"]] = per_host.get(r["host"], 0) + r["n"]
-            self.sched.advance({h: n * delays[h] for h, n in per_host.items()})
+            count_refs = [_host_counts_block.remote(r) for r in sched_refs]
+            ray.get(
+                _advance_clocks_task.remote(
+                    pol_shards, self.rules_ref, ("round", rnd), *count_refs
+                )
+            )
             tr.mark("seen+clocks")
 
         # fetch-and-everything: two physical plans (§7.2):
@@ -672,12 +806,9 @@ class CrawlEngine:
                 }
             )
             n_next = sum(m["n_next"] for m in metas)
-            for m in metas:
-                for host, f, e, b in m["metrics"]:
-                    mm = self.metrics.setdefault(host, [0, 0, 0])
-                    mm[0] += f
-                    mm[1] += e
-                    mm[2] += b
+            self.metrics.add_rows(
+                [r for m in metas for r in m["metrics"]], token=("metrics", rnd)
+            )
             if n_next == 0:
                 if fdir:
                     shutil.rmtree(fdir, ignore_errors=True)
@@ -724,7 +855,7 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         metric_refs = [
-            _host_metrics_block.remote(r) for r in crawled.to_arrow_refs()
+            _host_metrics_partial_block.remote(r) for r in crawled.to_arrow_refs()
         ]
 
         def write_crawled():
@@ -763,12 +894,7 @@ class CrawlEngine:
             f_parsed.result()
         tr.mark("write+parse+expand")
 
-        for r in ray.get(metric_refs):
-            for host, f, e, b in r:
-                m = self.metrics.setdefault(host, [0, 0, 0])
-                m[0] += f
-                m[1] += e
-                m[2] += b
+        self.metrics.merge_partial_refs(metric_refs, token=("metrics", rnd))
         tr.mark("metrics")
         return nxt, n_next
 
@@ -825,10 +951,7 @@ class CrawlEngine:
             for c, e in zip(t.column("cuckoo").to_pylist(), t.column("exact").to_pylist())
         ]
         self.seen.load(dumps)
-        self.metrics = {
-            r["host"]: [r["fetched"], r["errors"], r["bytes"]]
-            for r in pq.read_table(os.path.join(sdir, "metrics.parquet")).to_pylist()
-        }
+        self.metrics.load_table(pq.read_table(os.path.join(sdir, "metrics.parquet")))
         with open(self._manifest_path(rnd)) as f:
             self.seq = json.load(f)["seq"]
 
@@ -886,20 +1009,11 @@ class CrawlEngine:
             "rounds": rounds,
             "fetched": self.seq,
             "seen": self.seen.size(),
-            "hosts": len(self.metrics),
+            "hosts": self.metrics.size(),
         }
 
     def metrics_table(self) -> pa.Table:
-        hosts = sorted(self.metrics)
-        return pa.Table.from_arrays(
-            [
-                pa.array(hosts, pa.string()),
-                pa.array([self.metrics[h][0] for h in hosts], pa.int64()),
-                pa.array([self.metrics[h][1] for h in hosts], pa.int64()),
-                pa.array([self.metrics[h][2] for h in hosts], pa.int64()),
-            ],
-            schema=METRICS_SCHEMA,
-        )
+        return self.metrics.dump_table().cast(METRICS_SCHEMA)
 
     def crawled_dataset(self) -> "ray.data.Dataset":
         return ray.data.read_parquet(os.path.join(self.out_dir, "crawled"))
@@ -908,6 +1022,7 @@ class CrawlEngine:
         self._join_checkpoint()
         self.seen.shutdown()
         self.sched.shutdown()
+        self.metrics.shutdown()
 
 
 def run_crawl(
