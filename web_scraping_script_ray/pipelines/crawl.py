@@ -545,24 +545,38 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ seeds
     def seed_candidates(self) -> "ray.data.Dataset":
-        seeds = pq.read_table(os.path.join(self.web_dir, "seeds.parquet")).to_pylist()
-        rows = {k: [] for k in FRONTIER_SCHEMA.names}
-        for r in seeds:
-            cu = canonicalize(r["url"])
-            if cu is None:
-                continue
-            rows["url"].append(cu)
-            rows["host"].append(host_of(cu))
-            rows["url_hash"].append(url_hash64(cu))
-            rows["depth"].append(0)
-            rows["disc_primary"].append(int(r["seed_rank"]))
-            rows["disc_secondary"].append(0)
-            rows["discovered_by"].append("")
-        t = pa.Table.from_arrays(
-            [pa.array(rows[n], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names],
-            schema=FRONTIER_SCHEMA,
-        )
-        return ray.data.from_arrow(t)
+        """Seeds stream from parquet as a map_batches stage — a resumed
+        10^9-URL seed list never lands on the driver.  Row order across
+        blocks is irrelevant: scheduling orders by (fetch_time, host,
+        disc_primary=seed_rank, disc_secondary)."""
+
+        def to_frontier(batch: pa.Table) -> pa.Table:
+            rows = {k: [] for k in FRONTIER_SCHEMA.names}
+            for url, rank in zip(
+                batch.column("url").to_pylist(),
+                batch.column("seed_rank").to_pylist(),
+            ):
+                cu = canonicalize(url)
+                if cu is None:
+                    continue
+                rows["url"].append(cu)
+                rows["host"].append(host_of(cu))
+                rows["url_hash"].append(url_hash64(cu))
+                rows["depth"].append(0)
+                rows["disc_primary"].append(int(rank))
+                rows["disc_secondary"].append(0)
+                rows["discovered_by"].append("")
+            return pa.Table.from_arrays(
+                [
+                    pa.array(rows[n], FRONTIER_SCHEMA.field(n).type)
+                    for n in FRONTIER_SCHEMA.names
+                ],
+                schema=FRONTIER_SCHEMA,
+            )
+
+        return ray.data.read_parquet(
+            os.path.join(self.web_dir, "seeds.parquet")
+        ).map_batches(to_frontier, batch_format="pyarrow")
 
     # ------------------------------------------------------------------ round
     def _launch_shard_stage(self, cand_refs: list) -> list:
@@ -657,7 +671,11 @@ class CrawlEngine:
             # ---- distributed path: the same five steps as range-partition
             # shuffles; pytest-verified to produce identical output.
             self._pending_shard_refs = None  # speculative small-path stage unused
-            if cands.num_blocks() < self.round_blocks:
+            try:
+                n_in_blocks = cands.num_blocks()
+            except NotImplementedError:  # lazy input (e.g. streamed seeds)
+                n_in_blocks = None
+            if n_in_blocks is None or n_in_blocks < self.round_blocks:
                 cands = cands.repartition(self.round_blocks)
             cands = cands.map_batches(robots_allowed, batch_format="pyarrow")
             cands = dedup_first_wins(
