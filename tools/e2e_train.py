@@ -35,6 +35,9 @@ def main() -> None:
     src.add_argument("--synth-docs", type=int, help="generate a synthetic web of N docs")
     ap.add_argument("--synth-hosts", type=int, default=None)
     ap.add_argument("--synth-seed", type=int, default=7)
+    ap.add_argument("--synth-seeds", type=int, default=None,
+                    help="crawl seed URLs in the synthetic web (default n_docs//4)")
+    ap.add_argument("--synth-buckets", type=int, default=64)
     ap.add_argument("--out", required=True, help="crawl checkpoint/output directory")
     ap.add_argument("--export", default=None, help="training-shard dir (default <out>/train)")
     ap.add_argument("--max-rounds", type=int, default=3)
@@ -66,6 +69,8 @@ def main() -> None:
             n_docs=args.synth_docs,
             n_hosts=args.synth_hosts or max(5, args.synth_docs // 200),
             seed=args.synth_seed,
+            n_buckets=args.synth_buckets,
+            n_seeds=args.synth_seeds or max(8, args.synth_docs // 4),
         )
         t0 = time.time()
         web_dir = fixture_dir(p, parallel=True)

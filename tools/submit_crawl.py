@@ -38,6 +38,10 @@ def main() -> None:
     src.add_argument("--synth-docs", type=int, help="generate a synthetic web of N docs")
     ap.add_argument("--synth-hosts", type=int, default=None, help="hosts for --synth-docs")
     ap.add_argument("--synth-seed", type=int, default=7)
+    ap.add_argument("--synth-seeds", type=int, default=None,
+                    help="crawl seed URLs in the synthetic web (default keeps "
+                    "WebParams' smoke-test-sized 8; pass n_docs//4 for real runs)")
+    ap.add_argument("--synth-buckets", type=int, default=None)
     ap.add_argument("--out", required=True, help="checkpoint/output directory")
     ap.add_argument("--max-rounds", type=int, default=4)
     ap.add_argument("--max-urls", type=int, default=10**9)
@@ -70,6 +74,8 @@ def main() -> None:
             n_docs=args.synth_docs,
             n_hosts=args.synth_hosts or max(5, args.synth_docs // 200),
             seed=args.synth_seed,
+            **({"n_buckets": args.synth_buckets} if args.synth_buckets else {}),
+            **({"n_seeds": args.synth_seeds} if args.synth_seeds else {}),
         )
         web_dir = fixture_dir(p, parallel=True)
 
