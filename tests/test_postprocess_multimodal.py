@@ -401,3 +401,76 @@ def test_image_resizer_stage(ray_session):
     assert (ow.tolist(), oh.tolist()) == ([10], [5])
     with pytest.raises(NotImplementedError):
         ImageResizer(fake=False)
+
+
+def test_export_shards_seeded_shuffle_byte_deterministic(tmp_path, ray_session):
+    """shuffle_seed decorrelates within-shard order AND makes the whole
+    export byte-order-deterministic: two builds of the same data at
+    different parallelism produce identical per-shard row sequences; a
+    different seed produces a different (but still deterministic)
+    order; membership matches the unshuffled export."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.postprocess import export_shards
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(300)]),
+        }
+    )
+
+    def shard_orders(out: str) -> dict[str, list[int]]:
+        orders = {}
+        for d in sorted(os.listdir(out)):
+            if not d.startswith("shard="):
+                continue
+            files = sorted(
+                f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+            )
+            rows = []
+            for f in files:
+                rows.extend(
+                    pq.read_table(os.path.join(out, d, f)).column("doc_id").to_pylist()
+                )
+            orders[d] = rows
+        return orders
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    man_a = export_shards(
+        ray.data.from_arrow(t).repartition(5), out_a, n_shards=4, shuffle_seed=11
+    )
+    man_b = export_shards(
+        ray.data.from_arrow(t).repartition(13), out_b, n_shards=4, shuffle_seed=11
+    )
+    a, b = shard_orders(out_a), shard_orders(out_b)
+    assert a == b  # parallelism-independent byte order
+    assert man_a["shuffle_seed"] == 11 and man_a["shard_rows"] == man_b["shard_rows"]
+    # one file per shard after the finalize pass
+    for d in a:
+        assert len(os.listdir(os.path.join(out_a, d))) == 1
+    # a shard is genuinely shuffled (not id-sorted) but complete
+    flat = sorted(x for rows in a.values() for x in rows)
+    assert flat == list(range(300))
+    assert any(rows != sorted(rows) for rows in a.values())
+
+    # different seed -> different within-shard order, same membership
+    out_c = str(tmp_path / "c")
+    export_shards(ray.data.from_arrow(t), out_c, n_shards=4, shuffle_seed=12)
+    c = shard_orders(out_c)
+    assert {d: sorted(r) for d, r in a.items()} == {d: sorted(r) for d, r in c.items()}
+    assert a != c
+
+    # resume honors the seed; mismatch raises
+    import pytest as _pytest
+
+    man_r = export_shards(ray.data.from_arrow(t), out_a, n_shards=4, shuffle_seed=11)
+    assert man_r == man_a
+    with _pytest.raises(ValueError, match="shuffle_seed"):
+        export_shards(ray.data.from_arrow(t), out_a, n_shards=4, shuffle_seed=99)

@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--langs", nargs="*", default=None)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="seeded within-shard shuffle (byte-deterministic export)")
     ap.add_argument("--seen-shards", type=int, default=8)
     ap.add_argument("--politeness-shards", type=int, default=4)
     ap.add_argument("--fetch-batch-size", type=int, default=4096)
@@ -119,6 +121,7 @@ def main() -> None:
         langs=args.langs,
         n_shards=args.shards,
         resume=args.resume,
+        shuffle_seed=args.shuffle_seed,
     )
     train_s = time.time() - t0
     out = {"stage": "train", "train_sec": round(train_s, 2)}

@@ -192,6 +192,7 @@ def export_shards(
     n_shards: int = 64,
     key_col: str = "doc_id",
     resume: bool = True,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Deterministic hash-sharded training-data export — the terminal
     step of a data pipeline: decorrelate input order and split the
@@ -209,8 +210,21 @@ def export_shards(
     rename (the crawl checkpoint discipline): no manifest ⇒ the
     directory is an aborted attempt and is rebuilt; ``resume=True``
     returns the manifest of a completed export without rewriting.
-    Within-shard file order is parallel-writer-nondeterministic; shard
-    content is not.
+    Without ``shuffle_seed``, within-shard file order is
+    parallel-writer-nondeterministic; shard content is not.
+
+    ``shuffle_seed`` additionally decorrelates WITHIN-shard order (a
+    training dataloader reads shards sequentially — crawl order inside
+    a shard is curriculum leakage): every row gets a content-stable
+    ``shuffle_ord = mix64(key ^ mix64(seed))`` column, and after the
+    partitioned write one Ray task per shard re-reads that shard, sorts
+    by ``(shuffle_ord, key)`` and rewrites it as a single file.  The
+    whole export is then byte-order-deterministic: same data + same
+    seed ⇒ identical shard files regardless of parallelism, block
+    order, or retries.  Scale shape: the finalize step is one task per
+    shard touching only that shard's rows — size ``n_shards`` so a
+    shard fits a worker (100 TB / 100k shards ≈ 1 GB/task), exactly the
+    per-partition budget the crawl's bucket scans already assume.
     """
     import json
     import os
@@ -227,11 +241,17 @@ def export_shards(
         if resume:
             with open(man_path) as f:
                 prior = json.load(f)
-            if prior.get("n_shards") != n_shards or prior.get("key_col") != key_col:
+            if (
+                prior.get("n_shards") != n_shards
+                or prior.get("key_col") != key_col
+                or prior.get("shuffle_seed") != shuffle_seed
+            ):
                 raise ValueError(
                     f"export at {out_dir} was built with n_shards="
-                    f"{prior.get('n_shards')}, key_col={prior.get('key_col')!r}; "
-                    f"requested {n_shards}/{key_col!r} — pass resume=False to rebuild"
+                    f"{prior.get('n_shards')}, key_col={prior.get('key_col')!r}, "
+                    f"shuffle_seed={prior.get('shuffle_seed')!r}; requested "
+                    f"{n_shards}/{key_col!r}/{shuffle_seed!r} — pass "
+                    "resume=False to rebuild"
                 )
             return prior
         shutil.rmtree(out_dir)
@@ -242,16 +262,54 @@ def export_shards(
 
     tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
 
+    seed_mix = None
+    if shuffle_seed is not None:
+        from ..functions.hashing import mix64
+
+        seed_mix = int(mix64(np.array([shuffle_seed], dtype=np.uint64))[0])
+
     def assign(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
+        batch = batch.append_column(
             "shard", pa.array((keys * 2654435761) % n_shards, pa.int64())
         )
+        if seed_mix is not None:
+            from ..functions.hashing import mix64
+
+            ord_ = mix64(keys.astype(np.uint64) ^ np.uint64(seed_mix))
+            batch = batch.append_column("shuffle_ord", pa.array(ord_, pa.uint64()))
+        return batch
 
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["shard"]
     )
     os.makedirs(tmp, exist_ok=True)  # an empty dataset writes no files
+    if shuffle_seed is not None:
+        import ray
+
+        @ray.remote
+        def _finalize_shard(shard_dir: str, key: str) -> None:
+            """Sort ONE shard by (shuffle_ord, key) into a single file."""
+            files = sorted(
+                f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+            )
+            t = pa.concat_tables(
+                [pq.read_table(os.path.join(shard_dir, f)) for f in files]
+            )
+            t = t.sort_by([("shuffle_ord", "ascending"), (key, "ascending")])
+            out = os.path.join(shard_dir, "sorted-0.parquet.tmp")
+            pq.write_table(t, out)
+            for f in files:
+                os.remove(os.path.join(shard_dir, f))
+            os.rename(out, os.path.join(shard_dir, "sorted-0.parquet"))
+
+        ray.get(
+            [
+                _finalize_shard.remote(os.path.join(tmp, d), key_col)
+                for d in sorted(os.listdir(tmp))
+                if d.startswith("shard=") and os.path.isdir(os.path.join(tmp, d))
+            ]
+        )
     # per-shard row counts from file metadata only (no data re-read)
     counts: dict = {}
     for shard_dir in sorted(os.listdir(tmp)):
@@ -268,6 +326,7 @@ def export_shards(
     manifest = {
         "n_shards": n_shards,
         "key_col": key_col,
+        "shuffle_seed": shuffle_seed,
         "rows": sum(counts.values()),
         "shard_rows": counts,
     }

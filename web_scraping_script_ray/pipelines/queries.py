@@ -882,6 +882,88 @@ LIMIT 100
 """
 
 
+def q_mix_weighted(sf_dir: str):
+    """Weighted corpus mixture (the "Wikipedia ×2.5, CommonCrawl ×0.25"
+    step of a training-data recipe): per-source up/down-sampling with a
+    deterministic hash gate on the fractional part and an ``epoch``
+    column distinguishing repeats.  The weight table rides in the task
+    closure (one entry per corpus source); expansion is one numpy
+    ``repeat`` per batch — no shuffle at any corpus size."""
+    from ..functions.mix import mix_weighted
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return mix_weighted(
+        ds,
+        "source",
+        "doc_id",
+        {"src0": 2.5, "src1": 2.5, "src2": 0.25, "src3": 0.25},
+        default=1.0,
+    )
+
+
+SQL_MIX_WEIGHTED = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0','src1') THEN 2.5
+              WHEN source IN ('src2','src3') THEN 0.25
+              ELSE 1.0 END AS wt
+  FROM documents
+)
+SELECT doc_id, source, e AS epoch
+FROM w JOIN (VALUES (0), (1), (2)) v(e)
+  ON e < CAST(floor(wt) AS BIGINT)
+       + (CASE WHEN (doc_id * 2654435761) % 1000
+                    < CAST(round((wt - floor(wt)) * 1000) AS BIGINT)
+               THEN 1 ELSE 0 END)
+"""
+
+
+def q_truncate_tokens(sf_dir: str, max_tokens: int = 64):
+    """Context-length truncation: cap every document at its first
+    ``max_tokens`` whitespace tokens (lowercased, the ``flat_tokens``
+    rule every text oracle shares), carrying the original token count
+    and a ``truncated`` flag.  All-Arrow per block: one tokenize, one
+    gather of the kept token indices, one vectorized ``binary_join`` —
+    no per-row Python, nothing shuffles."""
+    from ..functions.hashing import flat_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        counts = offsets[1:] - offsets[:-1]
+        keep = np.minimum(counts, max_tokens)
+        new_off = np.concatenate(([0], np.cumsum(keep)))
+        idx = np.repeat(offsets[:-1], keep) + (
+            np.arange(new_off[-1], dtype=np.int64) - np.repeat(new_off[:-1], keep)
+        )
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.take(pa.array(idx))
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(counts, pa.int64()),
+                "truncated": pa.array(counts > max_tokens),
+                "text_trunc": pc.binary_join(lists, " "),
+            }
+        )
+
+    return ds.map_batches(trunc, batch_format="pyarrow")
+
+
+SQL_TRUNCATE_TOKENS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       len(ts) > 64 AS truncated,
+       array_to_string(ts[1:64], ' ') AS text_trunc
+FROM toks
+"""
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition/shape quality rules (top-2-gram share,
     duplicated-3-gram share, mean word length, keep flag) — one
@@ -3113,6 +3195,10 @@ EXTRA_QUERIES = {
     "lang_counts": q_lang_counts,
     "sample_docs": q_sample_docs,
     "vocab_topk": q_vocab_topk,
+    # round-3 training-recipe additions (oracled here, not driver-scored
+    # — the 50-row registry stays pinned):
+    "mix_weighted": q_mix_weighted,
+    "truncate_tokens": q_truncate_tokens,
 }
 
 ORACLE_SQL = {
@@ -3171,4 +3257,6 @@ EXTRA_ORACLE_SQL = {
     "lang_counts": SQL_LANG_COUNTS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "mix_weighted": SQL_MIX_WEIGHTED,
+    "truncate_tokens": SQL_TRUNCATE_TOKENS,
 }

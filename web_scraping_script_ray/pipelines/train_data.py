@@ -41,6 +41,7 @@ def build_training_set(
     langs: list[str] | None = None,
     n_shards: int = 16,
     resume: bool = True,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Filter + dedup + shard the parsed output of a finished crawl.
 
@@ -48,7 +49,9 @@ def build_training_set(
     quality/language filter, near-identical rows removed by SimHash
     dedup, and the export manifest.  ``resume=True`` returns the
     existing export's stats without recomputation (manifest-gated, the
-    crawl checkpoint discipline).
+    crawl checkpoint discipline).  ``shuffle_seed`` makes the export
+    byte-order-deterministic with a within-shard seeded shuffle (see
+    ``postprocess.export_shards``).
     """
     parsed_root = os.path.join(crawl_out_dir, "parsed")
     if not os.path.isdir(parsed_root):
@@ -59,6 +62,7 @@ def build_training_set(
         "min_quality": min_quality,
         "langs": sorted(langs) if langs is not None else None,
         "n_shards": n_shards,
+        "shuffle_seed": shuffle_seed,
     }
     man_probe = os.path.join(export_dir, "_manifest.json")
     if resume and os.path.exists(man_probe):
@@ -68,7 +72,10 @@ def build_training_set(
             man = json.load(f)
         stats = man.get("train_stats")
         if stats is not None:
-            if stats.get("params") != params:
+            # pre-shuffle manifests lack the key; None means "no shuffle"
+            prior_params = dict(stats.get("params") or {})
+            prior_params.setdefault("shuffle_seed", None)
+            if prior_params != params:
                 raise ValueError(
                     f"training set at {export_dir} was built with "
                     f"{stats.get('params')}; requested {params} — pass "
@@ -110,7 +117,12 @@ def build_training_set(
     filtered = ds.map_batches(keep, batch_format="pyarrow")
     deduped = dedup_first_wins(filtered, "simhash", ["crawl_seq"])
     manifest = export_shards(
-        deduped, export_dir, n_shards=n_shards, key_col="crawl_seq", resume=False
+        deduped,
+        export_dir,
+        n_shards=n_shards,
+        key_col="crawl_seq",
+        resume=False,
+        shuffle_seed=shuffle_seed,
     )
     stats = {
         "params": params,
