@@ -59,3 +59,26 @@ def test_seen_shard_dump_load():
     t.load(cuckoo, exact)
     assert t.probe(keys).all()
     assert t.size() == 2_000
+
+
+def test_seen_shard_auto_grows_past_capacity():
+    """A shard sized for 1k keys must absorb 100x that without raising:
+    the filter doubles from the exact store when an insert would push it
+    past 0.80 load, probes stay exact throughout, and a dump/load
+    checkpoint round-trips the GROWN filter."""
+    s = SeenShard(capacity=1_000)
+    slots0 = s.filter.n_buckets
+    all_keys = _keys(100_000, seed=8)
+    for i in range(0, 100_000, 7_000):  # crawl-round-sized batches
+        batch = all_keys[i : i + 7_000]
+        assert s.add(batch) == len(np.unique(batch))
+        assert s.probe(batch).all()
+    assert s.filter.n_buckets > slots0  # it actually grew
+    assert s.size() == len(np.unique(all_keys))
+    assert s.probe(all_keys).all()
+    assert not s.probe(_keys(50_000, seed=9)).any()  # still exact
+    cuckoo, exact = s.dump()
+    t = SeenShard(capacity=1_000)
+    t.load(cuckoo, exact)
+    assert t.probe(all_keys).all()
+    assert t.filter.n_buckets == s.filter.n_buckets

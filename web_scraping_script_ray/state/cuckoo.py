@@ -56,11 +56,46 @@ class CuckooFilter:
         return ((i1.astype(np.uint64) ^ h) % np.uint64(self.n_buckets)).astype(np.int64)
 
     def add(self, keys: np.ndarray) -> None:
+        """Vectorized bulk insert: 8 numpy passes (2 candidate buckets ×
+        4 slots), each claiming every contested slot for its FIRST
+        pending candidate (``np.unique`` first-occurrence); losers retry
+        at the next slot/bucket — identical placement policy to the old
+        per-key loop (i1 free slots, then i2, else evict).  Only keys
+        still unplaced after all passes (both buckets full — rare below
+        0.8 load) fall back to the per-key random-walk eviction.  This
+        is the seen-set hot path: a crawl round bulk-adds each shard's
+        new URL hashes, and every filter doubling re-adds the whole
+        exact store."""
         keys = np.asarray(keys, dtype=np.uint64)
+        if keys.size == 0:
+            return
         fps, i1s = self._fp(keys), self._i1(keys)
         i2s = self._i2(i1s, fps)
-        for fp, i1, i2 in zip(fps, i1s, i2s):
-            self._insert_one(np.uint16(fp), int(i1), int(i2))
+        placed = np.zeros(len(keys), dtype=bool)
+        for buckets in (i1s, i2s):
+            for s in range(_BUCKET_SLOTS):
+                rem = np.where(~placed)[0]
+                if not len(rem):
+                    break
+                cand = rem[self.table[buckets[rem], s] == _EMPTY]
+                if not len(cand):
+                    continue
+                # contested slots resolve by last-writer-wins fancy
+                # assignment, then a read-back identifies the holders —
+                # O(n) with no sort.  Two candidates with the SAME
+                # bucket AND fingerprint both read back as placed and
+                # share the entry; membership is unaffected (no delete
+                # exists) and the filter just runs very slightly lighter.
+                bc, fc = buckets[cand], fps[cand]
+                self.table[bc, s] = fc
+                won = self.table[bc, s] == fc
+                placed[cand[won]] = True
+        for i in np.where(~placed)[0]:
+            self._insert_one(np.uint16(fps[i]), int(i1s[i]), int(i2s[i]))
+        # one vector scan keeps count == occupied slots (shared-entry
+        # placements would drift an incremental counter; deserialize
+        # recounts from the table, so these must agree)
+        self.count = int((self.table != _EMPTY).sum())
 
     def _insert_one(self, fp: np.uint16, i1: int, i2: int) -> None:
         for b in (i1, i2):
@@ -118,9 +153,12 @@ class SeenShard:
 
     The exact store is a sorted uint64 array plus a small unsorted
     pending buffer (merged when it grows): probes are vectorized
-    ``np.searchsorted`` instead of per-key Python set lookups — crawl
-    frontiers probe millions of keys per round and most positives are
-    true duplicates, so the confirm path must be vectorized.
+    ``np.searchsorted`` / ``np.isin`` instead of per-key Python set
+    lookups — crawl frontiers probe millions of keys per round and most
+    positives are true duplicates, so the confirm path must be
+    vectorized.  The pending buffer is a list of numpy chunks (adds are
+    pre-deduped against the store, so append IS set-insert) — no Python
+    int boxing anywhere on the add path.
     """
 
     _MERGE_AT = 65_536
@@ -128,13 +166,14 @@ class SeenShard:
     def __init__(self, capacity: int = 1 << 20):
         self.filter = CuckooFilter(capacity)
         self.sorted = np.empty(0, dtype=np.uint64)
-        self.pending: set[int] = set()
+        self.pending: list[np.ndarray] = []
+        self.pending_n = 0
 
     def _merge(self) -> None:
-        if self.pending:
-            arr = np.fromiter(self.pending, dtype=np.uint64, count=len(self.pending))
-            self.sorted = np.sort(np.concatenate([self.sorted, arr]))
-            self.pending = set()
+        if self.pending_n:
+            self.sorted = np.sort(np.concatenate([self.sorted, *self.pending]))
+            self.pending = []
+            self.pending_n = 0
 
     def _contains_exact(self, hashes: np.ndarray) -> np.ndarray:
         out = np.zeros(len(hashes), dtype=bool)
@@ -142,12 +181,16 @@ class SeenShard:
             pos = np.searchsorted(self.sorted, hashes)
             in_range = pos < len(self.sorted)
             out[in_range] = self.sorted[pos[in_range]] == hashes[in_range]
-        if self.pending:
-            pend = self.pending
+        if self.pending_n:
             miss = np.where(~out)[0]
-            for i in miss:
-                if int(hashes[i]) in pend:
-                    out[i] = True
+            if len(miss):
+                h = hashes[miss]
+                acc = np.zeros(len(miss), dtype=bool)
+                for chunk in self.pending:  # each chunk is sorted (np.unique output)
+                    pos = np.searchsorted(chunk, h)
+                    in_range = pos < len(chunk)
+                    acc[in_range] |= chunk[pos[in_range]] == h[in_range]
+                out[miss] = acc
         return out
 
     def probe(self, hashes: np.ndarray) -> np.ndarray:
@@ -160,19 +203,47 @@ class SeenShard:
             out[idx] = self._contains_exact(hashes[idx])
         return out
 
+    def _maybe_grow(self, incoming: int) -> None:
+        """Double the cuckoo filter when the next insert would push it
+        past a safe load factor (0.80 of slots; random-walk kicks start
+        failing near 0.95).  The filter is DERIVABLE state — the exact
+        store is the truth — so growth is a local rebuild from
+        ``sorted``: O(shard keys) once per doubling, amortized O(1) per
+        insert.  This is what lets a fixed ``capacity_per_shard`` guess
+        survive a 10^10-URL frontier instead of raising mid-crawl."""
+        slots = self.filter.n_buckets * _BUCKET_SLOTS
+        if self.filter.count + incoming <= int(0.80 * slots):
+            return
+        self._merge()
+        new_cap = max(slots * 2, 2 * (self.filter.count + incoming))
+        f = CuckooFilter(new_cap, seed=self.filter.seed)
+        if len(self.sorted):
+            f.add(self.sorted)
+        self.filter = f
+
     def add(self, hashes: np.ndarray) -> int:
         hashes = np.unique(np.asarray(hashes, dtype=np.uint64))
         new_mask = ~self._contains_exact(hashes)
         new = hashes[new_mask]
         if len(new):
+            self._maybe_grow(len(new))
             self.filter.add(new)
-            self.pending.update(new.tolist())
-            if len(self.pending) >= self._MERGE_AT:
+            self.pending.append(new)  # sorted: np.unique output
+            self.pending_n += len(new)
+            # amortized merge: a fixed threshold makes every crawl round
+            # re-sort the WHOLE store (O(N^2 log N) over a crawl); merge
+            # only when pending reaches a quarter of the sorted store
+            # (geometric, O(N log N) total) or the chunk list would make
+            # probes loop too much
+            if (
+                self.pending_n >= max(self._MERGE_AT, len(self.sorted) >> 2)
+                or len(self.pending) > 64
+            ):
                 self._merge()
         return int(len(new))
 
     def size(self) -> int:
-        return len(self.sorted) + len(self.pending)
+        return len(self.sorted) + self.pending_n
 
     def dump(self) -> tuple[bytes, np.ndarray]:
         """Checkpoint payload: (cuckoo bytes, exact hashes)."""
@@ -182,7 +253,8 @@ class SeenShard:
     def load(self, cuckoo_bytes: bytes, exact: np.ndarray) -> None:
         self.filter = CuckooFilter.deserialize(cuckoo_bytes)
         self.sorted = np.sort(np.asarray(exact, dtype=np.uint64))
-        self.pending = set()
+        self.pending = []
+        self.pending_n = 0
 
 
 class ShardedSeen:
