@@ -187,3 +187,67 @@ def test_line_dedup_plans_agree(ray_session):
     assert len(a) > 0
     for col in ("doc_id", "n_chunks", "n_dup_chunks", "n_kept_tokens", "clean_fp"):
         assert a[col].tolist() == b[col].tolist(), col
+
+
+def test_lm_score_plans_agree(ray_session):
+    from web_scraping_script_ray.pipelines.queries import q_lm_score
+
+    a = (
+        q_lm_score(_SF, force_plan="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_lm_score(_SF, force_plan="join")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    for col in ("doc_id", "n_bigrams", "sum_ulogp"):
+        assert a[col].tolist() == b[col].tolist(), col
+
+
+def test_pack_segments_reconstructs_stream(ray_session):
+    """Every pack except the last must be exactly full; per-doc segment
+    totals must equal the doc's token count; pack boundaries never
+    overlap (the global token stream tiles)."""
+    from web_scraping_script_ray.pipelines.queries import (
+        _PACK_CAPACITY,
+        q_pack_sequences,
+    )
+
+    df = q_pack_sequences(_SF).to_pandas()
+    per_pack = df.groupby("pack_id")["seg_tokens"].sum()
+    assert (per_pack.iloc[:-1] == _PACK_CAPACITY).all()
+    assert 0 < per_pack.iloc[-1] <= _PACK_CAPACITY
+    assert (df["seg_tokens"] > 0).all()
+    # a doc's segments are contiguous pack ids
+    g = df.sort_values(["doc_id", "pack_id"]).groupby("doc_id")["pack_id"]
+    assert ((g.max() - g.min() + 1) == g.count()).all()
+
+
+def test_redact_pii_idempotent():
+    from web_scraping_script_ray.functions.text import redact_pii
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b-c_d@x-y.co or +44-123-4567 via 192.168.0.1",
+                    "no pii at all",
+                ]
+            ),
+        }
+    )
+    out = redact_pii(t)
+    assert out.column("n_email").to_pylist() == [1, 0]
+    assert out.column("n_phone").to_pylist() == [1, 0]
+    assert out.column("n_ip").to_pylist() == [1, 0]
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail <EMAIL> or <PHONE> via <IP>"
+    # redacting already-redacted text is a no-op
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array(red)})
+    assert redact_pii(t2).column("text_redacted").to_pylist() == red

@@ -78,3 +78,93 @@ def mix_weighted(
         return out.append_column(epoch_col, pa.array(epoch, pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def pack_segments(
+    ds,
+    id_col: str,
+    ntok_col: str,
+    capacity: int,
+    id_range: tuple[int, int],
+    n_parts: int = 32,
+):
+    """Greedy sequence packing with document splitting — the "pack the
+    token stream into fixed context windows" step of a training-data
+    recipe (GPT-style pretraining packs the concatenated corpus into
+    capacity-C blocks).
+
+    Documents are laid out in ``id_col`` order as one global token
+    stream; token ``g`` lands in pack ``g // capacity``.  A document
+    spanning a pack boundary is split, yielding one output row per
+    (document, pack) segment: ``(id_col, pack_id, seg_tokens)``.
+
+    Scale shape (two passes, O(n_parts) driver state):
+
+    1. rows carry ``part = id * n_parts // N`` (range partition on the
+       already-ordered id); per-part token sums come back as ONE row per
+       part (``groupby(part).sum``) — the only driver materialization,
+       ``n_parts`` integers regardless of corpus size;
+    2. the exclusive prefix sum over those ``n_parts`` totals is the
+       global stream offset of each partition's first token; it rides
+       into a ``groupby(part).map_groups`` that sorts its partition by
+       id, cumsums locally, and emits every (doc, pack) segment with one
+       vectorized ``np.repeat`` — no global sort, documents shuffle once.
+
+    At 100 TB the id order comes from the upstream sort/assignment that
+    produced ``id_col``; rows with ``ntok_col == 0`` produce no segment.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo, hi = id_range
+    span = max(1, hi - lo)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.clip((ids - lo) * n_parts // span, 0, n_parts - 1)
+        return batch.append_column("__part", pa.array(part, pa.int64()))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow").materialize()
+    totals = parted.groupby("__part").aggregate(Sum(ntok_col)).take_all()
+    base = np.zeros(n_parts, dtype=np.int64)
+    for r in totals:  # O(n_parts) rows — driver-sized by construction
+        base[int(r["__part"])] = int(r[f"sum({ntok_col})"])
+    base = np.concatenate(([0], np.cumsum(base)[:-1]))
+
+    def emit_segments(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = g.column(ntok_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids, nt = ids[order], nt[order]
+        start = base[int(g.column("__part")[0].as_py())] + np.cumsum(nt) - nt
+        keep = nt > 0
+        ids, nt, start = ids[keep], nt[keep], start[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                    "seg_tokens": pa.array([], pa.int64()),
+                }
+            )
+        p0 = start // capacity
+        p1 = (start + nt - 1) // capacity
+        npacks = p1 - p0 + 1
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), npacks)
+        within = np.arange(int(npacks.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(npacks) - npacks, npacks
+        )
+        pack = p0[rep] + within
+        seg = np.minimum((pack + 1) * capacity, (start + nt)[rep]) - np.maximum(
+            pack * capacity, start[rep]
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[rep], pa.int64()),
+                "pack_id": pa.array(pack, pa.int64()),
+                "seg_tokens": pa.array(seg, pa.int64()),
+            }
+        )
+
+    return parted.groupby("__part").map_groups(emit_segments, batch_format="pyarrow")

@@ -432,3 +432,44 @@ def token_chunks(
     if isinstance(chunks, pa.ChunkedArray):
         chunks = chunks.combine_chunks()
     return chunks, doc_of_chunk, (ends - starts).astype(np.int64), nchunks.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the C4/CCNet "remove personal data before training" step).
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement token).  Patterns are kept inside the
+# RE2 subset that pyarrow.compute and DuckDB share, so the SQL oracle
+# applies the *same* automaton: no lookarounds, no backrefs.  Order
+# matters (applied top to bottom); the replacement tokens contain no
+# characters any later pattern can match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    batch: pa.Table, text_col: str = "text", out_col: str = "text_redacted"
+) -> pa.Table:
+    """Redact emails / phone numbers / IPv4 addresses from ``text_col``.
+
+    One ``pc.count_substring_regex`` + one ``pc.replace_substring_regex``
+    per pattern per batch — fully vectorized, stateless, streams at any
+    corpus size (no shuffle, no driver state).  Counts are measured on
+    the ORIGINAL text (before any replacement) so they are independent
+    of pattern order; replacements chain in ``PII_PATTERNS`` order.
+
+    Appends ``n_<name>`` (int64) per pattern plus ``out_col`` (string).
+    """
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    for name, pat, _tok in PII_PATTERNS:
+        cnt = pc.count_substring_regex(text, pat).cast(pa.int64())
+        batch = batch.append_column(f"n_{name}", cnt)
+    red = text
+    for _name, pat, tok in PII_PATTERNS:
+        red = pc.replace_substring_regex(red, pat, tok)
+    return batch.append_column(out_col, red)

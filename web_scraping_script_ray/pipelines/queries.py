@@ -3121,6 +3121,403 @@ SQL_ANN_LSH = _gen_ann_lsh_sql()
 
 
 # ---------------------------------------------------------------------------
+# Round-3 training-recipe additions: PII redaction, sequence packing,
+# bigram-LM quality scoring (CCNet-style perplexity filtering).
+# ---------------------------------------------------------------------------
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (the C4/CCNet "strip personal data" step): redact
+    emails / phone numbers / IPv4 addresses with one vectorized RE2 pass
+    per pattern (``functions/text.py:redact_pii``) — no shuffle, streams
+    at any corpus size.  The synthetic corpus contains no PII, so the
+    query deterministically appends a synthetic contact line derived
+    from ``doc_id`` (identically in the SQL oracle) so every pattern
+    fires on every row and the oracle checks the redaction byte-for-byte."""
+    from ..functions.text import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").cast(pa.int64())
+        dnp = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        s = lambda a: pc.cast(pa.array(a, pa.int64()), pa.string())  # noqa: E731
+        t2 = pc.binary_join_element_wise(
+            batch.column("text").cast(pa.string()),
+            " contact user", s(dnp), "@mail", s(dnp % 7),
+            ".example.com or call +1-555-", s(1000 + dnp % 9000),
+            " from 10.", s(dnp % 256), ".0.", s(dnp % 250),
+            "",
+        )
+        return pa.table({"doc_id": did, "text": t2})
+
+    ds = ds.map_batches(synth, batch_format="pyarrow")
+    return ds.map_batches(redact_pii, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_email", "n_phone", "n_ip", "text_redacted"]
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com or call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS t2
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t2, '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+FROM aug
+"""
+
+
+_PACK_CAPACITY = 256
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: lay the corpus out as one global token stream
+    in ``doc_id`` order and cut it into capacity-256 context windows,
+    splitting documents at window boundaries — one row per (doc, pack)
+    segment.  Distributed prefix-sum plan (``functions/mix.py:
+    pack_segments``): per-range-partition token totals are the ONLY
+    driver materialization (``n_parts`` integers), then each partition
+    independently cumsums + emits its segments with one ``np.repeat``."""
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import flat_tokens
+    from ..functions.mix import pack_segments
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        _, offsets = flat_tokens(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "nt": pa.array(np.diff(offsets), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ntok, batch_format="pyarrow"
+    )
+    return pack_segments(
+        ds, "doc_id", "nt", _PACK_CAPACITY, id_range=(0, n_docs)
+    ).select_columns(["doc_id", "pack_id", "seg_tokens"])
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS nt
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, nt,
+         CAST(sum(nt) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS strt
+  FROM toks
+),
+seg AS (
+  SELECT doc_id, nt, strt,
+         strt // 256 AS p0, (strt + nt - 1) // 256 AS p1
+  FROM cum WHERE nt > 0
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pack_id,
+       CAST(least((p + 1) * 256, strt + nt) - greatest(p * 256, strt) AS BIGINT) AS seg_tokens
+FROM seg, unnest(generate_series(p0, p1)) AS u(p)
+"""
+
+
+_LM_BROADCAST_LIMIT = 5_000_000
+_LM_OOV_ULOGP = -20_000_000
+
+
+def q_lm_score(sf_dir: str, force_plan: str | None = None):
+    """Bigram-LM quality scoring — the CCNet/"perplexity filter" step of
+    a training-data pipeline: train token-bigram statistics on a
+    deterministic 30% split (``doc_id % 10 < 3``), score every other
+    document by its total bigram log-probability in integer micro-log
+    units (``floor(ln(c_bigram / c_prefix) * 1e6)``; unseen bigram →
+    −20·10⁶), so partial-sum order can never perturb the result.
+
+    Pass 1 (model build) never shuffles documents: per-block (bigram,
+    prefix, n) count partials → 64-way coarse partition on
+    ``hash(prefix)`` → within-partition Arrow group_by computes both the
+    bigram and prefix totals and emits the (bigram, ulogp) model rows.
+
+    Pass 2 is size-selected (``force_plan`` pins one; forced-path pytest
+    equality in tests/test_new_ops.py):
+
+    - ``broadcast`` (model rows ≤ _LM_BROADCAST_LIMIT): the model rides
+      the object store (``ray.put``); each block maps its eval bigrams
+      with one ``pc.index_in`` and emits per-doc partials — documents
+      never shuffle.
+    - ``join``: eval (doc, bigram, n) rows co-partition with the model
+      by ``hash(bigram) % 64`` (the 100-TB path when the bigram table
+      outgrows the broadcast), then per-doc partials aggregate globally.
+    """
+    from ..functions.hashing import flat_tokens, token_hashes
+
+    n_parts = 64
+
+    _EMPTY_BG = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "bg": pa.array([], pa.string()),
+            "w1": pa.array([], pa.string()),
+        }
+    )
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        """(doc_id, bigram, prefix) — one row per bigram OCCURRENCE."""
+        flat, offsets = flat_tokens(batch.column("text"))
+        nbg = np.maximum(np.diff(offsets) - 1, 0)
+        total = int(nbg.sum())
+        if total == 0:
+            return _EMPTY_BG
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), nbg)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(nbg) - nbg, nbg
+        )
+        i1 = offsets[:-1][doc_of] + within
+        w1 = flat.take(pa.array(i1, pa.int64()))
+        w2 = flat.take(pa.array(i1 + 1, pa.int64()))
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        doc_ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)[doc_of]
+        )
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "bg": bg, "w1": w1})
+
+    def _split_mask(batch: pa.Table) -> np.ndarray:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return (did % 10) < 3
+
+    def _is_train(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_split_mask(batch)))
+
+    def _is_eval(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~_split_mask(batch)))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # ---- pass 1: model build (coarse-partitioned, docs never shuffle) ----
+    def train_partials(batch: pa.Table) -> pa.Table:
+        rows = bigram_rows(_is_train(batch))
+        if rows.num_rows == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "bg": pa.array([], pa.string()),
+                    "w1": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        out = (
+            rows.select(["bg", "w1"])
+            .group_by(["bg", "w1"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["bg", "w1", "n"])
+        )
+        w1 = out.column("w1").combine_chunks()
+        part = (token_hashes(w1) % np.uint64(n_parts)).astype(np.int64)
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    def model_in_part(g: pa.Table) -> pa.Table:
+        bgc = (
+            g.select(["bg", "w1", "n"])
+            .group_by(["bg", "w1"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["bg", "w1", "c"])
+        )
+        pre = (
+            bgc.select(["w1", "c"])
+            .group_by(["w1"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["w1", "npre"])
+        )
+        at = pc.index_in(bgc.column("w1"), value_set=pre.column("w1").combine_chunks())
+        npre = (
+            pre.column("npre").combine_chunks().take(at)
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        c = bgc.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        ulogp = np.floor(np.log(c / npre) * 1e6).astype(np.int64)
+        return pa.table({"bg": bgc.column("bg"), "ulogp": pa.array(ulogp, pa.int64())})
+
+    model = (
+        docs.map_batches(train_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(model_in_part, batch_format="pyarrow")
+        .materialize()  # the corpus statistic — object-store resident
+    )
+    plan = force_plan or (
+        "broadcast" if model.count() <= _LM_BROADCAST_LIMIT else "join"
+    )
+
+    def eval_partials(batch: pa.Table) -> pa.Table:
+        """(doc_id, bg, n_occ) unique pairs per block — what shuffles."""
+        rows = bigram_rows(_is_eval(batch))
+        if rows.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bg": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            rows.select(["doc_id", "bg"])
+            .group_by(["doc_id", "bg"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "bg", "n"])
+        )
+
+    def _doc_partials(doc_ids, u, n) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "__nb": pa.array(n, pa.int64()),
+                "__su": pa.array(u * n, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["doc_id"])
+            .aggregate([("__nb", "sum"), ("__su", "sum")])
+            .rename_columns(["doc_id", "__nb", "__su"])
+        )
+
+    def _final(partials):
+        agg = partials.groupby("doc_id").aggregate(Sum("__nb"), Sum("__su"))
+        return agg.map_batches(
+            lambda b: _rename(
+                b, {"sum(__nb)": "n_bigrams", "sum(__su)": "sum_ulogp"}
+            ),
+            batch_format="pyarrow",
+        )
+
+    if plan == "broadcast":
+        rows = model.take_all()  # O(model) — gated above
+        m_bg = pa.array([r["bg"] for r in rows], pa.string())
+        m_u = np.array([r["ulogp"] for r in rows], dtype=np.int64)
+        ref = ray.put((m_bg, m_u))
+
+        def score(batch: pa.Table) -> pa.Table:
+            ep = eval_partials(batch)
+            if ep.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "__nb": pa.array([], pa.int64()),
+                        "__su": pa.array([], pa.int64()),
+                    }
+                )
+            bg_, u_ = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            pos = pc.index_in(ep.column("bg"), value_set=bg_)
+            posnp = pos.to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(posnp.astype(np.float64))
+            u = np.full(len(posnp), _LM_OOV_ULOGP, dtype=np.int64)
+            u[valid] = u_[posnp[valid].astype(np.int64)]
+            docs_ = ep.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = ep.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            return _doc_partials(docs_, u, n)
+
+        return _final(docs.map_batches(score, batch_format="pyarrow"))
+
+    # ---- bigram-keyed join plan (100-TB path) -----------------------------
+    def eval_keyed(batch: pa.Table) -> pa.Table:
+        ep = eval_partials(batch)
+        bg = ep.column("bg").combine_chunks()
+        part = (token_hashes(bg) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "doc_id": ep.column("doc_id"),
+                "bg": bg,
+                "n": ep.column("n"),
+                "is_q": pa.array(np.ones(ep.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def model_keyed(batch: pa.Table) -> pa.Table:
+        bg = batch.column("bg").combine_chunks()
+        part = (token_hashes(bg) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "doc_id": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                "bg": bg,
+                "n": batch.column("ulogp"),
+                "is_q": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def attach_in_part(g: pa.Table) -> pa.Table:
+        is_q = pc.equal(g.column("is_q"), pa.scalar(1, pa.int8()))
+        q = g.filter(is_q)
+        m = g.filter(pc.invert(is_q))
+        if q.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "__nb": pa.array([], pa.int64()),
+                    "__su": pa.array([], pa.int64()),
+                }
+            )
+        pos = pc.index_in(q.column("bg"), value_set=m.column("bg").combine_chunks())
+        posnp = pos.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(posnp.astype(np.float64))
+        mu = m.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.full(len(posnp), _LM_OOV_ULOGP, dtype=np.int64)
+        if len(mu):
+            u[valid] = mu[posnp[valid].astype(np.int64)]
+        docs_ = q.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = q.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _doc_partials(docs_, u, n)
+
+    joined = (
+        docs.map_batches(eval_keyed, batch_format="pyarrow")
+        .union(model.map_batches(model_keyed, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_in_part, batch_format="pyarrow")
+    )
+    return _final(joined)
+
+
+SQL_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+cb AS (
+  SELECT bg, w1, count(*) AS c FROM big WHERE doc_id % 10 < 3 GROUP BY bg, w1
+),
+cp AS (SELECT w1, sum(c) AS n FROM cb GROUP BY w1),
+model AS (
+  SELECT cb.bg,
+         CAST(floor(ln(CAST(cb.c AS DOUBLE) / CAST(cp.n AS DOUBLE)) * 1000000) AS BIGINT) AS u
+  FROM cb JOIN cp USING (w1)
+),
+ev AS (SELECT doc_id, bg FROM big WHERE doc_id % 10 >= 3)
+SELECT e.doc_id, count(*) AS n_bigrams,
+       CAST(sum(COALESCE(m.u, -20000000)) AS BIGINT) AS sum_ulogp
+FROM ev e LEFT JOIN model m ON e.bg = m.bg
+GROUP BY e.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -3199,6 +3596,9 @@ EXTRA_QUERIES = {
     # — the 50-row registry stays pinned):
     "mix_weighted": q_mix_weighted,
     "truncate_tokens": q_truncate_tokens,
+    "pii_redact": q_pii_redact,
+    "pack_sequences": q_pack_sequences,
+    "lm_score": q_lm_score,
 }
 
 ORACLE_SQL = {
@@ -3259,4 +3659,7 @@ EXTRA_ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "mix_weighted": SQL_MIX_WEIGHTED,
     "truncate_tokens": SQL_TRUNCATE_TOKENS,
+    "pii_redact": SQL_PII_REDACT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "lm_score": SQL_LM_SCORE,
 }
