@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "quantiles",
     "inverted_index",
     "heavy_hitters",
+    # round-3 training-recipe additions (EXTRA_QUERIES)
+    "mix_weighted",
+    "truncate_tokens",
+    "pii_redact",
+    "pack_sequences",
+    "lm_score",
 ]
 
 

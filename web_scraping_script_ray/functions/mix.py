@@ -86,7 +86,7 @@ def pack_segments(
     ntok_col: str,
     capacity: int,
     id_range: tuple[int, int],
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ):
     """Greedy sequence packing with document splitting — the "pack the
     token stream into fixed context windows" step of a training-data
@@ -119,6 +119,12 @@ def pack_segments(
 
     lo, hi = id_range
     span = max(1, hi - lo)
+    if n_parts is None:
+        # ~250k docs per partition: small inputs collapse to one group
+        # (single-task plan, no exchange overhead), 100-TB inputs fan
+        # out; the output is identical at any n_parts (range partition
+        # only changes layout, never the global prefix sums).
+        n_parts = int(np.clip(span // 250_000, 1, 512))
 
     def add_part(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)

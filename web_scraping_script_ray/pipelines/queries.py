@@ -3264,9 +3264,15 @@ def q_lm_score(sf_dir: str, force_plan: str | None = None):
       by ``hash(bigram) % 64`` (the 100-TB path when the bigram table
       outgrows the broadcast), then per-doc partials aggregate globally.
     """
+    import pyarrow.parquet as pq
+
     from ..functions.hashing import flat_tokens, token_hashes
 
-    n_parts = 64
+    # ~100k docs per coarse partition: tiny corpora run as a handful of
+    # group tasks (exchange overhead, not semantics — outputs are
+    # partition-count-independent), web-scale corpora fan out to 64.
+    _n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_parts = int(np.clip(_n_docs // 100_000 + 1, 1, 64))
 
     _EMPTY_BG = pa.table(
         {
