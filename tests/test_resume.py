@@ -151,3 +151,44 @@ def test_build_training_set_param_mismatch_raises(tmp_path, ray_session):
         build_training_set(out, exp, min_quality=0.5, n_shards=4)
     s = build_training_set(out, exp, min_quality=0.5, n_shards=4, resume=False)
     assert s["params"]["min_quality"] == 0.5
+
+
+def test_pack_training_set(tmp_path, ray_session):
+    """Export → pack map: segments tile the token stream exactly
+    (every pack full but the last), totals match the export, resume is
+    a no-op, capacity mismatch raises."""
+    import os
+
+    import pytest
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.crawl import run_crawl
+    from web_scraping_script_ray.pipelines.train_data import (
+        build_training_set,
+        pack_training_set,
+    )
+    from web_scraping_script_ray.synthweb import Budget, WebParams, fixture_dir
+
+    web = fixture_dir(WebParams(n_docs=2000, n_hosts=20, seed=23))
+    out = str(tmp_path / "crawl")
+    eng, _ = run_crawl(web, out, Budget(max_rounds=2))
+    eng.shutdown()
+    exp = str(tmp_path / "train")
+    stats = build_training_set(out, exp, n_shards=4)
+
+    cap = 512
+    ps = pack_training_set(exp, capacity=cap)
+    assert ps["n_docs"] == stats["kept_rows"]
+    segs = ray.data.read_parquet(os.path.join(exp, "packs", "data")).to_pandas()
+    assert len(segs) == ps["n_segments"]
+    assert segs["seg_tokens"].sum() == ps["total_tokens"]
+    per_pack = segs.groupby("pack_id")["seg_tokens"].sum().sort_index()
+    assert (per_pack.iloc[:-1] == cap).all()
+    assert 0 < per_pack.iloc[-1] <= cap
+    assert len(per_pack) == ps["n_packs"]
+    # resume: manifest untouched, identical stats
+    mt = os.path.getmtime(os.path.join(exp, "packs", "_manifest.json"))
+    assert pack_training_set(exp, capacity=cap) == ps
+    assert os.path.getmtime(os.path.join(exp, "packs", "_manifest.json")) == mt
+    with pytest.raises(ValueError):
+        pack_training_set(exp, capacity=cap * 2)

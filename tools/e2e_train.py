@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="seeded within-shard shuffle (byte-deterministic export)")
+    ap.add_argument("--pack-capacity", type=int, default=None,
+                    help="also emit the (doc, pack) context-window map at this "
+                         "token capacity (<export>/packs/)")
     ap.add_argument("--seen-shards", type=int, default=8)
     ap.add_argument("--politeness-shards", type=int, default=4)
     ap.add_argument("--fetch-batch-size", type=int, default=4096)
@@ -130,6 +133,22 @@ def main() -> None:
     if isinstance(man, dict):
         out["shards_written"] = len(man.get("shard_rows", man.get("counts", {})) or {})
     print(json.dumps(out), flush=True)
+
+    if args.pack_capacity:
+        from web_scraping_script_ray.pipelines.train_data import pack_training_set
+
+        t0 = time.time()
+        pstats = pack_training_set(
+            args.export or os.path.join(args.out, "train"),
+            capacity=args.pack_capacity,
+            resume=args.resume,
+        )
+        print(
+            json.dumps(
+                {"stage": "pack", "pack_sec": round(time.time() - t0, 2), **pstats}
+            ),
+            flush=True,
+        )
     ray.shutdown()
 
 

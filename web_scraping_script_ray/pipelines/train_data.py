@@ -142,3 +142,101 @@ def build_training_set(
         json.dump(stamped, f)
     os.replace(tmp, man_probe)
     return stats
+
+
+def pack_training_set(
+    export_dir: str,
+    capacity: int,
+    resume: bool = True,
+) -> dict:
+    """Pack an exported training set's token stream into capacity-C
+    context windows (GPT-style sequence packing with document
+    splitting) — the step between "shards on disk" and "batches in the
+    trainer".
+
+    Reads ONLY (``crawl_seq``, ``n_ws_tokens``) from the finished
+    export (column-pruned; the fused parse already counted tokens — no
+    re-tokenization), lays documents out in ``crawl_seq`` order and
+    emits one row per (doc, pack) segment via the distributed
+    prefix-sum plan (``functions/mix.py:pack_segments`` — O(n_parts)
+    driver state).  Output is ``<export_dir>/packs/`` parquet plus a
+    manifest written LAST (atomic rename, same resume discipline as the
+    export itself: ``resume=True`` returns a finished pack map without
+    recomputation; a capacity mismatch raises).
+    """
+    import glob
+    import json
+    import shutil
+
+    from ..functions.mix import pack_segments
+
+    if not os.path.exists(os.path.join(export_dir, "_manifest.json")):
+        raise FileNotFoundError(
+            f"{export_dir} has no export manifest — run build_training_set first"
+        )
+    packs_dir = os.path.join(export_dir, "packs")
+    pman_path = os.path.join(packs_dir, "_manifest.json")
+    if os.path.exists(pman_path):
+        if resume:
+            with open(pman_path) as f:
+                prior = json.load(f)
+            if prior.get("capacity") != capacity:
+                raise ValueError(
+                    f"pack map at {packs_dir} was built with capacity="
+                    f"{prior.get('capacity')}; requested {capacity} — pass "
+                    "resume=False to rebuild"
+                )
+            return prior
+        shutil.rmtree(packs_dir)
+    elif os.path.exists(packs_dir):
+        shutil.rmtree(packs_dir)  # aborted attempt: no manifest ⇒ rebuild
+
+    shard_files = sorted(glob.glob(os.path.join(export_dir, "shard=*/*.parquet")))
+    ds = ray.data.read_parquet(shard_files, columns=["crawl_seq", "n_ws_tokens"])
+    # one column-pruned aggregate pass: id range + total tokens
+    import pyarrow.parquet as pq
+
+    hi = 0
+    total_tokens = 0
+    n_docs = 0
+    for r in (
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "__m": pa.array(
+                        [pc.max(b.column("crawl_seq")).as_py() or 0], pa.int64()
+                    ),
+                    "__t": pa.array(
+                        [pc.sum(b.column("n_ws_tokens")).as_py() or 0], pa.int64()
+                    ),
+                    "__n": pa.array([b.num_rows], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).take_all()  # O(blocks) 3-int rows
+    ):
+        hi = max(hi, int(r["__m"]))
+        total_tokens += int(r["__t"])
+        n_docs += int(r["__n"])
+
+    segs = pack_segments(
+        ds, "crawl_seq", "n_ws_tokens", capacity, id_range=(0, hi + 1)
+    )
+    data_dir = os.path.join(packs_dir, "data")
+    segs.write_parquet(data_dir)
+    stats = {
+        "capacity": capacity,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "n_packs": (total_tokens + capacity - 1) // capacity,
+        "n_segments": sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(data_dir, "*.parquet"))
+        ),
+    }
+    os.makedirs(packs_dir, exist_ok=True)
+    tmp = pman_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, pman_path)
+    return stats
