@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "pack_sequences",
     "lm_score",
+    "quantiles_radix",
 ]
 
 

@@ -166,3 +166,31 @@ def test_mg_exact_guard_raises():
         mg_topk(
             ray.data.from_arrow(tbl), "k", capacity=8, k=3, exact_guard=True
         ).to_pandas()
+
+
+def test_radix_quantiles_full_int64_domain():
+    """The radix-bisection plan must be exact across the FULL signed
+    int64 domain (sign flip, all 4 bit passes live) — a regime the sf
+    fixtures (small positive cents) never reach — and per key, including
+    a key whose values are all negative and a single-row key."""
+    from web_scraping_script_ray.functions.agg import radix_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    keys = rng.choice(["wide", "neg", "tiny"], size=n, p=[0.6, 0.399, 0.001])
+    vals = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+    vals[keys == "neg"] = -rng.integers(1, 2**40, size=(keys == "neg").sum())
+    one = np.flatnonzero(keys == "tiny")
+    keys[one[1:]] = "wide"  # leave exactly one "tiny" row
+    qs = (0.5, 0.9, 0.99)
+
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(6)
+    got = radix_quantiles(ds, "k", "v", qs=qs).to_pandas().set_index("k")
+
+    for k in ("wide", "neg", "tiny"):
+        sv = np.sort(vals[keys == k])
+        assert int(got.loc[k, "n_rows"]) == len(sv)
+        for qi, q in enumerate(qs):
+            assert int(got.loc[k, f"q{qi}"]) == int(sv[int(q * (len(sv) - 1))]), (
+                k, q,
+            )

@@ -159,3 +159,140 @@ def salted_grouped_sum(
         )
 
     return stage2.map_batches(rename, batch_format="pyarrow")
+
+
+def radix_quantiles(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bits_per_pass: int = 16,
+) -> pa.Table:
+    """EXACT grouped quantiles over an UNBOUNDED int64 domain in a fixed
+    number of column-pruned passes — the plan the bounded-cardinality
+    histogram (``q_quantiles``) and the weighted median
+    (``q_group_stats``) defer to when the value domain outgrows an
+    in-memory histogram.
+
+    Radix bisection (the distributed "binary search by rank" — BlinkDB /
+    MapReduce-selection style, but with 2^bits-way fan-out so 64-bit
+    values resolve in ``64/bits`` passes): each pass histograms the next
+    ``bits_per_pass`` bits of the (order-preserved, sign-flipped) value
+    for every (key, quantile) still being narrowed, as map-side partials
+    that merge in one tiny groupby — raw rows NEVER shuffle, and memory
+    is O(2^bits · keys · quantiles) regardless of value cardinality.
+    Pass 1 is prefix-free and doubles as the per-key COUNT pass.
+
+    Rank rule pinned to the repo standard: 0-based ``floor(q·(n-1))``
+    ("lower"), identical to ``SQL_QUANTILES`` — so the SAME DuckDB
+    oracle checks both this plan and the histogram plan.
+
+    ``ds`` is scanned ``64/bits_per_pass`` times (4 at the default);
+    pass a cheap-to-recompute (column-pruned) or materialized dataset.
+    Returns a driver-side ``pa.Table`` (one row per key) — quantile
+    output is O(keys), driver-sized by definition.
+    """
+    import numpy as np
+
+    assert 64 % bits_per_pass == 0
+    n_buckets = 1 << bits_per_pass
+    mask = np.uint64(n_buckets - 1)
+    shifts = [np.uint64(s) for s in range(64 - bits_per_pass, -1, -bits_per_pass)]
+    sign_flip = np.uint64(1) << np.uint64(63)
+
+    def _u(batch: pa.Table) -> np.ndarray:
+        v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return v.view(np.uint64) ^ sign_flip  # order-preserving uint64
+
+    # ---- pass 1: per-key histogram of the top bits (no prefix filter) ----
+    def pass1(batch: pa.Table) -> pa.Table:
+        b = (_u(batch) >> shifts[0]).astype(np.int64)
+        t = pa.table({key_col: batch.column(key_col), "__b": pa.array(b, pa.int64())})
+        out = t.group_by([key_col, "__b"]).aggregate([([], "count_all")])
+        return out.rename_columns([key_col, "__b", "__n"])
+
+    merged = (
+        ds.map_batches(pass1, batch_format="pyarrow")
+        .groupby([key_col, "__b"])
+        .aggregate(Sum("__n"))
+        .take_all()
+    )  # O(keys · 2^bits) bounded rows
+    hist: dict = {}
+    for r in merged:
+        hist.setdefault(r[key_col], {})[int(r["__b"])] = int(r["sum(__n)"])
+    keys = sorted(hist)
+    # state per (key, q): accumulated prefix, remaining 1-based rank
+    state: dict = {}
+    totals: dict = {}
+    for k in keys:
+        n = sum(hist[k].values())
+        totals[k] = n
+        for qi, q in enumerate(qs):
+            state[(k, qi)] = [np.uint64(0), int(q * (n - 1)) + 1]
+
+    def _narrow(hist_kq: dict) -> None:
+        """Advance each (key, q) one pass using its merged histogram."""
+        for (k, qi), (prefix, rank) in list(state.items()):
+            h = hist_kq.get((k, qi), {})
+            cum = 0
+            for b in sorted(h):
+                if cum + h[b] >= rank:
+                    state[(k, qi)] = [
+                        (prefix << np.uint64(bits_per_pass)) | np.uint64(b),
+                        rank - cum,
+                    ]
+                    break
+                cum += h[b]
+
+    _narrow({(k, qi): hist[k] for k in keys for qi in range(len(qs))})
+
+    # ---- passes 2..: histogram the next bits under each (key, q) prefix ----
+    for shift in shifts[1:]:
+        hs = shift + np.uint64(bits_per_pass)
+        # snapshot prefixes into plain arrays for the task closure
+        plan = [(k, qi, state[(k, qi)][0]) for k in keys for qi in range(len(qs))]
+
+        def passn(batch: pa.Table, _plan=plan, _shift=shift, _hs=hs) -> pa.Table:
+            u = _u(batch)
+            kc = batch.column(key_col)
+            out_k, out_q, out_b, out_n = [], [], [], []
+            for k, qi, prefix in _plan:
+                m = pc.equal(kc, k).to_numpy(zero_copy_only=False)
+                m &= (u >> _hs) == prefix
+                if not m.any():
+                    continue
+                bk = ((u[m] >> _shift) & mask).astype(np.int64)
+                ub, cn = np.unique(bk, return_counts=True)
+                out_k.extend([k] * len(ub))
+                out_q.extend([qi] * len(ub))
+                out_b.extend(ub.tolist())
+                out_n.extend(cn.tolist())
+            return pa.table(
+                {
+                    key_col: pa.array(out_k, kc.type),
+                    "__q": pa.array(out_q, pa.int64()),
+                    "__b": pa.array(out_b, pa.int64()),
+                    "__n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(passn, batch_format="pyarrow")
+            .groupby([key_col, "__q", "__b"])
+            .aggregate(Sum("__n"))
+            .take_all()
+        )
+        hist_kq: dict = {}
+        for r in rows:
+            hist_kq.setdefault((r[key_col], int(r["__q"])), {})[int(r["__b"])] = int(
+                r["sum(__n)"]
+            )
+        _narrow(hist_kq)
+
+    cols: dict = {key_col: keys, "n_rows": [totals[k] for k in keys]}
+    for qi, _q in enumerate(qs):
+        cols[f"q{qi}"] = [
+            int(np.uint64(state[(k, qi)][0] ^ sign_flip).astype(np.int64))
+            for k in keys
+        ]
+    return pa.table(cols)

@@ -2435,8 +2435,10 @@ def q_quantiles(sf_dir: str):
     histograms, and each quantile reads the cumulative counts at an
     EXPLICIT rank (0-based ``floor(q·(n-1))``, the "lower" rule — pinned
     identically in the SQL so no engine-specific quantile definition is
-    trusted).  Unbounded domains would swap the exact histogram for a
-    mergeable sketch (KLL); the plan shape is identical."""
+    trusted).  Unbounded domains swap in the radix-bisection plan
+    (``q_quantiles_radix`` / ``functions/agg.py:radix_quantiles``) —
+    same rank rule, same oracle, fixed pass count, no value-cardinality
+    dependence."""
     ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
         lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
     ).select_columns(["event_type", "cents"])
@@ -2492,6 +2494,26 @@ SELECT event_type,
 {_QUANT_SQL_LINES}
 FROM r GROUP BY event_type
 """
+
+
+def q_quantiles_radix(sf_dir: str):
+    """The SAME P50/P90/P99 answer as ``q_quantiles`` from the
+    UNBOUNDED-domain plan: radix bisection
+    (``functions/agg.py:radix_quantiles``) — 4 column-pruned scans,
+    map-side bit-bucket histograms, O(2^16·keys·quantiles) state, raw
+    rows never shuffle — instead of the bounded-cardinality value
+    histogram.  Two physical plans, one rank rule
+    (0-based ``floor(q·(n-1))``), one DuckDB oracle
+    (``SQL_QUANTILES``)."""
+    from ..functions.agg import radix_quantiles
+
+    ds = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(lambda b: _cents(b, "value", "cents"), batch_format="pyarrow")
+        .select_columns(["event_type", "cents"])
+    )
+    out = radix_quantiles(ds, "event_type", "cents", qs=_QUANTS)
+    return out.rename_columns(["event_type", "n_rows"] + _QUANT_COLS)
 
 
 def q_distinct_users(sf_dir: str):
@@ -3605,6 +3627,9 @@ EXTRA_QUERIES = {
     "pii_redact": q_pii_redact,
     "pack_sequences": q_pack_sequences,
     "lm_score": q_lm_score,
+    # second physical plan for grouped quantiles (radix bisection over an
+    # unbounded int64 domain) — same rank rule, same oracle as "quantiles"
+    "quantiles_radix": q_quantiles_radix,
 }
 
 ORACLE_SQL = {
@@ -3668,4 +3693,5 @@ EXTRA_ORACLE_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "lm_score": SQL_LM_SCORE,
+    "quantiles_radix": SQL_QUANTILES,
 }
