@@ -211,15 +211,65 @@ def radix_quantiles(
         out = t.group_by([key_col, "__b"]).aggregate([([], "count_all")])
         return out.rename_columns([key_col, "__b", "__n"])
 
-    merged = (
-        ds.map_batches(pass1, batch_format="pyarrow")
-        .groupby([key_col, "__b"])
-        .aggregate(Sum("__n"))
-        .take_all()
+    def _fetch_arrow(merged_ds) -> pa.Table:
+        """Driver fetch of a merged histogram WITHOUT per-row Python
+        dicts — the result is bounded (O(keys·quantiles·2^bits) rows)
+        but that is up to ~10^6 rows, where ``take_all``'s row-dict
+        materialization costs 50× the whole distributed pass."""
+        blocks = ray.get(merged_ds.to_arrow_refs())
+        tbls = [t for t in blocks if t.num_rows] or blocks[:1]
+        return pa.concat_tables(tbls)
+
+    def _coarse_merge(parts, int_cols: list[str], n_part: int = 32):
+        """Merge per-block histogram partials through an N-way coarse
+        hash exchange + Arrow ``group_by`` inside ``map_groups``, NOT a
+        Ray groupby keyed on (key, q, bucket): Ray's aggregate pays
+        per-distinct-key overhead (measured 19 s for the 88k distinct
+        buckets of one sf0.1 pass, vs 0.3 s map + 0.4 s fetch), while N
+        coarse groups cost N tasks with one C++ hash-agg each.  Exactly
+        the ``grouped_sum_count(coarse=...)`` pattern; only partial rows
+        (O(blocks · active-buckets)) move either way."""
+        import numpy as np
+
+        from .hashing import token_hashes
+
+        group_cols = [key_col, *int_cols]
+
+        def add_part(b: pa.Table) -> pa.Table:
+            kc = pc.cast(b.column(key_col), pa.string())
+            if isinstance(kc, pa.ChunkedArray):
+                kc = kc.combine_chunks()
+            h = token_hashes(kc)
+            for i, c in enumerate(int_cols):
+                iv = b.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+                h = h ^ (iv * np.uint64(0x9E3779B97F4A7C15 + 2 * i))
+            part = (h % np.uint64(n_part)).astype(np.int64)
+            return b.append_column("__part", pa.array(part, pa.int64()))
+
+        def merge(g: pa.Table) -> pa.Table:
+            out = (
+                g.drop_columns(["__part"])
+                .group_by(group_cols)
+                .aggregate([("__n", "sum")])
+            )
+            return out.rename_columns([*group_cols, "__n"])
+
+        return (
+            parts.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(merge, batch_format="pyarrow")
+        )
+
+    merged = _fetch_arrow(
+        _coarse_merge(ds.map_batches(pass1, batch_format="pyarrow"), ["__b"])
     )  # O(keys · 2^bits) bounded rows
     hist: dict = {}
-    for r in merged:
-        hist.setdefault(r[key_col], {})[int(r["__b"])] = int(r["sum(__n)"])
+    for k, b, n in zip(
+        merged.column(key_col).to_pylist(),
+        merged.column("__b").to_numpy(zero_copy_only=False),
+        merged.column("__n").to_numpy(zero_copy_only=False),
+    ):
+        hist.setdefault(k, {})[int(b)] = int(n)
     keys = sorted(hist)
     # state per (key, q): accumulated prefix, remaining 1-based rank
     state: dict = {}
@@ -276,17 +326,19 @@ def radix_quantiles(
                 }
             )
 
-        rows = (
-            ds.map_batches(passn, batch_format="pyarrow")
-            .groupby([key_col, "__q", "__b"])
-            .aggregate(Sum("__n"))
-            .take_all()
+        rows = _fetch_arrow(
+            _coarse_merge(
+                ds.map_batches(passn, batch_format="pyarrow"), ["__q", "__b"]
+            )
         )
         hist_kq: dict = {}
-        for r in rows:
-            hist_kq.setdefault((r[key_col], int(r["__q"])), {})[int(r["__b"])] = int(
-                r["sum(__n)"]
-            )
+        for k, qi, b, n in zip(
+            rows.column(key_col).to_pylist(),
+            rows.column("__q").to_numpy(zero_copy_only=False),
+            rows.column("__b").to_numpy(zero_copy_only=False),
+            rows.column("__n").to_numpy(zero_copy_only=False),
+        ):
+            hist_kq.setdefault((k, int(qi)), {})[int(b)] = int(n)
         _narrow(hist_kq)
 
     cols: dict = {key_col: keys, "n_rows": [totals[k] for k in keys]}
