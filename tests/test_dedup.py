@@ -167,3 +167,48 @@ def test_embedding_neardup_auto_lsh_switch_and_recall():
     assert a <= e                       # LSH candidates ⊆ exact pairs
     assert len(e) > 20
     assert len(a) / len(e) >= 0.5       # stated recall bound at 6 planes
+
+
+def test_exact_substring_planted_spans():
+    """Two docs share a planted 12-token run (>= k=8): both get ONE
+    merged span covering exactly the shared run; a third unrelated doc
+    gets nothing.  Within-doc repeats count toward the >=2 threshold."""
+    import ray
+
+    from web_scraping_script_ray.functions.dedup import exact_substring_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (1, f"intro one two {shared} outro"),
+        (2, f"{shared} trailing words here now"),
+        (3, "totally different words with no overlap at all whatsoever done"),
+    ]
+    ds = ray.data.from_arrow(docs_table(rows)).repartition(2)
+    out = (
+        exact_substring_spans(ds, k=8)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    # doc 1: shared run starts after 3 intro tokens, spans 12 tokens
+    assert out.loc[0, ["span_start", "span_end", "span_toks"]].tolist() == [3, 15, 12]
+    # doc 2: run starts at 0
+    assert out.loc[1, ["span_start", "span_end", "span_toks"]].tolist() == [0, 12, 12]
+
+
+def test_exact_substring_plans_agree():
+    """Forced broadcast == forced shuffle on the sf0.001 corpus."""
+    from web_scraping_script_ray.pipelines.queries import q_exact_substring
+
+    sf = "/root/testdata/sf0.001"
+    frames = {}
+    for plan in ("broadcast", "shuffle"):
+        frames[plan] = (
+            q_exact_substring(sf, force_plan=plan)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+    assert len(frames["broadcast"]) > 0
+    assert frames["broadcast"].equals(frames["shuffle"])

@@ -627,3 +627,262 @@ def embedding_neardup_pairs(
         )
 
     return ds.map_batches(pairs_vs_all, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring deduplication (ExactSubstr — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better").  The
+# reference engine has no counterpart; this is a first-class
+# training-data op.  Instead of the paper's monolithic suffix array
+# (which needs the whole corpus in one address space), duplicated
+# >= k-token runs are found as duplicated OVERLAPPING k-token shingles
+# — any duplicated run of length >= k is exactly a maximal chain of
+# duplicated k-shingles, so merging the per-doc shingle hits back into
+# islands reproduces the paper's spans with only streaming passes and a
+# (shingle-hash, count) exchange.
+# ---------------------------------------------------------------------------
+
+
+def shingle_positions(
+    texts: "pa.Array | pa.ChunkedArray", k: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """All OVERLAPPING ``k``-token shingles of each text, with positions.
+
+    Fully vectorized on the shared flat token buffer (``flat_tokens``):
+    the k-way ``binary_join_element_wise`` over k shifted zero-copy
+    slices builds every candidate shingle in C++, then one numpy mask
+    drops the window positions that straddle a document boundary.
+
+    Returns ``(shingles, doc_of, pos)``: shingle i is the k tokens of
+    row ``doc_of[i]`` starting at 0-based token position ``pos[i]``.
+    Documents with fewer than ``k`` tokens contribute nothing.
+    """
+    flat, offsets = flat_tokens(texts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(offsets) - 1
+    T = len(flat)
+    if n == 0 or T < k:
+        return (
+            pa.array([], pa.string()),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+        )
+    m = T - k + 1
+    cand = pc.binary_join_element_wise(*[flat.slice(j, m) for j in range(k)], " ")
+    if isinstance(cand, pa.ChunkedArray):
+        cand = cand.combine_chunks()
+    ntok = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), ntok)[:m]
+    starts = np.arange(m, dtype=np.int64)
+    valid = starts + k <= offsets[1:][doc_of]
+    if not valid.all():
+        cand = cand.filter(pa.array(valid))
+        doc_of = doc_of[valid]
+        starts = starts[valid]
+    return cand, doc_of, starts - offsets[:-1][doc_of]
+
+
+def merge_dup_spans(doc_ids: np.ndarray, pos: np.ndarray, k: int) -> pa.Table:
+    """Merge duplicated-shingle hits ``[pos, pos+k)`` into maximal
+    per-doc islands (touching spans merge — a chain of duplicated
+    k-shingles IS one duplicated run).  Vectorized: one lexsort, one
+    break mask; every span has width k so the running island end is
+    simply ``prev pos + k``."""
+    order = np.lexsort((pos, doc_ids))
+    d, p = doc_ids[order], pos[order]
+    if len(d) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+                "span_toks": pa.array([], pa.int64()),
+            }
+        )
+    brk = np.ones(len(d), bool)
+    brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + k)
+    firsts = np.flatnonzero(brk)
+    lasts = np.append(firsts[1:], len(p)) - 1
+    starts = p[firsts]
+    ends = p[lasts] + k
+    return pa.table(
+        {
+            "doc_id": pa.array(d[firsts], pa.int64()),
+            "span_start": pa.array(starts, pa.int64()),
+            "span_end": pa.array(ends, pa.int64()),
+            "span_toks": pa.array(ends - starts, pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _gather_u64_column(refs: list, col: str) -> np.ndarray:
+    """Concat + sort one uint64 column of many blocks WITHOUT the driver
+    touching the rows — returns the sorted array as one object-store
+    value for `np.isin`-style probes."""
+    vals = [
+        t.column(col).to_numpy(zero_copy_only=False)
+        for t in ray.get(list(refs))
+        if t.num_rows
+    ]
+    if not vals:
+        return np.zeros(0, np.uint64)
+    return np.sort(np.concatenate(vals))
+
+
+def exact_substring_spans(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    broadcast_limit: int = 10_000_000,
+    force_plan: str | None = None,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Corpus-wide exact substring dedup: one output row per MAXIMAL
+    duplicated run of >= ``k`` tokens — ``(doc_id, span_start,
+    span_end, span_toks)``, token coordinates, end exclusive.
+
+    Two streaming passes (the ``line_dedup`` shape, overlapping unit):
+
+    1. per-block partial counts of the md5-prefix shingle hash
+       (``token_hashes`` — SQL-reproducible, so the oracle shares hash
+       collisions bit-for-bit) merge in a 64-way COARSE partition
+       (Ray's per-distinct-key groupby cost dodge); hashes seen >= 2
+       times corpus-wide are the duplicated-shingle set.  Only
+       (hash, count) partials cross the exchange — raw text never moves.
+    2. size-selected mark pass (``force_plan`` pins one; forced-path
+       pytest equality in tests/test_dedup.py): at <= ``broadcast_limit``
+       dup hashes the sorted uint64 set broadcasts once through the
+       object store and every block probes + island-merges locally
+       (docs never move); above it, exploded (doc, pos, hash)
+       occurrences co-partition with the dup set on ``hash % n_parts``
+       (exchange #1 marks) then regroup on ``doc_id`` hash (exchange #2
+       merges islands) — the 100-TB path, nothing driver-resident.
+    """
+
+    def occ_partials(batch: pa.Table) -> pa.Table:
+        sh, _, _ = shingle_positions(batch.column(text_col), k)
+        if len(sh) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "__p_cnt": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        hu, cnt = np.unique(token_hashes(sh), return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hu, pa.uint64()),
+                "__p_cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "part": pa.array(
+                    (hu % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def dup_in_part(g: pa.Table) -> pa.Table:
+        tot = g.group_by(["h"]).aggregate([("__p_cnt", "sum")])
+        mask = pc.greater_equal(tot.column("__p_cnt_sum"), pa.scalar(2, pa.int64()))
+        return tot.filter(mask).select(["h"])
+
+    dup_ds = (
+        ds.map_batches(occ_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_in_part, batch_format="pyarrow")
+        .materialize()
+    )
+    plan = force_plan or (
+        "broadcast" if dup_ds.count() <= broadcast_limit else "shuffle"
+    )
+    if plan == "shuffle":
+        return _exact_substring_shuffle(ds, dup_ds, text_col, id_col, k, n_parts)
+
+    dup_ref = _gather_u64_column.remote(dup_ds.to_arrow_refs(), "h")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref) if isinstance(dup_ref, ray.ObjectRef) else dup_ref
+        sh, doc_of, pos = shingle_positions(batch.column(text_col), k)
+        if len(sh) == 0:
+            return merge_dup_spans(np.zeros(0, np.int64), np.zeros(0, np.int64), k)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.isin(token_hashes(sh), dup)
+        return merge_dup_spans(ids[doc_of[hit]], pos[hit], k)
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def _exact_substring_shuffle(
+    ds, dup_ds, text_col: str, id_col: str, k: int, n_parts: int
+) -> "ray.data.Dataset":
+    """exact_substring_spans pass 2 as two coarse exchanges (the 100-TB
+    plan): occurrence rows meet the dup-hash set on ``hash % n_parts``,
+    survivors regroup on ``doc_id`` hash for the island merge."""
+    hash_mul = np.uint64(2654435761)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh, doc_of, pos = shingle_positions(batch.column(text_col), k)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = token_hashes(sh) if len(sh) else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(ids[doc_of], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "is_occ": pa.array(np.ones(len(h), np.int8), pa.int8()),
+            }
+        )
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        n = len(h)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "pos": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "is_occ": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        )
+
+    def mark_in_part(g: pa.Table) -> pa.Table:
+        is_occ = pc.equal(g.column("is_occ"), pa.scalar(1, pa.int8()))
+        occ = g.filter(is_occ)
+        dup = g.filter(pc.invert(is_occ)).column("h").combine_chunks()
+        hit = occ.filter(pc.is_in(occ.column("h"), value_set=dup))
+        docs = hit.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dpart": pa.array(
+                    ((docs.astype(np.uint64) * hash_mul) % np.uint64(n_parts)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "doc_id": hit.column("doc_id"),
+                "pos": hit.column("pos"),
+            }
+        )
+
+    def spans_in_part(g: pa.Table) -> pa.Table:
+        return merge_dup_spans(
+            g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64),
+            k,
+        )
+
+    marked = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .union(dup_ds.map_batches(tag_dup, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(mark_in_part, batch_format="pyarrow")
+    )
+    return marked.groupby("dpart").map_groups(spans_in_part, batch_format="pyarrow")

@@ -1437,6 +1437,56 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+_ESS_K = 8
+
+
+def q_exact_substring(sf_dir: str, force_plan: str | None = None):
+    """ExactSubstr dedup (Lee et al. 2022) over ``documents``: one row
+    per MAXIMAL duplicated run of >= ``_ESS_K`` tokens anywhere in the
+    corpus — ``(doc_id, span_start, span_end, span_toks)``, token
+    coordinates, end exclusive.  Overlapping-shingle formulation with a
+    size-selected mark pass; see
+    ``functions/dedup.py:exact_substring_spans``.  The md5-prefix
+    shingle hash is the SAME expression on both sides, so engine and
+    oracle agree bit-for-bit even on hash collisions."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..functions.dedup import exact_substring_spans
+
+    return exact_substring_spans(ds, k=_ESS_K, force_plan=force_plan)
+
+
+SQL_EXACT_SUBSTRING = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, p,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(t, p + 1, p + {_ESS_K}), ' ')), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {_ESS_K} + 1)) AS p
+        FROM toks WHERE len(t) >= {_ESS_K})
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+occ AS (SELECT doc_id, p FROM sh WHERE h IN (SELECT h FROM dup)),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p > coalesce(
+                lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                -{_ESS_K + 1}) + {_ESS_K}
+              THEN 1 ELSE 0 END AS b
+  FROM occ
+),
+grp AS (
+  SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + {_ESS_K} AS BIGINT) AS span_end,
+       CAST(max(p) + {_ESS_K} - min(p) AS BIGINT) AS span_toks
+FROM grp GROUP BY doc_id, g
+"""
+
+
 _PR_ITERS = 5
 
 
@@ -3630,6 +3680,8 @@ EXTRA_QUERIES = {
     # second physical plan for grouped quantiles (radix bisection over an
     # unbounded int64 domain) — same rank rule, same oracle as "quantiles"
     "quantiles_radix": q_quantiles_radix,
+    # ExactSubstr dedup (Lee et al. 2022) — duplicated >=k-token runs
+    "exact_substring": q_exact_substring,
 }
 
 ORACLE_SQL = {
@@ -3694,4 +3746,5 @@ EXTRA_ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "lm_score": SQL_LM_SCORE,
     "quantiles_radix": SQL_QUANTILES,
+    "exact_substring": SQL_EXACT_SUBSTRING,
 }
