@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "lm_score",
     "quantiles_radix",
+    "exact_substring",
 ]
 
 
