@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "lm_score",
     "quantiles_radix",
     "exact_substring",
+    "range_join_bands",
+    "shipped_within",
+    "top_revenue_orders",
 ]
 
 

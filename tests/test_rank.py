@@ -159,3 +159,91 @@ def test_asof_join_matches_bruteforce_random(ray_session):
             exp.append(None if best is None else int(best[1]))
         got = [None if v != v else int(v) for v in out.asof_val.tolist()]
         assert got == exp, f"trial {trial} mismatch"
+
+
+def test_range_join_semantics(ray_session):
+    """Grid range join: containment matches only, bounds per ``closed``,
+    intervals spanning many cells match once, empty-match rows drop."""
+    import ray.data
+
+    from web_scraping_script_ray.functions.joins import range_join
+
+    left = pa.table({"x": [0.0, 5.0, 9.0, 10.0, 55.0], "row": [0, 1, 2, 3, 4]})
+    right = pa.table(
+        {
+            "lo": [0.0, 5.0, 0.0, 100.0],
+            "hi": [10.0, 5.0, 60.0, 110.0],
+            "iv": [1, 2, 3, 4],
+        }
+    )
+    out = (
+        range_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(2),
+            left_on="x", right_lo="lo", right_hi="hi", right_vals=["iv"],
+            cell_width=4.0, closed="both",
+        )
+        .to_pandas()
+    )
+    got = sorted(zip(out.row, out.iv))
+    # iv=1 [0,10] contains 0,5,9,10; iv=2 [5,5] contains 5; iv=3 [0,60]
+    # spans 16 cells yet matches each point exactly once; iv=4 nothing
+    assert got == [(0, 1), (0, 3), (1, 1), (1, 2), (1, 3), (2, 1), (2, 3),
+                   (3, 1), (3, 3), (4, 3)]
+
+    half = (
+        range_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(2),
+            left_on="x", right_lo="lo", right_hi="hi", right_vals=["iv"],
+            cell_width=4.0, closed="left",
+        )
+        .to_pandas()
+    )
+    got_half = sorted(zip(half.row, half.iv))
+    # lo <= x < hi: x=10 leaves iv=1, x=5 leaves iv=2
+    assert got_half == [(0, 1), (0, 3), (1, 1), (1, 3), (2, 1), (2, 3),
+                        (3, 3), (4, 3)]
+
+
+def test_range_join_keyed_matches_duckdb(ray_session):
+    """Randomized keyed range join vs a DuckDB BETWEEN join."""
+    import duckdb
+    import ray.data
+
+    from web_scraping_script_ray.functions.joins import range_join
+
+    rng = np.random.default_rng(7)
+    nl, nr = 300, 80
+    left = pa.table(
+        {
+            "k": rng.integers(0, 10, nl),
+            "x": rng.integers(0, 500, nl).astype("float64"),
+            "row": np.arange(nl),
+        }
+    )
+    lo = rng.integers(0, 480, nr).astype("float64")
+    right = pa.table(
+        {
+            "rk": rng.integers(0, 10, nr),
+            "lo": lo,
+            "hi": lo + rng.integers(0, 90, nr),
+            "iv": np.arange(nr),
+        }
+    )
+    out = (
+        range_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            left_on="x", right_lo="lo", right_hi="hi", right_vals=["iv"],
+            by=("k", "rk"), cell_width=32.0, closed="both",
+        )
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    exp = con.sql(
+        "SELECT row, iv FROM l JOIN r ON k = rk AND x BETWEEN lo AND hi"
+    ).df()
+    assert sorted(zip(out.row, out.iv)) == sorted(zip(exp.row, exp.iv))

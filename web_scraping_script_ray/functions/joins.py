@@ -1,6 +1,6 @@
-"""As-of join — an operator Ray Data lacks natively (SURVEY custom-op
-contract: compose map_batches + groupby; document the partitioning
-assumption).
+"""As-of and range joins — operators Ray Data lacks natively (SURVEY
+custom-op contract: compose map_batches + groupby; document the
+partitioning assumption).
 
 ``asof_join`` matches each LEFT row to the RIGHT row with the greatest
 ``right_on`` value ≤ the left row's ``left_on`` value within the same
@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -118,3 +119,153 @@ def asof_join(
 
     both = left_t.union(right_proj)
     return both.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_lo: str,
+    right_hi: str,
+    right_vals: list[str],
+    by: tuple[str, str] | str | None = None,
+    cell_width: float = 1.0,
+    closed: str = "both",
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """INNER range join: each LEFT row (point ``left_on``) matches every
+    RIGHT row (interval ``[right_lo, right_hi]``) that contains it,
+    optionally also requiring an equality key (``by`` — one name shared
+    by both sides, or a ``(left_name, right_name)`` pair).  ``closed``
+    is ``"both"`` (lo <= x <= hi) or ``"left"`` (lo <= x < hi).
+
+    Physical plan (the grid method — a composition Ray Data can run at
+    any scale): the numeric domain is cut into ``cell_width`` cells;
+    points map to their one cell, intervals REPLICATE to every cell
+    they overlap, both sides co-partition on a coarse
+    ``hash(cell[, by]) % n_parts`` exchange, and each partition runs
+    one C++ hash join on (cell[, by]) followed by the interval filter.
+    A (point, interval-copy) pair meets in exactly the point's cell, so
+    no post-dedup pass is needed.
+
+    Scale notes: the exchange moves points once and each interval
+    ``span/cell_width + 1`` times — pick ``cell_width`` near the typical
+    interval width (replication ~2x).  False candidates (same cell, not
+    contained) are filtered block-locally and never cross the wire
+    again.  Skew assumption: one grid cell's rows fit one task; salt a
+    hot cell by adding ``by`` (or a finer ``cell_width``) so its points
+    spread over parts.
+
+    Returns left columns + ``right_lo``/``right_hi`` + ``right_vals``
+    (names must not collide with left columns).
+    """
+    from .hashing import mix64
+
+    if isinstance(by, str):
+        by = (by, by)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = lschema.names
+    rcols = [right_lo, right_hi, *right_vals]
+    if by is not None and by[1] not in rcols:
+        rcols = [by[1], *rcols]
+    clash = [c for c in rcols if c in lcols and (by is None or c != by[1])]
+    if clash:
+        raise ValueError(f"right columns collide with left: {clash}")
+    ltypes = {n: lschema.field(n).type for n in lcols}
+    rtypes = {n: rschema.field(n).type for n in rcols}
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    w = float(cell_width)
+
+    def _cells(vals: np.ndarray) -> np.ndarray:
+        return np.floor(vals.astype(np.float64) / w).astype(np.int64)
+
+    def _part(cell: np.ndarray, key: np.ndarray | None) -> np.ndarray:
+        u = cell.astype(np.uint64)
+        if key is not None:
+            u = u * np.uint64(0x9E3779B97F4A7C15) + key.astype(np.uint64)
+        return (mix64(u) % np.uint64(n_parts)).astype(np.int64)
+
+    def _pad(batch: pa.Table, n: int) -> list:
+        arrays = []
+        for c in all_cols:
+            if c in batch.column_names:
+                arrays.append(batch.column(c))
+            else:
+                arrays.append(pa.nulls(n, ltypes.get(c, rtypes.get(c))))
+        return arrays
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(left_on)))
+        n = batch.num_rows
+        x = batch.column(left_on).to_numpy(zero_copy_only=False)
+        cell = _cells(x)
+        key = (
+            batch.column(by[0]).to_numpy(zero_copy_only=False).astype(np.int64)
+            if by
+            else None
+        )
+        t = pa.Table.from_arrays(_pad(batch, n), names=all_cols)
+        t = t.append_column("__cell", pa.array(cell, pa.int64()))
+        t = t.append_column("__part", pa.array(_part(cell, key), pa.int64()))
+        return t.append_column("__is_left", pa.array(np.ones(n, bool), pa.bool_()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(right_lo)),
+                pc.is_valid(batch.column(right_hi)),
+            )
+        )
+        lo = batch.column(right_lo).to_numpy(zero_copy_only=False)
+        hi = batch.column(right_hi).to_numpy(zero_copy_only=False)
+        c0, c1 = _cells(lo), _cells(hi)
+        reps = np.maximum(c1 - c0 + 1, 0)
+        idx = np.repeat(np.arange(len(lo), dtype=np.int64), reps)
+        # intra-interval cell offset: 0,1,... per replicated row
+        off = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        cell = c0[idx] + off
+        taken = batch.take(pa.array(idx, pa.int64()))
+        key = (
+            taken.column(by[1]).to_numpy(zero_copy_only=False).astype(np.int64)
+            if by
+            else None
+        )
+        t = pa.Table.from_arrays(_pad(taken, len(idx)), names=all_cols)
+        t = t.append_column("__cell", pa.array(cell, pa.int64()))
+        t = t.append_column("__part", pa.array(_part(cell, key), pa.int64()))
+        return t.append_column(
+            "__is_left", pa.array(np.zeros(len(idx), bool), pa.bool_())
+        )
+
+    out_cols = lcols + [c for c in rcols if by is None or c != by[1]]
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        is_left = g.column("__is_left").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(is_left)).select(["__cell", *lcols])
+        rt = g.filter(pa.array(~is_left)).select(["__cell", *rcols])
+        lkeys = ["__cell", by[0]] if by else ["__cell"]
+        rkeys = ["__cell", by[1]] if by else ["__cell"]
+        j = lt.join(
+            rt, keys=lkeys, right_keys=rkeys, join_type="inner"
+        ).combine_chunks()
+        x = j.column(left_on)
+        ok = pc.and_(
+            pc.greater_equal(x, j.column(right_lo)),
+            (pc.less_equal if closed == "both" else pc.less)(
+                x, j.column(right_hi)
+            ),
+        )
+        return j.filter(ok).select(out_cols)
+
+    right_t = right.select_columns(rcols).map_batches(
+        tag_right, batch_format="pyarrow"
+    )
+    left_t = left.map_batches(tag_left, batch_format="pyarrow")
+    return (
+        left_t.union(right_t)
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )

@@ -3596,6 +3596,199 @@ GROUP BY e.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Range joins (functions/joins.py:range_join — the grid method) and the
+# multi-way relational flagship.
+# ---------------------------------------------------------------------------
+
+
+def q_range_join_bands(sf_dir: str):
+    """Pure-RANGE join (no equality key): every part whose retail price
+    falls inside each of 25 OVERLAPPING price bands derived from the
+    nation table (band k covers [900+4k, 908+4k] — each price matches
+    ~2-3 bands, so this is a genuine interval containment join, not an
+    equi-join in disguise).  Exercises the grid plan of
+    ``functions/joins.py:range_join``: bands replicate to the ~3 price
+    cells they overlap, parts hash to their one cell, one coarse
+    exchange co-locates them."""
+    from ..functions.joins import range_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    nation = _read(sf_dir, "nation", ["n_nationkey"])
+
+    def mk_bands(b: pa.Table) -> pa.Table:
+        k = b.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "band_id": b.column("n_nationkey").cast(pa.int64()),
+                "band_lo": pa.array(900.0 + 4.0 * k, pa.float64()),
+                "band_hi": pa.array(908.0 + 4.0 * k, pa.float64()),
+            }
+        )
+
+    bands = nation.map_batches(mk_bands, batch_format="pyarrow")
+    return range_join(
+        part,
+        bands,
+        left_on="p_retailprice",
+        right_lo="band_lo",
+        right_hi="band_hi",
+        right_vals=["band_id"],
+        cell_width=4.0,
+        closed="both",
+    )
+
+
+SQL_RANGE_JOIN_BANDS = """
+SELECT p_partkey, p_retailprice,
+       900.0 + 4.0 * n_nationkey AS band_lo,
+       908.0 + 4.0 * n_nationkey AS band_hi,
+       CAST(n_nationkey AS BIGINT) AS band_id
+FROM part JOIN nation
+  ON p_retailprice >= 900.0 + 4.0 * n_nationkey
+ AND p_retailprice <= 908.0 + 4.0 * n_nationkey
+"""
+
+
+def q_shipped_within(sf_dir: str):
+    """Keyed range join: lineitems SHIPPED WITHIN 30 DAYS of their
+    order's date — equality on orderkey plus interval containment on the
+    ship day (``range_join`` with ``by`` + ``closed="both"`` over
+    integer days; the 30-day grid keeps interval replication <= 2)."""
+    from ..functions.joins import range_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(b.column("l_shipdate"), pa.date32()), pa.int32()).cast(
+            pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), days],
+            names=["l_orderkey", "l_linenumber", "ship_day"],
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32()).cast(
+            pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [b.column("o_orderkey"), day, pc.add(day, pa.scalar(29, pa.int64()))],
+            names=["o_orderkey", "o_day_lo", "o_day_hi"],
+        )
+
+    j = range_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        left_on="ship_day",
+        right_lo="o_day_lo",
+        right_hi="o_day_hi",
+        right_vals=[],
+        by=("l_orderkey", "o_orderkey"),
+        cell_width=30.0,
+        closed="both",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        lag = pc.subtract(b.column("ship_day"), b.column("o_day_lo"))
+        return pa.Table.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), lag],
+            names=["l_orderkey", "l_linenumber", "lag_days"],
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SHIPPED_WITHIN = """
+SELECT l_orderkey, l_linenumber,
+       date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) BETWEEN 0 AND 29
+"""
+
+
+_Q3_DATE = "1998-01-01"
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """TPC-H-Q3-shaped flagship: customer (segment filter) ⋈ orders
+    (date filter) ⋈ lineitem (date filter) → per-order revenue → top 10.
+    Two native hash-shuffle joins (``Dataset.join``), predicates pushed
+    below both joins, revenue in exact integer cents×(100-disc) so
+    partial-sum order can't perturb the total, deterministic top-k
+    tie-break on the unique orderkey."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING"))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    cutoff = pa.scalar(np.datetime64(_Q3_DATE, "us"), pa.timestamp("us"))
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate"), cutoff))
+        day = pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32()).cast(
+            pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [b.column("o_orderkey"), b.column("o_custkey"), day, b.column("o_orderpriority")],
+            names=["o_orderkey", "o_custkey", "o_orderday", "o_orderpriority"],
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(ord_prep, batch_format="pyarrow")
+    orders_f = orders.join(
+        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_orderkey", "o_orderday", "o_orderpriority"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+        price_c = pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)).cast(pa.int64())
+        disc_c = pc.round(pc.multiply(b.column("l_discount"), 100.0)).cast(pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.Table.from_arrays(
+            [b.column("l_orderkey"), rev], names=["l_orderkey", "rev_e4"]
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+    j = li.join(
+        orders_f, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = grouped_sum_count(
+        j,
+        ["l_orderkey", "o_orderday", "o_orderpriority"],
+        ["rev_e4"],
+        {"rev_e4": "revenue_e4"},
+        count_name="n_lines",
+    )
+    return agg.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_REVENUE_ORDERS = f"""
+SELECT l_orderkey,
+       date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_orderday,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -3682,6 +3875,10 @@ EXTRA_QUERIES = {
     "quantiles_radix": q_quantiles_radix,
     # ExactSubstr dedup (Lee et al. 2022) — duplicated >=k-token runs
     "exact_substring": q_exact_substring,
+    # range joins (grid method) + the 3-table relational flagship
+    "range_join_bands": q_range_join_bands,
+    "shipped_within": q_shipped_within,
+    "top_revenue_orders": q_top_revenue_orders,
 }
 
 ORACLE_SQL = {
@@ -3747,4 +3944,7 @@ EXTRA_ORACLE_SQL = {
     "lm_score": SQL_LM_SCORE,
     "quantiles_radix": SQL_QUANTILES,
     "exact_substring": SQL_EXACT_SUBSTRING,
+    "range_join_bands": SQL_RANGE_JOIN_BANDS,
+    "shipped_within": SQL_SHIPPED_WITHIN,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
 }
