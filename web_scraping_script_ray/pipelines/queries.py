@@ -3789,6 +3789,103 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Embedding clustering (distributed k-means) + SemDeDup.
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
+_SEMDEDUP_TAU = 1_300_000_000_000  # quantized L2² (= raw 1.3 · 10¹²·scale²)
+
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table → final
+    cluster assignment per vector.  Each iteration is one streaming
+    map_batches pass emitting (k·dim + k) int64 partials per block; the
+    oracle unrolls the identical integer arithmetic (PageRank pattern —
+    non-negative quantization makes numpy ``//`` and DuckDB ``//``
+    agree).  See functions/cluster.py."""
+    from ..functions.cluster import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=512)
+    cent = kmeans_fit(ds, k=_KM_K, iters=_KM_ITERS)
+    return kmeans_assign(ds, cent)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-bounded semantic near-dedup.
+    Within each cluster, a vector is dropped iff some smaller-id vector
+    of the same cluster lies within quantized-L2² tau — pairwise work is
+    confined to the cluster (the published point of the method), the
+    only shuffle is one groupby(cluster) moving each vector once."""
+    from ..functions.cluster import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=512)
+    return semdedup(ds, k=_KM_K, iters=_KM_ITERS, tau=_SEMDEDUP_TAU)
+
+
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> list[str]:
+    """Unrolled-iteration k-means CTEs.  Quantized values stay < 2⁵³ so
+    DOUBLE-list arithmetic (list_inner_product) is exact integer math."""
+    from ..functions.cluster import QUANT_OFFSET
+
+    ctes = [
+        f"qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> floor(x * 1000000 + 0.5) + {QUANT_OFFSET}.0) AS q FROM embeddings)",
+        "qn AS (SELECT vec_id, q, list_inner_product(q, q) AS qq FROM qv)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, q "
+        f"FROM qv WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, cl FROM ("
+            f"SELECT v.vec_id, c.cl, v.qq - 2 * list_inner_product(v.q, c.q) "
+            f"+ list_inner_product(c.q, c.q) AS d2 FROM qn v CROSS JOIN c{p} c) "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1)"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT a.cl, t.i AS dim, floor(sum(v.q[CAST(t.i + 1 AS INT)]) "
+            f"/ count(*)) AS cv FROM a{t} a JOIN qv v ON v.vec_id = a.vec_id "
+            f"CROSS JOIN range({dim}) t(i) GROUP BY a.cl, t.i)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT c.cl, COALESCE(n.q, c.q) AS q FROM c{p} c LEFT JOIN "
+            f"(SELECT cl, list(cv ORDER BY dim) AS q FROM s{t} GROUP BY cl) n ON n.cl = c.cl)"
+        )
+    ctes.append(
+        f"afin AS (SELECT vec_id, cl FROM ("
+        f"SELECT v.vec_id, c.cl, v.qq - 2 * list_inner_product(v.q, c.q) "
+        f"+ list_inner_product(c.q, c.q) AS d2 FROM qn v CROSS JOIN c{iters} c) "
+        f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1)"
+    )
+    return ctes
+
+
+def _sql_kmeans() -> str:
+    return ("WITH " + ",\n".join(_kmeans_ctes())
+            + "\nSELECT vec_id, CAST(cl AS INT) AS cluster FROM afin")
+
+
+def _sql_semdedup() -> str:
+    return ("WITH " + ",\n".join(_kmeans_ctes()) + f""",
+pair AS (
+  SELECT b.vec_id,
+         max(CASE WHEN va.qq - 2 * list_inner_product(va.q, vb.q) + vb.qq
+                  <= {_SEMDEDUP_TAU} THEN 1 ELSE 0 END) AS dup
+  FROM afin a JOIN afin b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN qn va ON va.vec_id = a.vec_id
+  JOIN qn vb ON vb.vec_id = b.vec_id
+  GROUP BY b.vec_id)
+SELECT f.vec_id, CAST(f.cl AS INT) AS cluster,
+       COALESCE(p.dup, 0) = 0 AS kept
+FROM afin f LEFT JOIN pair p ON p.vec_id = f.vec_id
+""")
+
+
+SQL_KMEANS_EMBED = _sql_kmeans()
+SQL_SEMDEDUP = _sql_semdedup()
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -3879,6 +3976,9 @@ EXTRA_QUERIES = {
     "range_join_bands": q_range_join_bands,
     "shipped_within": q_shipped_within,
     "top_revenue_orders": q_top_revenue_orders,
+    # distributed k-means + SemDeDup (cluster-bounded semantic dedup)
+    "kmeans_embed": q_kmeans_embed,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL = {
@@ -3947,4 +4047,6 @@ EXTRA_ORACLE_SQL = {
     "range_join_bands": SQL_RANGE_JOIN_BANDS,
     "shipped_within": SQL_SHIPPED_WITHIN,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "kmeans_embed": SQL_KMEANS_EMBED,
+    "semdedup": SQL_SEMDEDUP,
 }
