@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "range_join_bands",
     "shipped_within",
     "top_revenue_orders",
+    "kmeans_embed",
+    "semdedup",
+    "hll_distinct",
 ]
 
 

@@ -194,3 +194,37 @@ def test_radix_quantiles_full_int64_domain():
             assert int(got.loc[k, f"q{qi}"]) == int(sv[int(q * (len(sv) - 1))]), (
                 k, q,
             )
+
+
+def test_hll_accuracy_and_merge_invariance():
+    """HLL raw-estimator accuracy at high cardinality (std error
+    1.04/sqrt(4096) ~ 1.6%; assert < 6%) and block-layout invariance:
+    the registers are per-key maxes, so any repartitioning must yield
+    the IDENTICAL summary row (bit-exact oracle parity at sf0.001 is
+    tests/test_extra_queries.py::test_extra_query_parity[hll_distinct])."""
+    from web_scraping_script_ray.functions.sketch import hll_distinct
+
+    rng = np.random.default_rng(3)
+    n = 120_000
+    keys = rng.choice(["big", "small"], size=n, p=[0.95, 0.05])
+    # wide value universe: md5 of short dense decimal strings carries a
+    # measured ~+2% register bias; the sketch machinery is what's under
+    # test, so use well-conditioned values (oracle parity covers the
+    # dense regime bit-exactly anyway)
+    vals = rng.integers(0, 10**12, size=n, dtype=np.int64)
+    vals[keys == "small"] %= 97  # low-cardinality key in the same pass
+    tbl = pa.table({"k": keys, "v": vals})
+
+    got = {}
+    for parts in (2, 11):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        df = hll_distinct(ds, "k", "v").to_pandas().set_index("k").sort_index()
+        got[parts] = df
+    assert got[2].equals(got[11])  # summary independent of block layout
+
+    df = got[2]
+    for k in ("big", "small"):
+        true = len(np.unique(vals[keys == k]))
+        est = int(df.loc[k, "n_distinct_est"])
+        assert abs(est - true) / true < 0.06, (k, true, est)
+    assert int(df.loc["big", "m"]) == 4096

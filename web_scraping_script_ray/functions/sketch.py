@@ -201,3 +201,122 @@ def mg_topk(
 
     refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     return ray.data.from_arrow_refs([merge.remote(refs)])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al., AofA'07) — mergeable grouped cardinality
+# registers.  Complements KMV: a KMV summary is O(k) VALUES per key; the
+# HLL summary is a fixed 2^p-register array per key whose per-register
+# MAX merges associatively, so block partials are tiny and key-shaped
+# skew cannot inflate them.  Everything here is integer-exact and
+# hash-deterministic (same md5-prefix uint64 the KMV/SimHash oracles
+# use), so a DuckDB oracle reproduces the REGISTERS and the estimate
+# bit-for-bit: register index = top p bits of the hash, rho = leading-
+# zero run of the low 64-p bits + 1 (SQL: 53 - length(bin(w))), and the
+# raw estimator alpha_m * m^2 / sum(2^-M_j) is evaluated in fixed-point
+# integer arithmetic (alpha scaled by 2^30, the 2^-M_j sum scaled by
+# 2^53 — fits int128/HUGEINT) so no float association order can differ
+# between engines.  The small-range linear-counting correction IS
+# applied (the raw estimator floors at ~alpha*m): est <= 2.5m with
+# empty registers switches to floor(m*ln(m/n_zero)), whose 4096
+# possible values were verified identical between Python libm and
+# DuckDB with >=3.7e-6 margin to every floor boundary.  High-
+# cardinality accuracy is pytest-asserted (tests/test_agg.py).
+# ---------------------------------------------------------------------------
+
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers
+_HLL_W_BITS = 64 - HLL_P  # 52: low bits that feed the rho count
+_HLL_W_MASK = np.uint64((1 << _HLL_W_BITS) - 1)
+# floor(0.7213 / (1 + 1.079 / 4096) * 2^30) — the m=4096 alpha in .30
+# fixed point; hard-coded identically in the SQL oracle.
+_HLL_ALPHA_FP = 774286009
+
+
+def _hll_registers(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per DISTINCT value — duplicates can't move
+    a per-register max, so hashing the uniques is lossless."""
+    hv = _kmv_hashes(values)  # distinct md5-prefix uint64s
+    idx = (hv >> np.uint64(_HLL_W_BITS)).astype(np.int64)
+    w = hv & _HLL_W_MASK
+    # w < 2^52 is exact in float64, so frexp's exponent IS bit_length(w)
+    bl = np.frexp(w.astype(np.float64))[1]
+    rho = np.where(w == 0, _HLL_W_BITS + 1, _HLL_W_BITS + 1 - bl).astype(np.int64)
+    return idx, rho
+
+
+def _hll_partial(batch: pa.Table, key_col: str, val_col: str) -> pa.Table:
+    """Per-block partial: the non-zero (key, register, max rho) cells."""
+    enc = pc.dictionary_encode(batch.column(key_col))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    kidx = enc.indices.to_numpy(zero_copy_only=False)
+    keys_out, idx_out, rho_out = [], [], []
+    for ki in range(len(enc.dictionary)):
+        vals = batch.column(val_col).filter(pa.array(kidx == ki))
+        idx, rho = _hll_registers(vals)
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(regs, idx, rho)
+        used = np.flatnonzero(regs)
+        keys_out.append(np.full(len(used), ki, dtype=np.int64))
+        idx_out.append(used)
+        rho_out.append(regs[used])
+    ki_arr = np.concatenate(keys_out) if keys_out else np.zeros(0, np.int64)
+    key_arr = enc.dictionary.take(pa.array(ki_arr, pa.int64()))
+    return pa.Table.from_arrays(
+        [
+            key_arr,
+            pa.array(np.concatenate(idx_out) if idx_out else np.zeros(0, np.int64)),
+            pa.array(np.concatenate(rho_out) if rho_out else np.zeros(0, np.int64)),
+        ],
+        names=[key_col, "__ridx", "__rho"],
+    )
+
+
+def _hll_final(g: pa.Table, key_col: str) -> pa.Table:
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(
+        regs,
+        g.column("__ridx").to_numpy(zero_copy_only=False),
+        g.column("__rho").to_numpy(zero_copy_only=False),
+    )
+    n_zero = int((regs == 0).sum())
+    sum_rho = int(regs.sum())
+    # S = sum_j 2^(53 - M_j) exceeds int64 (max 4096 * 2^53); bucket the
+    # 54 possible register values and sum in Python ints (exact).
+    counts = np.bincount(regs, minlength=_HLL_W_BITS + 2)
+    s_num = sum(int(c) << (_HLL_W_BITS + 1 - r) for r, c in enumerate(counts) if c)
+    est = (_HLL_ALPHA_FP * HLL_M * HLL_M * (1 << (_HLL_W_BITS + 1))) // (s_num << 30)
+    # Small-range (linear counting) correction — the raw estimator's
+    # floor is ~alpha*m, so below 2.5m switch to m*ln(m/n_zero).  Safe
+    # to oracle in float: the 4096 possible values were checked
+    # identical between Python libm and DuckDB, with >=3.7e-6 margin to
+    # every floor boundary (a libm ulp is ~1e-8 here).
+    if n_zero > 0 and est <= 5 * HLL_M // 2:
+        import math
+
+        est = math.floor(HLL_M * math.log(HLL_M / n_zero))
+    return pa.Table.from_arrays(
+        [
+            g.column(key_col).slice(0, 1),
+            pa.array([HLL_M], pa.int64()),
+            pa.array([n_zero], pa.int64()),
+            pa.array([sum_rho], pa.int64()),
+            pa.array([est], pa.int64()),
+        ],
+        names=[key_col, "m", "n_zero", "sum_rho", "n_distinct_est"],
+    )
+
+
+def hll_distinct(ds: "ray.data.Dataset", key_col: str, val_col: str) -> "ray.data.Dataset":
+    """Grouped HLL COUNT(DISTINCT val) → (key, m, n_zero, sum_rho,
+    n_distinct_est).  Map-side: each block emits only its NON-ZERO
+    register cells (≤ 4096 rows per key per block, typically far
+    fewer); the groupby moves those cells, never the raw pairs, and the
+    per-key merge is one vectorized ``np.maximum.at``."""
+    partials = ds.map_batches(
+        lambda b: _hll_partial(b, key_col, val_col), batch_format="pyarrow"
+    )
+    return partials.groupby(key_col).map_groups(
+        lambda g: _hll_final(g, key_col), batch_format="pyarrow"
+    )

@@ -2632,6 +2632,55 @@ FROM r WHERE rn <= 64 GROUP BY event_type
 """
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog grouped COUNT(DISTINCT user_id) per event_type — the
+    fixed-size-summary alternative to KMV: per-block partials are the
+    non-zero cells of a 4096-register array, merged per key with one
+    ``np.maximum.at`` (``functions/sketch.py:hll_distinct``).  The
+    md5-prefix hash and the fixed-point integer estimator make the
+    registers AND the estimate bit-exactly SQL-reproducible — an
+    approximate operator with an exact oracle; raw-estimator accuracy
+    at high cardinality is pytest-asserted (tests/test_agg.py)."""
+    from ..functions.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id")
+
+
+SQL_HLL_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM events
+), reg AS (
+  SELECT event_type,
+         CAST(hv // 4503599627370496 AS BIGINT) AS idx,
+         CAST(CASE WHEN hv % 4503599627370496 = 0 THEN 53
+              ELSE 53 - length(bin(hv % 4503599627370496)) END AS BIGINT) AS rho
+  FROM h
+), mreg AS (
+  SELECT event_type, idx, max(rho) AS mj FROM reg GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*) AS n_used, sum(mj) AS sum_rho,
+         sum(CAST(1 AS BIGINT) << (53 - mj)) AS s_used
+  FROM mreg GROUP BY 1
+), raw AS (
+  SELECT event_type, n_used, sum_rho,
+         CAST(CAST(774286009 AS HUGEINT) * 4096 * 4096 * 9007199254740992
+              // ((s_used + (4096 - n_used) * CAST(9007199254740992 AS HUGEINT))
+                  * 1073741824) AS BIGINT) AS est_raw
+  FROM s
+)
+SELECT event_type, 4096 AS m,
+       CAST(4096 - n_used AS BIGINT) AS n_zero,
+       CAST(sum_rho AS BIGINT) AS sum_rho,
+       CASE WHEN n_used < 4096 AND est_raw <= 10240
+            THEN CAST(floor(4096.0 * ln(4096.0 / (4096 - n_used))) AS BIGINT)
+            ELSE est_raw END AS n_distinct_est
+FROM raw
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window function: per-key running sum (cumulative aggregate).
 # ---------------------------------------------------------------------------
@@ -3979,6 +4028,9 @@ EXTRA_QUERIES = {
     # distributed k-means + SemDeDup (cluster-bounded semantic dedup)
     "kmeans_embed": q_kmeans_embed,
     "semdedup": q_semdedup,
+    # HyperLogLog grouped distinct (fixed-register mergeable summary;
+    # bit-exact integer oracle — see functions/sketch.py)
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLE_SQL = {
@@ -4049,4 +4101,5 @@ EXTRA_ORACLE_SQL = {
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "kmeans_embed": SQL_KMEANS_EMBED,
     "semdedup": SQL_SEMDEDUP,
+    "hll_distinct": SQL_HLL_DISTINCT,
 }
