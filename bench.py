@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "kmeans_embed",
     "semdedup",
     "hll_distinct",
+    "bloom_semi",
 ]
 
 

@@ -251,3 +251,56 @@ def test_redact_pii_idempotent():
     # redacting already-redacted text is a no-op
     t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array(red)})
     assert redact_pii(t2).column("text_redacted").to_pylist() == red
+
+
+def test_bloom_semi_join_exact_and_fp_bound(ray_session):
+    """bloom_semi_join must equal a plain membership filter (the confirm
+    join removes every bloom false positive), and the prefilter alone
+    must hold the analytic FP bound (1-e^{-kn/m})^k ~ 4e-4 here."""
+    from web_scraping_script_ray.functions.joins import (
+        bloom_bitmap_from_keys,
+        bloom_semi_join,
+        bloom_test_keys,
+    )
+
+    rng = np.random.default_rng(7)
+    dim_keys = np.unique(rng.integers(0, 10**12, size=5_000, dtype=np.int64))
+    universe = np.unique(
+        np.concatenate(
+            [rng.integers(0, 10**12, size=100_000, dtype=np.int64), dim_keys]
+        )
+    )
+    non_members = np.setdiff1d(universe, dim_keys)
+
+    bm = bloom_bitmap_from_keys(dim_keys, 1 << 17, 4)
+    assert bloom_test_keys(dim_keys, bm, 4).all()  # no false negatives
+    fp = bloom_test_keys(non_members, bm, 4).mean()
+    assert fp < 0.005, fp
+
+    fact_keys = rng.choice(universe, size=20_000)
+    fact = ray.data.from_arrow(
+        pa.table(
+            {
+                "fk": pa.array(fact_keys, pa.int64()),
+                "payload": pa.array(np.arange(len(fact_keys), dtype=np.int64)),
+            }
+        )
+    ).repartition(7)
+    dim = ray.data.from_arrow(
+        pa.table({"dk": pa.array(dim_keys, pa.int64())})
+    ).repartition(3)
+
+    got = (
+        bloom_semi_join(fact, "fk", dim, "dk", m_bits=1 << 17, k=4)
+        .to_pandas()
+        .sort_values(["payload"])
+        .reset_index(drop=True)
+    )
+    member = np.isin(fact_keys, dim_keys)
+    want = (
+        pd.DataFrame({"fk": fact_keys[member],
+                      "payload": np.arange(len(fact_keys), dtype=np.int64)[member]})
+        .sort_values(["payload"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["fk", "payload"]], want)

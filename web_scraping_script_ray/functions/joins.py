@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 
@@ -268,4 +269,112 @@ def range_join(
         left_t.union(right_t)
         .groupby("__part")
         .map_groups(merge_part, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join — the runtime-filter / sideways-information-passing
+# pattern (Bloom CACM'70; Spark runtime bloom pushdown): before a fact⋈dim
+# shuffle join, build a FIXED-SIZE bloom bitmap from the dim keys, OR-merge
+# the per-block bitmaps (associative, m/8 bytes each), broadcast once, and
+# prune the fact side map-side so only probable matches enter the exchange.
+# The bloom admits false positives, never false negatives, so composing it
+# with an exact confirm join yields EXACTLY the semi-join — the bloom only
+# changes how many fact rows the shuffle moves (at 1% dim selectivity,
+# ~99% of a 100-TB fact scan dies before the wire).
+# ---------------------------------------------------------------------------
+
+
+def bloom_bitmap_from_keys(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Set the k double-hashed positions of each int64 key in a packed
+    uint64 bitmap of ``m_bits`` bits (``m_bits`` must be a multiple of 64)."""
+    from .hashing import mix64
+
+    bm = np.zeros(m_bits // 64, dtype=np.uint64)
+    if len(keys) == 0:
+        return bm
+    g = mix64(keys.astype(np.uint64))
+    h1 = g % np.uint64(m_bits)
+    # odd step < m keeps the probe sequence cycling over all bit positions
+    h2 = ((g >> np.uint64(33)) | np.uint64(1)) % np.uint64(m_bits)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return bm
+
+
+def bloom_test_keys(keys: np.ndarray, bm: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set."""
+    from .hashing import mix64
+
+    m_bits = len(bm) * 64
+    g = mix64(keys.astype(np.uint64))
+    h1 = g % np.uint64(m_bits)
+    h2 = ((g >> np.uint64(33)) | np.uint64(1)) % np.uint64(m_bits)
+    ok = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        bit = (bm[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        ok &= bit.astype(bool)
+    return ok
+
+
+def bloom_semi_join(
+    fact: "ray.data.Dataset",
+    fact_key: str,
+    dim: "ray.data.Dataset",
+    dim_key: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT left-semi join (fact rows whose key appears in dim) with a
+    bloom pre-filter ahead of the confirming shuffle join.
+
+    Physical plan:
+      1. dim → map_batches: per-block packed bloom bitmap (one m/8-byte
+         binary row per block; duplicate keys cost nothing).
+      2. OR-merge the O(n_blocks) bitmaps (driver reduce over fixed-size
+         partials — at 100 TB make it a Ray tree-reduce, the operand is
+         associative and each partial is m/8 bytes regardless of rows).
+      3. ``ray.put`` the merged bitmap once; fact → map_batches probes all
+         k bits vectorized and drops non-members BEFORE any exchange.
+      4. Survivors (true matches + bloom false positives, expected FP rate
+         (1-e^{-kn/m})^k) go through Ray's native ``left_semi`` hash join
+         against the dim keys for an exact final answer.
+
+    The dim side is never driver-materialized as keys — only its bitmaps
+    and the deduped key column (which the confirm join shuffles, small by
+    the semi-join's own premise).  ``fact_key``/``dim_key`` must be int64."""
+
+    def dim_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(dim_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = bloom_bitmap_from_keys(keys, m_bits, k)
+        return pa.Table.from_arrays(
+            [pa.array([bm.tobytes()], pa.large_binary())], names=["bm"]
+        )
+
+    partials = dim.map_batches(dim_partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(m_bits // 64, dtype=np.uint64)
+    for row in partials:
+        merged |= np.frombuffer(row["bm"], dtype=np.uint64)
+    bm_ref = ray.put(merged)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref) if isinstance(bm_ref, ray.ObjectRef) else bm_ref
+        keys = batch.column(fact_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(bloom_test_keys(keys, bm, k)))
+
+    survivors = fact.map_batches(prefilter, batch_format="pyarrow")
+    dim_keys = dim.select_columns([dim_key]).map_batches(
+        lambda b: b.group_by([dim_key]).aggregate([]), batch_format="pyarrow"
+    )
+    return survivors.join(
+        dim_keys,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=(fact_key,),
+        right_on=(dim_key,),
     )

@@ -2681,6 +2681,51 @@ FROM raw
 """
 
 
+def q_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered exact semi-join (runtime-filter pushdown):
+    lineitem rows whose part has p_size ≥ 48 (~6% of parts), aggregated
+    per returnflag.  The dim side collapses to per-block 128 KB bloom
+    bitmaps OR-merged and broadcast once; the fact scan drops
+    non-members map-side so the confirming native ``left_semi`` hash
+    join only shuffles probable matches (``functions/joins.py:
+    bloom_semi_join``).  False positives are removed by the confirm
+    join, so the result is exact — the bloom only shrinks the exchange."""
+    from ..functions.joins import bloom_semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("p_size"), pa.scalar(48, pa.int32()))
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag", "l_quantity"])
+    sj = bloom_semi_join(li, "l_partkey", part, "p_partkey")
+
+    def qty_int(b: pa.Table) -> pa.Table:
+        q = pc.round(b.column("l_quantity")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("l_returnflag"), q], names=["l_returnflag", "qty"]
+        )
+
+    return grouped_sum_count(
+        sj.map_batches(qty_int, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["qty"],
+        {"qty": "sum_qty"},
+        count_name="n_rows",
+    )
+
+
+SQL_BLOOM_SEMI = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window function: per-key running sum (cumulative aggregate).
 # ---------------------------------------------------------------------------
@@ -4031,6 +4076,8 @@ EXTRA_QUERIES = {
     # HyperLogLog grouped distinct (fixed-register mergeable summary;
     # bit-exact integer oracle — see functions/sketch.py)
     "hll_distinct": q_hll_distinct,
+    # bloom runtime-filter + exact confirm semi-join
+    "bloom_semi": q_bloom_semi,
 }
 
 ORACLE_SQL = {
@@ -4102,4 +4149,5 @@ EXTRA_ORACLE_SQL = {
     "kmeans_embed": SQL_KMEANS_EMBED,
     "semdedup": SQL_SEMDEDUP,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "bloom_semi": SQL_BLOOM_SEMI,
 }
