@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "semdedup",
     "hll_distinct",
     "bloom_semi",
+    "left_outer_orders",
+    "full_outer_users",
 ]
 
 

@@ -2726,6 +2726,89 @@ GROUP BY 1
 """
 
 
+def q_left_outer_orders(sf_dir: str):
+    """Null-preserving LEFT OUTER join via Ray's native hash join:
+    every order keeps its row; c_mktsegment is null unless the customer
+    is in the BUILDING segment.  The dim side is pruned at the read and
+    filtered before the exchange, so the shuffle moves ~1/5 of customer
+    rows and all orders exactly once."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING"))),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return orders.join(
+        cust,
+        join_type="left_outer",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
+
+
+SQL_LEFT_OUTER_ORDERS = """
+SELECT o_orderkey, o_custkey, c.c_mktsegment
+FROM orders
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_mktsegment = 'BUILDING') c
+  ON o_custkey = c.c_custkey
+"""
+
+
+def q_full_outer_users(sf_dir: str):
+    """FULL OUTER join of two per-user aggregates (high-value click
+    spenders vs high-value purchase spenders) — users on only one side
+    keep nulls for the other's columns; Ray's native full_outer join
+    coalesces the same-named key.  Both sides reduce map-side
+    (grouped_sum_count partials) before the join, so the exchange moves
+    one small aggregate row per (user, side)."""
+
+    def side(event_type: str, n_name: str, s_name: str):
+        ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.and_(
+                    pc.equal(b.column("event_type"), pa.scalar(event_type)),
+                    pc.greater(b.column("value"), pa.scalar(95.0)),
+                )
+            )
+            cents = pc.round(pc.multiply(b.column("value"), 100.0)).cast(pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("user_id"), cents], names=["user_id", "cents"]
+            )
+
+        return grouped_sum_count(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"],
+            ["cents"],
+            {"cents": s_name},
+            count_name=n_name,
+        )
+
+    l = side("click", "n_click", "sum_click_c")
+    r = side("purchase", "n_purchase", "sum_purchase_c")
+    return l.join(r, join_type="full_outer", num_partitions=8, on=("user_id",))
+
+
+SQL_FULL_OUTER_USERS = """
+WITH l AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_click_c,
+         count(*) AS n_click
+  FROM events WHERE event_type = 'click' AND value > 95 GROUP BY 1
+), r AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_purchase_c,
+         count(*) AS n_purchase
+  FROM events WHERE event_type = 'purchase' AND value > 95 GROUP BY 1
+)
+SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       l.sum_click_c, l.n_click, r.sum_purchase_c, r.n_purchase
+FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window function: per-key running sum (cumulative aggregate).
 # ---------------------------------------------------------------------------
@@ -4078,6 +4161,9 @@ EXTRA_QUERIES = {
     "hll_distinct": q_hll_distinct,
     # bloom runtime-filter + exact confirm semi-join
     "bloom_semi": q_bloom_semi,
+    # native null-preserving outer joins
+    "left_outer_orders": q_left_outer_orders,
+    "full_outer_users": q_full_outer_users,
 }
 
 ORACLE_SQL = {
@@ -4150,4 +4236,6 @@ EXTRA_ORACLE_SQL = {
     "semdedup": SQL_SEMDEDUP,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bloom_semi": SQL_BLOOM_SEMI,
+    "left_outer_orders": SQL_LEFT_OUTER_ORDERS,
+    "full_outer_users": SQL_FULL_OUTER_USERS,
 }
