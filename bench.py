@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "bloom_semi",
     "left_outer_orders",
     "full_outer_users",
+    "rollup_lineitem",
 ]
 
 

@@ -348,3 +348,55 @@ def radix_quantiles(
             for k in keys
         ]
     return pa.table(cols)
+
+
+def rollup_sum_count(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sum_cols: list[str],
+    out_names: dict[str, str],
+    count_name: str = "n_rows",
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(keys): the finest grouping plus every prefix
+    super-aggregate up to the grand total, rolled-up key columns null
+    (ANSI ROLLUP semantics; key columns must themselves be null-free —
+    with real nulls a grouping-id column would be needed to
+    disambiguate, as in every SQL engine).
+
+    ONE map-side partial pass feeds all levels: the raw table collapses
+    per block (``_partial``), ONE small groupby produces the finest
+    aggregate, and the super-aggregates re-reduce those finest rows —
+    O(distinct finest keys), not another scan.  The expansion runs in a
+    single task (the finest aggregate is the shuffle's own output, small
+    by construction); if the finest grain were web-scale-cardinality,
+    roll up level-by-level instead (each level re-aggregates the one
+    below — same algebra, still never rescans the table)."""
+    finest = grouped_sum_count(ds, keys, sum_cols, out_names, count_name)
+    in_sums = [out_names[c] for c in sum_cols] + [count_name]
+
+    def expand(t: pa.Table) -> pa.Table:
+        levels = [t]
+        for j in range(len(keys) - 1, -1, -1):
+            kept = keys[:j]
+            if kept:
+                lv = t.group_by(kept).aggregate([(c, "sum") for c in in_sums])
+                lv = lv.rename_columns(
+                    [
+                        n[: -len("_sum")] if n.endswith("_sum") else n
+                        for n in lv.column_names
+                    ]
+                )
+            else:
+                arrays = [
+                    pa.array([pc.sum(t.column(c)).as_py()], t.schema.field(c).type)
+                    for c in in_sums
+                ]
+                lv = pa.Table.from_arrays(arrays, names=in_sums)
+            for k in keys[j:]:
+                lv = lv.append_column(k, pa.nulls(lv.num_rows, t.schema.field(k).type))
+            levels.append(lv.select(t.column_names))
+        return pa.concat_tables(levels)
+
+    return finest.repartition(1).map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    )

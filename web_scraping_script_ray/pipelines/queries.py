@@ -30,7 +30,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..functions.agg import grouped_sum_count
+from ..functions.agg import grouped_sum_count, rollup_sum_count
 from ..functions.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
@@ -2791,6 +2791,49 @@ def q_full_outer_users(sf_dir: str):
     return l.join(r, join_type="full_outer", num_partitions=8, on=("user_id",))
 
 
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest grouping,
+    per-flag subtotals, and the grand total — ALL levels derived from
+    ONE map-side partial pass over the table
+    (``functions/agg.py:rollup_sum_count``): the raw scan collapses per
+    block, one small groupby yields the finest aggregate, and the
+    super-aggregates re-reduce those few rows without rescanning."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = pc.round(b.column("l_quantity")).cast(pa.int64())
+        price_c = pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)).cast(
+            pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [b.column("l_returnflag"), b.column("l_linestatus"), qty, price_c],
+            names=["l_returnflag", "l_linestatus", "qty", "price_c"],
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return rollup_sum_count(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        ["qty", "price_c"],
+        {"qty": "sum_qty", "price_c": "sum_price_c"},
+        count_name="n_rows",
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 SQL_FULL_OUTER_USERS = """
 WITH l AS (
   SELECT user_id,
@@ -4164,6 +4207,8 @@ EXTRA_QUERIES = {
     # native null-preserving outer joins
     "left_outer_orders": q_left_outer_orders,
     "full_outer_users": q_full_outer_users,
+    # ROLLUP super-aggregates from one partial pass
+    "rollup_lineitem": q_rollup_lineitem,
 }
 
 ORACLE_SQL = {
@@ -4238,4 +4283,5 @@ EXTRA_ORACLE_SQL = {
     "bloom_semi": SQL_BLOOM_SEMI,
     "left_outer_orders": SQL_LEFT_OUTER_ORDERS,
     "full_outer_users": SQL_FULL_OUTER_USERS,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
 }
