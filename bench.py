@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "left_outer_orders",
     "full_outer_users",
     "rollup_lineitem",
+    "knn_graph",
 ]
 
 

@@ -351,3 +351,96 @@ def ann_lsh_topk(
     return cands.groupby("qid").map_groups(
         lambda g: _final_topk(g, k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact kNN-graph self-join (the brute-force baseline the approximate
+# paths — ann_lsh_topk, IVFIndex, SemDeDup clusters — are graded
+# against).  Each vector's k nearest neighbors under quantized-integer
+# L2² (exact; the same qv/qn arithmetic DuckDB reproduces bit-for-bit).
+#
+# Physical plan: one pass quantizes each block ONCE into (id, q) tables;
+# those block refs stay in the object store and every map task streams
+# the OTHER blocks through a running vectorized top-k merge — the table
+# is never broadcast as one object, never shuffled, and per-task memory
+# is O(batch × (k + block)).  Compute is the O(n²) the operator IS; at
+# web scale you run the LSH/IVF paths and use this as the recall oracle
+# on samples.  Ties break (d2, neighbor_id) ascending in both engines.
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """k exact nearest neighbors (excluding self) per vector →
+    (id, neighbor_id, rank, d2) with rank 1..k by (d2, neighbor_id)."""
+    from .cluster import _qmat
+
+    def qprep(batch: pa.Table) -> pa.Table:
+        q = _qmat(batch, vec_col)
+        lst = pa.FixedSizeListArray.from_arrays(
+            pa.array(q.reshape(-1), pa.int64()), q.shape[1] if len(q) else 0
+        )
+        return pa.Table.from_arrays([batch.column(id_col), lst],
+                                    names=[id_col, "__q"])
+
+    qds = ds.map_batches(qprep, batch_format="pyarrow").materialize()
+    refs = qds.to_arrow_refs()
+
+    def _unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t.column("__q")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        q = np.asarray(col.values, dtype=np.int64).reshape(len(t), -1)
+        return ids, q
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        ids_a, qa = _unpack(batch)
+        n_a = len(ids_a)
+        if n_a == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=[id_col, "neighbor_id", "rank", "d2"],
+            )
+        na2 = (qa * qa).sum(1)
+        big = np.iinfo(np.int64).max
+        best_d = np.full((n_a, k), big, dtype=np.int64)
+        best_id = np.full((n_a, k), big, dtype=np.int64)
+        for ref in refs:
+            t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            ids_b, qb = _unpack(t)
+            if len(ids_b) == 0:
+                continue
+            nb2 = (qb * qb).sum(1)
+            d2 = na2[:, None] - 2 * (qa @ qb.T) + nb2[None, :]
+            d2[ids_a[:, None] == ids_b[None, :]] = big  # exclude self
+            cand_d = np.concatenate([best_d, d2], axis=1)
+            cand_id = np.concatenate(
+                [best_id, np.broadcast_to(ids_b, (n_a, len(ids_b)))], axis=1
+            )
+            # rowwise (d2, id)-ascending: stable sort by id, then by d2
+            o1 = np.argsort(cand_id, axis=1, kind="stable")
+            d_s = np.take_along_axis(cand_d, o1, 1)
+            i_s = np.take_along_axis(cand_id, o1, 1)
+            o2 = np.argsort(d_s, axis=1, kind="stable")[:, :k]
+            best_d = np.take_along_axis(d_s, o2, 1)
+            best_id = np.take_along_axis(i_s, o2, 1)
+        valid = best_id != big  # fewer than k others exist
+        rank = np.broadcast_to(np.arange(1, k + 1, dtype=np.int64), (n_a, k))
+        src = np.broadcast_to(ids_a[:, None], (n_a, k))
+        m = valid.reshape(-1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(src.reshape(-1)[m], pa.int64()),
+                pa.array(best_id.reshape(-1)[m], pa.int64()),
+                pa.array(rank.reshape(-1)[m], pa.int64()),
+                pa.array(best_d.reshape(-1)[m], pa.int64()),
+            ],
+            names=[id_col, "neighbor_id", "rank", "d2"],
+        )
+
+    return qds.map_batches(topk_batch, batch_format="pyarrow")

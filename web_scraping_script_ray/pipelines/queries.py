@@ -4104,6 +4104,42 @@ FROM afin f LEFT JOIN pair p ON p.vec_id = f.vec_id
 SQL_KMEANS_EMBED = _sql_kmeans()
 SQL_SEMDEDUP = _sql_semdedup()
 
+_KNN_K = 5
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact kNN-graph self-join: each vector's 5 nearest neighbors by
+    quantized-integer L2² (``functions/sim.py:knn_graph``).  Blocks are
+    quantized once; every map task streams the other block refs through
+    a running vectorized top-k merge — no broadcast of the whole table,
+    no shuffle, per-task memory O(batch × (k + block)).  The O(n²)
+    compute is what exact kNN IS; the engine's LSH/IVF paths are the
+    web-scale variants and this is their recall oracle."""
+    from ..functions.sim import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=512)
+    return knn_graph(ds, "vec_id", "embedding", k=_KNN_K)
+
+
+def _sql_knn_graph() -> str:
+    from ..functions.cluster import QUANT_OFFSET
+
+    return f"""
+WITH qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        x -> floor(x * 1000000 + 0.5) + {QUANT_OFFSET}.0) AS q FROM embeddings),
+qn AS (SELECT vec_id, q, list_inner_product(q, q) AS qq FROM qv),
+d AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+             CAST(a.qq - 2 * list_inner_product(a.q, b.q) + b.qq AS BIGINT) AS d2
+      FROM qn a JOIN qn b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, neighbor_id) AS rk FROM d)
+SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rank, d2
+FROM r WHERE rk <= {_KNN_K}
+"""
+
+
+SQL_KNN_GRAPH = _sql_knn_graph()
+
 
 # ---------------------------------------------------------------------------
 # Registry.
@@ -4209,6 +4245,8 @@ EXTRA_QUERIES = {
     "full_outer_users": q_full_outer_users,
     # ROLLUP super-aggregates from one partial pass
     "rollup_lineitem": q_rollup_lineitem,
+    # exact kNN-graph self-join (recall oracle for the LSH/IVF paths)
+    "knn_graph": q_knn_graph,
 }
 
 ORACLE_SQL = {
@@ -4284,4 +4322,5 @@ EXTRA_ORACLE_SQL = {
     "left_outer_orders": SQL_LEFT_OUTER_ORDERS,
     "full_outer_users": SQL_FULL_OUTER_USERS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "knn_graph": SQL_KNN_GRAPH,
 }
