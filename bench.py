@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "full_outer_users",
     "rollup_lineitem",
     "knn_graph",
+    "ntile_events",
 ]
 
 

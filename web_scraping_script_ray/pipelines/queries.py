@@ -4104,6 +4104,63 @@ FROM afin f LEFT JOIN pair p ON p.vec_id = f.vec_id
 SQL_KMEANS_EMBED = _sql_kmeans()
 SQL_SEMDEDUP = _sql_semdedup()
 
+
+def q_ntile_events(sf_dir: str):
+    """NTILE(4) + integer-micro percent_rank per event_type ordered by
+    (value, event_id).  The rank comes from the engine's range-partition
+    ``per_key_rank`` (one sort, O(blocks) driver traffic); per-key totals
+    are a 5-row aggregate broadcast into a vectorized bucket formula.
+    percent_rank is emitted in exact integer micro-units
+    ((rank·10⁶)//(n-1)) so no float division can differ between engines;
+    with the unique event_id tie-break row_number ≡ rank, making the
+    definition unambiguous."""
+    from ..stages.rank import per_key_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ranked = per_key_rank(ds, "event_type", ["value", "event_id"], out_col="rk")
+    counts = grouped_sum_count(ds, ["event_type"], [], {}, count_name="n")
+    cnt = {r["event_type"]: r["n"] for r in counts.take_all()}
+    cnt_ref = ray.put(cnt)
+    b = 4
+
+    def stage(batch: pa.Table) -> pa.Table:
+        c = ray.get(cnt_ref) if isinstance(cnt_ref, ray.ObjectRef) else cnt_ref
+        keys = batch.column("event_type").to_pylist()
+        n = np.array([c[k] for k in keys], dtype=np.int64)
+        r = batch.column("rk").to_numpy(zero_copy_only=False).astype(np.int64)
+        q, rem = n // b, n % b
+        small_q = np.maximum(q, 1)  # n < b: every row its own bucket
+        in_big = r < rem * (q + 1)
+        tile = np.where(
+            in_big,
+            r // np.maximum(q + 1, 1) + 1,
+            rem + (r - rem * (q + 1)) // small_q + 1,
+        )
+        pct = np.where(n > 1, (r * 1_000_000) // np.maximum(n - 1, 1), 0)
+        return pa.Table.from_arrays(
+            [
+                batch.column("event_id"),
+                batch.column("event_type"),
+                pa.array(tile, pa.int64()),
+                pa.array(pct, pa.int64()),
+            ],
+            names=["event_id", "event_type", "tile", "pct_micro"],
+        )
+
+    return ranked.map_batches(stage, batch_format="pyarrow")
+
+
+SQL_NTILE_EVENTS = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+       CAST(CASE WHEN cnt > 1
+            THEN ((row_number() OVER w - 1) * 1000000) // (cnt - 1)
+            ELSE 0 END AS BIGINT) AS pct_micro
+FROM (SELECT *, count(*) OVER (PARTITION BY event_type) AS cnt FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 _KNN_K = 5
 
 
@@ -4247,6 +4304,8 @@ EXTRA_QUERIES = {
     "rollup_lineitem": q_rollup_lineitem,
     # exact kNN-graph self-join (recall oracle for the LSH/IVF paths)
     "knn_graph": q_knn_graph,
+    # NTILE + integer percent_rank window
+    "ntile_events": q_ntile_events,
 }
 
 ORACLE_SQL = {
@@ -4323,4 +4382,5 @@ EXTRA_ORACLE_SQL = {
     "full_outer_users": SQL_FULL_OUTER_USERS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "knn_graph": SQL_KNN_GRAPH,
+    "ntile_events": SQL_NTILE_EVENTS,
 }
