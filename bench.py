@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "rollup_lineitem",
     "knn_graph",
     "ntile_events",
+    "overlap_orders",
 ]
 
 

@@ -378,3 +378,140 @@ def bloom_semi_join(
         on=(fact_key,),
         right_on=(dim_key,),
     )
+
+
+def interval_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    right_vals: list[str],
+    by: tuple[str, str] | str | None = None,
+    cell_width: float = 1.0,
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """INNER interval-OVERLAP join: every (left, right) row pair whose
+    CLOSED intervals intersect (l_lo <= r_hi AND r_lo <= l_hi),
+    optionally also requiring an equality key ``by``.
+
+    Grid method, extended to interval×interval: BOTH sides replicate to
+    every ``cell_width`` cell they cover and co-partition on one coarse
+    ``hash(cell[, by]) % n_parts`` exchange; each partition hash-joins on
+    (cell[, by]) and filters to true overlaps.  A pair that overlaps
+    shares every cell of its intersection, so it would duplicate — the
+    dedup is O(1) per candidate: keep the pair only in the FIRST cell of
+    the intersection, ``floor(max(l_lo, r_lo)/w)``, a cell both copies
+    are guaranteed to reach iff they overlap.
+
+    Scale notes match ``range_join``: each side moves span/cell_width+1
+    times — pick ``cell_width`` near the typical interval width; one
+    cell[, by]'s rows must fit one task (salt hot cells with ``by`` or a
+    finer width).  Returns left columns + right_lo/right_hi +
+    ``right_vals`` (no name collisions allowed)."""
+    from .hashing import mix64
+
+    if isinstance(by, str):
+        by = (by, by)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = lschema.names
+    rcols = [right_lo, right_hi, *right_vals]
+    if by is not None and by[1] not in rcols:
+        rcols = [by[1], *rcols]
+    clash = [c for c in rcols if c in lcols and (by is None or c != by[1])]
+    if clash:
+        raise ValueError(f"right columns collide with left: {clash}")
+    ltypes = {n: lschema.field(n).type for n in lcols}
+    rtypes = {n: rschema.field(n).type for n in rcols}
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    w = float(cell_width)
+
+    def _cells(vals: np.ndarray) -> np.ndarray:
+        return np.floor(vals.astype(np.float64) / w).astype(np.int64)
+
+    def _part(cell: np.ndarray, key: np.ndarray | None) -> np.ndarray:
+        u = cell.astype(np.uint64)
+        if key is not None:
+            u = u * np.uint64(0x9E3779B97F4A7C15) + key.astype(np.uint64)
+        return (mix64(u) % np.uint64(n_parts)).astype(np.int64)
+
+    def _pad(batch: pa.Table, n: int) -> list:
+        return [
+            batch.column(c)
+            if c in batch.column_names
+            else pa.nulls(n, ltypes.get(c, rtypes.get(c)))
+            for c in all_cols
+        ]
+
+    def _tag(lo_col: str, hi_col: str, key_name: str | None, is_left: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.and_(
+                    pc.is_valid(batch.column(lo_col)),
+                    pc.is_valid(batch.column(hi_col)),
+                )
+            )
+            lo = batch.column(lo_col).to_numpy(zero_copy_only=False)
+            hi = batch.column(hi_col).to_numpy(zero_copy_only=False)
+            c0, c1 = _cells(lo), _cells(hi)
+            reps = np.maximum(c1 - c0 + 1, 0)
+            idx = np.repeat(np.arange(len(lo), dtype=np.int64), reps)
+            off = np.arange(len(idx), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            )
+            cell = c0[idx] + off
+            taken = batch.take(pa.array(idx, pa.int64()))
+            key = (
+                taken.column(key_name).to_numpy(zero_copy_only=False).astype(np.int64)
+                if key_name
+                else None
+            )
+            t = pa.Table.from_arrays(_pad(taken, len(idx)), names=all_cols)
+            t = t.append_column("__cell", pa.array(cell, pa.int64()))
+            t = t.append_column("__part", pa.array(_part(cell, key), pa.int64()))
+            return t.append_column(
+                "__is_left", pa.array(np.full(len(idx), is_left), pa.bool_())
+            )
+
+        return fn
+
+    out_cols = lcols + [c for c in rcols if by is None or c != by[1]]
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        is_left = g.column("__is_left").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(is_left)).select(["__cell", *lcols])
+        rt = g.filter(pa.array(~is_left)).select(["__cell", *rcols])
+        lkeys = ["__cell", by[0]] if by else ["__cell"]
+        rkeys = ["__cell", by[1]] if by else ["__cell"]
+        j = lt.join(
+            rt, keys=lkeys, right_keys=rkeys, join_type="inner"
+        ).combine_chunks()
+        llo, lhi = j.column(left_lo), j.column(left_hi)
+        rlo, rhi = j.column(right_lo), j.column(right_hi)
+        overlap = pc.and_(pc.less_equal(llo, rhi), pc.less_equal(rlo, lhi))
+        start = np.floor(
+            np.maximum(
+                llo.to_numpy(zero_copy_only=False).astype(np.float64),
+                rlo.to_numpy(zero_copy_only=False).astype(np.float64),
+            )
+            / w
+        ).astype(np.int64)
+        first_cell = pa.array(
+            start == j.column("__cell").to_numpy(zero_copy_only=False)
+        )
+        return j.filter(pc.and_(overlap, first_cell)).select(out_cols)
+
+    left_t = left.map_batches(
+        _tag(left_lo, left_hi, by[0] if by else None, True), batch_format="pyarrow"
+    )
+    right_t = right.select_columns(rcols).map_batches(
+        _tag(right_lo, right_hi, by[1] if by else None, False),
+        batch_format="pyarrow",
+    )
+    return (
+        left_t.union(right_t)
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )

@@ -4105,6 +4105,75 @@ SQL_KMEANS_EMBED = _sql_kmeans()
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_overlap_orders(sf_dir: str):
+    """Interval-OVERLAP self-join (grid method, interval×interval —
+    ``functions/joins.py:interval_join``): pairs of one customer's
+    orders whose 30-day windows intersect, counted per customer.  Both
+    sides replicate to the ~2 grid cells each window covers, co-partition
+    in ONE coarse exchange keyed on (cell, custkey), and each candidate
+    pair is kept only in the first cell of its intersection — an O(1)
+    dedup with no second pass.  The o1<o2 constraint halves the pairs
+    deterministically."""
+    from ..functions.joins import interval_join
+
+    def prep(b: pa.Table, pre: str) -> pa.Table:
+        day = (
+            pc.cast(pc.cast(b.column("o_orderdate"), pa.date32()), pa.int32())
+            .cast(pa.int64())
+        )
+        return pa.Table.from_arrays(
+            [
+                b.column("o_custkey"),
+                b.column("o_orderkey"),
+                day,
+                pc.add(day, pa.scalar(30, pa.int64())),
+            ],
+            names=[f"{pre}cust", f"{pre}key", f"{pre}lo", f"{pre}hi"],
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    left = orders.map_batches(lambda b: prep(b, "l_"), batch_format="pyarrow")
+    right = orders.map_batches(lambda b: prep(b, "r_"), batch_format="pyarrow")
+    ij = interval_join(
+        left,
+        right,
+        "l_lo",
+        "l_hi",
+        "r_lo",
+        "r_hi",
+        right_vals=["r_key"],
+        by=("l_cust", "r_cust"),
+        cell_width=30.0,
+    )
+    pairs = ij.map_batches(
+        lambda b: b.filter(pc.less(b.column("l_key"), b.column("r_key"))).select(
+            ["l_cust"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_sum_count(pairs, ["l_cust"], [], {}, count_name="n_overlap")
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["o_custkey" if n == "l_cust" else n for n in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_OVERLAP_ORDERS = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders
+)
+SELECT a.o_custkey, count(*) AS n_overlap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.d <= b.d + 30 AND b.d <= a.d + 30
+GROUP BY 1
+"""
+
+
 def q_ntile_events(sf_dir: str):
     """NTILE(4) + integer-micro percent_rank per event_type ordered by
     (value, event_id).  The rank comes from the engine's range-partition
@@ -4306,6 +4375,8 @@ EXTRA_QUERIES = {
     "knn_graph": q_knn_graph,
     # NTILE + integer percent_rank window
     "ntile_events": q_ntile_events,
+    # interval-overlap self-join (grid method, first-cell dedup)
+    "overlap_orders": q_overlap_orders,
 }
 
 ORACLE_SQL = {
@@ -4383,4 +4454,5 @@ EXTRA_ORACLE_SQL = {
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "knn_graph": SQL_KNN_GRAPH,
     "ntile_events": SQL_NTILE_EVENTS,
+    "overlap_orders": SQL_OVERLAP_ORDERS,
 }
