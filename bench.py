@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "ntile_events",
     "overlap_orders",
+    "dsir_scores",
 ]
 
 

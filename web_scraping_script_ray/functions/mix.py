@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["mix_weighted"]
+__all__ = ["mix_weighted", "dsir_scores"]
 
 _K = np.int64(2654435761)
 
@@ -174,3 +174,88 @@ def pack_segments(
         )
 
     return parted.groupby("__part").map_groups(emit_segments, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023): score every raw document by how much it resembles a TARGET
+# domain, as the log importance ratio of two bag-of-hashed-ngrams
+# models, log p_target(doc) − log p_raw(doc).  The published use: rank a
+# web-scale raw corpus against a small high-quality target (Wikipedia,
+# books) and keep the top mass.
+#
+# Determinism contract (same as the bigram LM scorer): feature = md5-
+# prefix token hash mod m (SQL-reproducible), per-feature add-1-smoothed
+# log-probs in integer micro-log units floor(ln(·)·1e6), per-doc score =
+# sum over token OCCURRENCES of the feature's weight — integer addition,
+# so partial-sum order can never perturb it.
+# ---------------------------------------------------------------------------
+
+DSIR_M = 4096  # hashed-feature buckets
+
+
+def dsir_scores(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    target_mask_fn,
+    m: int = DSIR_M,
+) -> "ray.data.Dataset":
+    """(id, n_tokens, dsir_micro) per document with ≥1 token.
+
+    Pass 1 never shuffles documents: each block emits ONE row holding
+    two dense m-bucket int64 count vectors (target / raw occurrences,
+    ~64 KB each) — fixed-size associative partials, OR rather SUM-merged
+    on the driver in O(blocks) (tree-reduce at cluster scale).  The
+    m-entry weight vector broadcasts once (``ray.put``); pass 2 scores
+    each block with one ``np.add.at`` — documents never move."""
+    import ray
+
+    from .hashing import flat_tokens, token_hashes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column(text_col))
+        f = (token_hashes(flat) % np.uint64(m)).astype(np.int64)
+        per_doc = np.diff(offsets)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), per_doc)
+        tgt_occ = target_mask_fn(batch)[doc_of]
+        n_t = np.bincount(f[tgt_occ], minlength=m).astype(np.int64)
+        n_r = np.bincount(f, minlength=m).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array([n_t.tobytes()], pa.large_binary()),
+                pa.array([n_r.tobytes()], pa.large_binary()),
+            ],
+            names=["n_t", "n_r"],
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    c_t = np.zeros(m, dtype=np.int64)
+    c_r = np.zeros(m, dtype=np.int64)
+    for row in parts:
+        c_t += np.frombuffer(row["n_t"], dtype=np.int64)
+        c_r += np.frombuffer(row["n_r"], dtype=np.int64)
+    tot_t, tot_r = int(c_t.sum()), int(c_r.sum())
+    lp = np.floor(np.log((c_t + 1.0) / (tot_t + m)) * 1e6).astype(np.int64)
+    lq = np.floor(np.log((c_r + 1.0) / (tot_r + m)) * 1e6).astype(np.int64)
+    w_ref = ray.put(lp - lq)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref) if isinstance(w_ref, ray.ObjectRef) else w_ref
+        flat, offsets = flat_tokens(batch.column(text_col))
+        f = (token_hashes(flat) % np.uint64(m)).astype(np.int64)
+        per_doc = np.diff(offsets)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), per_doc)
+        s = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(s, doc_of, w[f])
+        keep = per_doc > 0
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col).filter(pa.array(keep)),
+                pa.array(per_doc[keep], pa.int64()),
+                pa.array(s[keep], pa.int64()),
+            ],
+            names=[id_col, "n_tokens", "dsir_micro"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

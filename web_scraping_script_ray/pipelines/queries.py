@@ -4105,6 +4105,55 @@ SQL_KMEANS_EMBED = _sql_kmeans()
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023): every document scored
+    by log p_target − log p_raw under two hashed-unigram bag models —
+    target = the English docs, raw = the whole corpus
+    (``functions/mix.py:dsir_scores``).  Pass 1 reduces each block to
+    two fixed 4096-bucket count vectors (documents never shuffle); the
+    4096-entry micro-log weight vector broadcasts once; pass 2 is one
+    ``np.add.at`` per block.  Integer micro-log units make the score
+    bit-reproducible in SQL."""
+    from ..functions.mix import dsir_scores
+
+    def is_en(batch: pa.Table) -> np.ndarray:
+        return pc.equal(batch.column("lang"), pa.scalar("en")).to_numpy(
+            zero_copy_only=False
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_scores(ds, "doc_id", "text", is_en)
+
+
+SQL_DSIR_SCORES = r"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 4096 AS BIGINT) AS f
+  FROM toks
+),
+cf AS (
+  SELECT f,
+         count(*) FILTER (lang = 'en') AS n_t,
+         count(*) AS n_r
+  FROM f GROUP BY f
+),
+tot AS (SELECT sum(n_t) AS tt, sum(n_r) AS tr FROM cf),
+w AS (
+  SELECT f,
+         CAST(floor(ln((n_t + 1.0) / (tt + 4096.0)) * 1000000) AS BIGINT)
+         - CAST(floor(ln((n_r + 1.0) / (tr + 4096.0)) * 1000000) AS BIGINT) AS wt
+  FROM cf, tot
+)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(w.wt) AS BIGINT) AS dsir_micro
+FROM f JOIN w USING (f)
+GROUP BY doc_id
+"""
+
+
 def q_overlap_orders(sf_dir: str):
     """Interval-OVERLAP self-join (grid method, interval×interval —
     ``functions/joins.py:interval_join``): pairs of one customer's
@@ -4377,6 +4426,8 @@ EXTRA_QUERIES = {
     "ntile_events": q_ntile_events,
     # interval-overlap self-join (grid method, first-cell dedup)
     "overlap_orders": q_overlap_orders,
+    # DSIR importance scoring (hashed-ngram log ratio, micro-log units)
+    "dsir_scores": q_dsir_scores,
 }
 
 ORACLE_SQL = {
@@ -4455,4 +4506,5 @@ EXTRA_ORACLE_SQL = {
     "knn_graph": SQL_KNN_GRAPH,
     "ntile_events": SQL_NTILE_EVENTS,
     "overlap_orders": SQL_OVERLAP_ORDERS,
+    "dsir_scores": SQL_DSIR_SCORES,
 }
