@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "ntile_events",
     "overlap_orders",
     "dsir_scores",
+    "sampled_quantiles",
 ]
 
 

@@ -228,3 +228,46 @@ def test_hll_accuracy_and_merge_invariance():
         est = int(df.loc[k, "n_distinct_est"])
         assert abs(est - true) / true < 0.06, (k, true, est)
     assert int(df.loc["big", "m"]) == 4096
+
+
+def test_bottomk_quantiles_accuracy_and_merge_invariance():
+    """Sample-quantile error ~ sqrt(q(1-q)/k) (k=1024 → ~1.6% rank std
+    at P50; assert < 6% rank error), and the bottom-k selection is a
+    per-key global property, so any block layout yields the IDENTICAL
+    summary (bit-exact oracle parity runs at sf0.001 in
+    tests/test_extra_queries.py)."""
+    from web_scraping_script_ray.functions.sketch import bottomk_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 80_000
+    keys = rng.choice(["a", "b"], size=n, p=[0.8, 0.2])
+    vals = np.where(keys == "a", rng.normal(100, 15, n), rng.exponential(40, n))
+    tbl = pa.table(
+        {
+            "k": keys,
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+
+    got = {}
+    for parts in (3, 13):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        df = (
+            bottomk_quantiles(ds, "k", "v", "rid", k=1024)
+            .to_pandas()
+            .set_index("k")
+            .sort_index()
+        )
+        got[parts] = df
+    assert got[3].equals(got[13])
+
+    df = got[3]
+    for key in ("a", "b"):
+        sub = np.sort(vals[keys == key])
+        for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            est = df.loc[key, col]
+            # rank error: where the estimate falls in the true CDF
+            rank = np.searchsorted(sub, est) / (len(sub) - 1)
+            assert abs(rank - q) < 0.06, (key, q, rank)
+        assert int(df.loc[key, "k_used"]) == 1024

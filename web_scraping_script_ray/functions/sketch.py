@@ -320,3 +320,93 @@ def hll_distinct(ds: "ray.data.Dataset", key_col: str, val_col: str) -> "ray.dat
     return partials.groupby(key_col).map_groups(
         lambda g: _hll_final(g, key_col), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sampled quantiles — a fixed-size MERGEABLE quantile summary
+# (bottom-k / coordinated sampling, Cohen & Kaplan 2007): per key, keep
+# the k rows whose md5-prefix ROW-ID hash is smallest.  "k smallest of
+# the union" is associative, so block partials merge exactly like KMV;
+# the kept rows are a uniform k-subset of the key's rows, and the
+# empirical quantiles of their VALUES estimate the true quantiles with
+# error ~ sqrt(q(1-q)/k).  Unlike the exact radix/histogram quantile
+# plans (multi-pass), this is ONE pass with an O(k)-per-key summary —
+# and unlike a random reservoir it is deterministic: the same rows are
+# sampled under any partitioning, so a DuckDB oracle reproduces the
+# sample AND the estimates bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _bkq_partial(
+    batch: pa.Table, key_col: str, val_col: str, id_col: str, k: int
+) -> pa.Table:
+    ids = pc.cast(batch.column(id_col), pa.string())
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    hv = token_hashes(ids)
+    enc = pc.dictionary_encode(batch.column(key_col))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    kidx = enc.indices.to_numpy(zero_copy_only=False)
+    vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+    keys_out, hv_out, v_out = [], [], []
+    for ki in range(len(enc.dictionary)):
+        sel = np.flatnonzero(kidx == ki)
+        take = sel[np.argsort(hv[sel], kind="stable")[:k]]
+        keys_out.append(np.full(len(take), ki, dtype=np.int64))
+        hv_out.append(hv[take])
+        v_out.append(vals[take])
+    ki_arr = np.concatenate(keys_out) if keys_out else np.zeros(0, np.int64)
+    return pa.Table.from_arrays(
+        [
+            enc.dictionary.take(pa.array(ki_arr, pa.int64())),
+            pa.array(
+                np.concatenate(hv_out) if hv_out else np.zeros(0, np.uint64),
+                pa.uint64(),
+            ),
+            pa.array(
+                np.concatenate(v_out) if v_out else np.zeros(0, np.float64),
+                pa.float64(),
+            ),
+        ],
+        names=[key_col, "__hv", "__v"],
+    )
+
+
+def bottomk_quantiles(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    k: int = 1024,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> "ray.data.Dataset":
+    """Grouped one-pass sampled quantiles → (key, k_used, q50, q90,
+    q99).  Map-side: each block keeps its k smallest (row-hash, value)
+    pairs per key; the groupby moves ≤ k rows per key per block; the
+    merge re-selects the global bottom-k and reads the estimates off
+    the sorted sample (keys with < k rows are EXACT)."""
+
+    def final(g: pa.Table) -> pa.Table:
+        hv = g.column("__hv").to_numpy(zero_copy_only=False)
+        vals = g.column("__v").to_numpy(zero_copy_only=False)
+        order = np.argsort(hv, kind="stable")[:k]
+        sample = np.sort(vals[order])
+        ku = len(sample)
+        arrays = [
+            g.column(key_col).slice(0, 1),
+            pa.array([ku], pa.int64()),
+        ]
+        names = [key_col, "k_used"]
+        for q in qs:
+            arrays.append(
+                pa.array([float(sample[int(np.floor(q * (ku - 1)))])], pa.float64())
+            )
+            names.append(f"q{int(q * 100)}")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    partials = ds.map_batches(
+        lambda b: _bkq_partial(b, key_col, val_col, id_col, k),
+        batch_format="pyarrow",
+    )
+    return partials.groupby(key_col).map_groups(final, batch_format="pyarrow")

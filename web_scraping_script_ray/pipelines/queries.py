@@ -4105,6 +4105,46 @@ SQL_KMEANS_EMBED = _sql_kmeans()
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_sampled_quantiles(sf_dir: str):
+    """Bottom-k sampled quantiles (Cohen-Kaplan coordinated sampling):
+    per event_type, ONE streaming pass keeps the 1024 rows with the
+    smallest md5 row-id hashes and reads P50/P90/P99 off the sorted
+    sample (``functions/sketch.py:bottomk_quantiles``).  The fixed-size
+    mergeable complement to the exact multi-pass radix plan; the
+    deterministic row-hash sample makes the estimates bit-exactly
+    SQL-reproducible, and accuracy vs the true quantiles is
+    pytest-asserted (tests/test_agg.py)."""
+    from ..functions.sketch import bottomk_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    return bottomk_quantiles(ds, "event_type", "value", "event_id", k=1024)
+
+
+SQL_SAMPLED_QUANTILES = """
+WITH h AS (
+  SELECT event_type, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM events
+), s AS (
+  SELECT * FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY hv) <= 1024
+), o AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS ku
+  FROM s
+)
+SELECT event_type, CAST(max(ku) AS BIGINT) AS k_used,
+       max(CASE WHEN rn - 1 = CAST(floor(0.50 * (ku - 1)) AS BIGINT)
+                THEN value END) AS q50,
+       max(CASE WHEN rn - 1 = CAST(floor(0.90 * (ku - 1)) AS BIGINT)
+                THEN value END) AS q90,
+       max(CASE WHEN rn - 1 = CAST(floor(0.99 * (ku - 1)) AS BIGINT)
+                THEN value END) AS q99
+FROM o GROUP BY event_type
+"""
+
+
 def q_dsir_scores(sf_dir: str):
     """DSIR importance scores (Xie et al. 2023): every document scored
     by log p_target − log p_raw under two hashed-unigram bag models —
@@ -4428,6 +4468,8 @@ EXTRA_QUERIES = {
     "overlap_orders": q_overlap_orders,
     # DSIR importance scoring (hashed-ngram log ratio, micro-log units)
     "dsir_scores": q_dsir_scores,
+    # bottom-k coordinated-sampling quantile sketch
+    "sampled_quantiles": q_sampled_quantiles,
 }
 
 ORACLE_SQL = {
@@ -4507,4 +4549,5 @@ EXTRA_ORACLE_SQL = {
     "ntile_events": SQL_NTILE_EVENTS,
     "overlap_orders": SQL_OVERLAP_ORDERS,
     "dsir_scores": SQL_DSIR_SCORES,
+    "sampled_quantiles": SQL_SAMPLED_QUANTILES,
 }
