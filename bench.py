@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "overlap_orders",
     "dsir_scores",
     "sampled_quantiles",
+    "token_entropy",
 ]
 
 

@@ -473,3 +473,52 @@ def redact_pii(
     for _name, pat, tok in PII_PATTERNS:
         red = pc.replace_substring_regex(red, pat, tok)
     return batch.append_column(out_col, red)
+
+
+def token_entropy(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Per-doc Shannon token entropy in integer micro-nat units — the
+    classic diversity/quality signal (low entropy ≙ templated or
+    repeated text).  entropy_micro = −Σ_tok c·floor(ln(c/n)·10⁶): each
+    per-token term is floored BEFORE the weighted sum, so the result is
+    pure integer arithmetic and bit-reproducible in SQL (the lm_score
+    micro-log contract).  Per-doc, block-local — no shuffle; the
+    (row, token)-count reduction is one Arrow C++ hash aggregation.
+    Docs with zero tokens are dropped (entropy undefined), matching the
+    SQL group-by."""
+    from .hashing import flat_tokens
+
+    flat, offsets = flat_tokens(batch.column(text_col))
+    per_doc = np.diff(offsets)
+    doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), per_doc)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    pairs = pa.table(
+        {
+            "d": pa.array(doc_of, pa.int64()),
+            "t": pa.array(
+                enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+    cnt = pairs.group_by(["d", "t"]).aggregate([([], "count_all")])
+    d = cnt.column("d").to_numpy(zero_copy_only=False)
+    c = cnt.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = per_doc[d].astype(np.float64)
+    term = c * np.floor(np.log(c.astype(np.float64) / n) * 1e6).astype(np.int64)
+    ent = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(ent, d, -term)
+    uniq = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(uniq, d, 1)
+    keep = per_doc > 0
+    return pa.Table.from_arrays(
+        [
+            batch.column(id_col).filter(pa.array(keep)),
+            pa.array(per_doc[keep], pa.int64()),
+            pa.array(uniq[keep], pa.int64()),
+            pa.array(ent[keep], pa.int64()),
+        ],
+        names=[id_col, "n_tokens", "n_unique", "entropy_micro"],
+    )

@@ -4105,6 +4105,35 @@ SQL_KMEANS_EMBED = _sql_kmeans()
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon token entropy in integer micro-nat units
+    (``functions/text.py:token_entropy``) — the diversity/quality
+    signal that catches templated or repeated text.  Block-local (docs
+    never shuffle); each per-token term is floored before the weighted
+    sum so the result is pure integer arithmetic, bit-equal to SQL."""
+    from ..functions.text import token_entropy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_entropy, batch_format="pyarrow")
+
+
+SQL_TOKEN_ENTROPY = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n, count(*) AS n_unique FROM c GROUP BY 1)
+SELECT c.doc_id,
+       CAST(max(n.n) AS BIGINT) AS n_tokens,
+       CAST(max(n.n_unique) AS BIGINT) AS n_unique,
+       CAST(-sum(c.c * CAST(floor(ln(CAST(c.c AS DOUBLE) / n.n) * 1000000)
+                            AS BIGINT)) AS BIGINT) AS entropy_micro
+FROM c JOIN n USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_sampled_quantiles(sf_dir: str):
     """Bottom-k sampled quantiles (Cohen-Kaplan coordinated sampling):
     per event_type, ONE streaming pass keeps the 1024 rows with the
@@ -4470,6 +4499,8 @@ EXTRA_QUERIES = {
     "dsir_scores": q_dsir_scores,
     # bottom-k coordinated-sampling quantile sketch
     "sampled_quantiles": q_sampled_quantiles,
+    # per-doc Shannon token entropy (quality/diversity signal)
+    "token_entropy": q_token_entropy,
 }
 
 ORACLE_SQL = {
@@ -4550,4 +4581,5 @@ EXTRA_ORACLE_SQL = {
     "overlap_orders": SQL_OVERLAP_ORDERS,
     "dsir_scores": SQL_DSIR_SCORES,
     "sampled_quantiles": SQL_SAMPLED_QUANTILES,
+    "token_entropy": SQL_TOKEN_ENTROPY,
 }
