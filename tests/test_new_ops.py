@@ -304,3 +304,43 @@ def test_bloom_semi_join_exact_and_fp_bound(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["fk", "payload"]], want)
+
+
+def test_skew_join_plans_agree(ray_session):
+    """plain ≡ split, and a mid threshold exercises BOTH legs at once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from web_scraping_script_ray.functions.joins import skew_join
+    from web_scraping_script_ray.pipelines.queries import _read, q_skew_split_join
+
+    def norm(res):
+        df = res.to_pandas().sort_values(["event_id"]).reset_index(drop=True)
+        return df[["event_id", "user_id", "event_type", "c_mktsegment"]]
+
+    a = norm(q_skew_split_join(_SF, force_plan="plain"))
+    b = norm(q_skew_split_join(_SF, force_plan="split"))
+    assert len(a) == 1000
+    assert a.equals(b)
+
+    # threshold between user frequencies → hot AND cold legs both carry rows
+    events = _read(_SF, "events", ["event_id", "user_id", "event_type"]).map_batches(
+        lambda t: t.append_column(
+            "c_custkey",
+            pc.add(t.column("user_id"), pa.scalar(1, pa.int64())).cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    dim = _read(_SF, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["ck", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    mixed = skew_join(
+        events, "c_custkey", dim, "ck", dim_cols=["c_mktsegment"],
+        hot_min_count=70, force_plan="split",
+    ).select_columns(["event_id", "user_id", "event_type", "c_mktsegment"])
+    c = norm(mixed)
+    assert a.equals(c)
+
+    # sanity: with that threshold some users are hot and some cold
+    counts = a.user_id.value_counts()
+    assert (counts >= 70).any() and (counts < 70).any()

@@ -515,3 +515,151 @@ def interval_join(
         .groupby("__part")
         .map_groups(merge_part, batch_format="pyarrow")
     )
+
+
+def skew_join(
+    fact: "ray.data.Dataset",
+    fact_key: str,
+    dim: "ray.data.Dataset",
+    dim_key: str,
+    dim_cols: list[str],
+    hot_min_count: int = 1_000_000,
+    hot_capacity: int = 4096,
+    num_partitions: int = 16,
+    force_plan: str | None = None,
+) -> "ray.data.Dataset":
+    """Skew-aware INNER equi-join: hot fact keys bypass the shuffle.
+
+    A plain hash join puts EVERY row of a hot key in one partition — on a
+    web-scale fact table one straggler task gets 10^8+ rows while the rest
+    idle.  This operator splits the key space instead:
+
+      1. detect hot keys with per-block Misra-Gries summaries
+         (``sketch._mg_compress_table``): O(blocks x capacity) rows reach
+         the single merge, never the raw counts.  Detection is
+         APPROXIMATE (MG estimates undercount by <= n/capacity) but only
+         affects ROUTING — a borderline-hot key that slips through just
+         rides the shuffle join; the result is exact either way.
+      2. the dim rows for hot keys (<= ``hot_capacity`` of them — dim is
+         unique per key by the dimension-table premise) broadcast ONCE
+         via ``ray.put``; hot fact rows join map-side with one
+         ``index_in`` gather per batch — those rows never shuffle.
+      3. cold fact rows go through Ray's native hash join, now skew-free.
+      4. union of the two legs.
+
+    The fact table is scanned twice (two streaming filters) — at 100 TB
+    that is two cheap column-pruned passes instead of one straggler-bound
+    exchange; fuse into one pass with a router stage if scan cost ever
+    dominates.  ``force_plan`` pins ``"plain"`` or ``"split"`` for the
+    forced-path equality tests.  ``fact_key``/``dim_key`` must be int64.
+    """
+    import ray
+
+    from .sketch import _mg_compress_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.select([fact_key]).group_by([fact_key]).aggregate(
+            [([], "count_all")]
+        )
+        comp = _mg_compress_table(out, fact_key, "count_all", hot_capacity)
+        # one null-key row carries the block's TRUE row count, so the merge
+        # can tell whether the compressed counts are exact (no decrement /
+        # truncation fired) — that is what licenses skipping an empty cold leg
+        total = pa.table(
+            {
+                fact_key: pa.array([None], comp.column(fact_key).type),
+                "__c": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+        return pa.concat_tables([comp, total])
+
+    fact_cols = list(fact.schema().names)
+    out_cols = fact_cols + dim_cols
+
+    def plain_join():
+        return fact.join(
+            dim,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(fact_key,),
+            right_on=(dim_key,),
+        ).select_columns(out_cols)
+
+    if force_plan == "plain":
+        return plain_join()
+
+    summaries = fact.map_batches(partial, batch_format="pyarrow").take_all()
+    cold_known_empty = False
+    if summaries:
+        merged = (
+            pa.Table.from_pylist(summaries)
+            .group_by([fact_key])
+            .aggregate([("__c", "sum")])
+        )
+        is_total = pc.is_null(merged.column(fact_key))
+        keyed = merged.filter(pc.invert(is_total))
+        est = keyed.column("__c_sum").to_numpy(zero_copy_only=False)
+        keys = keyed.column(fact_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = keys[est >= hot_min_count]
+        total_rows = int(
+            pc.sum(merged.filter(is_total).column("__c_sum")).as_py() or 0
+        )
+        # exact regime (no MG decrement/truncation anywhere) AND every
+        # surviving key is hot → the cold leg is provably empty; skip its
+        # join entirely (Arrow joins reject an all-empty side)
+        cold_known_empty = int(est.sum()) == total_rows and hot.size == len(keys)
+    else:
+        hot = np.array([], dtype=np.int64)
+    if force_plan != "split" and hot.size == 0:
+        return plain_join()
+
+    hot_arr = pa.array(np.sort(hot), pa.int64())
+
+    # dim rows for hot keys: bounded by hot_capacity rows (dim unique per
+    # key by the dimension-table premise), driver-safe
+    dim_schema = dim.schema().base_schema
+    dim_hot_parts = dim.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(dim_key), value_set=hot_arr)),
+        batch_format="pyarrow",
+    ).take_all()
+    dim_hot = (
+        pa.Table.from_pylist(dim_hot_parts, schema=dim_schema)
+        if dim_hot_parts
+        else dim_schema.empty_table()
+    )
+    lookup_ref = ray.put(dim_hot.combine_chunks())
+
+    def hot_leg(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(fact_key), value_set=hot_arr)
+        b = batch.filter(mask)
+        names = list(b.column_names) + dim_cols
+        look = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        at = pc.index_in(
+            b.column(fact_key), value_set=look.column(dim_key).combine_chunks()
+        )
+        matched = pc.is_valid(at)
+        b = b.filter(matched)
+        at = at.filter(matched)
+        cols = [b.column(c) for c in b.column_names]
+        for c in dim_cols:
+            cols.append(look.column(c).take(at))
+        return pa.Table.from_arrays(cols, names=names)
+
+    def cold_leg(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(fact_key), value_set=hot_arr))
+        )
+
+    hot_out = fact.map_batches(hot_leg, batch_format="pyarrow").select_columns(
+        out_cols
+    )
+    if cold_known_empty:
+        return hot_out
+    cold = fact.map_batches(cold_leg, batch_format="pyarrow").join(
+        dim,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(fact_key,),
+        right_on=(dim_key,),
+    )
+    return hot_out.union(cold.select_columns(out_cols))

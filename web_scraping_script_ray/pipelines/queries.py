@@ -4386,6 +4386,52 @@ SQL_KNN_GRAPH = _sql_knn_graph()
 
 
 # ---------------------------------------------------------------------------
+# Skew-aware split join: hot keys broadcast around the shuffle.
+# ---------------------------------------------------------------------------
+
+def q_skew_split_join(sf_dir: str, force_plan: str | None = None):
+    """Events enriched with a customer dimension via the skew-split join
+    (``functions/joins.py:skew_join``).  The events fact table is
+    user-skewed (the top user carries ~9% of all rows); a plain hash
+    join would send every hot user's rows to one partition.  The split
+    plan detects hot keys with Misra-Gries block summaries, broadcasts
+    ONLY those keys' dim rows, joins them map-side, and shuffles the
+    now-skew-free remainder through Ray's native hash join.  The
+    threshold here (50 rows at sf0.001) is chosen so BOTH legs carry
+    rows in the default run; detection is approximate but routing-only,
+    the result is exact on either leg (forced-path pytest equality:
+    tests/test_new_ops.py)."""
+    from ..functions.joins import skew_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "event_type"]).map_batches(
+        lambda b: b.append_column(
+            "c_custkey",
+            pc.add(b.column("user_id"), pa.scalar(1, pa.int64())).cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename_columns(["ck", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    out = skew_join(
+        events,
+        "c_custkey",
+        dim,
+        "ck",
+        dim_cols=["c_mktsegment"],
+        hot_min_count=50,
+        force_plan=force_plan,
+    )
+    return out.select_columns(["event_id", "user_id", "event_type", "c_mktsegment"])
+
+
+SQL_SKEW_SPLIT_JOIN = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -4501,6 +4547,8 @@ EXTRA_QUERIES = {
     "sampled_quantiles": q_sampled_quantiles,
     # per-doc Shannon token entropy (quality/diversity signal)
     "token_entropy": q_token_entropy,
+    # skew-aware split join (hot keys broadcast around the shuffle)
+    "skew_split_join": q_skew_split_join,
 }
 
 ORACLE_SQL = {
@@ -4582,4 +4630,5 @@ EXTRA_ORACLE_SQL = {
     "dsir_scores": SQL_DSIR_SCORES,
     "sampled_quantiles": SQL_SAMPLED_QUANTILES,
     "token_entropy": SQL_TOKEN_ENTROPY,
+    "skew_split_join": SQL_SKEW_SPLIT_JOIN,
 }
