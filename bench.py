@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "dsir_scores",
     "sampled_quantiles",
     "token_entropy",
+    "skew_split_join",
+    "incremental_dedup",
+    "quantile_band_filter",
+    "inlink_stats",
 ]
 
 

@@ -344,3 +344,18 @@ def test_skew_join_plans_agree(ray_session):
     # sanity: with that threshold some users are hot and some cold
     counts = a.user_id.value_counts()
     assert (counts >= 70).any() and (counts < 70).any()
+
+
+def test_incremental_dedup_plans_agree(ray_session):
+    from web_scraping_script_ray.pipelines.queries import q_incremental_dedup
+
+    def norm(res):
+        return res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    a = norm(q_incremental_dedup(_SF, force_plan="broadcast"))
+    b = norm(q_incremental_dedup(_SF, force_plan="partition"))
+    # snapshot = doc_id%3==0 (167 docs of 500), overlap %6==0 dropped (84)
+    assert len(a) > 0
+    assert (a.doc_id % 3 == 0).all()
+    assert not (a.doc_id % 6 == 0).any()
+    assert a.equals(b)

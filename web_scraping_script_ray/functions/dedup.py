@@ -886,3 +886,116 @@ def _exact_substring_shuffle(
         .map_groups(mark_in_part, batch_format="pyarrow")
     )
     return marked.groupby("dpart").map_groups(spans_in_part, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: new snapshot vs an existing corpus.
+# ---------------------------------------------------------------------------
+
+_INCR_BROADCAST_LIMIT = 2_000_000  # corpus-fingerprint rows a driver broadcast absorbs
+
+
+def incremental_dedup(
+    new_ds: "ray.data.Dataset",
+    corpus_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    n_parts: int = 64,
+    force_plan: str | None = None,
+) -> "ray.data.Dataset":
+    """Keep only the NEW snapshot's rows whose content (md5 of
+    ``text_col``) does not already exist in the corpus — the recurring
+    crawl's "dedup snapshot N against snapshots 1..N-1" step.
+
+    Size-selected like the other anti-joins (``force_plan`` pins one):
+
+    - ``broadcast``: corpus blocks collapse to per-block DISTINCT
+      fingerprints (map-side; dups inside a block cost nothing), the
+      deduped set broadcasts once via ``ray.put`` and new rows filter
+      with one vectorized ``is_in`` — the snapshot never shuffles.
+    - ``partition``: at web scale the corpus fingerprint set is billions
+      of rows and CANNOT broadcast; both sides co-partition by
+      ``int(md5[:8], 16) % n_parts`` in ONE coarse exchange moving only
+      (part, fp, keep_cols), and each partition drops probe rows whose
+      fingerprint appears in its local corpus slice.  This is the 100-TB
+      path; nothing is ever driver-resident.
+
+    Output: the surviving new rows projected to ``keep_cols``.  A prior
+    in-snapshot ``exact_dedup`` composes before this when the snapshot
+    itself has internal dups.
+    """
+
+    keep_cols = keep_cols or ["doc_id"]
+
+    def fp_part(batch: pa.Table, cols: list[str], probe: int) -> pa.Table:
+        md5 = hashlib.md5
+        fps = [md5(t.encode("utf-8")).hexdigest() for t in batch.column(text_col).to_pylist()]
+        part = np.array([int(f[:8], 16) % n_parts for f in fps], dtype=np.int64)
+        arrays = [
+            pa.array(part, pa.int64()),
+            pa.array(fps, pa.string()),
+            pa.array(np.full(len(fps), probe, np.int8), pa.int8()),
+        ]
+        names = ["part", "fp", "is_probe"]
+        for c in cols:
+            arrays.append(batch.column(c))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def corpus_partial(batch: pa.Table) -> pa.Table:
+        t = fp_part(batch, [], 0).select(["part", "fp"])
+        return t.group_by(["part", "fp"]).aggregate([])
+
+    fp_partials = corpus_ds.map_batches(
+        corpus_partial, batch_format="pyarrow"
+    ).materialize()
+    plan = force_plan or (
+        "broadcast" if fp_partials.count() <= _INCR_BROADCAST_LIMIT else "partition"
+    )
+
+    if plan == "broadcast":
+        parts = fp_partials.take_all()
+        fps = pa.array(sorted({r["fp"] for r in parts}), pa.string())
+        fps_ref = ray.put(fps)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            vs = ray.get(fps_ref) if isinstance(fps_ref, ray.ObjectRef) else fps_ref
+            t = fp_part(batch, keep_cols, 1)
+            seen = pc.is_in(t.column("fp"), value_set=vs)
+            return t.filter(pc.invert(seen)).select(keep_cols)
+
+        return new_ds.map_batches(anti, batch_format="pyarrow")
+
+    # ---- hash-partition plan (corpus side never leaves the cluster) -------
+    new_schema = new_ds.schema().base_schema
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        t = batch  # fp_partials rows: (part, fp)
+        arrays = [
+            t.column("part"),
+            t.column("fp"),
+            pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+        ]
+        names = ["part", "fp", "is_probe"]
+        for c in keep_cols:
+            arrays.append(pa.nulls(t.num_rows, new_schema.field(c).type))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def anti_in_part(g: pa.Table) -> pa.Table:
+        is_probe = pc.equal(g.column("is_probe"), pa.scalar(1, pa.int8()))
+        probe = g.filter(is_probe)
+        corpus = g.filter(pc.invert(is_probe))
+        seen = pc.is_in(
+            probe.column("fp"), value_set=corpus.column("fp").combine_chunks()
+        )
+        return probe.filter(pc.invert(seen)).select(keep_cols)
+
+    probe_ds = new_ds.map_batches(
+        lambda b: fp_part(b, keep_cols, 1), batch_format="pyarrow"
+    )
+    return (
+        probe_ds.union(fp_partials.map_batches(tag_corpus, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(anti_in_part, batch_format="pyarrow")
+    )

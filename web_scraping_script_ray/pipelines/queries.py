@@ -4432,6 +4432,199 @@ FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
 
 
 # ---------------------------------------------------------------------------
+# Incremental snapshot dedup: new crawl vs the existing corpus.
+# ---------------------------------------------------------------------------
+
+def q_incremental_dedup(sf_dir: str, force_plan: str | None = None):
+    """Cross-snapshot dedup (``functions/dedup.py:incremental_dedup``):
+    snapshot = docs with ``doc_id % 3 = 0``, corpus = docs with
+    ``doc_id % 2 = 0`` — the ``% 6 = 0`` overlap gives the snapshot true
+    content duplicates against the corpus, which must be dropped.
+    Size-selected broadcast vs md5-co-partitioned anti-join (forced-path
+    pytest equality: tests/test_new_ops.py)."""
+    from ..functions.dedup import incremental_dedup
+
+    def half(rem: int, mod: int):
+        return _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+            lambda b: b.filter(
+                pc.equal(
+                    pa.array(
+                        b.column("doc_id").to_numpy(zero_copy_only=False) % mod,
+                        pa.int64(),
+                    ),
+                    pa.scalar(rem, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    return incremental_dedup(
+        half(0, 3),
+        half(0, 2),
+        text_col="text",
+        keep_cols=["doc_id", "n_chars"],
+        force_plan=force_plan,
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+SELECT s.doc_id, s.n_chars FROM documents s
+WHERE s.doc_id % 3 = 0
+  AND md5(s.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global-quantile band filter: trim length outliers (C4/Gopher recipe step).
+# ---------------------------------------------------------------------------
+
+_BAND_LO, _BAND_HI = 0.05, 0.95
+
+
+def q_quantile_band_filter(sf_dir: str):
+    """Keep documents whose length sits within the corpus's own
+    [P05, P95] band — the "trim the outlier tails" quality-filter step,
+    where the thresholds are DATA-DERIVED, not constants.  Two passes:
+    pass 1 collapses each block to its ``n_chars`` histogram (map-side;
+    O(distinct lengths) rows total — bounded for any length-capped
+    corpus), one merge reads both thresholds at the same explicit
+    0-based ``floor(q·(n-1))`` lower rank rule as ``q_quantiles``; the
+    two ints broadcast in the filter closure and pass 2 is one
+    vectorized BETWEEN per block.  Documents never shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        out = batch.select(["n_chars"]).group_by(["n_chars"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["n_chars", "__n"])
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+    v = np.array([r["n_chars"] for r in parts], dtype=np.int64)
+    w = np.array([r["__n"] for r in parts], dtype=np.int64)
+    order = np.argsort(v)
+    v, w = v[order], w[order]
+    first = np.ones(len(v), dtype=bool)
+    first[1:] = v[1:] != v[:-1]
+    vu = v[first]
+    cum = np.cumsum(np.add.reduceat(w, np.flatnonzero(first)))
+    n = int(cum[-1])
+    lo = int(vu[np.searchsorted(cum, int(_BAND_LO * (n - 1)) + 1)])
+    hi = int(vu[np.searchsorted(cum, int(_BAND_HI * (n - 1)) + 1)])
+
+    def band(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars")
+        keep = pc.and_(
+            pc.greater_equal(x, pa.scalar(lo, pa.int64())),
+            pc.less_equal(x, pa.scalar(hi, pa.int64())),
+        )
+        return batch.filter(keep)
+
+    return ds.map_batches(band, batch_format="pyarrow")
+
+
+SQL_QUANTILE_BAND_FILTER = f"""
+WITH h AS (SELECT n_chars, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM h),
+cm AS (SELECT n_chars, sum(n) OVER (ORDER BY n_chars) AS cum FROM h),
+q AS (SELECT
+  min(CASE WHEN cum >= CAST(floor({_BAND_LO} * (tot - 1)) AS BIGINT) + 1
+      THEN n_chars END) AS lo,
+  min(CASE WHEN cum >= CAST(floor({_BAND_HI} * (tot - 1)) AS BIGINT) + 1
+      THEN n_chars END) AS hi
+  FROM cm, t)
+SELECT d.doc_id, d.n_chars FROM documents d, q
+WHERE d.n_chars BETWEEN q.lo AND q.hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# In-link aggregation over the interleaved-span web: per-host link profile.
+# ---------------------------------------------------------------------------
+
+_INLINK_WEB = "/tmp/synthweb/d1000_h20_s42_b16_sd8/web/*/*.parquet"
+_HOST_RE = r"^https?://([^/#]+)"
+
+
+def q_inlink_stats(sf_dir: str):
+    """Per-target-host in-link profile over the interleaved-span web
+    table (the north-star payload): every ``kind='link'`` span becomes a
+    (source_host, target_host) edge — raw refs carry fragments and
+    uppercased scheme/host, handled by the same lower+host extraction
+    the canonicalizer applies (``urlnorm.canonicalize``) — then per-block
+    (src,dst) count partials collapse the edge list map-side and ONE
+    coarse groupby on the ~|hosts| targets finalizes in-link count,
+    distinct source hosts and the intra-host share.  Span flattening is
+    zero-copy Arrow (``list_flatten`` + ``list_parent_indices``); no
+    Python row loop touches the 10^10-edge scale path."""
+    import ray.data as rd
+
+    from ..synthweb import WebParams, fixture_dir
+
+    web_dir = fixture_dir(WebParams(n_docs=1000, n_hosts=20, seed=42))
+
+    def edges(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        is_link = pc.equal(pc.struct_field(flat, "kind"), pa.scalar("link"))
+        ref = pc.struct_field(flat, "media_ref").filter(is_link)
+        src_url = batch.column("doc_id").take(parent.filter(is_link))
+
+        def host_of_col(arr):
+            # same automaton as _HOST_RE; Arrow requires a NAMED group
+            ex = pc.extract_regex(pc.utf8_lower(arr), r"^https?://(?P<h>[^/#]+)")
+            return pc.struct_field(ex, 0)
+
+        t = pa.Table.from_arrays(
+            [host_of_col(src_url), host_of_col(ref)],
+            names=["src_host", "dst_host"],
+        )
+        out = t.group_by(["src_host", "dst_host"]).aggregate([([], "count_all")])
+        return out.rename_columns(["src_host", "dst_host", "__n"])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        cnt = g.column("__n").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = g.column("src_host").to_pylist()
+        dst0 = g.column("dst_host").to_pylist()[0]
+        intra = int(cnt[[s == dst0 for s in src]].sum())
+        return pa.Table.from_arrays(
+            [
+                pa.array([dst0], pa.string()),
+                pa.array([int(cnt.sum())], pa.int64()),
+                pa.array([len(set(src))], pa.int64()),
+                pa.array([intra], pa.int64()),
+            ],
+            names=["dst_host", "inlinks", "src_hosts", "intra"],
+        )
+
+    return (
+        rd.read_parquet(os.path.join(web_dir, "web"))
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby("dst_host")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+SQL_INLINK_STATS = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+links AS (
+  SELECT regexp_extract(lower(doc_id), '{_HOST_RE}', 1) AS src_host,
+         regexp_extract(lower(s.media_ref), '{_HOST_RE}', 1) AS dst_host
+  FROM sp WHERE s.kind = 'link'
+)
+SELECT dst_host, CAST(count(*) AS BIGINT) AS inlinks,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS src_hosts,
+       CAST(count(*) FILTER (src_host = dst_host) AS BIGINT) AS intra
+FROM links GROUP BY dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -4549,6 +4742,12 @@ EXTRA_QUERIES = {
     "token_entropy": q_token_entropy,
     # skew-aware split join (hot keys broadcast around the shuffle)
     "skew_split_join": q_skew_split_join,
+    # cross-snapshot dedup (new crawl vs existing corpus)
+    "incremental_dedup": q_incremental_dedup,
+    # data-derived [P05,P95] length band filter (two-pass, docs never shuffle)
+    "quantile_band_filter": q_quantile_band_filter,
+    # per-host in-link profile over the interleaved-span web
+    "inlink_stats": q_inlink_stats,
 }
 
 ORACLE_SQL = {
@@ -4631,4 +4830,7 @@ EXTRA_ORACLE_SQL = {
     "sampled_quantiles": SQL_SAMPLED_QUANTILES,
     "token_entropy": SQL_TOKEN_ENTROPY,
     "skew_split_join": SQL_SKEW_SPLIT_JOIN,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "quantile_band_filter": SQL_QUANTILE_BAND_FILTER,
+    "inlink_stats": SQL_INLINK_STATS,
 }
