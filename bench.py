@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "quantile_band_filter",
     "inlink_stats",
+    "weighted_sample",
 ]
 
 

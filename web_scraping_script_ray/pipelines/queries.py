@@ -4625,6 +4625,69 @@ FROM links GROUP BY dst_host
 
 
 # ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis exponential race).
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 50
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample WITHOUT replacement, k=50, weight = ``n_chars``
+    — the "sample training docs proportional to quality/length" recipe
+    step, run as the Efraimidis–Spirakis exponential race: each doc
+    draws a deterministic uniform from md5(doc_id), its race key is
+    ``-ln(u)/w`` (smaller wins; inclusion probability ∝ w), and the k
+    smallest keys win.  One streaming pass: each block keeps only its
+    own k best (partial top-k), so the final sort+limit sees
+    O(blocks·k) rows, never the corpus.  Bit-reproducible across
+    engines: the uniform is an exact u64, ``-ln(u)`` is floored to
+    integer micro-units, and the key is the IEEE division of those two
+    exact ints — the same construction the bigram-LM scorer proved
+    holds ln-bit-parity between numpy and DuckDB."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        md5 = hashlib.md5
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        u64 = np.array(
+            [
+                int.from_bytes(md5(str(int(i)).encode()).digest()[:8], "big")
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        u = (u64.astype(np.float64) + 1.0) / 18446744073709551616.0
+        micro = np.floor((-np.log(u)) * 1e6).astype(np.int64)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = micro.astype(np.float64) / w.astype(np.float64)
+        t = batch.append_column("key_ratio", pa.array(ratio, pa.float64()))
+        keep = np.lexsort((ids, ratio))[:_WSAMPLE_K]
+        return t.take(pa.array(np.sort(keep)))
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .sort(["key_ratio", "doc_id"])
+        .limit(_WSAMPLE_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST(floor((-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                           AS DOUBLE) + 1) / 18446744073709551616.0)) * 1000000)
+              AS BIGINT) AS micro
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(micro AS DOUBLE) / n_chars AS key_ratio
+FROM k
+QUALIFY row_number() OVER (ORDER BY CAST(micro AS DOUBLE) / n_chars, doc_id) <= {_WSAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -4748,6 +4811,8 @@ EXTRA_QUERIES = {
     "quantile_band_filter": q_quantile_band_filter,
     # per-host in-link profile over the interleaved-span web
     "inlink_stats": q_inlink_stats,
+    # weighted sampling without replacement (exponential race, ∝ n_chars)
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -4833,4 +4898,5 @@ EXTRA_ORACLE_SQL = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "quantile_band_filter": SQL_QUANTILE_BAND_FILTER,
     "inlink_stats": SQL_INLINK_STATS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }
