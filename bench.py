@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "quantile_band_filter",
     "inlink_stats",
     "weighted_sample",
+    "fuzzy_name_pairs",
 ]
 
 

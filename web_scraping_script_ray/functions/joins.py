@@ -663,3 +663,61 @@ def skew_join(
         right_on=(dim_key,),
     )
     return hot_out.union(cold.select_columns(out_cols))
+
+
+def hamming1_self_join(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """All pairs of EQUAL-LENGTH strings at Hamming distance exactly 1,
+    via position-deletion blocking — the fuzzy-key join (near-identical
+    URLs, titles, product names) done without an all-pairs comparison.
+
+    Each string explodes into L blocking keys ``(pos, s without s[pos])``;
+    two strings differ in exactly one position iff they share exactly ONE
+    such key (deleting the differing position equalizes them; deleting any
+    other position preserves the difference), so the blocked join emits
+    every true pair EXACTLY once — no dedup pass.  Keys co-partition by
+    ``hash(pos, del) % n_parts`` in one coarse exchange; each partition
+    self-joins its bucket with one Arrow hash join.  Cost is the standard
+    L× blow-up of deletion blocking; at web scale cap L or shard long
+    strings by prefix.  Emits (pos, a, b) with a < b.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        vals = batch.column(col).to_pylist()
+        parts, poss, dels, orig = [], [], [], []
+        for s in vals:
+            for i in range(len(s)):
+                d = s[:i] + s[i + 1 :]
+                # crc32 is process-stable (Python's hash() is NOT — its
+                # per-process seed would split one key across partitions)
+                parts.append((i * 1000003 + zlib.crc32(d.encode())) % n_parts)
+                poss.append(i)
+                dels.append(d)
+                orig.append(s)
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts, pa.int64()),
+                pa.array(poss, pa.int64()),
+                pa.array(dels, pa.string()),
+                pa.array(orig, pa.string()),
+            ],
+            names=["part", "pos", "del_key", col],
+        )
+
+    def pairs_in_part(g: pa.Table) -> pa.Table:
+        lt = g.select(["pos", "del_key", col]).rename_columns(["pos", "del_key", "a"])
+        rt = g.select(["pos", "del_key", col]).rename_columns(["pos", "del_key", "b"])
+        j = lt.join(rt, keys=["pos", "del_key"], join_type="inner").combine_chunks()
+        keep = pc.less(j.column("a"), j.column("b"))
+        return j.filter(keep).select(["pos", "a", "b"])
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pyarrow")
+    )

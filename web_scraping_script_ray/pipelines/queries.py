@@ -4625,6 +4625,54 @@ FROM links GROUP BY dst_host
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy-key self-join: Hamming-distance-1 pairs via deletion blocking.
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Customer-name pairs at Hamming distance exactly 1 (one
+    substituted character), found by position-deletion blocking
+    (``functions/joins.py:hamming1_self_join``) instead of an O(n²)
+    comparison: each name explodes into L ``(pos, name minus pos)``
+    keys, one coarse co-partition on the key hash, and each bucket
+    self-joins with a local Arrow hash join.  A true pair shares
+    exactly ONE key, so it is emitted exactly once — no dedup pass.
+    Output is the per-position pair count (compact, hash-stable)."""
+    from ..functions.joins import hamming1_self_join
+
+    ds = _read(sf_dir, "customer", ["c_name"])
+    pairs = hamming1_self_join(ds, "c_name")
+
+    def per_pos(batch: pa.Table) -> pa.Table:
+        out = batch.select(["pos"]).group_by(["pos"]).aggregate([([], "count_all")])
+        return out.rename_columns(["pos", "__n"])
+
+    return (
+        pairs.map_batches(per_pos, batch_format="pyarrow")
+        .groupby("pos")
+        .sum("__n")
+        .map_batches(
+            lambda b: b.rename_columns(["pos", "n_pairs"]), batch_format="pyarrow"
+        )
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH e AS (
+  SELECT c_name, unnest(generate_series(1, length(c_name))) AS i FROM customer
+),
+v AS (
+  SELECT c_name, i - 1 AS pos,
+         substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS del_key
+  FROM e
+)
+SELECT a.pos, CAST(count(*) AS BIGINT) AS n_pairs
+FROM v a JOIN v b ON a.pos = b.pos AND a.del_key = b.del_key
+                 AND a.c_name < b.c_name
+GROUP BY a.pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic weighted sampling (Efraimidis–Spirakis exponential race).
 # ---------------------------------------------------------------------------
 
@@ -4813,6 +4861,8 @@ EXTRA_QUERIES = {
     "inlink_stats": q_inlink_stats,
     # weighted sampling without replacement (exponential race, ∝ n_chars)
     "weighted_sample": q_weighted_sample,
+    # Hamming-1 fuzzy self-join via position-deletion blocking
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
 }
 
 ORACLE_SQL = {
@@ -4899,4 +4949,5 @@ EXTRA_ORACLE_SQL = {
     "quantile_band_filter": SQL_QUANTILE_BAND_FILTER,
     "inlink_stats": SQL_INLINK_STATS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
 }
