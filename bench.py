@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "inlink_stats",
     "weighted_sample",
     "fuzzy_name_pairs",
+    "triangles",
 ]
 
 

@@ -306,3 +306,26 @@ def test_neardup_canonical_plans_agree(ray_session):
     assert a.doc_id.tolist() == b.doc_id.tolist()
     assert a.canonical_id.tolist() == b.canonical_id.tolist()
     assert a.keep.tolist() == b.keep.tolist()
+
+
+def test_triangle_count_planted(ray_session):
+    """K4 on {a,b,c,d} (4 triangles) + a triangle-free tail."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import triangle_count
+
+    k4 = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    tail = [("d", "e"), ("e", "f"), ("f", "g")]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": [u for u, _ in k4 + tail],
+                "v": [v for _, v in k4 + tail],
+            }
+        )
+    )
+    out = triangle_count(edges, "u", "v").to_pandas()
+    assert out.triangles.tolist() == [4]

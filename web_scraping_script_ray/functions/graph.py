@@ -446,3 +446,211 @@ def _cc_jump(labels: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
         .groupby("part")
         .map_groups(jump_part, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered node-iterator) — string-node graphs.
+# ---------------------------------------------------------------------------
+
+def _str_part(a, b, n_parts: int) -> list[int]:
+    import zlib
+
+    return [
+        zlib.crc32((x + "\x1f" + y).encode()) % n_parts for x, y in zip(a, b)
+    ]
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    u_col: str = "u",
+    v_col: str = "v",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Exact triangle count of an undirected simple graph (node-iterator
+    with DEGREE ordering — Latapy 2008), nodes are strings.
+
+    ``edges`` must be deduplicated undirected edges with ``u < v`` and no
+    self-loops.  Every stage is a coarse co-partition exchange — nothing
+    is ever driver-resident, including the degree table:
+
+      1. degrees: per-block (node, count) partials → one groupby.
+      2. attach deg(u) then deg(v): two exchanges, each co-partitioning
+         the edge list with the degree rows on ``crc32(node) % n_parts``
+         and gathering with one ``index_in`` per partition.
+      3. orient each edge toward the (deg, node)-larger endpoint: max
+         out-degree drops to O(sqrt(m)), which bounds step 4.
+      4. wedges: groupby head ``a``; each group sorts its neighbors by
+         (deg, node) and emits all ordered pairs — O(d_out²) per node,
+         the degree orientation's whole point.
+      5. close: wedges co-partition with oriented edges on the pair key;
+         a wedge that matches an edge is exactly one triangle (each
+         triangle has one unique (deg,node)-smallest vertex).
+
+    Returns one row: (edges, triangles).
+    """
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = pa.array(
+            batch.column(u_col).to_pylist() + batch.column(v_col).to_pylist(),
+            pa.string(),
+        )
+        t = pa.table({"node": nodes})
+        out = t.group_by(["node"]).aggregate([([], "count_all")])
+        return out.rename_columns(["node", "__d"])
+
+    degrees = edges.map_batches(deg_partial, batch_format="pyarrow")
+
+    import zlib
+
+    def node_part(values) -> pa.Array:
+        return pa.array(
+            [zlib.crc32(x.encode()) % n_parts for x in values], pa.int64()
+        )
+
+    def attach(edge_ds, key_col: str, out_deg: str):
+        """co-partition edges (on key_col) with degree partials; gather.
+        Both tagged sides emit the SAME column list in the same order:
+        [part, is_deg, key_col, __deg_in, *other edge fields]."""
+        schema = edge_ds.schema().base_schema
+        other_fields = [(f.name, f.type) for f in schema if f.name != key_col]
+        names = ["part", "is_deg", key_col, "__deg_in"] + [n for n, _ in other_fields]
+
+        def tag_edges(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays = [
+                node_part(batch.column(key_col).to_pylist()),
+                pa.array(np.zeros(n, np.int8), pa.int8()),
+                batch.column(key_col),
+                pa.nulls(n, pa.int64()),
+            ] + [batch.column(c) for c, _ in other_fields]
+            return pa.Table.from_arrays(arrays, names=names)
+
+        def tag_deg(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays = [
+                node_part(batch.column("node").to_pylist()),
+                pa.array(np.ones(n, np.int8), pa.int8()),
+                batch.column("node"),
+                batch.column("__d").cast(pa.int64()),
+            ] + [pa.nulls(n, typ) for _, typ in other_fields]
+            return pa.Table.from_arrays(arrays, names=names)
+
+        def merge(g: pa.Table) -> pa.Table:
+            is_deg = pc.equal(g.column("is_deg"), pa.scalar(1, pa.int8()))
+            dt = g.filter(is_deg)
+            et = g.filter(pc.invert(is_deg))
+            # sum the per-block degree partials for this partition's nodes
+            dsum = (
+                dt.select([key_col, "__deg_in"])
+                .group_by([key_col])
+                .aggregate([("__deg_in", "sum")])
+            )
+            at = pc.index_in(
+                et.column(key_col), value_set=dsum.column(key_col).combine_chunks()
+            )
+            deg = dsum.column("__deg_in_sum").combine_chunks().take(at)
+            keep = [key_col] + [n for n, _ in other_fields]
+            return et.select(keep).append_column(out_deg, deg.cast(pa.int64()))
+
+        return (
+            edge_ds.map_batches(tag_edges, batch_format="pyarrow")
+            .union(degrees.map_batches(tag_deg, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(merge, batch_format="pyarrow")
+        )
+
+    with_du = attach(edges, u_col, "du")
+    with_both = attach(with_du, v_col, "dv")
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = np.array(batch.column(u_col).to_pylist(), dtype=object)
+        v = np.array(batch.column(v_col).to_pylist(), dtype=object)
+        du = batch.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch.column("dv").to_numpy(zero_copy_only=False).astype(np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        b = np.where(u_first, v, u)
+        db = np.where(u_first, dv, du)
+        return pa.Table.from_arrays(
+            [
+                node_part(list(a)),
+                pa.array(list(a), pa.string()),
+                pa.array(list(b), pa.string()),
+                pa.array(db, pa.int64()),
+            ],
+            names=["part", "a", "b", "db"],
+        )
+
+    oriented = with_both.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pa.Table) -> pa.Table:
+        a = np.array(g.column("a").to_pylist(), dtype=object)
+        b = np.array(g.column("b").to_pylist(), dtype=object)
+        db = g.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, db, a))  # group by head a, then (deg, node)
+        a, b = a[order], b[order]
+        w1, w2 = [], []
+        i = 0
+        n = len(a)
+        while i < n:
+            j = i
+            while j < n and a[j] == a[i]:
+                j += 1
+            nb = b[i:j]
+            if len(nb) > 1:
+                ii, jj = np.triu_indices(len(nb), k=1)
+                w1.extend(nb[ii])
+                w2.extend(nb[jj])
+            i = j
+        return pa.Table.from_arrays(
+            [
+                pa.array(_str_part(w1, w2, n_parts), pa.int64()),
+                pa.array(w1, pa.string()),
+                pa.array(w2, pa.string()),
+                pa.array(np.zeros(len(w1), np.int8), pa.int8()),
+            ],
+            names=["part", "w1", "w2", "is_edge"],
+        )
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array(_str_part(a, b, n_parts), pa.int64()),
+                pa.array(a, pa.string()),
+                pa.array(b, pa.string()),
+                pa.array(np.ones(len(a), np.int8), pa.int8()),
+            ],
+            names=["part", "w1", "w2", "is_edge"],
+        )
+
+    oriented = oriented.materialize()  # consumed twice (wedges + closing keys)
+    wedge_ds = oriented.groupby("part").map_groups(wedges, batch_format="pyarrow")
+
+    def close_part(g: pa.Table) -> pa.Table:
+        is_edge = pc.equal(g.column("is_edge"), pa.scalar(1, pa.int8()))
+        et = g.filter(is_edge)
+        wt = g.filter(pc.invert(is_edge))
+        if et.num_rows == 0 or wt.num_rows == 0:
+            return pa.table({"triangles": pa.array([0], pa.int64())})
+        lt = wt.select(["w1", "w2"])
+        rt = et.select(["w1", "w2"]).append_column(
+            "__hit", pa.array(np.ones(et.num_rows, np.int8), pa.int8())
+        )
+        j = lt.join(rt, keys=["w1", "w2"], join_type="inner")
+        return pa.table({"triangles": pa.array([j.num_rows], pa.int64())})
+
+    counts = (
+        wedge_ds.union(oriented.map_batches(edge_keys, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(close_part, batch_format="pyarrow")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"triangles": pa.array([int(pc.sum(batch.column("triangles")).as_py() or 0)], pa.int64())}
+        )
+
+    # the per-partition counts are O(n_parts) rows — one tiny final task
+    return counts.repartition(1).map_batches(final, batch_format="pyarrow")

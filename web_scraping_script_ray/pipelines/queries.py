@@ -4625,6 +4625,92 @@ FROM links GROUP BY dst_host
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting over the web's undirected link graph.
+# ---------------------------------------------------------------------------
+
+def q_triangles(sf_dir: str):
+    """Exact triangle count of the synthetic web's undirected link graph
+    (``functions/graph.py:triangle_count`` — degree-ordered
+    node-iterator).  Edges come from the interleaved link spans (lower +
+    fragment-strip normalization, self-loops dropped, per-block dedup
+    partials then one co-partitioned distinct), and every stage of the
+    count — degree attach ×2, orientation, wedge generation, closing-edge
+    semi-join — is a coarse exchange; no driver-resident state.  Degree
+    orientation bounds each node's wedge fan-out at O(sqrt(m)), the
+    difference between feasible and quadratic on a hub-heavy web graph."""
+    import ray.data as rd
+
+    from ..functions.graph import triangle_count
+    from ..synthweb import WebParams, fixture_dir
+
+    web_dir = fixture_dir(WebParams(n_docs=1000, n_hosts=20, seed=42))
+
+    def raw_edges(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        is_link = pc.equal(pc.struct_field(flat, "kind"), pa.scalar("link"))
+        ref = pc.struct_field(flat, "media_ref").filter(is_link)
+        src = batch.column("doc_id").take(parent.filter(is_link))
+
+        def canon(arr):
+            low = pc.utf8_lower(arr)
+            return pc.list_element(pc.split_pattern(low, "#"), 0)
+
+        s = np.array(canon(src).to_pylist(), dtype=object)
+        d = np.array(canon(ref).to_pylist(), dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        t = pa.Table.from_arrays(
+            [pa.array(list(u), pa.string()), pa.array(list(v), pa.string())],
+            names=["u", "v"],
+        )
+        t = t.group_by(["u", "v"]).aggregate([])  # block-local dedup
+        part = [
+            zlib.crc32((a + "\x1f" + b).encode()) % 64
+            for a, b in zip(t.column("u").to_pylist(), t.column("v").to_pylist())
+        ]
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return g.select(["u", "v"]).group_by(["u", "v"]).aggregate([])
+
+    edges = (
+        rd.read_parquet(os.path.join(web_dir, "web"))
+        .map_batches(raw_edges, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+    return triangle_count(edges, "u", "v")
+
+
+SQL_TRIANGLES = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy-key self-join: Hamming-distance-1 pairs via deletion blocking.
 # ---------------------------------------------------------------------------
 
@@ -4863,6 +4949,8 @@ EXTRA_QUERIES = {
     "weighted_sample": q_weighted_sample,
     # Hamming-1 fuzzy self-join via position-deletion blocking
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    # exact triangle count of the web link graph (degree-ordered iterator)
+    "triangles": q_triangles,
 }
 
 ORACLE_SQL = {
@@ -4950,4 +5038,5 @@ EXTRA_ORACLE_SQL = {
     "inlink_stats": SQL_INLINK_STATS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
+    "triangles": SQL_TRIANGLES,
 }
