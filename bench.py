@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "fuzzy_name_pairs",
     "triangles",
+    "setsim_pairs",
 ]
 
 

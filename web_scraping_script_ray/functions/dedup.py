@@ -999,3 +999,146 @@ def incremental_dedup(
         .groupby("part")
         .map_groups(anti_in_part, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join (AllPairs/PPJoin prefix filtering).
+# ---------------------------------------------------------------------------
+
+def setsim_join(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 3,
+    t_den: int = 5,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """ALL pairs with token-set Jaccard >= t (= ``t_num/t_den``), EXACT —
+    the prefix-filtering join (Bayardo et al. 2007 AllPairs / PPJoin
+    family), not an LSH approximation.
+
+    Every doc's token set sorts by a global total order (the md5 token
+    hash — order choice affects only candidate counts, never the result;
+    at scale switch to ascending document frequency so prefixes hit rare
+    tokens).  If J(a,b) >= t then the two prefixes of length
+    ``m - ceil(t*m) + 1`` must share a token, so each doc emits ONLY its
+    prefix tokens, carrying its full sorted hash set:
+
+      1. one coarse exchange co-partitions prefix rows by token hash;
+      2. each partition forms candidate pairs per shared token, applies
+         the length filter (``t*max(m) <= min(m)``), dedups locally, and
+         verifies EXACT Jaccard with one ``intersect1d`` per pair —
+         both sets are already local (they rode the prefix rows);
+      3. one final coarse exchange dedups pairs found via different
+         prefix tokens.
+
+    Wire cost: each set is replicated ``(1-t)*m + 1`` times (its prefix
+    count) — PPJoin's suffix-truncation trims this further at scale.
+    The threshold is a RATIONAL (``t_num/t_den``); every filter and the
+    final verdict are integer comparisons, so the result is
+    bit-reproducible in SQL.  Empty token sets never pair (matches the
+    SQL, where a token-less doc yields no rows).  Emits
+    (id_a, id_b, jac_micro) with a < b, jac_micro = (inter*1e6)//union.
+    """
+    from .hashing import flat_tokens, token_hashes
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column(text_col))
+        hv = token_hashes(flat)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_part, out_tok, out_id, out_m = [], [], [], []
+        set_values, set_offsets = [], [0]
+        for i in range(len(ids)):
+            s = np.unique(hv[offsets[i] : offsets[i + 1]])
+            m = len(s)
+            if m == 0:
+                continue
+            p = m - ((t_num * m + t_den - 1) // t_den) + 1
+            for tok in s[:p]:
+                out_part.append(int(tok) % n_parts)
+                out_tok.append(int(tok))
+                out_id.append(int(ids[i]))
+                out_m.append(m)
+                set_values.append(s)
+                set_offsets.append(set_offsets[-1] + m)
+        vals = (
+            np.concatenate(set_values) if set_values else np.zeros(0, np.uint64)
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_part, pa.int64()),
+                pa.array(np.array(out_tok, dtype=np.uint64), pa.uint64()),
+                pa.array(out_id, pa.int64()),
+                pa.array(out_m, pa.int64()),
+                pa.ListArray.from_arrays(
+                    pa.array(set_offsets, pa.int32()), pa.array(vals, pa.uint64())
+                ),
+            ],
+            names=["part", "tok", "id", "m", "set"],
+        )
+
+    def pairs_in_part(g: pa.Table) -> pa.Table:
+        tok = g.column("tok").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ms = g.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        sets_col = g.column("set")
+        if isinstance(sets_col, pa.ChunkedArray):
+            sets_col = sets_col.combine_chunks()
+        # one set per DISTINCT doc in this partition (rows repeat them)
+        doc_set: dict[int, np.ndarray] = {}
+        sets_py = sets_col.to_pylist()
+        for r in range(len(ids)):
+            if int(ids[r]) not in doc_set:
+                doc_set[int(ids[r])] = np.array(sets_py[r], dtype=np.uint64)
+        order = np.lexsort((ids, tok))
+        tok_s, ids_s, ms_s = tok[order], ids[order], ms[order]
+        cand = set()
+        i, n = 0, len(tok_s)
+        while i < n:
+            j = i
+            while j < n and tok_s[j] == tok_s[i]:
+                j += 1
+            grp_ids, grp_ms = ids_s[i:j], ms_s[i:j]
+            for x in range(j - i):
+                for y in range(x + 1, j - i):
+                    a, b = int(grp_ids[x]), int(grp_ids[y])
+                    if a == b:
+                        continue
+                    ma, mb = int(grp_ms[x]), int(grp_ms[y])
+                    if t_num * max(ma, mb) <= t_den * min(ma, mb):
+                        cand.add((a, b) if a < b else (b, a))
+            i = j
+        out_a, out_b, out_j = [], [], []
+        for a, b in cand:
+            sa, sb = doc_set[a], doc_set[b]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = len(sa) + len(sb) - inter
+            if inter * t_den >= union * t_num:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(inter * 1_000_000 // union)
+        part2 = [(a * 1_000_003 + b) % n_parts for a, b in zip(out_a, out_b)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(part2, pa.int64()),
+                pa.array(out_a, pa.int64()),
+                pa.array(out_b, pa.int64()),
+                pa.array(out_j, pa.int64()),
+            ],
+            names=["part", "id_a", "id_b", "jac_micro"],
+        )
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        return (
+            g.select(["id_a", "id_b", "jac_micro"])
+            .group_by(["id_a", "id_b", "jac_micro"])
+            .aggregate([])
+        )
+
+    return (
+        ds.map_batches(prefixes, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )

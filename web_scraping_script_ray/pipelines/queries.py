@@ -4625,6 +4625,45 @@ FROM links GROUP BY dst_host
 
 
 # ---------------------------------------------------------------------------
+# Exact set-similarity self-join (prefix filtering), whole corpus.
+# ---------------------------------------------------------------------------
+
+def q_setsim_pairs(sf_dir: str):
+    """ALL document pairs with token-set Jaccard ≥ 3/5, exact, over the
+    WHOLE corpus (``functions/dedup.py:setsim_join`` — AllPairs/PPJoin
+    prefix filtering).  Unlike ``jaccard_pairs`` (the bounded broadcast
+    ground-truth kernel) and ``minhash_pairs`` (approximate LSH), this is
+    the exact join at corpus scale: docs emit only their prefix tokens,
+    one coarse exchange co-locates possible partners, and every filter
+    plus the final verdict is an integer comparison on a rational
+    threshold — bit-reproducible in SQL."""
+    from ..functions.dedup import setsim_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return setsim_join(ds, "text", "doc_id", t_num=3, t_den=5)
+
+
+SQL_SETSIM_PAIRS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(c * 1000000 // (ma.m + mb.m - c) AS BIGINT) AS jac_micro
+FROM inter
+JOIN sz ma ON ma.doc_id = id_a
+JOIN sz mb ON mb.doc_id = id_b
+WHERE c * 5 >= (ma.m + mb.m - c) * 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting over the web's undirected link graph.
 # ---------------------------------------------------------------------------
 
@@ -4673,7 +4712,7 @@ def q_triangles(sf_dir: str):
         )
         t = t.group_by(["u", "v"]).aggregate([])  # block-local dedup
         part = [
-            zlib.crc32((a + "\x1f" + b).encode()) % 64
+            zlib.crc32((a + "\x1f" + b).encode()) % 16
             for a, b in zip(t.column("u").to_pylist(), t.column("v").to_pylist())
         ]
         return t.append_column("part", pa.array(part, pa.int64()))
@@ -4687,7 +4726,9 @@ def q_triangles(sf_dir: str):
         .groupby("part")
         .map_groups(distinct, batch_format="pyarrow")
     )
-    return triangle_count(edges, "u", "v")
+    # 16-way parts: the fixture graph is ~4k edges; at web scale raise
+    # n_parts with the edge count (any value is correct, it's a fan-out knob)
+    return triangle_count(edges, "u", "v", n_parts=16)
 
 
 SQL_TRIANGLES = f"""
@@ -4951,6 +4992,8 @@ EXTRA_QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     # exact triangle count of the web link graph (degree-ordered iterator)
     "triangles": q_triangles,
+    # exact whole-corpus Jaccard join via prefix filtering (AllPairs/PPJoin)
+    "setsim_pairs": q_setsim_pairs,
 }
 
 ORACLE_SQL = {
@@ -5039,4 +5082,5 @@ EXTRA_ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
     "triangles": SQL_TRIANGLES,
+    "setsim_pairs": SQL_SETSIM_PAIRS,
 }
