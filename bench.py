@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs",
     "triangles",
     "setsim_pairs",
+    "funnel_1h",
 ]
 
 

@@ -4625,6 +4625,87 @@ FROM links GROUP BY dst_host
 
 
 # ---------------------------------------------------------------------------
+# Event-sequence (funnel) join: signup → purchase within one hour.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 3_600_000_000  # 1 h in timestamp[us] units
+
+
+def q_funnel_1h(sf_dir: str):
+    """Per-user conversion funnel: the FIRST purchase that happens within
+    one hour of a signup, with the LATEST qualifying signup — the
+    sequence-pattern join (MATCH_RECOGNIZE-lite) that sessionize/sliding
+    windows don't express.  One coarse co-partition on
+    ``hash(user) % 32`` (the only exchange; same assumption as any
+    per-key window: one user's events fit one task), then each group
+    sorts by time once and matches every purchase to its preceding
+    signup with ONE vectorized ``searchsorted`` — no per-event Python."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+        lambda b: b.filter(
+            pc.is_in(
+                b.column("event_type"),
+                value_set=pa.array(["signup", "purchase"], pa.string()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(u % 32, pa.int64()))
+
+    def funnel(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_u, out_s, out_p = [], [], []
+        for uid in np.unique(u):
+            mask = u == uid
+            sts = np.sort(ts[mask & (et == "signup")])
+            pts = np.sort(ts[mask & (et == "purchase")])
+            if len(sts) == 0 or len(pts) == 0:
+                continue
+            at = np.searchsorted(sts, pts, side="right") - 1
+            ok = (at >= 0) & (pts - sts[np.maximum(at, 0)] <= _FUNNEL_WINDOW_US)
+            if not ok.any():
+                continue
+            first = int(np.flatnonzero(ok)[0])
+            out_u.append(int(uid))
+            out_s.append(int(sts[at[first]]))
+            out_p.append(int(pts[first]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_u, pa.int64()),
+                pa.array(out_s, pa.int64()).cast(pa.timestamp("us")),
+                pa.array(out_p, pa.int64()).cast(pa.timestamp("us")),
+            ],
+            names=["user_id", "signup_ts", "purchase_ts"],
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(funnel, batch_format="pyarrow")
+    )
+
+
+SQL_FUNNEL_1H = """
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.user_id, p.ts AS pts, max(s.ts) AS sts
+  FROM p JOIN s ON s.user_id = p.user_id
+              AND s.ts <= p.ts
+              AND p.ts <= s.ts + INTERVAL 1 HOUR
+  GROUP BY 1, 2
+),
+f AS (SELECT user_id, min(pts) AS purchase_ts FROM j GROUP BY 1)
+SELECT f.user_id, j.sts AS signup_ts, f.purchase_ts
+FROM f JOIN j ON j.user_id = f.user_id AND j.pts = f.purchase_ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact set-similarity self-join (prefix filtering), whole corpus.
 # ---------------------------------------------------------------------------
 
@@ -4994,6 +5075,8 @@ EXTRA_QUERIES = {
     "triangles": q_triangles,
     # exact whole-corpus Jaccard join via prefix filtering (AllPairs/PPJoin)
     "setsim_pairs": q_setsim_pairs,
+    # event-sequence funnel join (signup → purchase within 1 h)
+    "funnel_1h": q_funnel_1h,
 }
 
 ORACLE_SQL = {
@@ -5083,4 +5166,5 @@ EXTRA_ORACLE_SQL = {
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
     "triangles": SQL_TRIANGLES,
     "setsim_pairs": SQL_SETSIM_PAIRS,
+    "funnel_1h": SQL_FUNNEL_1H,
 }
