@@ -359,3 +359,96 @@ def test_incremental_dedup_plans_agree(ray_session):
     assert (a.doc_id % 3 == 0).all()
     assert not (a.doc_id % 6 == 0).any()
     assert a.equals(b)
+
+
+def test_setsim_join_random_vs_bruteforce(ray_session):
+    """Random tiny corpora: prefix-filtered join == brute-force Jaccard."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.dedup import setsim_join
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab → real overlaps
+    for trial in range(3):
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(3, 7)))
+            for _ in range(40)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(40)), "text": texts})
+        )
+        got = setsim_join(ds, "text", "doc_id", t_num=1, t_den=2).to_pandas()
+        if len(got):
+            got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        sets = [frozenset(t.lower().split()) for t in texts]
+        want = []
+        for a in range(40):
+            for b in range(a + 1, 40):
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter * 2 >= union:
+                    want.append((a, b, inter * 1_000_000 // union))
+        want.sort()
+        got_t = (
+            list(zip(got.id_a, got.id_b, got.jac_micro)) if len(got) else []
+        )
+        assert got_t == want, f"trial {trial}: {len(got_t)} vs {len(want)}"
+        assert want, f"trial {trial} planted no pairs — test would be vacuous"
+
+
+def test_skew_join_drops_hot_keys_missing_from_dim(ray_session):
+    """INNER semantics on the hot leg: a hot fact key absent from the dim
+    produces no rows (must not surface nulls or crash)."""
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.joins import skew_join
+
+    fact = ray.data.from_arrow(
+        pa.table({"k": [1] * 50 + [2] * 50 + [3] * 5, "x": list(range(105))})
+    )
+    dim = ray.data.from_arrow(
+        pa.table({"dk": [1, 3], "label": ["one", "three"]})
+    )
+    out = (
+        skew_join(fact, "k", dim, "dk", dim_cols=["label"],
+                  hot_min_count=30, force_plan="split")
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    # key 2 is hot but missing from dim → dropped; 1 (hot) and 3 (cold) join
+    assert sorted(out.k.unique().tolist()) == [1, 3]
+    assert len(out) == 55
+    assert set(out[out.k == 1].label) == {"one"}
+    assert set(out[out.k == 3].label) == {"three"}
+
+
+def test_triangle_count_random_vs_bruteforce(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    pairs = list(itertools.combinations(nodes, 2))
+    chosen = [pairs[i] for i in rng.choice(len(pairs), size=60, replace=False)]
+    edges = ray.data.from_arrow(
+        pa.table({"u": [u for u, _ in chosen], "v": [v for _, v in chosen]})
+    )
+    es = set(chosen)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    got = triangle_count(edges, "u", "v").to_pandas().triangles.tolist()
+    assert got == [want]
