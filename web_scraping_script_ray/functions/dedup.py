@@ -1012,6 +1012,7 @@ def setsim_join(
     t_num: int = 3,
     t_den: int = 5,
     n_parts: int = 64,
+    shingle_k: int | None = None,
 ) -> "ray.data.Dataset":
     """ALL pairs with token-set Jaccard >= t (= ``t_num/t_den``), EXACT —
     the prefix-filtering join (Bayardo et al. 2007 AllPairs / PPJoin
@@ -1039,12 +1040,21 @@ def setsim_join(
     bit-reproducible in SQL.  Empty token sets never pair (matches the
     SQL, where a token-less doc yields no rows).  Emits
     (id_a, id_b, jac_micro) with a < b, jac_micro = (inter*1e6)//union.
+
+    ``shingle_k`` switches the set universe from unigram tokens to
+    k-token shingles (the near-dup definition MinHash approximates).
+    On a small-vocabulary corpus unigram SETS degenerate — long docs all
+    contain most of the vocabulary, the true answer is quadratic, and NO
+    algorithm makes a quadratic output small; shingles keep the set
+    space sparse so only genuine near-dups qualify.
     """
-    from .hashing import flat_tokens, token_hashes
+    from .hashing import flat_tokens, shingle_hash_flat, token_hashes
 
     def prefixes(batch: pa.Table) -> pa.Table:
         flat, offsets = flat_tokens(batch.column(text_col))
         hv = token_hashes(flat)
+        if shingle_k is not None:
+            hv, offsets = shingle_hash_flat(hv, offsets, shingle_k)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         out_part, out_tok, out_id, out_m = [], [], [], []
         set_values, set_offsets = [], [0]

@@ -4710,37 +4710,47 @@ FROM f JOIN j ON j.user_id = f.user_id AND j.pts = f.purchase_ts
 # ---------------------------------------------------------------------------
 
 def q_setsim_pairs(sf_dir: str):
-    """ALL document pairs with token-set Jaccard ≥ 3/5, exact, over the
-    WHOLE corpus (``functions/dedup.py:setsim_join`` — AllPairs/PPJoin
-    prefix filtering).  Unlike ``jaccard_pairs`` (the bounded broadcast
-    ground-truth kernel) and ``minhash_pairs`` (approximate LSH), this is
-    the exact join at corpus scale: docs emit only their prefix tokens,
-    one coarse exchange co-locates possible partners, and every filter
-    plus the final verdict is an integer comparison on a rational
-    threshold — bit-reproducible in SQL."""
+    """ALL document pairs with 3-gram-shingle Jaccard ≥ 3/5, EXACT, over
+    the WHOLE corpus (``functions/dedup.py:setsim_join`` — AllPairs /
+    PPJoin prefix filtering).  Unlike ``jaccard_pairs`` (the bounded
+    broadcast ground-truth kernel) and ``minhash_pairs`` (approximate
+    LSH), this is the exact join at corpus scale: docs emit only their
+    ``m − ceil(t·m) + 1`` prefix shingles, one coarse exchange
+    co-locates possible partners, and every filter plus the final
+    verdict is an integer comparison on a rational threshold —
+    bit-reproducible in SQL.  Shingle sets (not unigram sets) keep the
+    universe sparse: on this small-vocabulary corpus the unigram-set
+    answer is degenerately quadratic (57% of ALL pairs at t=0.6)."""
     from ..functions.dedup import setsim_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return setsim_join(ds, "text", "doc_id", t_num=3, t_den=5)
+    return setsim_join(ds, "text", "doc_id", t_num=3, t_den=5, shingle_k=3)
 
 
-SQL_SETSIM_PAIRS = """
-WITH tok AS (
-  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
-  FROM documents
+SQL_SETSIM_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
 ),
-sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+expl AS (
+  SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, t, 0 AS i FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+sh AS (
+  SELECT doc_id,
+         list(DISTINCT CASE WHEN i = 0 AND len(t) < 3
+                            THEN array_to_string(t, ' ')
+                            ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END) AS s
+  FROM expl GROUP BY doc_id
+),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         len(list_intersect(x.s, y.s)) AS inter,
+         len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS uni
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
 )
-SELECT id_a, id_b,
-       CAST(c * 1000000 // (ma.m + mb.m - c) AS BIGINT) AS jac_micro
-FROM inter
-JOIN sz ma ON ma.doc_id = id_a
-JOIN sz mb ON mb.doc_id = id_b
-WHERE c * 5 >= (ma.m + mb.m - c) * 3
+SELECT id_a, id_b, CAST(inter * 1000000 // uni AS BIGINT) AS jac_micro
+FROM pairs WHERE inter * 5 >= uni * 3
 """
 
 
