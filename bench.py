@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "triangles",
     "setsim_pairs",
     "funnel_1h",
+    "clustering_coef",
 ]
 
 

@@ -465,6 +465,7 @@ def triangle_count(
     u_col: str = "u",
     v_col: str = "v",
     n_parts: int = 64,
+    per_node: bool = False,
 ) -> "ray.data.Dataset":
     """Exact triangle count of an undirected simple graph (node-iterator
     with DEGREE ordering — Latapy 2008), nodes are strings.
@@ -589,7 +590,7 @@ def triangle_count(
         db = g.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((b, db, a))  # group by head a, then (deg, node)
         a, b = a[order], b[order]
-        w1, w2 = [], []
+        w1, w2, heads = [], [], []
         i = 0
         n = len(a)
         while i < n:
@@ -601,15 +602,17 @@ def triangle_count(
                 ii, jj = np.triu_indices(len(nb), k=1)
                 w1.extend(nb[ii])
                 w2.extend(nb[jj])
+                heads.extend([a[i]] * len(ii))
             i = j
         return pa.Table.from_arrays(
             [
                 pa.array(_str_part(w1, w2, n_parts), pa.int64()),
                 pa.array(w1, pa.string()),
                 pa.array(w2, pa.string()),
+                pa.array(heads, pa.string()),
                 pa.array(np.zeros(len(w1), np.int8), pa.int8()),
             ],
-            names=["part", "w1", "w2", "is_edge"],
+            names=["part", "w1", "w2", "head", "is_edge"],
         )
 
     def edge_keys(batch: pa.Table) -> pa.Table:
@@ -620,9 +623,10 @@ def triangle_count(
                 pa.array(_str_part(a, b, n_parts), pa.int64()),
                 pa.array(a, pa.string()),
                 pa.array(b, pa.string()),
+                pa.array([""] * len(a), pa.string()),
                 pa.array(np.ones(len(a), np.int8), pa.int8()),
             ],
-            names=["part", "w1", "w2", "is_edge"],
+            names=["part", "w1", "w2", "head", "is_edge"],
         )
 
     oriented = oriented.materialize()  # consumed twice (wedges + closing keys)
@@ -632,20 +636,62 @@ def triangle_count(
         is_edge = pc.equal(g.column("is_edge"), pa.scalar(1, pa.int8()))
         et = g.filter(is_edge)
         wt = g.filter(pc.invert(is_edge))
+        empty_nodes = pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "tri": pa.array([], pa.int64()),
+            }
+        )
         if et.num_rows == 0 or wt.num_rows == 0:
+            if per_node:
+                return empty_nodes
             return pa.table({"triangles": pa.array([0], pa.int64())})
-        lt = wt.select(["w1", "w2"])
+        lt = wt.select(["w1", "w2", "head"])
         rt = et.select(["w1", "w2"]).append_column(
             "__hit", pa.array(np.ones(et.num_rows, np.int8), pa.int8())
         )
         j = lt.join(rt, keys=["w1", "w2"], join_type="inner")
-        return pa.table({"triangles": pa.array([j.num_rows], pa.int64())})
+        if not per_node:
+            return pa.table({"triangles": pa.array([j.num_rows], pa.int64())})
+        if j.num_rows == 0:
+            return empty_nodes
+        # each matched wedge is one triangle {head, w1, w2} — credit all 3
+        nodes = pa.array(
+            j.column("head").to_pylist()
+            + j.column("w1").to_pylist()
+            + j.column("w2").to_pylist(),
+            pa.string(),
+        )
+        out = pa.table({"node": nodes}).group_by(["node"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["node", "tri"])
 
     counts = (
         wedge_ds.union(oriented.map_batches(edge_keys, batch_format="pyarrow"))
         .groupby("part")
         .map_groups(close_part, batch_format="pyarrow")
     )
+
+    if per_node:
+        # per-partition (node, tri) partials: one more coarse groupby on
+        # crc32(node) merges a node's credits from different pair-partitions
+        def node_tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "npart", node_part(batch.column("node").to_pylist())
+            )
+
+        def node_merge(g: pa.Table) -> pa.Table:
+            out = g.select(["node", "tri"]).group_by(["node"]).aggregate(
+                [("tri", "sum")]
+            )
+            return out.rename_columns(["node", "tri"])
+
+        return (
+            counts.map_batches(node_tag, batch_format="pyarrow")
+            .groupby("npart")
+            .map_groups(node_merge, batch_format="pyarrow")
+        )
 
     def final(batch: pa.Table) -> pa.Table:
         return pa.table(

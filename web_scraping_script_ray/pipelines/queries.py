@@ -4706,6 +4706,196 @@ FROM f JOIN j ON j.user_id = f.user_id AND j.pts = f.purchase_ts
 
 
 # ---------------------------------------------------------------------------
+# Local clustering coefficient per node (triangles ÷ wedge capacity).
+# ---------------------------------------------------------------------------
+
+def _web_link_edges(sf_dir: str):
+    """Deduplicated undirected (u,v) link edges of the 1000-doc synthetic
+    web — shared by ``q_triangles`` and ``q_clustering_coef``."""
+    import zlib
+
+    import ray.data as rd
+
+    from ..synthweb import WebParams, fixture_dir
+
+    web_dir = fixture_dir(WebParams(n_docs=1000, n_hosts=20, seed=42))
+
+    def raw_edges(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        is_link = pc.equal(pc.struct_field(flat, "kind"), pa.scalar("link"))
+        ref = pc.struct_field(flat, "media_ref").filter(is_link)
+        src = batch.column("doc_id").take(parent.filter(is_link))
+
+        def canon(arr):
+            low = pc.utf8_lower(arr)
+            return pc.list_element(pc.split_pattern(low, "#"), 0)
+
+        s = np.array(canon(src).to_pylist(), dtype=object)
+        d = np.array(canon(ref).to_pylist(), dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        t = pa.Table.from_arrays(
+            [pa.array(list(u), pa.string()), pa.array(list(v), pa.string())],
+            names=["u", "v"],
+        )
+        t = t.group_by(["u", "v"]).aggregate([])  # block-local dedup
+        part = [
+            zlib.crc32((a + "\x1f" + b).encode()) % 16
+            for a, b in zip(t.column("u").to_pylist(), t.column("v").to_pylist())
+        ]
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return g.select(["u", "v"]).group_by(["u", "v"]).aggregate([])
+
+    return (
+        rd.read_parquet(os.path.join(web_dir, "web"))
+        .map_batches(raw_edges, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+def q_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per node of the web link graph —
+    how tightly each page's link neighborhood closes on itself:
+    ``2·T(v)·10⁶ // (d(v)·(d(v)−1))`` for every node with d ≥ 2, with
+    T(v) from the degree-ordered triangle machinery in per-node mode
+    (each closed wedge credits its three vertices; one extra coarse
+    groupby merges a node's credits).  Degrees and triangle counts meet
+    in ONE co-partition on crc32(node); integer-micro units keep the
+    SQL oracle bit-exact."""
+    import zlib
+
+    from ..functions.graph import triangle_count
+
+    edges = _web_link_edges(sf_dir).materialize()  # feeds degrees AND triangles
+    tri = triangle_count(edges, "u", "v", n_parts=16, per_node=True)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = pa.array(
+            batch.column("u").to_pylist() + batch.column("v").to_pylist(),
+            pa.string(),
+        )
+        out = pa.table({"node": nodes}).group_by(["node"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["node", "cnt"])
+
+    def tag(is_deg: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            part = pa.array(
+                [
+                    zlib.crc32(x.encode()) % 16
+                    for x in batch.column("node").to_pylist()
+                ],
+                pa.int64(),
+            )
+            return pa.Table.from_arrays(
+                [
+                    part,
+                    batch.column("node"),
+                    batch.column("cnt" if is_deg else "tri").cast(pa.int64()),
+                    pa.array(np.full(batch.num_rows, is_deg, np.int8), pa.int8()),
+                ],
+                names=["part", "node", "val", "is_deg"],
+            )
+
+        return fn
+
+    def merge(g: pa.Table) -> pa.Table:
+        is_deg = pc.equal(g.column("is_deg"), pa.scalar(1, pa.int8()))
+        dt = g.filter(is_deg)
+        tt = g.filter(pc.invert(is_deg))
+        dsum = (
+            dt.select(["node", "val"]).group_by(["node"]).aggregate([("val", "sum")])
+        )
+        deg = dsum.column("val_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        at = pc.index_in(
+            dsum.column("node").combine_chunks(),
+            value_set=tt.column("node").combine_chunks(),
+        )
+        tri = np.zeros(len(deg), np.int64)
+        atn = at.to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(atn.astype(np.float64)) if atn.dtype != np.int64 else atn >= 0
+        valid = pc.is_valid(at).to_numpy(zero_copy_only=False)
+        tv = tt.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = at.to_numpy(zero_copy_only=False)
+        tri[valid] = tv[idx[valid].astype(np.int64)]
+        keep = deg >= 2
+        deg_k, tri_k = deg[keep], tri[keep]
+        clus = 2 * tri_k * 1_000_000 // (deg_k * (deg_k - 1))
+        return pa.Table.from_arrays(
+            [
+                dsum.column("node").combine_chunks().filter(pa.array(keep)),
+                pa.array(deg_k, pa.int64()),
+                pa.array(tri_k, pa.int64()),
+                pa.array(clus, pa.int64()),
+            ],
+            names=["node", "deg", "tri", "clus_micro"],
+        )
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("cnt")
+        .map_batches(
+            lambda b: b.rename_columns(["node", "cnt"]), batch_format="pyarrow"
+        )
+    )
+    return (
+        degrees.map_batches(tag(1), batch_format="pyarrow")
+        .union(tri.map_batches(tag(0), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+SQL_CLUSTERING_COEF = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+pern AS (
+  SELECT node, count(*) AS t
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+  GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS deg,
+       CAST(coalesce(pern.t, 0) AS BIGINT) AS tri,
+       CAST(2 * coalesce(pern.t, 0) * 1000000 // (deg.d * (deg.d - 1)) AS BIGINT)
+         AS clus_micro
+FROM deg LEFT JOIN pern USING (node)
+WHERE deg.d >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact set-similarity self-join (prefix filtering), whole corpus.
 # ---------------------------------------------------------------------------
 
@@ -4761,65 +4951,18 @@ FROM pairs WHERE inter * 5 >= uni * 3
 def q_triangles(sf_dir: str):
     """Exact triangle count of the synthetic web's undirected link graph
     (``functions/graph.py:triangle_count`` — degree-ordered
-    node-iterator).  Edges come from the interleaved link spans (lower +
+    node-iterator).  Edges come from ``_web_link_edges`` (lower +
     fragment-strip normalization, self-loops dropped, per-block dedup
     partials then one co-partitioned distinct), and every stage of the
     count — degree attach ×2, orientation, wedge generation, closing-edge
     semi-join — is a coarse exchange; no driver-resident state.  Degree
     orientation bounds each node's wedge fan-out at O(sqrt(m)), the
     difference between feasible and quadratic on a hub-heavy web graph."""
-    import ray.data as rd
-
     from ..functions.graph import triangle_count
-    from ..synthweb import WebParams, fixture_dir
 
-    web_dir = fixture_dir(WebParams(n_docs=1000, n_hosts=20, seed=42))
-
-    def raw_edges(batch: pa.Table) -> pa.Table:
-        import zlib
-
-        spans = batch.column("spans")
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = pc.list_flatten(spans)
-        parent = pc.list_parent_indices(spans)
-        is_link = pc.equal(pc.struct_field(flat, "kind"), pa.scalar("link"))
-        ref = pc.struct_field(flat, "media_ref").filter(is_link)
-        src = batch.column("doc_id").take(parent.filter(is_link))
-
-        def canon(arr):
-            low = pc.utf8_lower(arr)
-            return pc.list_element(pc.split_pattern(low, "#"), 0)
-
-        s = np.array(canon(src).to_pylist(), dtype=object)
-        d = np.array(canon(ref).to_pylist(), dtype=object)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        u = np.minimum(s, d)
-        v = np.maximum(s, d)
-        t = pa.Table.from_arrays(
-            [pa.array(list(u), pa.string()), pa.array(list(v), pa.string())],
-            names=["u", "v"],
-        )
-        t = t.group_by(["u", "v"]).aggregate([])  # block-local dedup
-        part = [
-            zlib.crc32((a + "\x1f" + b).encode()) % 16
-            for a, b in zip(t.column("u").to_pylist(), t.column("v").to_pylist())
-        ]
-        return t.append_column("part", pa.array(part, pa.int64()))
-
-    def distinct(g: pa.Table) -> pa.Table:
-        return g.select(["u", "v"]).group_by(["u", "v"]).aggregate([])
-
-    edges = (
-        rd.read_parquet(os.path.join(web_dir, "web"))
-        .map_batches(raw_edges, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(distinct, batch_format="pyarrow")
-    )
     # 16-way parts: the fixture graph is ~4k edges; at web scale raise
     # n_parts with the edge count (any value is correct, it's a fan-out knob)
-    return triangle_count(edges, "u", "v", n_parts=16)
+    return triangle_count(_web_link_edges(sf_dir), "u", "v", n_parts=16)
 
 
 SQL_TRIANGLES = f"""
@@ -5087,6 +5230,8 @@ EXTRA_QUERIES = {
     "setsim_pairs": q_setsim_pairs,
     # event-sequence funnel join (signup → purchase within 1 h)
     "funnel_1h": q_funnel_1h,
+    # local clustering coefficient per node (triangles ÷ wedge capacity)
+    "clustering_coef": q_clustering_coef,
 }
 
 ORACLE_SQL = {
@@ -5177,4 +5322,5 @@ EXTRA_ORACLE_SQL = {
     "triangles": SQL_TRIANGLES,
     "setsim_pairs": SQL_SETSIM_PAIRS,
     "funnel_1h": SQL_FUNNEL_1H,
+    "clustering_coef": SQL_CLUSTERING_COEF,
 }
