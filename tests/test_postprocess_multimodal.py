@@ -474,3 +474,41 @@ def test_export_shards_seeded_shuffle_byte_deterministic(tmp_path, ray_session):
     assert man_r == man_a
     with _pytest.raises(ValueError, match="shuffle_seed"):
         export_shards(ray.data.from_arrow(t), out_a, n_shards=4, shuffle_seed=99)
+
+
+def test_apply_ops_engine_extensions(ray_session):
+    """sample / content_dedup / quantile_band — the engine-native ops the
+    reference YAML surface gains beyond filter/sort/deduplicate/limit."""
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.postprocess import apply_ops
+
+    n = 200
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(n)),
+                "text": [f"t{i % 50}" for i in range(n)],  # 50 distinct texts
+                "n_chars": [i % 100 for i in range(n)],
+                "seq": list(range(n)),
+            }
+        )
+    )
+    # sample: deterministic, repeatable, different under another seed
+    s1 = apply_ops(ds, [{"type": "sample", "column": "doc_id", "fraction": 0.3, "seed": 1}]).to_pandas()
+    s2 = apply_ops(ds, [{"type": "sample", "column": "doc_id", "fraction": 0.3, "seed": 1}]).to_pandas()
+    s3 = apply_ops(ds, [{"type": "sample", "column": "doc_id", "fraction": 0.3, "seed": 2}]).to_pandas()
+    assert s1.doc_id.tolist() == s2.doc_id.tolist()
+    assert s1.doc_id.tolist() != s3.doc_id.tolist()
+    assert 0.15 < len(s1) / n < 0.45
+
+    # content_dedup: first-wins on md5(text) → 50 rows, smallest seq wins
+    d = apply_ops(ds, [{"type": "content_dedup", "column": "text"}], order_col="seq").to_pandas()
+    assert len(d) == 50
+    assert sorted(d.seq.tolist()) == list(range(50))
+
+    # quantile_band: n_chars uniform over 0..99 → [P10,P90] keeps 10..90
+    b = apply_ops(ds, [{"type": "quantile_band", "column": "n_chars", "lo": 0.10, "hi": 0.90}]).to_pandas()
+    assert b.n_chars.min() >= 9 and b.n_chars.max() <= 91
+    assert len(b) > 0.7 * n

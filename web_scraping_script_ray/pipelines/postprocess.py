@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -108,6 +109,68 @@ def apply_ops(
                 ds = ds.drop_columns(["__dedup_key"])
         elif typ == "limit":
             ds = ds.limit(int(op["n"]))
+        # --- engine-native extensions beyond the reference's op list -------
+        elif typ == "sample":
+            # deterministic hash gate: content-stable, shard-order-independent
+            # (the reproducible form of Dataset.random_sample)
+            column = op["column"]
+            permille = int(round(float(op["fraction"]) * 1000))
+            seed = int(op.get("seed", 0))
+
+            def keep(batch: pa.Table, col=column, pm=permille, sd=seed) -> pa.Table:
+                from ..functions.hashing import mix64
+
+                ids = (
+                    batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                hv = mix64(ids.astype(np.uint64) ^ mix64(np.uint64([sd]))[0])
+                return batch.filter(pa.array(hv % np.uint64(1000) < pm))
+
+            ds = ds.map_batches(keep, batch_format="pyarrow")
+        elif typ == "content_dedup":
+            # exact first-wins content dedup (md5 of the column)
+            from ..functions.dedup import exact_dedup
+
+            if order_col is None:
+                raise ValueError("content_dedup needs order_col for first-wins")
+            ds = exact_dedup(ds, op.get("column", "text"), [order_col])
+        elif typ == "quantile_band":
+            # data-derived [lo, hi] quantile trim on an int column — the
+            # histogram partials execute HERE (tiny: O(distinct values));
+            # the returned pipeline stays lazy
+            column = op["column"]
+            qlo, qhi = float(op.get("lo", 0.05)), float(op.get("hi", 0.95))
+
+            def hist(batch: pa.Table, col=column) -> pa.Table:
+                out = batch.select([col]).group_by([col]).aggregate(
+                    [([], "count_all")]
+                )
+                return out.rename_columns([col, "__n"])
+
+            parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+            if parts:
+                v = np.array([r[column] for r in parts], dtype=np.int64)
+                w = np.array([r["__n"] for r in parts], dtype=np.int64)
+                order = np.argsort(v)
+                v, w = v[order], w[order]
+                first = np.ones(len(v), dtype=bool)
+                first[1:] = v[1:] != v[:-1]
+                vu = v[first]
+                cum = np.cumsum(np.add.reduceat(w, np.flatnonzero(first)))
+                n = int(cum[-1])
+                lo = int(vu[np.searchsorted(cum, int(qlo * (n - 1)) + 1)])
+                hi = int(vu[np.searchsorted(cum, int(qhi * (n - 1)) + 1)])
+
+                def band(batch: pa.Table, col=column, lo=lo, hi=hi) -> pa.Table:
+                    x = batch.column(col)
+                    return batch.filter(
+                        pc.and_(
+                            pc.greater_equal(x, pa.scalar(lo, pa.int64())),
+                            pc.less_equal(x, pa.scalar(hi, pa.int64())),
+                        )
+                    )
+
+                ds = ds.map_batches(band, batch_format="pyarrow")
         else:
             logger.warning("unknown post-processing op %r — skipping", typ)
     return ds
