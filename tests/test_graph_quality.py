@@ -329,3 +329,42 @@ def test_triangle_count_planted(ray_session):
     )
     out = triangle_count(edges, "u", "v").to_pandas()
     assert out.triangles.tolist() == [4]
+
+
+def test_triangle_plans_agree(ray_session):
+    """single-task ≡ distributed, total AND per-node modes."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(23)
+    nodes = [f"x{i:02d}" for i in range(14)]
+    pairs = list(itertools.combinations(nodes, 2))
+    chosen = [pairs[i] for i in rng.choice(len(pairs), size=45, replace=False)]
+    edges = ray.data.from_arrow(
+        pa.table({"u": [u for u, _ in chosen], "v": [v for _, v in chosen]})
+    )
+    a = triangle_count(edges, "u", "v", force_plan="single").to_pandas()
+    b = triangle_count(edges, "u", "v", force_plan="distributed").to_pandas()
+    assert a.triangles.tolist() == b.triangles.tolist()
+    assert a.triangles.tolist()[0] > 0
+
+    an = (
+        triangle_count(edges, "u", "v", force_plan="single", per_node=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    bn = (
+        triangle_count(edges, "u", "v", force_plan="distributed", per_node=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert an.node.tolist() == bn.node.tolist()
+    assert an.tri.tolist() == bn.tri.tolist()
+    assert 3 * a.triangles.tolist()[0] == int(an.tri.sum())

@@ -466,6 +466,7 @@ def triangle_count(
     v_col: str = "v",
     n_parts: int = 64,
     per_node: bool = False,
+    force_plan: str | None = None,
 ) -> "ray.data.Dataset":
     """Exact triangle count of an undirected simple graph (node-iterator
     with DEGREE ordering — Latapy 2008), nodes are strings.
@@ -488,7 +489,25 @@ def triangle_count(
          triangle has one unique (deg,node)-smallest vertex).
 
     Returns one row: (edges, triangles).
+
+    Size-selected like PageRank (``force_plan`` pins ``"single"`` /
+    ``"distributed"`` for tests): at ≤ ``_TRI_SINGLE_LIMIT`` edges the
+    whole count runs in ONE remote task on numpy arrays — six chained
+    exchanges on a sub-million-edge graph are pure scheduling overhead
+    (measured ~35 s for 4k edges at 32 CPUs vs ~1 s single-task).
+    ``per_node=True`` returns (node, tri) rows instead (only nodes with
+    tri > 0 on the single path; the coefficient join left-fills zeros).
     """
+    if force_plan != "distributed":
+        edges_mat = edges.materialize()
+        m = edges_mat.count()
+        if force_plan == "single" or m <= _TRI_SINGLE_LIMIT:
+            refs = edges_mat.select_columns([u_col, v_col]).to_arrow_refs()
+            out_ref = _tri_single_task.remote(refs, u_col, v_col, per_node)
+            import ray.data
+
+            return ray.data.from_arrow_refs([out_ref])
+        edges = edges_mat
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         nodes = pa.array(
@@ -700,3 +719,71 @@ def triangle_count(
 
     # the per-partition counts are O(n_parts) rows — one tiny final task
     return counts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+# single-task triangle path below this many edges (the pagerank-style
+# size selection: a 4k-edge fixture doesn't need 6 exchanges)
+_TRI_SINGLE_LIMIT = 2_000_000
+
+
+def _triangles_single(
+    u: list[str], v: list[str], per_node: bool
+) -> "tuple[int, dict[str, int]]":
+    """Exact triangle count in one task: same degree ordering, numpy."""
+    uu = np.array(u, dtype=object)
+    vv = np.array(v, dtype=object)
+    nodes, inv = np.unique(np.concatenate([uu, vv]), return_inverse=True)
+    n = len(nodes)
+    a_id, b_id = inv[: len(uu)], inv[len(uu) :]
+    deg = np.bincount(np.concatenate([a_id, b_id]), minlength=n)
+    # orient toward the (deg, id)-larger endpoint
+    key = deg.astype(np.int64) * (n + 1) + np.arange(n, dtype=np.int64)
+    swap = key[a_id] > key[b_id]
+    src = np.where(swap, b_id, a_id)
+    dst = np.where(swap, a_id, b_id)
+    packed = np.sort(src.astype(np.int64) * n + dst)
+    order = np.lexsort((key[dst], src))
+    src_s, dst_s = src[order], dst[order]
+    tri_total = 0
+    tri_node = np.zeros(n, np.int64)
+    starts = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
+    bounds = np.r_[starts, len(src_s)]
+    for si in range(len(starts)):
+        lo, hi = bounds[si], bounds[si + 1]
+        nb = dst_s[lo:hi]
+        if len(nb) < 2:
+            continue
+        ii, jj = np.triu_indices(len(nb), k=1)
+        cand = nb[ii].astype(np.int64) * n + nb[jj]
+        pos = np.searchsorted(packed, cand)
+        hit = (pos < len(packed)) & (packed[np.minimum(pos, len(packed) - 1)] == cand)
+        h = int(hit.sum())
+        tri_total += h
+        if per_node and h:
+            head = src_s[lo]
+            tri_node[head] += h
+            np.add.at(tri_node, nb[ii[hit]], 1)
+            np.add.at(tri_node, nb[jj[hit]], 1)
+    return tri_total, {
+        str(nodes[i]): int(tri_node[i]) for i in np.flatnonzero(tri_node)
+    }
+
+
+@ray.remote
+def _tri_single_task(refs: list, u_col: str, v_col: str, per_node: bool):
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    u, v = [], []
+    for t in tables:
+        u.extend(t.column(u_col).to_pylist())
+        v.extend(t.column(v_col).to_pylist())
+    total, node_tri = _triangles_single(u, v, per_node)
+    if per_node:
+        items = sorted(node_tri.items())
+        return pa.Table.from_arrays(
+            [
+                pa.array([k for k, _ in items], pa.string()),
+                pa.array([c for _, c in items], pa.int64()),
+            ],
+            names=["node", "tri"],
+        )
+    return pa.table({"triangles": pa.array([total], pa.int64())})
