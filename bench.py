@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "setsim_pairs",
     "funnel_1h",
     "clustering_coef",
+    "url_templates",
 ]
 
 

@@ -4706,6 +4706,52 @@ FROM f JOIN j ON j.user_id = f.user_id AND j.pts = f.purchase_ts
 
 
 # ---------------------------------------------------------------------------
+# URL path-template mining over the crawled set.
+# ---------------------------------------------------------------------------
+
+def q_url_templates(sf_dir: str):
+    """Top URL path templates per host over the committed crawl golden
+    set — the crawl-analysis step that surfaces site structure (digit
+    runs → ``N``): one vectorized ``replace_substring_regex`` per batch,
+    per-block (host, template) count partials, one coarse groupby.  The
+    oracle runs the SAME RE2-subset pattern in DuckDB over the same
+    fixture."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+
+    def template(batch: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(
+            batch.column("url"), pattern=r"^https?://[^/]+", replacement=""
+        )
+        tmpl = pc.replace_substring_regex(path, pattern=r"[0-9]+", replacement="N")
+        t = pa.Table.from_arrays(
+            [batch.column("host"), tmpl], names=["host", "template"]
+        )
+        out = t.group_by(["host", "template"]).aggregate([([], "count_all")])
+        return out.rename_columns(["host", "template", "__n"])
+
+    return (
+        ds.map_batches(template, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .sum("__n")
+        .map_batches(
+            lambda b: b.rename_columns(["host", "template", "n_urls"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_URL_TEMPLATES = (
+    "SELECT host, regexp_replace(regexp_replace(url, '^https?://[^/]+', ''),"
+    " '[0-9]+', 'N', 'g') AS template, CAST(count(*) AS BIGINT) AS n_urls"
+    " FROM read_parquet('"
+    + os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet").replace("'", "''")
+    + "') GROUP BY 1, 2"
+)
+
+
+# ---------------------------------------------------------------------------
 # Local clustering coefficient per node (triangles ÷ wedge capacity).
 # ---------------------------------------------------------------------------
 
@@ -5232,6 +5278,8 @@ EXTRA_QUERIES = {
     "funnel_1h": q_funnel_1h,
     # local clustering coefficient per node (triangles ÷ wedge capacity)
     "clustering_coef": q_clustering_coef,
+    # URL path-template mining (site-structure analysis of the crawl)
+    "url_templates": q_url_templates,
 }
 
 ORACLE_SQL = {
@@ -5323,4 +5371,5 @@ EXTRA_ORACLE_SQL = {
     "setsim_pairs": SQL_SETSIM_PAIRS,
     "funnel_1h": SQL_FUNNEL_1H,
     "clustering_coef": SQL_CLUSTERING_COEF,
+    "url_templates": SQL_URL_TEMPLATES,
 }
