@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "funnel_1h",
     "clustering_coef",
     "url_templates",
+    "kcore",
 ]
 
 

@@ -368,3 +368,70 @@ def test_triangle_plans_agree(ray_session):
     assert an.node.tolist() == bn.node.tolist()
     assert an.tri.tolist() == bn.tri.tolist()
     assert 3 * a.triangles.tolist()[0] == int(an.tri.sum())
+
+def test_kcore_plans_agree(ray_session):
+    """k-core: single-task numpy peel ≡ distributed parallel peeling,
+    against an independent python reference, on a random graph whose
+    3-core is a proper nonempty subset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import kcore
+
+    rng = np.random.RandomState(11)
+    n = 60
+    pairs = set()
+    for _ in range(150):
+        a, b = rng.randint(0, n, 2)
+        if a == b:
+            continue
+        pairs.add((f"n{min(a, b):02d}", f"n{max(a, b):02d}"))
+    u = [p[0] for p in sorted(pairs)]
+    v = [p[1] for p in sorted(pairs)]
+    edges = ray.data.from_arrow(pa.table({"u": u, "v": v})).repartition(3)
+
+    # independent reference: sequential peel with a dict adjacency
+    adj: dict[str, set[str]] = {}
+    for a, b in zip(u, v):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    k = 3
+    changed = True
+    while changed:
+        changed = False
+        for node in list(adj):
+            if len(adj.get(node, ())) < k:
+                for nb in adj.pop(node, ()):  # drop node + incident edges
+                    adj[nb].discard(node)
+                changed = True
+    ref = sorted((node, len(nbs)) for node, nbs in adj.items())
+    assert 0 < len(ref) < len(set(u) | set(v))  # proper nonempty core
+
+    for plan in ("single", "distributed"):
+        out = (
+            kcore(edges, k, force_plan=plan, n_parts=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        got = list(zip(out.node.tolist(), [int(x) for x in out.core_deg]))
+        assert got == ref, plan
+
+
+def test_kcore_empty_core(ray_session):
+    """k above the max degree peels everything away: stable empty schema."""
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import kcore
+
+    edges = ray.data.from_arrow(
+        pa.table({"u": ["a", "b", "c"], "v": ["b", "c", "d"]})
+    )
+    for plan in ("single", "distributed"):
+        out = kcore(edges, 10, force_plan=plan, n_parts=2)
+        # Dataset-level schema stays stable even at zero rows (ray's
+        # to_pandas drops columns on an empty dataset, so assert here)
+        assert out.schema().names == ["node", "core_deg"]
+        assert out.count() == 0

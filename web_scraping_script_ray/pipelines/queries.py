@@ -5032,6 +5032,80 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition of the web link graph (parallel peeling).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 5  # at the 1000-doc fixture: 695-node core, 10 peeling rounds
+
+
+def q_kcore(sf_dir: str):
+    """Nodes of the web link graph's k-core (k=5) — the maximal induced
+    subgraph where every page keeps >= k link neighbors — with each
+    node's degree INSIDE the core (``functions/graph.py:kcore``,
+    parallel peeling a la Seidman 1983).  The distributed plan peels one
+    wave per round (degree groupby -> alive filter -> two co-partition
+    semi-joins inducing the survivor subgraph), converging in
+    O(peeling-depth) rounds with only a per-round counter on the
+    driver; the fixture graph size-selects the single-task numpy path
+    (forced-path pytest keeps the exchange plan honest).  The SQL
+    oracle unrolls the peeling waves as chained CTEs (the PageRank
+    unrolled-iteration trick) — extra iterations past convergence are
+    identity, so any unroll >= depth is bit-exact."""
+    from ..functions.graph import kcore
+
+    return kcore(_web_link_edges(sf_dir), _KCORE_K, n_parts=16)
+
+
+def _kcore_unrolled_sql(k: int, iters: int) -> str:
+    parts = [
+        f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+d0 AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+  GROUP BY node
+),
+a0 AS MATERIALIZED (SELECT node FROM d0 WHERE deg >= {k})"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+e{i} AS MATERIALIZED (
+  SELECT s.u, s.v FROM e{p} s
+  JOIN a{p} x ON x.node = s.u JOIN a{p} y ON y.node = s.v
+),
+d{i} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i})
+  GROUP BY node
+),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f"""
+SELECT node, deg AS core_deg FROM d{iters} WHERE deg >= {k}"""
+    )
+    return "".join(parts)
+
+
+# 14 unrolled waves >= the fixture's measured 10-round peeling depth;
+# past convergence each extra wave is identity, so the unroll is safe
+SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy-key self-join: Hamming-distance-1 pairs via deletion blocking.
 # ---------------------------------------------------------------------------
 
@@ -5280,6 +5354,8 @@ EXTRA_QUERIES = {
     "clustering_coef": q_clustering_coef,
     # URL path-template mining (site-structure analysis of the crawl)
     "url_templates": q_url_templates,
+    # k-core of the web link graph (parallel peeling, unrolled-CTE oracle)
+    "kcore": q_kcore,
 }
 
 ORACLE_SQL = {
@@ -5372,4 +5448,5 @@ EXTRA_ORACLE_SQL = {
     "funnel_1h": SQL_FUNNEL_1H,
     "clustering_coef": SQL_CLUSTERING_COEF,
     "url_templates": SQL_URL_TEMPLATES,
+    "kcore": SQL_KCORE,
 }
