@@ -1050,73 +1050,119 @@ def setsim_join(
     """
     from .hashing import flat_tokens, shingle_hash_flat, token_hashes
 
+    def _list_np(col) -> "tuple[np.ndarray, np.ndarray]":
+        """(flat values, offsets) of a list<...> column, zero-copy."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.values.to_numpy(zero_copy_only=False), col.offsets.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
     def prefixes(batch: pa.Table) -> pa.Table:
+        """One row per (doc, partition hit by its prefix): the doc's full
+        sorted set rides ONCE per partition (not once per prefix token —
+        PPJoin's wire-cost trim), alongside the prefix tokens and their
+        POSITIONS that land there (feeding the positional filter)."""
         flat, offsets = flat_tokens(batch.column(text_col))
         hv = token_hashes(flat)
         if shingle_k is not None:
             hv, offsets = shingle_hash_flat(hv, offsets, shingle_k)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        out_part, out_tok, out_id, out_m = [], [], [], []
-        set_values, set_offsets = [], [0]
+        out_part: list[int] = []
+        out_id: list[int] = []
+        out_m: list[int] = []
+        tok_values: list[np.ndarray] = []
+        tok_offsets = [0]
+        pos_values: list[np.ndarray] = []
+        set_values: list[np.ndarray] = []
+        set_offsets = [0]
         for i in range(len(ids)):
             s = np.unique(hv[offsets[i] : offsets[i + 1]])
             m = len(s)
             if m == 0:
                 continue
             p = m - ((t_num * m + t_den - 1) // t_den) + 1
-            for tok in s[:p]:
-                out_part.append(int(tok) % n_parts)
-                out_tok.append(int(tok))
+            pref = s[:p]
+            parts = (pref % np.uint64(n_parts)).astype(np.int64)
+            order = np.argsort(parts, kind="stable")
+            parts_s = parts[order]
+            starts = np.flatnonzero(np.r_[True, parts_s[1:] != parts_s[:-1]])
+            bounds = np.r_[starts, len(parts_s)]
+            for gi in range(len(starts)):
+                lo, hi = bounds[gi], bounds[gi + 1]
+                sel = order[lo:hi]
+                out_part.append(int(parts_s[lo]))
                 out_id.append(int(ids[i]))
                 out_m.append(m)
+                tok_values.append(pref[sel])
+                pos_values.append(sel.astype(np.int64))
+                tok_offsets.append(tok_offsets[-1] + (hi - lo))
                 set_values.append(s)
                 set_offsets.append(set_offsets[-1] + m)
-        vals = (
-            np.concatenate(set_values) if set_values else np.zeros(0, np.uint64)
-        )
+        tvals = np.concatenate(tok_values) if tok_values else np.zeros(0, np.uint64)
+        pvals = np.concatenate(pos_values) if pos_values else np.zeros(0, np.int64)
+        svals = np.concatenate(set_values) if set_values else np.zeros(0, np.uint64)
         return pa.Table.from_arrays(
             [
                 pa.array(out_part, pa.int64()),
-                pa.array(np.array(out_tok, dtype=np.uint64), pa.uint64()),
                 pa.array(out_id, pa.int64()),
                 pa.array(out_m, pa.int64()),
                 pa.ListArray.from_arrays(
-                    pa.array(set_offsets, pa.int32()), pa.array(vals, pa.uint64())
+                    pa.array(tok_offsets, pa.int32()), pa.array(tvals, pa.uint64())
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(tok_offsets, pa.int32()), pa.array(pvals, pa.int64())
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(set_offsets, pa.int32()), pa.array(svals, pa.uint64())
                 ),
             ],
-            names=["part", "tok", "id", "m", "set"],
+            names=["part", "id", "m", "toks", "pos", "set"],
         )
 
     def pairs_in_part(g: pa.Table) -> pa.Table:
-        tok = g.column("tok").to_numpy(zero_copy_only=False)
         ids = g.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
         ms = g.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
-        sets_col = g.column("set")
-        if isinstance(sets_col, pa.ChunkedArray):
-            sets_col = sets_col.combine_chunks()
-        # one set per DISTINCT doc in this partition (rows repeat them)
+        tok_flat, tok_off = _list_np(g.column("toks"))
+        pos_flat, _ = _list_np(g.column("pos"))
+        set_flat, set_off = _list_np(g.column("set"))
+        # one set VIEW per distinct doc in this partition (zero-copy slices)
         doc_set: dict[int, np.ndarray] = {}
-        sets_py = sets_col.to_pylist()
         for r in range(len(ids)):
             if int(ids[r]) not in doc_set:
-                doc_set[int(ids[r])] = np.array(sets_py[r], dtype=np.uint64)
-        order = np.lexsort((ids, tok))
-        tok_s, ids_s, ms_s = tok[order], ids[order], ms[order]
+                doc_set[int(ids[r])] = set_flat[set_off[r] : set_off[r + 1]]
+        # explode (doc,part) rows to per-token occurrences
+        counts = np.diff(tok_off)
+        occ_row = np.repeat(np.arange(len(ids)), counts)
+        order = np.lexsort((occ_row, tok_flat))
+        tok_s, row_s = tok_flat[order], occ_row[order]
+        pos_s = pos_flat[order]
         cand = set()
         i, n = 0, len(tok_s)
         while i < n:
             j = i
             while j < n and tok_s[j] == tok_s[i]:
                 j += 1
-            grp_ids, grp_ms = ids_s[i:j], ms_s[i:j]
-            for x in range(j - i):
-                for y in range(x + 1, j - i):
-                    a, b = int(grp_ids[x]), int(grp_ids[y])
+            for x in range(i, j):
+                rx = row_s[x]
+                a, ma, pxa = int(ids[rx]), int(ms[rx]), int(pos_s[x])
+                for y in range(x + 1, j):
+                    ry = row_s[y]
+                    b = int(ids[ry])
                     if a == b:
                         continue
-                    ma, mb = int(grp_ms[x]), int(grp_ms[y])
-                    if t_num * max(ma, mb) <= t_den * min(ma, mb):
-                        cand.add((a, b) if a < b else (b, a))
+                    mb, pyb = int(ms[ry]), int(pos_s[y])
+                    if t_num * max(ma, mb) > t_den * min(ma, mb):
+                        continue  # length filter
+                    # PPJoin positional filter: at the pair's FIRST shared
+                    # token nothing before the two positions is common, so
+                    # overlap <= 1 + min(suffix lengths); a true pair always
+                    # survives at that token (later tokens may prune — fine,
+                    # the pair was already emitted there or will verify)
+                    alpha = -(-(t_num * (ma + mb)) // (t_num + t_den))
+                    if 1 + min(ma - pxa - 1, mb - pyb - 1) < alpha:
+                        continue
+                    cand.add((a, b) if a < b else (b, a))
             i = j
         out_a, out_b, out_j = [], [], []
         for a, b in cand:
