@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "clustering_coef",
     "url_templates",
     "kcore",
+    "ppr_seed",
 ]
 
 

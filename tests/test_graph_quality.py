@@ -435,3 +435,33 @@ def test_kcore_empty_core(ray_session):
         # to_pandas drops columns on an empty dataset, so assert here)
         assert out.schema().names == ["node", "core_deg"]
         assert out.count() == 0
+
+
+def test_ppr_distributed_path_matches_small(ray_session):
+    """Personalized PageRank: groupby plan == single-task plan bit-for-bit,
+    seeds get teleport mass, non-seed sinks decay toward zero."""
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import ppr_fixed_point
+
+    n, mod = 96, 7
+    n_seeds = (n + mod - 1) // mod
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+    ).repartition(6)
+    small = (
+        ppr_fixed_point(nodes, n, n_seeds, seed_mod=mod, iters=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    dist = (
+        ppr_fixed_point(nodes, n, n_seeds, seed_mod=mod, iters=4, small_limit=0)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    np.testing.assert_array_equal(
+        small["ppr_rank"].to_numpy(), dist["ppr_rank"].to_numpy()
+    )
+    r = small["ppr_rank"].to_numpy()
+    seeds = np.arange(n) % mod == 0
+    # teleport mass concentrates rank on seeds vs the uniform-restart rank
+    assert r[seeds].mean() > r[~seeds].mean()
+    assert int(r.min()) >= 0

@@ -994,3 +994,124 @@ def kcore(
         if cur.count() == 0:
             return empty
     raise RuntimeError(f"k-core did not converge in {max_rounds} rounds")
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (restart vector on a seed set).
+# ---------------------------------------------------------------------------
+
+
+def _ppr_small_kernel(
+    ids: np.ndarray, n_nodes: int, n_seeds: int, seed_mod: int, iters: int, degree: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-process emulation with the same int64 floor arithmetic as
+    the distributed path; teleport mass lands ONLY on seed nodes
+    (doc_id % seed_mod == 0), uniformly 1/n_seeds."""
+    ids = np.sort(ids.astype(np.int64))
+    seed = ids % seed_mod == 0
+    r = np.where(seed, PR_SCALE // n_seeds, 0).astype(np.int64)
+    base_seed = (15 * PR_SCALE // 100) // n_seeds
+    for _ in range(iters):
+        dsts = synth_out_edges(ids, n_nodes, degree)
+        out_dst = np.concatenate([dsts.ravel(), ids])
+        out_c = np.concatenate(
+            [np.repeat(r // degree, degree), np.zeros(len(ids), np.int64)]
+        )
+        keys = np.unique(out_dst)
+        s = np.zeros(len(keys), np.int64)
+        np.add.at(s, np.searchsorted(keys, out_dst), out_c)
+        base = np.where(keys % seed_mod == 0, base_seed, 0).astype(np.int64)
+        ids, r = keys, base + (85 * s) // 100
+    return ids, r
+
+
+@ray.remote
+def _ppr_small_task(
+    refs: list, n_nodes: int, n_seeds: int, seed_mod: int, iters: int, degree: int
+):
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    ids = (
+        np.concatenate(
+            [t.column("doc_id").to_numpy(zero_copy_only=False) for t in tables]
+        )
+        if tables
+        else np.zeros(0, np.int64)
+    )
+    ids, r = _ppr_small_kernel(ids, n_nodes, n_seeds, seed_mod, iters, degree)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(r, pa.int64())],
+        names=["doc_id", "ppr_rank"],
+    )
+
+
+def ppr_fixed_point(
+    nodes: "ray.data.Dataset",
+    n_nodes: int,
+    n_seeds: int,
+    seed_mod: int = 17,
+    iters: int = 5,
+    degree: int = 3,
+    small_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Personalized PageRank: damped fixed point whose 0.15 teleport mass
+    restarts ONLY on the seed set (doc_id % seed_mod == 0, mass
+    1/n_seeds each) — the similarity-to-seeds ranking used to expand a
+    curated crawl list (seed pages' neighborhoods score high, unrelated
+    pages decay toward 0).  Same deterministic synthetic out-edge graph,
+    same int64 1e-12-unit floor arithmetic, same size-selected two plans
+    as ``pagerank_fixed_point`` (ONE numpy task under ``small_limit``
+    nodes, else scatter + map-side-combined groupby per iteration where
+    only (dst, partial-sum) rows cross the exchange).  Returns (doc_id,
+    ppr_rank)."""
+    import ray.data
+
+    if n_nodes and n_nodes <= small_limit:
+        refs = nodes.select_columns(["doc_id"]).to_arrow_refs()
+        out_ref = _ppr_small_task.remote(
+            refs, n_nodes, n_seeds, seed_mod, iters, degree
+        )
+        return ray.data.from_arrow_refs([out_ref])
+
+    base_seed = (15 * PR_SCALE // 100) // n_seeds
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.where(ids % seed_mod == 0, PR_SCALE // n_seeds, 0).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(r, pa.int64())],
+            names=["doc_id", "ppr_rank"],
+        )
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow")
+    for _ in range(iters):
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            r = batch.column("ppr_rank").to_numpy(zero_copy_only=False).astype(np.int64)
+            dsts = synth_out_edges(ids, n_nodes, degree)
+            contrib = r // degree
+            out_dst = np.concatenate([dsts.ravel(), ids])
+            out_c = np.concatenate(
+                [np.repeat(contrib, degree), np.zeros(len(ids), np.int64)]
+            )
+            return pa.Table.from_arrays(
+                [pa.array(out_dst, pa.int64()), pa.array(out_c, pa.int64())],
+                names=["doc_id", "contrib"],
+            )
+
+        sums = grouped_sum_count(
+            ranks.map_batches(scatter, batch_format="pyarrow"),
+            ["doc_id"], ["contrib"], {"contrib": "s"},
+        )
+
+        def damp(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            base = np.where(ids % seed_mod == 0, base_seed, 0).astype(np.int64)
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), pa.array(base + (85 * s) // 100, pa.int64())],
+                names=["doc_id", "ppr_rank"],
+            )
+
+        ranks = sums.map_batches(damp, batch_format="pyarrow")
+    return ranks

@@ -1533,6 +1533,64 @@ def _pagerank_sql(iters: int = _PR_ITERS) -> str:
 SQL_PAGERANK = _pagerank_sql()
 
 
+_PPR_SEED_MOD = 17
+
+
+def q_ppr_seed(sf_dir: str):
+    """Personalized PageRank toward the seed set doc_id % 17 == 0 (5
+    iterations) — rank-by-proximity-to-seeds, the crawl-expansion
+    variant of ``pagerank`` (``functions/graph.py:ppr_fixed_point``).
+    doc_ids are contiguous 0..n-1 in the documents table, so
+    n_seeds = ceil(n / 17) needs no data pass; the SQL oracle counts
+    the same set explicitly."""
+    from ..functions.graph import ppr_fixed_point
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_seeds = (n + _PPR_SEED_MOD - 1) // _PPR_SEED_MOD
+    return ppr_fixed_point(
+        ds, n, n_seeds, seed_mod=_PPR_SEED_MOD, iters=_PR_ITERS
+    )
+
+
+def _ppr_sql(iters: int = _PR_ITERS, seed_mod: int = _PPR_SEED_MOD) -> str:
+    """Unrolled oracle mirroring _pagerank_sql, with the teleport mass
+    CASE-restricted to the seed set (exact HUGEINT sums, floor divs)."""
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        f"ns AS (SELECT count(*) AS c FROM documents WHERE doc_id % {seed_mod} = 0)",
+        "e AS (SELECT d.doc_id AS src,"
+        " (d.doc_id * 2654435761 + j.j * 40503) % nn.c AS dst"
+        " FROM documents d CROSS JOIN nn"
+        " CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j)",
+        f"it0 AS (SELECT d.doc_id, CASE WHEN d.doc_id % {seed_mod} = 0"
+        " THEN 1000000000000 // ns.c ELSE 0 END AS r"
+        " FROM documents d CROSS JOIN ns)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"s{k} AS (SELECT e.dst AS doc_id, sum(p.r // 3) AS s"
+            f" FROM e JOIN it{k-1} p ON e.src = p.doc_id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"it{k} AS (SELECT d.doc_id,"
+            f" CAST(CASE WHEN d.doc_id % {seed_mod} = 0"
+            f" THEN 150000000000 // ns.c ELSE 0 END"
+            f" + (85 * COALESCE(s{k}.s, 0)) // 100 AS BIGINT) AS r"
+            f" FROM documents d CROSS JOIN ns"
+            f" LEFT JOIN s{k} ON s{k}.doc_id = d.doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, r AS ppr_rank FROM it{iters}"
+    )
+
+
+SQL_PPR_SEED = _ppr_sql()
+
+
 def q_langid(sf_dir: str):
     """Heuristic language ID — profile-word hit ratio per language, argmax
     with lexicographic tie-break, 'und' below min_score.  SQL-oracled: the
@@ -5356,6 +5414,8 @@ EXTRA_QUERIES = {
     "url_templates": q_url_templates,
     # k-core of the web link graph (parallel peeling, unrolled-CTE oracle)
     "kcore": q_kcore,
+    # personalized PageRank toward a seed set (crawl-expansion ranking)
+    "ppr_seed": q_ppr_seed,
 }
 
 ORACLE_SQL = {
@@ -5449,4 +5509,5 @@ EXTRA_ORACLE_SQL = {
     "clustering_coef": SQL_CLUSTERING_COEF,
     "url_templates": SQL_URL_TEMPLATES,
     "kcore": SQL_KCORE,
+    "ppr_seed": SQL_PPR_SEED,
 }
