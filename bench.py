@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "url_templates",
     "kcore",
     "ppr_seed",
+    "edit1_pairs",
 ]
 
 

@@ -452,3 +452,48 @@ def test_triangle_count_random_vs_bruteforce(ray_session):
     )
     got = triangle_count(edges, "u", "v").to_pandas().triangles.tolist()
     assert got == [want]
+
+
+def test_edit1_join_random_vs_bruteforce(ray_session):
+    """Random short strings over a tiny alphabet: deletion-blocked join
+    == brute-force Levenshtein-1, each true pair exactly once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.joins import edit1_self_join
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(5)
+    alphabet = list("abc")
+    strings = sorted(
+        {
+            "".join(rng.choice(alphabet, size=rng.integers(1, 6)))
+            for _ in range(120)
+        }
+    )
+    ds = ray.data.from_arrow(pa.table({"s": strings})).repartition(3)
+    got = edit1_self_join(ds, "s", n_parts=8).to_pandas()
+    got_t = sorted(zip(got.a, got.b, got.edit_op))
+    want = []
+    for i in range(len(strings)):
+        for j in range(i + 1, len(strings)):
+            if lev(strings[i], strings[j]) == 1:
+                op = "sub" if len(strings[i]) == len(strings[j]) else "indel"
+                want.append((strings[i], strings[j], op))
+    want.sort()
+    assert got_t == want
+    assert any(op == "sub" for _, _, op in want)
+    assert any(op == "indel" for _, _, op in want)

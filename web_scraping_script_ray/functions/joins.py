@@ -721,3 +721,113 @@ def hamming1_self_join(
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pyarrow")
     )
+
+
+def edit1_self_join(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """All DISTINCT-string pairs at Levenshtein distance EXACTLY 1 —
+    ``hamming1_self_join`` widened to insertions/deletions, still with
+    no all-pairs comparison and no dedup pass.
+
+    Distance-1 splits into two disjoint classes, each blocked exactly:
+
+    * substitution (equal length): the position-deletion keys
+      ``(pos, s without s[pos], len)`` — two same-length strings differ
+      in exactly one position iff they share exactly ONE such key.
+    * indel (length differs by 1): the longer string's deletion variant
+      equals the shorter string.  Variants are emitted only at the
+      FIRST position of each run of equal characters — ``del_i(s) ==
+      del_j(s)`` iff i and j sit in one run, so first-of-run variants
+      are pairwise distinct and each true pair is emitted exactly once
+      (joined against the shorter strings riding as identity rows).
+
+    Both classes co-partition on ``crc32`` of the joined key in ONE
+    coarse exchange; each partition runs two local Arrow hash joins.
+    Cost is deletion blocking's standard L× blow-up (L = string
+    length); at web scale shard long strings by prefix or cap L.
+    Emits (a, b, edit_op) with a < b, edit_op in {'sub', 'indel'}.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        vals = batch.column(col).to_pylist()
+        parts: list[int] = []
+        kinds: list[int] = []
+        poss: list[int] = []
+        keys: list[str] = []
+        orig: list[str] = []
+
+        def emit(part: int, kind: int, pos: int, key: str, s: str) -> None:
+            parts.append(part)
+            kinds.append(kind)
+            poss.append(pos)
+            keys.append(key)
+            orig.append(s)
+
+        for s in vals:
+            emit(zlib.crc32(s.encode()) % n_parts, 2, -1, s, s)  # identity
+            for i in range(len(s)):
+                d = s[:i] + s[i + 1 :]
+                dh = zlib.crc32(d.encode())
+                # substitution key: (pos, deletion, implicit same-length)
+                emit((i * 1000003 + dh) % n_parts, 0, i, d, s)
+                # indel variant: first-of-run deletions only
+                if i == 0 or s[i] != s[i - 1]:
+                    emit(dh % n_parts, 1, -1, d, s)
+        return pa.Table.from_arrays(
+            [
+                pa.array(parts, pa.int64()),
+                pa.array(kinds, pa.int8()),
+                pa.array(poss, pa.int64()),
+                pa.array(keys, pa.string()),
+                pa.array(orig, pa.string()),
+            ],
+            names=["part", "kind", "pos", "key", "s"],
+        )
+
+    def pairs_in_part(g: pa.Table) -> pa.Table:
+        kind = g.column("kind")
+        sub = g.filter(pc.equal(kind, pa.scalar(0, pa.int8())))
+        var = g.filter(pc.equal(kind, pa.scalar(1, pa.int8())))
+        ident = g.filter(pc.equal(kind, pa.scalar(2, pa.int8())))
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_op: list[str] = []
+        # substitutions: same (pos, key), same length by construction of
+        # the deletion (len(s) == len(key) + 1 on both sides)
+        lt = sub.select(["pos", "key", "s"]).rename_columns(["pos", "key", "a"])
+        rt = sub.select(["pos", "key", "s"]).rename_columns(["pos", "key", "b"])
+        j = lt.join(rt, keys=["pos", "key"], join_type="inner").combine_chunks()
+        j = j.filter(pc.less(j.column("a"), j.column("b")))
+        out_a.extend(j.column("a").to_pylist())
+        out_b.extend(j.column("b").to_pylist())
+        out_op.extend(["sub"] * j.num_rows)
+        # indels: longer's variant == shorter identity
+        lv = var.select(["key", "s"]).rename_columns(["key", "longer"])
+        ri = ident.select(["key", "s"]).rename_columns(["key", "shorter"])
+        ji = lv.join(ri, keys=["key"], join_type="inner").combine_chunks()
+        # variant == shorter string itself; longer != shorter always
+        lo = ji.column("longer").to_pylist()
+        sh = ji.column("shorter").to_pylist()
+        for x, y in zip(lo, sh):
+            a, b = (x, y) if x < y else (y, x)
+            out_a.append(a)
+            out_b.append(b)
+            out_op.append("indel")
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "edit_op": pa.array(out_op, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pyarrow")
+    )

@@ -5164,6 +5164,60 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Levenshtein-1 fuzzy self-join (substitutions + indels) via deletion keys.
+# ---------------------------------------------------------------------------
+
+def q_edit1_pairs(sf_dir: str):
+    """All name-key pairs at Levenshtein distance EXACTLY 1
+    (``functions/joins.py:edit1_self_join``) — the entity-resolution
+    join widened past ``fuzzy_name_pairs``'s equal-length Hamming case
+    to one-character insertions/deletions.  Substitutions block on
+    position-deletion keys, indels on first-of-run deletion VARIANTS
+    joined against identity rows; every true pair is emitted exactly
+    once, so there is no dedup pass.  The key column derives from
+    customer names with every 11th name truncated by one character — a
+    deterministic, SQL-expressible way to plant both pair classes in a
+    corpus whose raw names are all equal-length."""
+    import zlib
+
+    from ..functions.joins import edit1_self_join
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def keyify(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        names = batch.column("c_name").to_pylist()
+        keys = [
+            s[:-1] if k % 11 == 0 else s for k, s in zip(ck, names)
+        ]
+        part = pa.array([zlib.crc32(x.encode()) % 32 for x in keys], pa.int64())
+        return pa.table({"part": part, "s": pa.array(keys, pa.string())})
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return g.select(["s"]).group_by(["s"]).aggregate([])
+
+    keys = (
+        ds.map_batches(keyify, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+    return edit1_self_join(keys, "s", n_parts=64)
+
+
+SQL_EDIT1_PAIRS = """
+WITH k AS (
+  SELECT DISTINCT CASE WHEN c_custkey % 11 = 0
+                       THEN substr(c_name, 1, length(c_name) - 1)
+                       ELSE c_name END AS s
+  FROM customer
+)
+SELECT x.s AS a, y.s AS b,
+       CASE WHEN length(x.s) = length(y.s) THEN 'sub' ELSE 'indel' END AS edit_op
+FROM k x JOIN k y ON x.s < y.s AND levenshtein(x.s, y.s) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy-key self-join: Hamming-distance-1 pairs via deletion blocking.
 # ---------------------------------------------------------------------------
 
@@ -5416,6 +5470,8 @@ EXTRA_QUERIES = {
     "kcore": q_kcore,
     # personalized PageRank toward a seed set (crawl-expansion ranking)
     "ppr_seed": q_ppr_seed,
+    # Levenshtein-1 self-join (sub + indel classes, deletion blocking)
+    "edit1_pairs": q_edit1_pairs,
 }
 
 ORACLE_SQL = {
@@ -5510,4 +5566,5 @@ EXTRA_ORACLE_SQL = {
     "url_templates": SQL_URL_TEMPLATES,
     "kcore": SQL_KCORE,
     "ppr_seed": SQL_PPR_SEED,
+    "edit1_pairs": SQL_EDIT1_PAIRS,
 }
