@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "kcore",
     "ppr_seed",
     "edit1_pairs",
+    "collocations",
 ]
 
 

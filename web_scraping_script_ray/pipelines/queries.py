@@ -5164,6 +5164,184 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# PMI collocation mining (pointwise mutual information over bigrams).
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_N = 5
+
+
+def q_collocations(sf_dir: str):
+    """Corpus collocations: adjacent-token bigrams occurring >= 5 times,
+    scored by pointwise mutual information ln(P(ab)/(P(a)P(b))) in
+    integer micro-nat units — the classic phrase-mining signal (how
+    much more often two tokens co-occur than chance) a training-data
+    pipeline uses for tokenizer/phrase vocabulary decisions.
+
+    Plan: one pass builds block-local bigram partials (Arrow take on
+    the flat token array, row boundaries masked out) and unigram
+    partials; each merges map-side-combined in a 64-way coarse groupby
+    (only (token, partial-count) rows cross the exchange).  The two
+    corpus totals are driver scalars.  Unigram counts attach to the
+    surviving (>= 5) bigrams via two co-partition exchanges on
+    crc32(token) — vocabulary is never driver-resident, matching the
+    tfidf_top scale rule.  PMI is computed as a SUM OF LOGS
+    (ln n_ab + 2 ln N_uni - ln N_bi - ln c_a - ln c_b): every term is
+    an exactly-representable int64 -> double, so the floor-micro result
+    is bit-identical in DuckDB at any corpus size (the single-ratio
+    form would overflow double precision past n·N² ~ 2^53)."""
+    import zlib
+
+    from ..functions.agg import grouped_sum_count
+    from ..functions.hashing import flat_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(batch.column("text"))
+        out = pa.table({"tok": flat}).group_by(["tok"]).aggregate([([], "count_all")])
+        return out.rename_columns(["tok", "cnt"])
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        total = len(flat)
+        if total < 2:
+            return pa.table(
+                {"ta": pa.array([], pa.string()), "tb": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        mask = np.ones(total - 1, bool)
+        # positions whose successor starts the next doc are not bigrams
+        ends = offsets[1:-1] - 1
+        mask[ends[(ends >= 0) & (ends < total - 1)]] = False
+        pos = np.flatnonzero(mask)
+        left = flat.take(pa.array(pos, pa.int64()))
+        right = flat.take(pa.array(pos + 1, pa.int64()))
+        out = (
+            pa.table({"ta": left, "tb": right})
+            .group_by(["ta", "tb"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["ta", "tb", "cnt"])
+
+    uni = grouped_sum_count(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["tok"], ["cnt"], {"cnt": "c"}, coarse=64,
+    )
+    bi = grouped_sum_count(
+        ds.map_batches(bi_partial, batch_format="pyarrow"),
+        ["ta", "tb"], ["cnt"], {"cnt": "c"}, coarse=64,
+    )
+    n_uni = int(uni.sum("c"))
+    n_bi = int(bi.sum("c"))
+
+    def freq_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("c"), pa.scalar(_PMI_MIN_N))
+        ).select(["ta", "tb", "c"])
+
+    cand = bi.map_batches(freq_only, batch_format="pyarrow")
+
+    def attach(bi_ds, key_col: str, out_name: str):
+        """co-partition surviving bigrams with unigram counts on
+        crc32(token) % 32; gather with one index_in per partition."""
+
+        def tag_b(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pylist()
+            part = pa.array([zlib.crc32(x.encode()) % 32 for x in keys], pa.int64())
+            t = batch.append_column("part", part)
+            return t.append_column(
+                "is_uni", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+            )
+
+        def tag_u(batch: pa.Table) -> pa.Table:
+            keys = batch.column("tok").to_pylist()
+            part = pa.array([zlib.crc32(x.encode()) % 32 for x in keys], pa.int64())
+            cols = {name: pa.nulls(batch.num_rows, typ) for name, typ in zip(
+                bi_ds.schema().base_schema.names, bi_ds.schema().base_schema.types
+            )}
+            cols[key_col] = batch.column("tok")
+            cols["__uc"] = batch.column("c")
+            t = pa.table(cols)
+            t = t.append_column("part", part)
+            return t.append_column(
+                "is_uni", pa.array(np.ones(batch.num_rows, np.int8), pa.int8())
+            )
+
+        def merge(g: pa.Table) -> pa.Table:
+            is_u = pc.equal(g.column("is_uni"), pa.scalar(1, pa.int8()))
+            ut = g.filter(is_u)
+            bt = g.filter(pc.invert(is_u))
+            at = pc.index_in(
+                bt.column(key_col).combine_chunks(),
+                value_set=ut.column(key_col).combine_chunks(),
+            )
+            vals = ut.column("__uc").take(at)
+            keep = [n for n in bt.schema.names if n not in ("part", "is_uni", "__uc")]
+            return bt.select(keep).append_column(out_name, vals)
+
+        tagged_b = bi_ds.map_batches(
+            lambda b: tag_b(b.append_column("__uc", pa.nulls(b.num_rows, pa.int64())))
+            if "__uc" not in b.schema.names else tag_b(b),
+            batch_format="pyarrow",
+        )
+        return (
+            tagged_b.union(uni.map_batches(tag_u, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(merge, batch_format="pyarrow")
+        )
+
+    with_ca = attach(cand, "ta", "ca")
+    with_cb = attach(with_ca, "tb", "cb")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = batch.column("ca").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = batch.column("cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = (
+            np.log(n) + 2.0 * np.log(np.float64(n_uni))
+            - np.log(np.float64(n_bi)) - np.log(ca) - np.log(cb)
+        )
+        micro = np.floor(pmi * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "ta": batch.column("ta"),
+                "tb": batch.column("tb"),
+                "n_ab": batch.column("c").cast(pa.int64()),
+                "pmi_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    return with_cb.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+),
+uni AS (
+  SELECT u AS tok, count(*) AS c
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+),
+big AS (
+  SELECT t[i] AS ta, t[i + 1] AS tb, count(*) AS c
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+  GROUP BY 1, 2
+),
+nu AS (SELECT sum(c) AS c FROM uni),
+nb AS (SELECT sum(c) AS c FROM big)
+SELECT b.ta, b.tb, CAST(b.c AS BIGINT) AS n_ab,
+       CAST(floor((ln(CAST(b.c AS DOUBLE)) + 2.0 * ln(CAST(nu.c AS DOUBLE))
+                   - ln(CAST(nb.c AS DOUBLE)) - ln(CAST(ua.c AS DOUBLE))
+                   - ln(CAST(ub.c AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_micro
+FROM big b
+JOIN uni ua ON ua.tok = b.ta
+JOIN uni ub ON ub.tok = b.tb
+CROSS JOIN nu CROSS JOIN nb
+WHERE b.c >= {_PMI_MIN_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Levenshtein-1 fuzzy self-join (substitutions + indels) via deletion keys.
 # ---------------------------------------------------------------------------
 
@@ -5472,6 +5650,8 @@ EXTRA_QUERIES = {
     "ppr_seed": q_ppr_seed,
     # Levenshtein-1 self-join (sub + indel classes, deletion blocking)
     "edit1_pairs": q_edit1_pairs,
+    # PMI collocation mining (bigram vs unigram log-ratio, micro-nats)
+    "collocations": q_collocations,
 }
 
 ORACLE_SQL = {
@@ -5567,4 +5747,5 @@ EXTRA_ORACLE_SQL = {
     "kcore": SQL_KCORE,
     "ppr_seed": SQL_PPR_SEED,
     "edit1_pairs": SQL_EDIT1_PAIRS,
+    "collocations": SQL_COLLOCATIONS,
 }
