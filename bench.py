@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "ppr_seed",
     "edit1_pairs",
     "collocations",
+    "reach2",
+    "assortativity",
 ]
 
 

@@ -5164,6 +5164,291 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Exact 2-hop reach per node of the web link graph.
+# ---------------------------------------------------------------------------
+
+def q_reach2(sf_dir: str):
+    """Per-page 2-hop reach: |{w != v : dist(v, w) <= 2}| over the
+    undirected link graph — the neighborhood-size signal behind
+    HyperBall-style centrality.  Exact plan: symmetrize the edge list,
+    one co-partition self-join on the MIDDLE node expands wedges into
+    2-hop candidates (cost O(sum deg(m)^2), the inherent price of the
+    exact answer; the scale swap is one HLL register set per node via
+    ``functions/sketch.py``), then (node, reached) pairs — 1-hop union
+    2-hop, self excluded — dedup and count in one coarse groupby on
+    crc32(node).  Nothing is driver-resident."""
+    edges = _web_link_edges(sf_dir)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch.column("u")
+        v = batch.column("v")
+        src = pa.concat_arrays(
+            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u,
+             v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v]
+        )
+        dst = pa.concat_arrays(
+            [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v,
+             u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u]
+        )
+        from ..functions.hashing import token_hashes
+
+        part = pa.array(
+            (token_hashes(src) % np.uint64(32)).astype(np.int64), pa.int64()
+        )
+        # partition by SRC for the wedge join (adj.dst joins adj.src —
+        # tag the left leg by dst instead)
+        return pa.table({"part": part, "src": src, "dst": dst})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def tag_by_dst(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import token_hashes
+
+        d = batch.column("dst")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        part = pa.array(
+            (token_hashes(d) % np.uint64(32)).astype(np.int64), pa.int64()
+        )
+        return pa.table(
+            {"part": part, "src": batch.column("src"), "dst": batch.column("dst"),
+             "is_left": pa.array(np.ones(batch.num_rows, np.int8), pa.int8())}
+        )
+
+    def tag_by_src(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"part": batch.column("part"), "src": batch.column("src"),
+             "dst": batch.column("dst"),
+             "is_left": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())}
+        )
+
+    def wedge(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g.column("is_left"), pa.scalar(1, pa.int8()))
+        lt = g.filter(is_l).select(["src", "dst"]).rename_columns(["node", "mid"])
+        rt = g.filter(pc.invert(is_l)).select(["src", "dst"]).rename_columns(
+            ["mid", "reached"]
+        )
+        j = lt.join(rt, keys=["mid"], join_type="inner").combine_chunks()
+        j = j.filter(pc.not_equal(j.column("node"), j.column("reached")))
+        out = j.select(["node", "reached"]).group_by(["node", "reached"]).aggregate([])
+        from ..functions.hashing import token_hashes
+
+        nd = out.column("node")
+        if isinstance(nd, pa.ChunkedArray):
+            nd = nd.combine_chunks()
+        part = pa.array(
+            (token_hashes(nd) % np.uint64(32)).astype(np.int64), pa.int64()
+        )
+        return out.append_column("part", part)
+
+    two_hop = (
+        adj.map_batches(tag_by_dst, batch_format="pyarrow")
+        .union(adj.map_batches(tag_by_src, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(wedge, batch_format="pyarrow")
+    )
+
+    def one_hop(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("src"), "reached": batch.column("dst"),
+             "part": batch.column("part")}
+        )
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        d = g.select(["node", "reached"]).group_by(["node", "reached"]).aggregate([])
+        out = d.group_by(["node"]).aggregate([([], "count_all")])
+        return out.rename_columns(["node", "reach2"])
+
+    return (
+        two_hop.union(adj.map_batches(one_hop, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(count_distinct, batch_format="pyarrow")
+    )
+
+
+SQL_REACH2 = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+adj AS (
+  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+),
+hops AS (
+  SELECT src AS node, dst AS reached FROM adj
+  UNION
+  SELECT a.src AS node, b.dst AS reached
+  FROM adj a JOIN adj b ON a.dst = b.src
+  WHERE b.dst <> a.src
+)
+SELECT node, CAST(count(*) AS BIGINT) AS reach2 FROM hops GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity sufficient statistics of the web link graph.
+# ---------------------------------------------------------------------------
+
+def q_assortativity(sf_dir: str):
+    """Exact sufficient statistics for the degree-assortativity (Pearson)
+    coefficient of the link graph: over the DIRECTED view of each
+    undirected edge (both orientations, the standard convention),
+    m = #ordered pairs, and the int64 sums Σx, Σx², Σxy where x/y are
+    the endpoint degrees.  Emitting the exact integer statistics —
+    rather than the final float ratio — keeps the result bit-hashable
+    and lets any consumer finish r = (m·Σxy − Σx²ᵗᵉʳᵐ)/... in their own
+    precision.  Degrees attach via one co-partition exchange per
+    endpoint (the triangle_count pattern); the statistics fold
+    map-side, one row crosses the final exchange per block."""
+    import zlib
+
+    # one materialization feeds degrees AND both attach passes (each
+    # consumer of a lazy pipeline would re-read + re-sort the fixture)
+    edges = _web_link_edges(sf_dir).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = pa.array(
+            batch.column("u").to_pylist() + batch.column("v").to_pylist(),
+            pa.string(),
+        )
+        out = pa.table({"node": nodes}).group_by(["node"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["node", "deg"])
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("deg")
+        .map_batches(lambda b: b.rename_columns(["node", "deg"]),
+                     batch_format="pyarrow")
+    ).materialize()
+
+    def attach(edge_ds, key_col, out_name):
+        # resolve the edge schema ONCE on the driver — capturing the
+        # Dataset and calling .schema() inside a closure would re-execute
+        # the upstream pipeline in every worker task
+        e_names = list(edge_ds.schema().base_schema.names)
+        e_types = list(edge_ds.schema().base_schema.types)
+
+        def tag_e(batch: pa.Table) -> pa.Table:
+            part = pa.array(
+                [zlib.crc32(x.encode()) % 32
+                 for x in batch.column(key_col).to_pylist()],
+                pa.int64(),
+            )
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            cols["part"] = part
+            cols["__d"] = pa.nulls(batch.num_rows, pa.int64())
+            cols["is_deg"] = pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+            return pa.table(cols)
+
+        def tag_d(batch: pa.Table) -> pa.Table:
+            part = pa.array(
+                [zlib.crc32(x.encode()) % 32
+                 for x in batch.column("node").to_pylist()],
+                pa.int64(),
+            )
+            cols = {
+                n: pa.nulls(batch.num_rows, typ)
+                for n, typ in zip(e_names, e_types)
+            }
+            cols[key_col] = batch.column("node")
+            cols["part"] = part
+            cols["__d"] = batch.column("deg").cast(pa.int64())
+            cols["is_deg"] = pa.array(np.ones(batch.num_rows, np.int8), pa.int8())
+            return pa.table(cols)
+
+        def merge(g: pa.Table) -> pa.Table:
+            is_d = pc.equal(g.column("is_deg"), pa.scalar(1, pa.int8()))
+            dt = g.filter(is_d)
+            et = g.filter(pc.invert(is_d))
+            at = pc.index_in(
+                et.column(key_col).combine_chunks(),
+                value_set=dt.column(key_col).combine_chunks(),
+            )
+            vals = dt.column("__d").take(at)
+            keep = [n for n in et.schema.names
+                    if n not in ("part", "__d", "is_deg")]
+            return et.select(keep).append_column(out_name, vals)
+
+        return (
+            edge_ds.map_batches(tag_e, batch_format="pyarrow")
+            .union(degrees.map_batches(tag_d, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(merge, batch_format="pyarrow")
+        )
+
+    both = attach(attach(edges, "u", "du"), "v", "dv")
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        du = batch.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch.column("dv").to_numpy(zero_copy_only=False).astype(np.int64)
+        # both orientations: x runs over (du, dv), y over (dv, du)
+        m = 2 * len(du)
+        sx = int(du.sum() + dv.sum())
+        sxx = int((du * du).sum() + (dv * dv).sum())
+        sxy = int(2 * (du * dv).sum())
+        return pa.table(
+            {"m": pa.array([m], pa.int64()), "sum_x": pa.array([sx], pa.int64()),
+             "sum_xx": pa.array([sxx], pa.int64()),
+             "sum_xy": pa.array([sxy], pa.int64())}
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: pa.array([int(pc.sum(batch.column(c)).as_py() or 0)], pa.int64())
+             for c in ("m", "sum_x", "sum_xx", "sum_xy")}
+        )
+
+    return (
+        both.map_batches(stats_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+SQL_ASSORTATIVITY = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+),
+pairs AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocation mining (pointwise mutual information over bigrams).
 # ---------------------------------------------------------------------------
 
@@ -5244,6 +5529,10 @@ def q_collocations(sf_dir: str):
     def attach(bi_ds, key_col: str, out_name: str):
         """co-partition surviving bigrams with unigram counts on
         crc32(token) % 32; gather with one index_in per partition."""
+        # schema resolved ONCE on the driver (a .schema() call inside the
+        # closure would re-execute the upstream pipeline per worker task)
+        b_names = list(bi_ds.schema().base_schema.names)
+        b_types = list(bi_ds.schema().base_schema.types)
 
         def tag_b(batch: pa.Table) -> pa.Table:
             keys = batch.column(key_col).to_pylist()
@@ -5256,9 +5545,10 @@ def q_collocations(sf_dir: str):
         def tag_u(batch: pa.Table) -> pa.Table:
             keys = batch.column("tok").to_pylist()
             part = pa.array([zlib.crc32(x.encode()) % 32 for x in keys], pa.int64())
-            cols = {name: pa.nulls(batch.num_rows, typ) for name, typ in zip(
-                bi_ds.schema().base_schema.names, bi_ds.schema().base_schema.types
-            )}
+            cols = {
+                name: pa.nulls(batch.num_rows, typ)
+                for name, typ in zip(b_names, b_types)
+            }
             cols[key_col] = batch.column("tok")
             cols["__uc"] = batch.column("c")
             t = pa.table(cols)
@@ -5652,6 +5942,10 @@ EXTRA_QUERIES = {
     "edit1_pairs": q_edit1_pairs,
     # PMI collocation mining (bigram vs unigram log-ratio, micro-nats)
     "collocations": q_collocations,
+    # exact 2-hop neighborhood size per node (HyperBall's exact baseline)
+    "reach2": q_reach2,
+    # degree-assortativity sufficient statistics (exact int64 sums)
+    "assortativity": q_assortativity,
 }
 
 ORACLE_SQL = {
@@ -5748,4 +6042,6 @@ EXTRA_ORACLE_SQL = {
     "ppr_seed": SQL_PPR_SEED,
     "edit1_pairs": SQL_EDIT1_PAIRS,
     "collocations": SQL_COLLOCATIONS,
+    "reach2": SQL_REACH2,
+    "assortativity": SQL_ASSORTATIVITY,
 }
