@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "collocations",
     "reach2",
     "assortativity",
+    "link_context",
 ]
 
 

@@ -5164,6 +5164,102 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Link-context mining: term counts of the text span following each link.
+# ---------------------------------------------------------------------------
+
+def q_link_context(sf_dir: str):
+    """Inbound link-context term counts per target page — for every link
+    span, the tokens of the text span that immediately follows it in
+    the SAME document (the synthetic web's stand-in for anchor text,
+    which real pipelines aggregate per target as a relevance signal).
+    Emits (target, tok, n) for terms seen >= 2 times.
+
+    Plan: one zero-copy span flatten per block; the link->next-span
+    adjacency is a lexsort on (doc, offset) plus a shift — no joins —
+    and per-target term counts fold map-side before one 64-way coarse
+    exchange (the ``grouped_sum_count`` combiner).  The SQL oracle uses
+    ``lead() OVER (PARTITION BY doc ORDER BY offset)``."""
+    import ray.data as rd
+
+    from ..functions.agg import grouped_sum_count
+    from ..functions.hashing import flat_tokens
+    from ..synthweb import WebParams, fixture_dir
+
+    web_dir = fixture_dir(WebParams(n_docs=1000, n_hosts=20, seed=42))
+
+    def ctx_partial(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = np.asarray(pc.struct_field(flat, "kind").to_pylist(), dtype=object)
+        offs = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)
+        order = np.lexsort((offs, parent))
+        p_s, k_s = parent[order], kind[order]
+        # position i is a (link -> text) adjacency if the next sorted span
+        # sits in the same doc
+        is_pair = (
+            (p_s[:-1] == p_s[1:]) & (k_s[:-1] == "link") & (k_s[1:] == "text")
+        )
+        link_idx = order[:-1][is_pair]
+        text_idx = order[1:][is_pair]
+        refs = pc.struct_field(flat, "media_ref").take(pa.array(link_idx, pa.int64()))
+        ctxs = pc.struct_field(flat, "text").take(pa.array(text_idx, pa.int64()))
+        target = pc.list_element(
+            pc.split_pattern(pc.utf8_lower(refs), "#"), 0
+        )
+        toks, t_off = flat_tokens(ctxs)
+        tgt_flat = target.take(
+            pa.array(np.repeat(np.arange(len(ctxs)), np.diff(t_off)), pa.int64())
+        )
+        out = (
+            pa.table({"target": tgt_flat, "tok": toks})
+            .group_by(["target", "tok"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["target", "tok", "cnt"])
+
+    counts = grouped_sum_count(
+        rd.read_parquet(os.path.join(web_dir, "web"))
+        .map_batches(ctx_partial, batch_format="pyarrow"),
+        ["target", "tok"], ["cnt"], {"cnt": "n"}, coarse=64,
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("n"), pa.scalar(2))
+        out = batch.filter(keep)
+        return out.select(["target", "tok", "n"])
+
+    return counts.map_batches(final, batch_format="pyarrow")
+
+
+SQL_LINK_CONTEXT = f"""
+WITH sp AS (
+  SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+         s."offset" AS off
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_INLINK_WEB}'))
+),
+nxt AS (
+  SELECT doc_id, kind, media_ref,
+         lead(kind) OVER w AS nk, lead(text) OVER w AS nt
+  FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+),
+ctx AS (
+  SELECT lower(split_part(media_ref, '#', 1)) AS target, nt AS context
+  FROM nxt WHERE kind = 'link' AND nk = 'text'
+),
+toks AS (
+  SELECT target, unnest(regexp_extract_all(lower(context), '\\S+')) AS tok
+  FROM ctx
+)
+SELECT target, tok, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY target, tok HAVING count(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact 2-hop reach per node of the web link graph.
 # ---------------------------------------------------------------------------
 
@@ -5946,6 +6042,8 @@ EXTRA_QUERIES = {
     "reach2": q_reach2,
     # degree-assortativity sufficient statistics (exact int64 sums)
     "assortativity": q_assortativity,
+    # link-context term mining (anchor-text stand-in per target page)
+    "link_context": q_link_context,
 }
 
 ORACLE_SQL = {
@@ -6044,4 +6142,5 @@ EXTRA_ORACLE_SQL = {
     "collocations": SQL_COLLOCATIONS,
     "reach2": SQL_REACH2,
     "assortativity": SQL_ASSORTATIVITY,
+    "link_context": SQL_LINK_CONTEXT,
 }
