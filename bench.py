@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "reach2",
     "assortativity",
     "link_context",
+    "cm_freq",
 ]
 
 

@@ -497,3 +497,36 @@ def test_edit1_join_random_vs_bruteforce(ray_session):
     assert got_t == want
     assert any(op == "sub" for _, _, op in want)
     assert any(op == "indel" for _, _, op in want)
+
+
+def test_cm_sketch_bounds_and_merge():
+    """Count-Min kernel: estimates never undercount, and summing block
+    partials equals sketching the whole stream (linearity)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_scraping_script_ray.functions.sketch import (
+        cm_estimate,
+        cm_partial_counters,
+    )
+
+    rng = np.random.default_rng(3)
+    toks = [f"t{rng.integers(0, 300):03d}" for _ in range(5000)]
+    true = {}
+    for t in toks:
+        true[t] = true.get(t, 0) + 1
+    keys = sorted(true)
+    counts = np.array([true[k] for k in keys], np.int64)
+    whole = cm_partial_counters(pa.array(keys, pa.string()), counts)
+    # split the same counts into 3 arbitrary partials
+    parts = np.zeros_like(whole)
+    for i in range(3):
+        sel = np.arange(i, len(keys), 3)
+        parts += cm_partial_counters(
+            pa.array([keys[j] for j in sel], pa.string()), counts[sel]
+        )
+    np.testing.assert_array_equal(whole, parts)
+    est = cm_estimate(whole, keys)
+    assert (est >= counts).all()
+    # with 300 keys in 4x1024 buckets most estimates are exact
+    assert (est == counts).mean() > 0.9

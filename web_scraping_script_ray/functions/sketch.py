@@ -410,3 +410,53 @@ def bottomk_quantiles(
         batch_format="pyarrow",
     )
     return partials.groupby(key_col).map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimates, linearly mergeable).
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_partial_counters(
+    toks: "pa.Array", counts: "np.ndarray", depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> "np.ndarray":
+    """(depth, width) int64 counter matrix for one block's token counts.
+    Row r hashes token t as md5(f"{r}\\x1f{t}")[:8] % width — the same
+    ``token_hashes`` construction every oracle reproduces with
+    ``('0x' || substr(md5(r || chr(31) || t), 1, 16))::UBIGINT``.
+    Counter matrices MERGE BY ADDITION (the sketch is a linear
+    projection of the count vector), so block partials sum exactly."""
+    from .hashing import token_hashes
+
+    m = np.zeros((depth, width), np.int64)
+    if len(toks) == 0:
+        return m
+    for r in range(depth):
+        salted = pc.binary_join_element_wise(
+            pa.array([str(r)] * len(toks), pa.string()), toks, "\x1f"
+        )
+        hv = (token_hashes(salted) % np.uint64(width)).astype(np.int64)
+        np.add.at(m[r], hv, counts)
+    return m
+
+
+def cm_estimate(
+    merged: "np.ndarray", probe: list[str], depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> "np.ndarray":
+    """min-over-rows estimate per probe key (>= true count, always)."""
+    from .hashing import token_hashes
+
+    if not probe:
+        return np.zeros(0, np.int64)
+    est = np.full(len(probe), np.iinfo(np.int64).max, np.int64)
+    arr = pa.array(probe, pa.string())
+    for r in range(depth):
+        salted = pc.binary_join_element_wise(
+            pa.array([str(r)] * len(probe), pa.string()), arr, "\x1f"
+        )
+        hv = (token_hashes(salted) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, merged[r][hv])
+    return est

@@ -5185,6 +5185,114 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch point-frequency estimates (bit-exact simulated oracle).
+# ---------------------------------------------------------------------------
+
+def q_cm_freq(sf_dir: str):
+    """Count-Min point-frequency estimates for a probe vocabulary (the
+    distinct tokens of docs 0..19), sketched over the WHOLE corpus —
+    the fixed-memory frequency oracle a streaming pipeline keeps when
+    exact per-token counts don't fit (``functions/sketch.py``:
+    ``cm_partial_counters`` / ``cm_estimate``, depth 4 × width 1024).
+
+    The sketch is a LINEAR projection of the count vector, so each
+    block's counter matrix folds by addition — none of the token data
+    shuffles, one 32 KB matrix per block crosses the exchange, and the
+    merged sketch (a bounded artifact, not data) lands on the driver by
+    design.  The SQL oracle SIMULATES the identical counters
+    (md5-salted row hashes, bucket sums, min-over-rows), so the
+    approximate estimates are still value-hash-exact."""
+    import ray.data as rd
+
+    from ..functions.hashing import flat_tokens
+    from ..functions.sketch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        cm_estimate,
+        cm_partial_counters,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def block_counters(batch: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(batch.column("text"))
+        t = pa.table({"tok": flat}).group_by(["tok"]).aggregate(
+            [([], "count_all")]
+        )
+        toks = t.column("tok")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        m = cm_partial_counters(
+            toks, t.column("count_all").to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"cm": pa.array([m.ravel()], pa.list_(pa.int64()))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        col = batch.column("cm")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, CM_DEPTH * CM_WIDTH
+        )
+        return pa.table(
+            {"cm": pa.array([vals.sum(axis=0)], pa.list_(pa.int64()))}
+        )
+
+    merged_rows = (
+        ds.map_batches(block_counters, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+        .take_all()
+    )
+    merged = np.array(merged_rows[0]["cm"], np.int64).reshape(CM_DEPTH, CM_WIDTH)
+
+    def probe_toks(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("doc_id"), pa.scalar(20))
+        flat, _ = flat_tokens(batch.filter(keep).column("text"))
+        t = pa.table({"tok": flat}).group_by(["tok"]).aggregate([])
+        return t
+
+    probe = sorted(
+        set(
+            ds.map_batches(probe_toks, batch_format="pyarrow")
+            .to_pandas()["tok"]
+            .tolist()
+        )
+    )
+    est = cm_estimate(merged, probe)
+    return rd.from_arrow(
+        pa.table(
+            {"tok": pa.array(probe, pa.string()), "est_n": pa.array(est, pa.int64())}
+        )
+    )
+
+
+SQL_CM_FREQ = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+rws AS (SELECT unnest(range(0, 4)) AS r),
+bux AS (
+  SELECT r.r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || chr(31) || cnt.tok),
+                         1, 16))::UBIGINT % 1024 AS b,
+         sum(cnt.n) AS s
+  FROM cnt CROSS JOIN rws r GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT tok FROM toks WHERE doc_id < 20)
+SELECT p.tok, CAST(min(bux.s) AS BIGINT) AS est_n
+FROM probe p
+CROSS JOIN rws r
+JOIN bux ON bux.r = r.r
+        AND bux.b = ('0x' || substr(md5(CAST(r.r AS VARCHAR) || chr(31) || p.tok),
+                                    1, 16))::UBIGINT % 1024
+GROUP BY p.tok
+"""
+
+
+# ---------------------------------------------------------------------------
 # Link-context mining: term counts of the text span following each link.
 # ---------------------------------------------------------------------------
 
@@ -6065,6 +6173,8 @@ EXTRA_QUERIES = {
     "assortativity": q_assortativity,
     # link-context term mining (anchor-text stand-in per target page)
     "link_context": q_link_context,
+    # Count-Min sketch point frequencies (simulated bit-exact oracle)
+    "cm_freq": q_cm_freq,
 }
 
 ORACLE_SQL = {
@@ -6164,4 +6274,5 @@ EXTRA_ORACLE_SQL = {
     "reach2": SQL_REACH2,
     "assortativity": SQL_ASSORTATIVITY,
     "link_context": SQL_LINK_CONTEXT,
+    "cm_freq": SQL_CM_FREQ,
 }
