@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "assortativity",
     "link_context",
     "cm_freq",
+    "snapshot_diff",
 ]
 
 

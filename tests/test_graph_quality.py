@@ -465,3 +465,47 @@ def test_ppr_distributed_path_matches_small(ray_session):
     # teleport mass concentrates rank on seeds vs the uniform-restart rank
     assert r[seeds].mean() > r[~seeds].mean()
     assert int(r.min()) >= 0
+
+
+def test_reach2_and_assortativity_plans_agree(ray_session):
+    """Size-selected single-task paths == forced-distributed exchange
+    plans for 2-hop reach and assortativity stats (fixture graph), and
+    the dense-matrix and sparse reach2 kernels agree on a random graph."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_scraping_script_ray.functions import graph as G
+    from web_scraping_script_ray.pipelines.queries import (
+        q_assortativity,
+        q_reach2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q, key in ((q_reach2, "node"), (q_assortativity, "m")):
+        a = q(sf, force_plan="single").to_pandas()
+        b = q(sf, force_plan="distributed").to_pandas()
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        assert a.equals(b), q.__name__
+
+    # dense vs sparse reach2 kernel parity on a random graph
+    rng = np.random.RandomState(9)
+    pairs = sorted(
+        {
+            (f"n{min(a, b):03d}", f"n{max(a, b):03d}")
+            for a, b in rng.randint(0, 150, (400, 2))
+            if a != b
+        }
+    )
+    refs = [
+        __import__("ray").put(
+            pa.table({"u": [p[0] for p in pairs], "v": [p[1] for p in pairs]})
+        )
+    ]
+    import ray as _ray
+
+    dense = _ray.get(G._reach2_single_task.remote(refs, "u", "v"))
+    # dense_limit=0 forces the sparse per-node kernel (a module-global
+    # monkeypatch would not reach the worker process)
+    sparse = _ray.get(G._reach2_single_task.remote(refs, "u", "v", 0))
+    assert dense.equals(sparse)

@@ -1115,3 +1115,86 @@ def ppr_fixed_point(
 
         ranks = sums.map_batches(damp, batch_format="pyarrow")
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Single-task fast paths for small-graph statistics (size selection).
+# ---------------------------------------------------------------------------
+
+# same rationale as triangles/kcore: chained exchanges on a few-thousand-
+# edge graph are pure scheduling overhead; ONE numpy task is ~10x faster
+_GSTAT_SINGLE_EDGE_LIMIT = 2_000_000
+_REACH2_SINGLE_NODE_LIMIT = 5_000  # n^2 bool matrix stays <= 25 MB
+
+
+@ray.remote
+def _assort_single_task(refs: list, u_col: str, v_col: str):
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    u: list[str] = []
+    v: list[str] = []
+    for t in tables:
+        u.extend(t.column(u_col).to_pylist())
+        v.extend(t.column(v_col).to_pylist())
+    uu = np.array(u, dtype=object)
+    vv = np.array(v, dtype=object)
+    nodes, inv = np.unique(np.concatenate([uu, vv]), return_inverse=True)
+    a, b = inv[: len(uu)], inv[len(uu) :]
+    deg = np.bincount(np.concatenate([a, b]), minlength=len(nodes)).astype(np.int64)
+    du, dv = deg[a], deg[b]
+    m = 2 * len(a)
+    sx = int(du.sum() + dv.sum())
+    sxx = int((du * du).sum() + (dv * dv).sum())
+    sxy = int(2 * (du * dv).sum())
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_xx": pa.array([sxx], pa.int64()),
+            "sum_xy": pa.array([sxy], pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _reach2_single_task(
+    refs: list, u_col: str, v_col: str, dense_limit: int | None = None
+):
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    u: list[str] = []
+    v: list[str] = []
+    for t in tables:
+        u.extend(t.column(u_col).to_pylist())
+        v.extend(t.column(v_col).to_pylist())
+    uu = np.array(u, dtype=object)
+    vv = np.array(v, dtype=object)
+    nodes, inv = np.unique(np.concatenate([uu, vv]), return_inverse=True)
+    n = len(nodes)
+    a, b = inv[: len(uu)], inv[len(uu) :]
+    if n <= (_REACH2_SINGLE_NODE_LIMIT if dense_limit is None else dense_limit):
+        adj = np.zeros((n, n), bool)
+        adj[a, b] = True
+        adj[b, a] = True
+        # within-2-hops = 1-hop OR 2-hop; bool matmul then drop self
+        two = (adj.astype(np.uint8) @ adj.astype(np.uint8)) > 0
+        r = adj | two
+        np.fill_diagonal(r, False)
+        counts = r.sum(axis=1).astype(np.int64)
+    else:
+        # sparse path: per-node union of neighbor-of-neighbor lists
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        starts = np.searchsorted(src_s, np.arange(n + 1))
+        nbrs = [dst_s[starts[i] : starts[i + 1]] for i in range(n)]
+        counts = np.zeros(n, np.int64)
+        for i in range(n):
+            if len(nbrs[i]) == 0:
+                continue
+            pool = np.concatenate([nbrs[i]] + [nbrs[j] for j in nbrs[i]])
+            uniq = np.unique(pool)
+            counts[i] = len(uniq) - (1 if i in uniq else 0)
+    return pa.Table.from_arrays(
+        [pa.array(list(nodes), pa.string()), pa.array(counts, pa.int64())],
+        names=["node", "reach2"],
+    )

@@ -5185,6 +5185,115 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff: recrawl-vs-corpus change classification (SCD-style).
+# ---------------------------------------------------------------------------
+
+def q_snapshot_diff(sf_dir: str):
+    """Classify every key across two crawl snapshots as added / removed
+    / changed — the recrawl maintenance pass that decides which pages
+    re-enter the training corpus.  Snapshots derive deterministically
+    from ``documents``: OLD = doc_id % 5 != 4; NEW = doc_id % 5 != 0
+    with every 7th doc's text revised.  Each side reduces to (doc_id,
+    md5 fingerprint) block-locally, the two sides meet in ONE 64-way
+    co-partition exchange keyed on doc_id, and each partition resolves
+    presence + fingerprint equality with two ``index_in`` gathers —
+    document text never shuffles, matching ``incremental_dedup``'s
+    scale rule.  Unchanged keys are dropped (the compact diff)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fingerprints(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        md5 = hashlib.md5
+        out_id: list[int] = []
+        out_h: list[str] = []
+        out_side: list[int] = []  # 0 = old, 1 = new
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % 5 != 4:
+                out_id.append(i)
+                out_h.append(md5(t.encode()).hexdigest())
+                out_side.append(0)
+            if i % 5 != 0:
+                nt = t + " v2" if i % 7 == 0 else t
+                out_id.append(i)
+                out_h.append(md5(nt.encode()).hexdigest())
+                out_side.append(1)
+        part = [i % 64 for i in out_id]
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "h": pa.array(out_h, pa.string()),
+                "side": pa.array(out_side, pa.int8()),
+            }
+        )
+
+    def classify(g: pa.Table) -> pa.Table:
+        is_new = pc.equal(g.column("side"), pa.scalar(1, pa.int8()))
+        old = g.filter(pc.invert(is_new))
+        new = g.filter(is_new)
+        oid = old.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nid = new.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        oh = np.asarray(old.column("h").to_pylist(), dtype=object)
+        nh = np.asarray(new.column("h").to_pylist(), dtype=object)
+        o_order = np.argsort(oid)
+        oid_s, oh_s = oid[o_order], oh[o_order]
+        pos = np.searchsorted(oid_s, nid)
+        in_old = (pos < len(oid_s)) & (oid_s[np.minimum(pos, len(oid_s) - 1)] == nid)
+        ids: list[int] = []
+        status: list[str] = []
+        # new-side rows: added (absent from old) or changed (hash differs)
+        add_mask = ~in_old
+        ids.extend(int(x) for x in nid[add_mask])
+        status.extend(["added"] * int(add_mask.sum()))
+        both = np.flatnonzero(in_old)
+        changed = both[nh[both] != oh_s[pos[both]]]
+        ids.extend(int(x) for x in nid[changed])
+        status.extend(["changed"] * len(changed))
+        # old-side rows absent from new: removed
+        n_sorted = np.sort(nid)
+        posn = np.searchsorted(n_sorted, oid)
+        in_new = (posn < len(n_sorted)) & (
+            n_sorted[np.minimum(posn, len(n_sorted) - 1)] == oid
+        )
+        ids.extend(int(x) for x in oid[~in_new])
+        status.extend(["removed"] * int((~in_new).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(fingerprints, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(classify, batch_format="pyarrow")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 4
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch point-frequency estimates (bit-exact simulated oracle).
 # ---------------------------------------------------------------------------
 
@@ -5392,7 +5501,7 @@ FROM toks GROUP BY target, tok HAVING count(*) >= 2
 # Exact 2-hop reach per node of the web link graph.
 # ---------------------------------------------------------------------------
 
-def q_reach2(sf_dir: str):
+def q_reach2(sf_dir: str, force_plan: str | None = None):
     """Per-page 2-hop reach: |{w != v : dist(v, w) <= 2}| over the
     undirected link graph — the neighborhood-size signal behind
     HyperBall-style centrality.  Exact plan: symmetrize the edge list,
@@ -5402,7 +5511,20 @@ def q_reach2(sf_dir: str):
     ``functions/sketch.py``), then (node, reached) pairs — 1-hop union
     2-hop, self excluded — dedup and count in one coarse groupby on
     crc32(node).  Nothing is driver-resident."""
+    from ..functions.graph import (
+        _GSTAT_SINGLE_EDGE_LIMIT,
+        _reach2_single_task,
+    )
+
     edges = _web_link_edges(sf_dir)
+    if force_plan != "distributed":
+        import ray.data as _rd
+
+        edges_mat = edges.materialize()
+        if force_plan == "single" or edges_mat.count() <= _GSTAT_SINGLE_EDGE_LIMIT:
+            refs = edges_mat.select_columns(["u", "v"]).to_arrow_refs()
+            return _rd.from_arrow_refs([_reach2_single_task.remote(refs, "u", "v")])
+        edges = edges_mat
 
     def sym(batch: pa.Table) -> pa.Table:
         u = batch.column("u")
@@ -5522,7 +5644,7 @@ SELECT node, CAST(count(*) AS BIGINT) AS reach2 FROM hops GROUP BY node
 # Degree assortativity sufficient statistics of the web link graph.
 # ---------------------------------------------------------------------------
 
-def q_assortativity(sf_dir: str):
+def q_assortativity(sf_dir: str, force_plan: str | None = None):
     """Exact sufficient statistics for the degree-assortativity (Pearson)
     coefficient of the link graph: over the DIRECTED view of each
     undirected edge (both orientations, the standard convention),
@@ -5535,9 +5657,21 @@ def q_assortativity(sf_dir: str):
     map-side, one row crosses the final exchange per block."""
     import zlib
 
+    from ..functions.graph import (
+        _GSTAT_SINGLE_EDGE_LIMIT,
+        _assort_single_task,
+    )
+
     # one materialization feeds degrees AND both attach passes (each
     # consumer of a lazy pipeline would re-read + re-sort the fixture)
     edges = _web_link_edges(sf_dir).materialize()
+    if force_plan != "distributed" and (
+        force_plan == "single" or edges.count() <= _GSTAT_SINGLE_EDGE_LIMIT
+    ):
+        import ray.data as _rd
+
+        refs = edges.select_columns(["u", "v"]).to_arrow_refs()
+        return _rd.from_arrow_refs([_assort_single_task.remote(refs, "u", "v")])
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         nodes = pa.array(
@@ -6175,6 +6309,8 @@ EXTRA_QUERIES = {
     "link_context": q_link_context,
     # Count-Min sketch point frequencies (simulated bit-exact oracle)
     "cm_freq": q_cm_freq,
+    # recrawl snapshot diff (added/removed/changed, fingerprints only move)
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -6275,4 +6411,5 @@ EXTRA_ORACLE_SQL = {
     "assortativity": SQL_ASSORTATIVITY,
     "link_context": SQL_LINK_CONTEXT,
     "cm_freq": SQL_CM_FREQ,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 }
