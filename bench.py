@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "link_context",
     "cm_freq",
     "snapshot_diff",
+    "containment_pairs",
 ]
 
 

@@ -530,3 +530,38 @@ def test_cm_sketch_bounds_and_merge():
     assert (est >= counts).all()
     # with 300 keys in 4x1024 buckets most estimates are exact
     assert (est == counts).mean() > 0.9
+
+
+def test_containment_join_random_vs_bruteforce(ray_session):
+    """Random tiny corpora: one-sided prefix-filtered containment join
+    == brute-force |A∩B|/|A| on unigram token sets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.dedup import containment_join
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(10)]
+    for trial in range(2):
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(2, 8)))
+            for _ in range(35)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(35)), "text": texts})
+        )
+        got = containment_join(ds, "text", "doc_id", t_num=3, t_den=4).to_pandas()
+        got_t = sorted(zip(got.id_a, got.id_b, got.cont_micro))
+        sets = [frozenset(t.lower().split()) for t in texts]
+        want = []
+        for a in range(35):
+            for b in range(35):
+                if a == b:
+                    continue
+                inter = len(sets[a] & sets[b])
+                if inter * 4 >= 3 * len(sets[a]):
+                    want.append((a, b, inter * 1_000_000 // len(sets[a])))
+        want.sort()
+        assert got_t == want, f"trial {trial}: {len(got_t)} vs {len(want)}"
+        assert want, f"trial {trial} planted no pairs"

@@ -1198,3 +1198,196 @@ def setsim_join(
         .groupby("part")
         .map_groups(dedup_pairs, batch_format="pyarrow")
     )
+
+
+def containment_join(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 7,
+    t_den: int = 10,
+    n_parts: int = 64,
+    shingle_k: int | None = None,
+) -> "ray.data.Dataset":
+    """ALL ordered pairs (a, b), a != b, with set CONTAINMENT
+    |A ∩ B| / |A| >= t — the asymmetric cousin of ``setsim_join``:
+    finds documents whose shingle set is (near-)subsumed by another
+    document (quote extraction, partial-copy detection, benchmark
+    contamination beyond exact n-gram hits).
+
+    Prefix filtering still applies, but one-sided: if containment >= t
+    then A shares a token with B among A's FIRST ``m_a - ceil(t*m_a)
+    + 1`` tokens (any global total order), while B must index ALL its
+    tokens — the classic probe/index asymmetry of containment joins.
+    Each side ships its sorted set ONCE per partition its tokens hit
+    (the PPJoin wire trim).  At web scale the small side should be the
+    probe set (cf. ``decontaminate``'s broadcast of benchmark
+    shingles); this symmetric-shuffle layout is the self-join shape.
+    Emits (id_a, id_b, cont_micro) with cont_micro = |A∩B|*1e6 // |A|.
+    The threshold is rational — every filter and the verdict are
+    integer comparisons, bit-reproducible in SQL."""
+    from .hashing import flat_tokens, shingle_hash_flat, token_hashes
+
+    def _list_np(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.values.to_numpy(zero_copy_only=False), col.offsets.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    def emit_side(is_probe: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            flat, offsets = flat_tokens(batch.column(text_col))
+            hv = token_hashes(flat)
+            if shingle_k is not None:
+                hv, offsets = shingle_hash_flat(hv, offsets, shingle_k)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            out_part: list[int] = []
+            out_id: list[int] = []
+            out_m: list[int] = []
+            tok_values: list[np.ndarray] = []
+            tok_offsets = [0]
+            set_values: list[np.ndarray] = []
+            set_offsets = [0]
+            for i in range(len(ids)):
+                s = np.unique(hv[offsets[i] : offsets[i + 1]])
+                m = len(s)
+                if m == 0:
+                    continue
+                if is_probe:
+                    p = m - ((t_num * m + t_den - 1) // t_den) + 1
+                    emit = s[:p]
+                else:
+                    emit = s  # index side posts every token
+                parts = (emit % np.uint64(n_parts)).astype(np.int64)
+                order = np.argsort(parts, kind="stable")
+                parts_s = parts[order]
+                starts = np.flatnonzero(np.r_[True, parts_s[1:] != parts_s[:-1]])
+                bounds = np.r_[starts, len(parts_s)]
+                for gi in range(len(starts)):
+                    lo, hi = bounds[gi], bounds[gi + 1]
+                    sel = order[lo:hi]
+                    out_part.append(int(parts_s[lo]))
+                    out_id.append(int(ids[i]))
+                    out_m.append(m)
+                    tok_values.append(emit[sel])
+                    tok_offsets.append(tok_offsets[-1] + (hi - lo))
+                    set_values.append(s)
+                    set_offsets.append(set_offsets[-1] + m)
+            tvals = (
+                np.concatenate(tok_values) if tok_values else np.zeros(0, np.uint64)
+            )
+            svals = (
+                np.concatenate(set_values) if set_values else np.zeros(0, np.uint64)
+            )
+            return pa.Table.from_arrays(
+                [
+                    pa.array(out_part, pa.int64()),
+                    pa.array(
+                        np.full(len(out_id), 1 if is_probe else 0, np.int8),
+                        pa.int8(),
+                    ),
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_m, pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(tok_offsets, pa.int32()),
+                        pa.array(tvals, pa.uint64()),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(set_offsets, pa.int32()),
+                        pa.array(svals, pa.uint64()),
+                    ),
+                ],
+                names=["part", "is_probe", "id", "m", "toks", "set"],
+            )
+
+        return fn
+
+    def pairs_in_part(g: pa.Table) -> pa.Table:
+        probe_mask = pc.equal(g.column("is_probe"), pa.scalar(1, pa.int8()))
+        pt = g.filter(probe_mask)
+        it = g.filter(pc.invert(probe_mask))
+        if pt.num_rows == 0 or it.num_rows == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int64()), "id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cont_micro": pa.array([], pa.int64())}
+            )
+        p_ids = pt.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p_tok, p_off = _list_np(pt.column("toks"))
+        p_set, p_soff = _list_np(pt.column("set"))
+        i_ids = it.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        i_tok, i_off = _list_np(it.column("toks"))
+        i_set, i_soff = _list_np(it.column("set"))
+        probe_set = {
+            int(p_ids[r]): p_set[p_soff[r] : p_soff[r + 1]]
+            for r in range(len(p_ids))
+        }
+        index_set = {
+            int(i_ids[r]): i_set[i_soff[r] : i_soff[r + 1]]
+            for r in range(len(i_ids))
+        }
+        p_occ_row = np.repeat(np.arange(len(p_ids)), np.diff(p_off))
+        i_occ_row = np.repeat(np.arange(len(i_ids)), np.diff(i_off))
+        # sort both occurrence streams by token, then sweep-merge
+        po = np.argsort(p_tok, kind="stable")
+        io = np.argsort(i_tok, kind="stable")
+        ptk, prw = p_tok[po], p_occ_row[po]
+        itk, irw = i_tok[io], i_occ_row[io]
+        cand = set()
+        ii = 0
+        n_i = len(itk)
+        x = 0
+        while x < len(ptk):
+            y = x
+            while y < len(ptk) and ptk[y] == ptk[x]:
+                y += 1
+            while ii < n_i and itk[ii] < ptk[x]:
+                ii += 1
+            jj = ii
+            while jj < n_i and itk[jj] == ptk[x]:
+                jj += 1
+            if jj > ii:
+                for xr in prw[x:y]:
+                    a = int(p_ids[xr])
+                    for yr in irw[ii:jj]:
+                        b = int(i_ids[yr])
+                        if a != b:
+                            cand.add((a, b))
+            x = y
+        out_a, out_b, out_c = [], [], []
+        for a, b in cand:
+            sa, sb = probe_set[a], index_set[b]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter * t_den >= len(sa) * t_num:
+                out_a.append(a)
+                out_b.append(b)
+                out_c.append(inter * 1_000_000 // len(sa))
+        part2 = [(a * 1_000_003 + b) % n_parts for a, b in zip(out_a, out_b)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(part2, pa.int64()),
+                pa.array(out_a, pa.int64()),
+                pa.array(out_b, pa.int64()),
+                pa.array(out_c, pa.int64()),
+            ],
+            names=["part", "id_a", "id_b", "cont_micro"],
+        )
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        return (
+            g.select(["id_a", "id_b", "cont_micro"])
+            .group_by(["id_a", "id_b", "cont_micro"])
+            .aggregate([])
+        )
+
+    return (
+        ds.map_batches(emit_side(True), batch_format="pyarrow")
+        .union(ds.map_batches(emit_side(False), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )

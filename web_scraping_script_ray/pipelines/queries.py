@@ -5070,6 +5070,50 @@ FROM pairs WHERE inter * 5 >= uni * 3
 
 
 # ---------------------------------------------------------------------------
+# Asymmetric containment join (|A cap B|/|A| >= t) over shingle sets.
+# ---------------------------------------------------------------------------
+
+def q_containment_pairs(sf_dir: str):
+    """All ORDERED doc pairs whose 3-gram shingle set is >= 70%
+    contained in another doc's set
+    (``functions/dedup.py:containment_join``) — the asymmetric cousin
+    of ``setsim_pairs``: finds partial copies and quote subsumption
+    that symmetric Jaccard misses when the container is much larger.
+    One-sided prefix filtering (the probe side emits its
+    ``m - ceil(t*m) + 1`` prefix, the index side posts every token,
+    both ship their set once per partition hit), exact integer verify
+    on the rational threshold."""
+    from ..functions.dedup import containment_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_join(ds, "text", "doc_id", t_num=7, t_den=10, shingle_k=3)
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+expl AS (
+  SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, t, 0 AS i FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+sh AS (
+  SELECT doc_id,
+         list(DISTINCT CASE WHEN i = 0 AND len(t) < 3
+                            THEN array_to_string(t, ' ')
+                            ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END) AS s
+  FROM expl GROUP BY doc_id
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(len(list_intersect(x.s, y.s)) * 1000000 // len(x.s) AS BIGINT)
+         AS cont_micro
+FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
+WHERE len(list_intersect(x.s, y.s)) * 10 >= 7 * len(x.s)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting over the web's undirected link graph.
 # ---------------------------------------------------------------------------
 
@@ -6311,6 +6355,8 @@ EXTRA_QUERIES = {
     "cm_freq": q_cm_freq,
     # recrawl snapshot diff (added/removed/changed, fingerprints only move)
     "snapshot_diff": q_snapshot_diff,
+    # asymmetric containment join (partial-copy / subsumption detection)
+    "containment_pairs": q_containment_pairs,
 }
 
 ORACLE_SQL = {
@@ -6412,4 +6458,5 @@ EXTRA_ORACLE_SQL = {
     "link_context": SQL_LINK_CONTEXT,
     "cm_freq": SQL_CM_FREQ,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
 }
