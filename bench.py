@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "cm_freq",
     "snapshot_diff",
     "containment_pairs",
+    "hits",
 ]
 
 

@@ -509,3 +509,29 @@ def test_reach2_and_assortativity_plans_agree(ray_session):
     # monkeypatch would not reach the worker process)
     sparse = _ray.get(G._reach2_single_task.remote(refs, "u", "v", 0))
     assert dense.equals(sparse)
+
+
+def test_hits_distributed_path_matches_small(ray_session):
+    """HITS: the scatter/groupby plan == the single-task kernel
+    bit-for-bit (integer sum-normalization is combine-order-free)."""
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import hits_fixed_point
+
+    n = 96
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+    ).repartition(6)
+    small = (
+        hits_fixed_point(nodes, n, iters=2)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    dist = (
+        hits_fixed_point(nodes, n, iters=2, small_limit=0)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    np.testing.assert_array_equal(small["hub"].to_numpy(), dist["hub"].to_numpy())
+    np.testing.assert_array_equal(small["auth"].to_numpy(), dist["auth"].to_numpy())
+    # normalization holds: totals within floor slack of HITS_SCALE
+    assert 0 < small["hub"].sum() <= 1_000_000_000
+    assert 0 < small["auth"].sum() <= 1_000_000_000

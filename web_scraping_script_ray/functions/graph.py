@@ -1198,3 +1198,274 @@ def _reach2_single_task(
         [pa.array(list(nodes), pa.string()), pa.array(counts, pa.int64())],
         names=["node", "reach2"],
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) over the deterministic synthetic out-edges.
+# ---------------------------------------------------------------------------
+
+
+# HITS uses its own 1e9 scale: raw (pre-normalization) scores are bounded
+# by degree * SCALE = 3e9, so score * SCALE <= 3e18 stays inside int64 in
+# BOTH the numpy kernel and the distributed batches (PR_SCALE=1e12 would
+# overflow at the normalization multiply)
+HITS_SCALE = 1_000_000_000
+
+
+def _hits_small_kernel(
+    ids: np.ndarray, n_nodes: int, iters: int, degree: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single-process HITS with integer sum-normalization: each half-step
+    rescales scores to total PR_SCALE via floor division — deterministic,
+    combine-order-independent, and exactly reproducible in SQL (HUGEINT
+    sums).  Keys = all ids (the synthetic graph maps ids onto 0..n-1)."""
+    ids = np.sort(ids.astype(np.int64))
+    n = len(ids)
+    auth = np.full(n, HITS_SCALE // max(n, 1), np.int64)
+    hub = np.zeros(n, np.int64)
+    for _ in range(iters):
+        dsts = synth_out_edges(ids, n_nodes, degree)
+        pos = np.searchsorted(ids, dsts.ravel())
+        ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == dsts.ravel())
+        # hub_i = sum of auth over out-neighbors present in the id set
+        contrib = np.where(ok, auth[np.minimum(pos, n - 1)], 0)
+        hub = contrib.reshape(n, degree).sum(axis=1)
+        th = int(hub.sum())
+        if th > 0:
+            hub = (hub * HITS_SCALE) // th
+        # auth_i = sum of hub over in-neighbors
+        auth_new = np.zeros(n, np.int64)
+        np.add.at(auth_new, pos[ok], np.repeat(hub, degree)[ok])
+        ta = int(auth_new.sum())
+        if ta > 0:
+            auth_new = (auth_new * HITS_SCALE) // ta
+        auth = auth_new
+    return ids, hub, auth
+
+
+@ray.remote
+def _hits_small_task(refs: list, n_nodes: int, iters: int, degree: int):
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    ids = (
+        np.concatenate(
+            [t.column("doc_id").to_numpy(zero_copy_only=False) for t in tables]
+        )
+        if tables
+        else np.zeros(0, np.int64)
+    )
+    ids, hub, auth = _hits_small_kernel(ids, n_nodes, iters, degree)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(hub, pa.int64()),
+            pa.array(auth, pa.int64()),
+        ],
+        names=["doc_id", "hub", "auth"],
+    )
+
+
+def hits_fixed_point(
+    nodes: "ray.data.Dataset",
+    n_nodes: int,
+    iters: int = 5,
+    degree: int = 3,
+    small_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Kleinberg's HITS over the deterministic synthetic link graph:
+    hub(i) = Σ auth(out-neighbors), auth(i) = Σ hub(in-neighbors), each
+    half-step sum-normalized to HITS_SCALE total with INTEGER floor
+    division (the repo's standard trick: no float norm, so partial-sum
+    order can't change the result and a SQL oracle reproduces it
+    bit-for-bit).  Size-selected like PageRank: one numpy task under
+    ``small_limit`` nodes, else per-iteration scatter + map-side-
+    combined groupby where only (node, partial-sum) rows cross the
+    exchange; the per-half-step normalization total is ONE driver
+    scalar (a Dataset sum), not a data structure."""
+    import ray.data
+
+    if n_nodes and n_nodes <= small_limit:
+        refs = nodes.select_columns(["doc_id"]).to_arrow_refs()
+        out_ref = _hits_small_task.remote(refs, n_nodes, iters, degree)
+        return ray.data.from_arrow_refs([out_ref])
+
+    a0 = HITS_SCALE // max(n_nodes, 1)
+
+    def init(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(np.zeros(n, np.int64), pa.int64()),
+                pa.array(np.full(n, a0, np.int64), pa.int64()),
+            ],
+            names=["doc_id", "hub", "auth"],
+        )
+
+    state = nodes.map_batches(init, batch_format="pyarrow")
+    for _ in range(iters):
+        # ---- hub half-step: gather auth along OUT edges -----------------
+        # each node needs auth of its out-neighbors: scatter a REQUEST is
+        # equivalent to scattering (dst <- auth(src)) along REVERSED edges
+        # of the in-neighbor relation; with the synthetic closed-form
+        # edges we instead scatter each node's auth to its IN-neighbors'
+        # hub accumulators by sending along reversed out-edges.  Concretely
+        # hub(src) needs auth(dst): send (src, auth(dst)) — dst knows its
+        # in-neighbors only implicitly, so route via the edge key dst:
+        # tag each edge (src, dst) by dst, join with auth at dst, then
+        # groupby src.  Two exchanges per half-step, partials combined.
+        def edge_requests(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            dsts = synth_out_edges(ids, n_nodes, degree)
+            return pa.table(
+                {
+                    "dst": pa.array(dsts.ravel(), pa.int64()),
+                    "src": pa.array(np.repeat(ids, degree), pa.int64()),
+                }
+            )
+
+        def tag_auth(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "dst": batch.column("doc_id"),
+                    "src": pa.array(
+                        np.full(batch.num_rows, -1, np.int64), pa.int64()
+                    ),
+                    "auth": batch.column("auth"),
+                }
+            )
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "auth", pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64())
+            )
+
+        edges = nodes.map_batches(edge_requests, batch_format="pyarrow")
+
+        def gather_hub(g: pa.Table) -> pa.Table:
+            is_auth = pc.equal(g.column("src"), pa.scalar(-1, pa.int64()))
+            at = g.filter(is_auth)
+            et = g.filter(pc.invert(is_auth))
+            idx = pc.index_in(
+                et.column("dst").combine_chunks(),
+                value_set=at.column("dst").combine_chunks(),
+            )
+            vals = at.column("auth").take(idx)
+            t = pa.table({"doc_id": et.column("src"), "v": vals})
+            out = t.group_by(["doc_id"]).aggregate([("v", "sum")])
+            return out.rename_columns(["doc_id", "hub_part"])
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.append_column(
+                "part", pa.array(d % 64, pa.int64())
+            )
+
+        hub_parts = (
+            edges.map_batches(tag_edge, batch_format="pyarrow")
+            .union(state.map_batches(tag_auth, batch_format="pyarrow"))
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(gather_hub, batch_format="pyarrow")
+        )
+        hub_sums = grouped_sum_count(
+            hub_parts, ["doc_id"], ["hub_part"], {"hub_part": "h"}
+        )
+        # zero self-message so isolated nodes survive
+        zeros = nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "h": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                    "n_rows": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        hub_all = (
+            hub_sums.union(zeros)
+            .groupby("doc_id")
+            .sum("h")
+            .map_batches(
+                lambda b: b.rename_columns(["doc_id", "hub"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        th = int(hub_all.sum("hub") or 0)
+
+        def norm_hub(batch: pa.Table, _t=th) -> pa.Table:
+            h = batch.column("hub").to_numpy(zero_copy_only=False).astype(np.int64)
+            if _t > 0:
+                h = (h * HITS_SCALE) // _t
+            return pa.table({"doc_id": batch.column("doc_id"), "hub": pa.array(h, pa.int64())})
+
+        hubs = hub_all.map_batches(norm_hub, batch_format="pyarrow").materialize()
+
+        # ---- auth half-step: scatter hub along OUT edges ----------------
+        def scatter_auth(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            h = batch.column("hub").to_numpy(zero_copy_only=False).astype(np.int64)
+            dsts = synth_out_edges(ids, n_nodes, degree)
+            out_dst = np.concatenate([dsts.ravel(), ids])
+            out_v = np.concatenate(
+                [np.repeat(h, degree), np.zeros(len(ids), np.int64)]
+            )
+            return pa.table(
+                {"doc_id": pa.array(out_dst, pa.int64()), "v": pa.array(out_v, pa.int64())}
+            )
+
+        auth_sums = grouped_sum_count(
+            hubs.map_batches(scatter_auth, batch_format="pyarrow"),
+            ["doc_id"], ["v"], {"v": "a"},
+        ).materialize()
+        ta = int(auth_sums.sum("a") or 0)
+
+        def norm_auth(batch: pa.Table, _t=ta) -> pa.Table:
+            a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            if _t > 0:
+                a = (a * HITS_SCALE) // _t
+            return pa.table({"doc_id": batch.column("doc_id"), "auth": pa.array(a, pa.int64())})
+
+        auths = auth_sums.map_batches(norm_auth, batch_format="pyarrow").materialize()
+
+        # ---- recombine state (co-partition join on doc_id) --------------
+        def tag_h(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), "hub": batch.column("hub"),
+                 "auth": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+                 "is_h": pa.array(np.ones(batch.num_rows, np.int8), pa.int8())}
+            )
+
+        def tag_a(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch.column("doc_id"),
+                 "hub": pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()),
+                 "auth": batch.column("auth"),
+                 "is_h": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())}
+            )
+
+        def zip_state(g: pa.Table) -> pa.Table:
+            is_h = pc.equal(g.column("is_h"), pa.scalar(1, pa.int8()))
+            ht = g.filter(is_h)
+            at = g.filter(pc.invert(is_h))
+            idx = pc.index_in(
+                ht.column("doc_id").combine_chunks(),
+                value_set=at.column("doc_id").combine_chunks(),
+            )
+            return pa.table(
+                {"doc_id": ht.column("doc_id"), "hub": ht.column("hub"),
+                 "auth": at.column("auth").take(idx)}
+            )
+
+        def add_id_part(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.append_column("part", pa.array(d % 64, pa.int64()))
+
+        state = (
+            hubs.map_batches(tag_h, batch_format="pyarrow")
+            .union(auths.map_batches(tag_a, batch_format="pyarrow"))
+            .map_batches(add_id_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(zip_state, batch_format="pyarrow")
+        )
+    return state

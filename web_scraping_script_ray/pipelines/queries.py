@@ -1591,6 +1591,85 @@ def _ppr_sql(iters: int = _PR_ITERS, seed_mod: int = _PPR_SEED_MOD) -> str:
 SQL_PPR_SEED = _ppr_sql()
 
 
+_HITS_ITERS = 3
+
+
+def q_hits(sf_dir: str):
+    """Kleinberg HITS hubs & authorities (3 iterations) over the
+    deterministic synthetic link graph
+    (``functions/graph.py:hits_fixed_point``) — the link-analysis
+    family's third member beside ``pagerank`` and ``ppr_seed``.  Each
+    half-step sum-normalizes to HITS_SCALE with integer floor division
+    so partial-sum order cannot change a bit; size-selected to the
+    single numpy task at fixture scale, with the scatter/groupby
+    distributed plan pytest-pinned bit-equal."""
+    from ..functions.graph import hits_fixed_point
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return hits_fixed_point(ds, n, iters=_HITS_ITERS)
+
+
+def _hits_sql(iters: int = _HITS_ITERS) -> str:
+    """Unrolled MATERIALIZED-CTE oracle (plain CTEs re-inline the edge
+    scan exponentially with depth — the kcore lesson); HUGEINT sums and
+    floor divisions reproduce the integer kernel exactly."""
+    S = 1_000_000_000
+    ctes = [
+        "nn AS MATERIALIZED (SELECT count(*) AS c FROM documents)",
+        "e AS MATERIALIZED (SELECT d.doc_id AS src,"
+        " (d.doc_id * 2654435761 + j.j * 40503) % nn.c AS dst"
+        " FROM documents d CROSS JOIN nn"
+        " CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j)",
+        f"a0 AS MATERIALIZED (SELECT d.doc_id, {S} // nn.c AS a"
+        " FROM documents d CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT d.doc_id, COALESCE(s.v, 0) AS v"
+            f" FROM documents d LEFT JOIN ("
+            f"SELECT e.src AS doc_id, sum(a{p}.a) AS v"
+            f" FROM e JOIN a{p} ON a{p}.doc_id = e.dst GROUP BY e.src) s"
+            f" USING (doc_id))"
+        )
+        ctes.append(
+            f"th{k} AS MATERIALIZED (SELECT sum(v) AS t FROM hr{k})"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT doc_id,"
+            f" CAST(CASE WHEN th{k}.t > 0 THEN v * {S} // th{k}.t"
+            f" ELSE v END AS BIGINT) AS h"
+            f" FROM hr{k} CROSS JOIN th{k})"
+        )
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT d.doc_id, COALESCE(s.v, 0) AS v"
+            f" FROM documents d LEFT JOIN ("
+            f"SELECT e.dst AS doc_id, sum(h{k}.h) AS v"
+            f" FROM e JOIN h{k} ON h{k}.doc_id = e.src GROUP BY e.dst) s"
+            f" USING (doc_id))"
+        )
+        ctes.append(
+            f"ta{k} AS MATERIALIZED (SELECT sum(v) AS t FROM ar{k})"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT doc_id,"
+            f" CAST(CASE WHEN ta{k}.t > 0 THEN v * {S} // ta{k}.t"
+            f" ELSE v END AS BIGINT) AS a"
+            f" FROM ar{k} CROSS JOIN ta{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h{iters}.doc_id, h{iters}.h AS hub, a{iters}.a AS auth"
+        + f" FROM h{iters} JOIN a{iters} USING (doc_id)"
+    )
+
+
+SQL_HITS = _hits_sql()
+
+
 def q_langid(sf_dir: str):
     """Heuristic language ID — profile-word hit ratio per language, argmax
     with lexicographic tie-break, 'und' below min_score.  SQL-oracled: the
@@ -6357,6 +6436,8 @@ EXTRA_QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     # asymmetric containment join (partial-copy / subsumption detection)
     "containment_pairs": q_containment_pairs,
+    # HITS hubs & authorities (integer sum-normalized fixed point)
+    "hits": q_hits,
 }
 
 ORACLE_SQL = {
@@ -6459,4 +6540,5 @@ EXTRA_ORACLE_SQL = {
     "cm_freq": SQL_CM_FREQ,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "hits": SQL_HITS,
 }
