@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "containment_pairs",
     "hits",
+    "interval_coverage",
+    "embed_centroid",
 ]
 
 

@@ -5308,6 +5308,153 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Interval-union coverage per user (sweep over fixed activity windows).
+# ---------------------------------------------------------------------------
+
+_COV_LEN_US = 300 * 1_000_000  # each event opens a 5-minute activity window
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user total activity time: the length of the UNION of the
+    [ts, ts+5min) windows the user's events open — the sweep-line
+    interval-union aggregate (sessionize's dual: measures covered time,
+    not session count).  With fixed-length windows over sorted starts
+    the union telescopes to Σ min(next_start − start, LEN) + LEN, so
+    one coarse co-partition on user hash plus a per-partition lexsort
+    computes it exactly in int64 microseconds — no window joins, ties
+    contribute zero regardless of order."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(u % 16, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+            }
+        )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((t, u))
+        u_s, t_s = u[order], t[order]
+        same = u_s[1:] == u_s[:-1]
+        gap = t_s[1:] - t_s[:-1]
+        contrib = np.where(same, np.minimum(gap, _COV_LEN_US), 0)
+        users, inv = np.unique(u_s, return_inverse=True)
+        cov = np.zeros(len(users), np.int64)
+        np.add.at(cov, inv[:-1], contrib)
+        cov += _COV_LEN_US  # the final window of each user
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "covered_us": pa.array(cov, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+SQL_INTERVAL_COVERAGE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+w AS (
+  SELECT user_id, t,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+  FROM e
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN nt IS NULL THEN {_COV_LEN_US}
+                     ELSE least(nt - t, {_COV_LEN_US}) END) AS BIGINT)
+         AS covered_us
+FROM w GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids in integer micro units.
+# ---------------------------------------------------------------------------
+
+def q_embed_centroid(sf_dir: str):
+    """Per-label per-dimension embedding centroid in integer MICRO
+    units: each float32 component converts exactly to
+    floor(float64(x)·1e6) int64, sums fold map-side per (label, dim),
+    and the mean is floor(sum / count) — the per-domain centroid table
+    a curation pipeline keeps for semantic mixing / SemDeDup seeding.
+    All arithmetic is exact-int or correctly-rounded double (both
+    operands < 2^53), so DuckDB reproduces every value bit-for-bit;
+    the engine's floor(s/c) uses float division deliberately because
+    DuckDB's ``//`` truncates toward zero on negatives while numpy
+    floors."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(vals) // max(len(lab), 1)
+        micro = np.floor(vals * 1e6).astype(np.int64).reshape(len(lab), d)
+        labels, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labels), d), np.int64)
+        np.add.at(sums, inv, micro)
+        cnts = np.bincount(inv, minlength=len(labels)).astype(np.int64)
+        out_label = np.repeat(labels, d)
+        out_dim = np.tile(np.arange(1, d + 1, dtype=np.int64), len(labels))
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "c": pa.array(np.repeat(cnts, d), pa.int64()),
+            }
+        )
+
+    from ..functions.agg import grouped_sum_count
+
+    merged = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], ["s", "c"], {"s": "s", "c": "c"},
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        cent = np.floor(s.astype(np.float64) / c.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "dim": batch.column("dim"),
+                "centroid_micro": pa.array(cent, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
+SQL_EMBED_CENTROID = """
+WITH comp AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS micro
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT)
+         AS centroid_micro
+FROM comp GROUP BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff: recrawl-vs-corpus change classification (SCD-style).
 # ---------------------------------------------------------------------------
 
@@ -6438,6 +6585,10 @@ EXTRA_QUERIES = {
     "containment_pairs": q_containment_pairs,
     # HITS hubs & authorities (integer sum-normalized fixed point)
     "hits": q_hits,
+    # interval-union coverage per user (sweep-line activity time)
+    "interval_coverage": q_interval_coverage,
+    # per-label embedding centroid (exact integer-micro vector mean)
+    "embed_centroid": q_embed_centroid,
 }
 
 ORACLE_SQL = {
@@ -6541,4 +6692,6 @@ EXTRA_ORACLE_SQL = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "hits": SQL_HITS,
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "embed_centroid": SQL_EMBED_CENTROID,
 }
