@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "hits",
     "interval_coverage",
     "embed_centroid",
+    "event_transitions",
+    "cohort_retention",
 ]
 
 

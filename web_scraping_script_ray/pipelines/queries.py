@@ -5308,6 +5308,161 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Event-transition counts (sessionized Markov matrix over event types).
+# ---------------------------------------------------------------------------
+
+_TRANS_GAP_US = 1800 * 1_000_000  # 30-minute session gap
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types per
+    user (pairs more than 30 minutes apart don't count — the
+    sessionized page-flow matrix behind funnel design).  One coarse
+    co-partition on user hash; each partition lexsorts by (user, ts,
+    event_id) — the event_id tie-break makes simultaneous events
+    deterministic — and a shifted-mask pass emits the local transition
+    counts; a tiny grouped sum merges them."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(u % 16, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "t": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "etype": batch.column("event_type"),
+            }
+        )
+
+    def transitions(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("eid").to_numpy(zero_copy_only=False).astype(np.int64)
+        ety = g.column("etype")
+        if isinstance(ety, pa.ChunkedArray):
+            ety = ety.combine_chunks()
+        order = np.lexsort((eid, t, u))
+        u_s, t_s = u[order], t[order]
+        keep = (u_s[1:] == u_s[:-1]) & (t_s[1:] - t_s[:-1] <= _TRANS_GAP_US)
+        idx_from = order[:-1][keep]
+        idx_to = order[1:][keep]
+        out = (
+            pa.table(
+                {
+                    "from_type": ety.take(pa.array(idx_from, pa.int64())),
+                    "to_type": ety.take(pa.array(idx_to, pa.int64())),
+                }
+            )
+            .group_by(["from_type", "to_type"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["from_type", "to_type", "cnt"])
+
+    from ..functions.agg import grouped_sum_count
+
+    return grouped_sum_count(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(transitions, batch_format="pyarrow"),
+        ["from_type", "to_type"], ["cnt"], {"cnt": "n"},
+    ).select_columns(["from_type", "to_type", "n"])
+
+
+SQL_EVENT_TRANSITIONS = f"""
+WITH w AS (
+  SELECT event_type,
+         lead(event_type) OVER win AS nt,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER win AS ntv
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS from_type, nt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM w
+WHERE nt IS NOT NULL AND ntv - t <= {_TRANS_GAP_US}
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (signup week × week offset, distinct users).
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST event's epoch
+    week, counted distinctly in every later week they reappear —
+    (cohort_week, week_offset, n_users).  ONE co-partition exchange on
+    user hash does everything: a user's rows all land in the same
+    partition, so the partition-local min-week IS the global cohort,
+    the partition-local (cohort, offset, user) distinct is globally
+    complete, and only tiny per-partition cell counts flow into the
+    final grouped sum."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(u % 16, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "t": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def cell_counts(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        week = t // _WEEK_US
+        users, inv = np.unique(u, return_inverse=True)
+        first_week = np.full(len(users), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first_week, inv, week)
+        cohort = first_week[inv]
+        offset = week - cohort
+        cells = (
+            pa.table(
+                {
+                    "cohort_week": pa.array(cohort, pa.int64()),
+                    "week_offset": pa.array(offset, pa.int64()),
+                    "user_id": pa.array(u, pa.int64()),
+                }
+            )
+            .group_by(["cohort_week", "week_offset", "user_id"])
+            .aggregate([])
+        )
+        out = cells.group_by(["cohort_week", "week_offset"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["cohort_week", "week_offset", "cnt"])
+
+    from ..functions.agg import grouped_sum_count
+
+    return grouped_sum_count(
+        tagged.groupby("part").map_groups(cell_counts, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"], ["cnt"], {"cnt": "n_users"},
+    ).select_columns(["cohort_week", "week_offset", "n_users"])
+
+
+SQL_COHORT_RETENTION = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY user_id)
+SELECT f.cohort AS cohort_week, e.week - f.cohort AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Interval-union coverage per user (sweep over fixed activity windows).
 # ---------------------------------------------------------------------------
 
@@ -6589,6 +6744,10 @@ EXTRA_QUERIES = {
     "interval_coverage": q_interval_coverage,
     # per-label embedding centroid (exact integer-micro vector mean)
     "embed_centroid": q_embed_centroid,
+    # sessionized Markov transition counts between event types
+    "event_transitions": q_event_transitions,
+    # cohort retention matrix (first-week cohort x week offset)
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -6694,4 +6853,6 @@ EXTRA_ORACLE_SQL = {
     "hits": SQL_HITS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "embed_centroid": SQL_EMBED_CENTROID,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }
