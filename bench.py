@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "embed_centroid",
     "event_transitions",
     "cohort_retention",
+    "zipf_stats",
 ]
 
 

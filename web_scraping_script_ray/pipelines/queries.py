@@ -5308,6 +5308,99 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Zipf-law sufficient statistics over the token frequency distribution.
+# ---------------------------------------------------------------------------
+
+def q_zipf_stats(sf_dir: str):
+    """Exact OLS sufficient statistics for the corpus's Zipf exponent:
+    regress ln(freq) on ln(rank) over the FULL vocabulary (rank 1 =
+    most frequent; ties broken by token for a total order).  Emits ONE
+    row (k, sx, sy, sxx, sxy) in integer MILLI-log units — milli, not
+    micro, because Σx² of micro-logs overflows int64 past ~10^4 terms
+    while milli-log products stay exact to 10^10-term vocabularies;
+    the slope (k·sxy − sx·sy)/(k·sxx − sx²) ≈ −Zipf-α is left to the
+    consumer.  Plan: map-side-combined vocabulary counts, ONE
+    range-partition sort for the global rank (``stages/rank.py:
+    zip_with_index``), vectorized milli-ln per block, one tiny fold."""
+    from ..functions.agg import grouped_sum_count
+    from ..functions.hashing import flat_tokens
+    from ..stages.rank import zip_with_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(batch.column("text"))
+        out = pa.table({"tok": flat}).group_by(["tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["tok", "cnt"])
+
+    vocab = grouped_sum_count(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["tok"], ["cnt"], {"cnt": "n"}, coarse=64,
+    )
+
+    def negate(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"tok": batch.column("tok"), "n": pa.array(n, pa.int64()),
+             "neg_n": pa.array(-n, pa.int64())}
+        )
+
+    ranked, _total = zip_with_index(
+        vocab.map_batches(negate, batch_format="pyarrow"),
+        ["neg_n", "tok"], col="rank", base=1,
+    )
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.floor(np.log(r) * 1e3).astype(np.int64)
+        y = np.floor(np.log(n) * 1e3).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: pa.array([int(pc.sum(batch.column(c)).as_py() or 0)], pa.int64())
+             for c in ("k", "sx", "sy", "sxx", "sxy")}
+        )
+
+    return (
+        ranked.map_batches(stats_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+SQL_ZIPF_STATS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents
+),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM cnt
+),
+m AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y
+  FROM r
+)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-transition counts (sessionized Markov matrix over event types).
 # ---------------------------------------------------------------------------
 
@@ -6748,6 +6841,8 @@ EXTRA_QUERIES = {
     "event_transitions": q_event_transitions,
     # cohort retention matrix (first-week cohort x week offset)
     "cohort_retention": q_cohort_retention,
+    # Zipf-law OLS sufficient statistics over the full vocabulary
+    "zipf_stats": q_zipf_stats,
 }
 
 ORACLE_SQL = {
@@ -6855,4 +6950,5 @@ EXTRA_ORACLE_SQL = {
     "embed_centroid": SQL_EMBED_CENTROID,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "zipf_stats": SQL_ZIPF_STATS,
 }
