@@ -512,3 +512,54 @@ def test_apply_ops_engine_extensions(ray_session):
     b = apply_ops(ds, [{"type": "quantile_band", "column": "n_chars", "lo": 0.10, "hi": 0.90}]).to_pandas()
     assert b.n_chars.min() >= 9 and b.n_chars.max() <= 91
     assert len(b) > 0.7 * n
+
+
+def test_apply_ops_text_pipeline_extensions(ray_session):
+    """The session-4 YAML ops: quality_filter, lang_filter, pii_redact,
+    near_dedup, token_truncate — wired through apply_ops end to end."""
+    import pyarrow as pa
+    import ray.data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs on",  # en
+        "el perro grande come pan y agua en la casa de madera",      # es
+        "the quick brown fox jumps over the lazy dog and runs on",  # dup of 0
+        "contact me at alice@example.com or 192.168.0.1 now the and",
+        "xq zz vv kk",                                               # low quality
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"seq": list(range(5)), "text": texts})
+    )
+
+    # pii_redact scrubs in place, keeps schema
+    out = apply_ops(ds, [{"type": "pii_redact", "column": "text"}]).to_pandas()
+    assert sorted(out.columns) == ["seq", "text"]
+    assert "alice@example.com" not in out.loc[out.seq == 3, "text"].iloc[0]
+    assert "192.168.0.1" not in out.loc[out.seq == 3, "text"].iloc[0]
+
+    # near_dedup drops the later duplicate, keeps first-wins order
+    out = apply_ops(
+        ds, [{"type": "near_dedup", "column": "text"}], order_col="seq"
+    ).to_pandas()
+    assert 0 in set(out.seq) and 2 not in set(out.seq)
+
+    # token_truncate caps tokens (lowercased flat_tokens rule)
+    out = apply_ops(
+        ds, [{"type": "token_truncate", "column": "text", "max_tokens": 3}]
+    ).to_pandas()
+    assert out.loc[out.seq == 0, "text"].iloc[0] == "the quick brown"
+
+    # quality_filter drops the consonant soup, keeps real sentences
+    out = apply_ops(
+        ds, [{"type": "quality_filter", "column": "text", "min": 0.3}]
+    ).to_pandas()
+    assert 4 not in set(out.seq) and 0 in set(out.seq)
+    assert sorted(out.columns) == ["seq", "text"]
+
+    # lang_filter keeps only the English rows
+    out = apply_ops(
+        ds, [{"type": "lang_filter", "column": "text", "langs": ["en"]}]
+    ).to_pandas()
+    assert set(out.seq) <= {0, 2, 3}
+    assert 1 not in set(out.seq)
+    assert sorted(out.columns) == ["seq", "text"]

@@ -171,6 +171,111 @@ def apply_ops(
                     )
 
                 ds = ds.map_batches(band, batch_format="pyarrow")
+        elif typ == "quality_filter":
+            # Gopher-style quality gate computed on the fly (the training
+            # exporter filters on precomputed columns; this is the YAML
+            # surface for raw tables)
+            from ..functions.text import quality_scores
+
+            column = op.get("column", "text")
+            min_q = float(op.get("min", 0.0))
+
+            def qkeep(batch: pa.Table, col=column, mq=min_q) -> pa.Table:
+                before = set(batch.schema.names)
+                scored = quality_scores(batch, text_col=col)
+                keep_mask = pc.greater_equal(
+                    scored.column("quality"), pa.scalar(mq)
+                )
+                out = scored.filter(keep_mask)
+                return out.select([n for n in out.schema.names if n in before])
+
+            ds = ds.map_batches(qkeep, batch_format="pyarrow")
+        elif typ == "lang_filter":
+            # language gate: LangId actor pool (profiles built once per
+            # actor), keep rows whose predicted language is allowed
+            from ..functions.text import LangId
+
+            column = op.get("column", "text")
+            langs = list(op.get("langs") or [])
+            if not langs:
+                logger.warning("lang_filter without langs — skipping")
+                continue
+
+            class _LangGate(LangId):
+                def __init__(self, col=column, allowed=tuple(langs)):
+                    super().__init__(text_col=col)
+                    self._allowed = pa.array(list(allowed), pa.string())
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    before = set(batch.schema.names)
+                    scored = super().__call__(batch)
+                    keep_mask = pc.is_in(
+                        scored.column("lang_pred"), value_set=self._allowed
+                    )
+                    out = scored.filter(keep_mask)
+                    return out.select(
+                        [n for n in out.schema.names if n in before]
+                    )
+
+            ds = ds.map_batches(
+                _LangGate, batch_format="pyarrow", concurrency=(1, 8)
+            )
+        elif typ == "pii_redact":
+            # in-place PII scrub of the column (emails/phones/IPv4)
+            from ..functions.text import redact_pii
+
+            column = op.get("column", "text")
+
+            def scrub(batch: pa.Table, col=column) -> pa.Table:
+                before = list(batch.schema.names)
+                out = redact_pii(batch, text_col=col, out_col="__redacted")
+                i = out.schema.names.index(col)
+                out = out.set_column(i, col, out.column("__redacted"))
+                return out.select(before)  # drop the redactor's count columns
+
+            ds = ds.map_batches(scrub, batch_format="pyarrow")
+        elif typ == "near_dedup":
+            # SimHash near-identical drop, first-wins in order_col order —
+            # the same (fingerprint, dedup_first_wins) pair the training
+            # exporter uses (pipelines/train_data.py)
+            from ..functions.dedup import simhash_batch
+
+            if order_col is None:
+                raise ValueError("near_dedup needs order_col for first-wins")
+            column = op.get("column", "text")
+            ds = ds.map_batches(
+                lambda b, col=column: simhash_batch(b, text_col=col),
+                batch_format="pyarrow",
+            )
+            ds = dedup_first_wins(ds, "simhash", [order_col])
+            ds = ds.drop_columns(["simhash"])
+        elif typ == "token_truncate":
+            # context-length cap: keep each row's first N whitespace tokens
+            from ..functions.hashing import flat_tokens
+
+            column = op.get("column", "text")
+            max_toks = int(op.get("max_tokens", 512))
+
+            def trunc(batch: pa.Table, col=column, mt=max_toks) -> pa.Table:
+                flat, offsets = flat_tokens(batch.column(col))
+                counts = np.diff(offsets)
+                kept = np.minimum(counts, mt)
+                idx = np.concatenate(
+                    [
+                        np.arange(offsets[i], offsets[i] + kept[i])
+                        for i in range(len(kept))
+                    ]
+                ) if len(kept) else np.zeros(0, np.int64)
+                toks = flat.take(pa.array(idx, pa.int64()))
+                lists = pa.ListArray.from_arrays(
+                    pa.array(np.concatenate([[0], np.cumsum(kept)]), pa.int32()),
+                    toks,
+                )
+                joined = pc.binary_join(lists, " ")
+                i = batch.schema.names.index(col)
+                return batch.set_column(i, col, joined)
+
+            ds = ds.map_batches(trunc, batch_format="pyarrow")
         else:
             logger.warning("unknown post-processing op %r — skipping", typ)
     return ds
