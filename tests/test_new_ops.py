@@ -565,3 +565,32 @@ def test_containment_join_random_vs_bruteforce(ray_session):
         want.sort()
         assert got_t == want, f"trial {trial}: {len(got_t)} vs {len(want)}"
         assert want, f"trial {trial} planted no pairs"
+
+
+def test_setsim_df_order_matches_hash_order(ray_session):
+    """order='df' (ascending-document-frequency prefixes) returns the
+    exact same pair set as the hash order — the total order changes
+    only candidate counts, never the verified result."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.dedup import setsim_join
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 8)))
+        for _ in range(50)
+    ]
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(50)), "text": texts}))
+    a = (
+        setsim_join(ds, t_num=1, t_den=2)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    b = (
+        setsim_join(ds, t_num=1, t_den=2, order="df")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)

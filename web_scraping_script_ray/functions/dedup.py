@@ -1013,6 +1013,8 @@ def setsim_join(
     t_den: int = 5,
     n_parts: int = 64,
     shingle_k: int | None = None,
+    order: str = "hash",
+    df_broadcast_limit: int = 30_000_000,
 ) -> "ray.data.Dataset":
     """ALL pairs with token-set Jaccard >= t (= ``t_num/t_den``), EXACT —
     the prefix-filtering join (Bayardo et al. 2007 AllPairs / PPJoin
@@ -1050,6 +1052,58 @@ def setsim_join(
     """
     from .hashing import flat_tokens, shingle_hash_flat, token_hashes
 
+    def _doc_hashes(batch: pa.Table):
+        flat, offsets = flat_tokens(batch.column(text_col))
+        hv = token_hashes(flat)
+        if shingle_k is not None:
+            hv, offsets = shingle_hash_flat(hv, offsets, shingle_k)
+        return hv, offsets
+
+    df_ref = None
+    if order == "df":
+        # ascending-document-frequency total order (AllPairs' refinement):
+        # prefixes hit RARE tokens first, shrinking candidate sets.  The
+        # DF table broadcasts via ray.put (one plasma copy, zero-copy
+        # reads in every task); at vocabularies past df_broadcast_limit
+        # swap to emitting prefixes inside a token-keyed co-partition of
+        # (doc-shingles x DF) instead of the broadcast.
+        def df_partial(batch: pa.Table) -> pa.Table:
+            hv, offsets = _doc_hashes(batch)
+            seg = np.repeat(
+                np.arange(len(offsets) - 1), np.diff(offsets)
+            )
+            o = np.lexsort((hv, seg))
+            h_s, g_s = hv[o], seg[o]
+            first = np.r_[True, (h_s[1:] != h_s[:-1]) | (g_s[1:] != g_s[:-1])]
+            uh = h_s[first]
+            out = pa.table({"h": pa.array(uh, pa.uint64())}).group_by(
+                ["h"]
+            ).aggregate([([], "count_all")])
+            return out.rename_columns(["h", "cnt"])
+
+        from .agg import grouped_sum_count
+
+        df_ds = grouped_sum_count(
+            ds.map_batches(df_partial, batch_format="pyarrow"),
+            ["h"], ["cnt"], {"cnt": "df"}, coarse=64,
+        ).materialize()
+        n_vocab = df_ds.count()
+        if n_vocab > df_broadcast_limit:
+            raise ValueError(
+                f"setsim_join(order='df'): vocabulary {n_vocab} exceeds the "
+                f"broadcast limit {df_broadcast_limit}; use order='hash' or "
+                f"the token-keyed co-partition plan described in the docstring"
+            )
+        tables = ray.get(df_ds.to_arrow_refs())
+        keys = np.concatenate(
+            [t.column("h").to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
+        ) if tables else np.zeros(0, np.uint64)
+        dfs = np.concatenate(
+            [t.column("df").to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
+        ).astype(np.int64) if tables else np.zeros(0, np.int64)
+        ko = np.argsort(keys)
+        df_ref = ray.put((keys[ko], dfs[ko]))
+
     def _list_np(col) -> "tuple[np.ndarray, np.ndarray]":
         """(flat values, offsets) of a list<...> column, zero-copy."""
         if isinstance(col, pa.ChunkedArray):
@@ -1063,11 +1117,10 @@ def setsim_join(
         sorted set rides ONCE per partition (not once per prefix token —
         PPJoin's wire-cost trim), alongside the prefix tokens and their
         POSITIONS that land there (feeding the positional filter)."""
-        flat, offsets = flat_tokens(batch.column(text_col))
-        hv = token_hashes(flat)
-        if shingle_k is not None:
-            hv, offsets = shingle_hash_flat(hv, offsets, shingle_k)
+        hv, offsets = _doc_hashes(batch)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if df_ref is not None:
+            df_keys, df_vals = ray.get(df_ref)  # zero-copy plasma views
         out_part: list[int] = []
         out_id: list[int] = []
         out_m: list[int] = []
@@ -1082,7 +1135,12 @@ def setsim_join(
             if m == 0:
                 continue
             p = m - ((t_num * m + t_den - 1) // t_den) + 1
-            pref = s[:p]
+            if df_ref is not None:
+                rk = df_vals[np.searchsorted(df_keys, s)]
+                s_ord = s[np.lexsort((s, rk))]  # df asc, hash tiebreak
+                pref = s_ord[:p]
+            else:
+                pref = s[:p]
             parts = (pref % np.uint64(n_parts)).astype(np.int64)
             order = np.argsort(parts, kind="stable")
             parts_s = parts[order]
