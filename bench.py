@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "cohort_retention",
     "zipf_stats",
+    "table_profile",
 ]
 
 

@@ -5308,6 +5308,158 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Table profiling: per-column rows/nulls/distinct/min/max in one pass.
+# ---------------------------------------------------------------------------
+
+# (name, kind): kind picks the NORMALIZED comparison domain — plain int64,
+# money cents (floor(x*100)), timestamp epoch-us, or raw string — so
+# min/max/distinct are exact and hash-stable on both sides
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def q_table_profile(sf_dir: str):
+    """One-pass data-engineering profile of the ``orders`` table:
+    per column (col_name, n_rows, n_nulls, n_distinct, min_str,
+    max_str).  Numeric kinds compare in a normalized int64 domain
+    (plain ints, money cents, timestamp epoch-us) and stringify only
+    for display, so '10' < '9' lexicographic traps never apply; string
+    columns compare bytewise.  Per block every column folds to ONE
+    partial row carrying its local distinct set; a 6-key groupby
+    merges.  n_distinct here is EXACT (the profile is the gate a
+    pipeline trusts); at 100 TB swap the distinct-set payload for the
+    repo's HLL registers (``functions/sketch.py:hll_distinct`` — same
+    shape, bounded cells, oracle-able estimate)."""
+    ds = _read(sf_dir, "orders", [c for c, _ in _PROFILE_COLS])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names: list[str] = []
+        n_rows: list[int] = []
+        n_nulls: list[int] = []
+        mins: list[str] = []
+        maxs: list[str] = []
+        dvals: list[np.ndarray] = []
+        doffs = [0]
+        for col, kind in _PROFILE_COLS:
+            c = batch.column(col)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            n = len(c)
+            nulls = c.null_count
+            valid = c.drop_null()
+            if kind == "int":
+                v = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+            elif kind == "cents":
+                v = np.floor(
+                    valid.to_numpy(zero_copy_only=False).astype(np.float64) * 100
+                ).astype(np.int64)
+            elif kind == "ts":
+                v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            else:
+                v = np.asarray(valid.to_pylist(), dtype=object)
+            u = np.unique(v)
+            names.append(col)
+            n_rows.append(n)
+            n_nulls.append(nulls)
+            if len(u):
+                mins.append(str(u[0]))
+                maxs.append(str(u[-1]))
+            else:
+                mins.append("")
+                maxs.append("")
+            su = u.astype(str) if kind != "str" else u
+            dvals.append(np.asarray(su, dtype=object))
+            doffs.append(doffs[-1] + len(u))
+        flat = (
+            np.concatenate(dvals) if dvals else np.zeros(0, object)
+        )
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "n_nulls": pa.array(n_nulls, pa.int64()),
+                "min_str": pa.array(mins, pa.string()),
+                "max_str": pa.array(maxs, pa.string()),
+                "distinct": pa.ListArray.from_arrays(
+                    pa.array(doffs, pa.int32()),
+                    pa.array(list(flat), pa.string()),
+                ),
+            }
+        )
+
+    kinds = dict(_PROFILE_COLS)
+
+    def merge(g: pa.Table) -> pa.Table:
+        col = g.column("col_name").to_pylist()[0]
+        kind = kinds[col]
+        n = int(pc.sum(g.column("n_rows")).as_py() or 0)
+        nulls = int(pc.sum(g.column("n_nulls")).as_py() or 0)
+        dcol = g.column("distinct")
+        if isinstance(dcol, pa.ChunkedArray):
+            dcol = dcol.combine_chunks()
+        vals = np.asarray(dcol.values.to_pylist(), dtype=object)
+        mins = [m for m in g.column("min_str").to_pylist() if m != ""]
+        maxs = [m for m in g.column("max_str").to_pylist() if m != ""]
+        if kind == "str":
+            uniq = np.unique(vals)
+            mn = min(mins) if mins else ""
+            mx = max(maxs) if maxs else ""
+        else:
+            iv = vals.astype(np.int64)
+            uniq = np.unique(iv)
+            mn = str(min(int(m) for m in mins)) if mins else ""
+            mx = str(max(int(m) for m in maxs)) if maxs else ""
+        return pa.table(
+            {
+                "col_name": pa.array([col], pa.string()),
+                "n_rows": pa.array([n], pa.int64()),
+                "n_nulls": pa.array([nulls], pa.int64()),
+                "n_distinct": pa.array([len(uniq)], pa.int64()),
+                "min_str": pa.array([mn], pa.string()),
+                "max_str": pa.array([mx], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "int":
+            expr = col
+        elif kind == "cents":
+            expr = f"CAST(floor({col} * 100) AS BIGINT)"
+        elif kind == "ts":
+            expr = f"epoch_us({col})"
+        else:
+            expr = col
+        parts.append(
+            f"SELECT '{col}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls,"
+            f" CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,"
+            f" CAST(min({expr}) AS VARCHAR) AS min_str,"
+            f" CAST(max({expr}) AS VARCHAR) AS max_str"
+            f" FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_TABLE_PROFILE = _profile_sql()
+
+
+# ---------------------------------------------------------------------------
 # Zipf-law sufficient statistics over the token frequency distribution.
 # ---------------------------------------------------------------------------
 
@@ -6843,6 +6995,8 @@ EXTRA_QUERIES = {
     "cohort_retention": q_cohort_retention,
     # Zipf-law OLS sufficient statistics over the full vocabulary
     "zipf_stats": q_zipf_stats,
+    # one-pass per-column table profile (rows/nulls/distinct/min/max)
+    "table_profile": q_table_profile,
 }
 
 ORACLE_SQL = {
@@ -6951,4 +7105,5 @@ EXTRA_ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "zipf_stats": SQL_ZIPF_STATS,
+    "table_profile": SQL_TABLE_PROFILE,
 }
