@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "zipf_stats",
     "table_profile",
+    "bfs_levels",
 ]
 
 

@@ -535,3 +535,56 @@ def test_hits_distributed_path_matches_small(ray_session):
     # normalization holds: totals within floor slack of HITS_SCALE
     assert 0 < small["hub"].sum() <= 1_000_000_000
     assert 0 < small["auth"].sum() <= 1_000_000_000
+
+
+def test_bfs_levels_plans_agree(ray_session):
+    """Multi-source BFS: single-task numpy == distributed per-level
+    semi-join expansion, against an independent BFS reference."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import bfs_levels
+
+    rng = np.random.RandomState(3)
+    pairs = sorted(
+        {
+            (f"s{min(a, b):02d}" if min(a, b) < 5 else f"n{min(a, b):02d}",
+             f"n{max(a, b):02d}")
+            for a, b in rng.randint(0, 70, (160, 2))
+            if a != b
+        }
+    )
+    u = [p[0] for p in pairs]
+    v = [p[1] for p in pairs]
+    edges = ray.data.from_arrow(pa.table({"u": u, "v": v})).repartition(3)
+
+    # reference BFS from all "s"-prefixed nodes
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    level = {n: 0 for n in adj if n.startswith("s")}
+    frontier = sorted(level)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for x in frontier:
+            for y in adj[x]:
+                if y not in level:
+                    level[y] = d
+                    nxt.append(y)
+        frontier = sorted(set(nxt))
+    ref = sorted(level.items())
+    assert ref and any(lv > 1 for _, lv in ref)
+
+    for plan in ("single", "distributed"):
+        out = (
+            bfs_levels(edges, "s", force_plan=plan, n_parts=4)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        got = list(zip(out.node.tolist(), [int(x) for x in out.level]))
+        assert got == ref, plan

@@ -1469,3 +1469,215 @@ def hits_fixed_point(
             .map_groups(zip_state, batch_format="pyarrow")
         )
     return state
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS levels (hop distance from a seed set).
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _bfs_single_task(refs: list, u_col: str, v_col: str, prefix: str):
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    u: list[str] = []
+    v: list[str] = []
+    for t in tables:
+        u.extend(t.column(u_col).to_pylist())
+        v.extend(t.column(v_col).to_pylist())
+    nodes, inv = np.unique(
+        np.concatenate([np.array(u, object), np.array(v, object)]),
+        return_inverse=True,
+    )
+    n = len(nodes)
+    a, b = inv[: len(u)], inv[len(u) :]
+    seed_mask = np.array([str(x).startswith(prefix) for x in nodes])
+    level = np.full(n, -1, np.int64)
+    level[seed_mask] = 0
+    frontier = np.flatnonzero(seed_mask)
+    d = 0
+    while len(frontier):
+        d += 1
+        in_f = np.zeros(n, bool)
+        in_f[frontier] = True
+        nxt = np.unique(np.concatenate([b[in_f[a]], a[in_f[b]]]))
+        nxt = nxt[level[nxt] < 0]
+        level[nxt] = d
+        frontier = nxt
+    keep = level >= 0
+    return pa.Table.from_arrays(
+        [
+            pa.array(list(nodes[keep]), pa.string()),
+            pa.array(level[keep], pa.int64()),
+        ],
+        names=["node", "level"],
+    )
+
+
+def bfs_levels(
+    edges: "ray.data.Dataset",
+    seed_prefix: str,
+    u_col: str = "u",
+    v_col: str = "v",
+    n_parts: int = 16,
+    force_plan: str | None = None,
+    max_depth: int = 200,
+) -> "ray.data.Dataset":
+    """Hop distance from a seed set (nodes whose id starts with
+    ``seed_prefix``) over an undirected string graph — multi-source BFS,
+    the generalization the crawl's own frontier rounds instantiate.
+    Unreachable nodes are omitted.
+
+    Size-selected like the other graph statistics: ONE numpy task under
+    ``_GSTAT_SINGLE_EDGE_LIMIT`` edges; above it, per level the frontier
+    expands through a co-partition semi-join (edges tagged by the
+    frontier endpoint), the candidate set dedups in a coarse groupby,
+    and already-assigned nodes subtract in a second co-partition —
+    nothing driver-resident but the per-level count.  Level count =
+    graph diameter from the seeds (logarithmic on web-ish graphs)."""
+    import ray.data as rd
+
+    if force_plan != "distributed":
+        edges_mat = edges.materialize()
+        if force_plan == "single" or edges_mat.count() <= _GSTAT_SINGLE_EDGE_LIMIT:
+            refs = edges_mat.select_columns([u_col, v_col]).to_arrow_refs()
+            return rd.from_arrow_refs(
+                [_bfs_single_task.remote(refs, u_col, v_col, seed_prefix)]
+            )
+        edges = edges_mat
+
+    import zlib
+
+    def node_part(values) -> pa.Array:
+        return pa.array(
+            [zlib.crc32(x.encode()) % n_parts for x in values], pa.int64()
+        )
+
+    def sym(batch: pa.Table) -> pa.Table:
+        uu = batch.column(u_col)
+        vv = batch.column(v_col)
+        if isinstance(uu, pa.ChunkedArray):
+            uu = uu.combine_chunks()
+        if isinstance(vv, pa.ChunkedArray):
+            vv = vv.combine_chunks()
+        src = pa.concat_arrays([uu, vv])
+        dst = pa.concat_arrays([vv, uu])
+        return pa.table(
+            {"part": node_part(src.to_pylist()), "src": src, "dst": dst}
+        )
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_nodes(batch: pa.Table) -> pa.Table:
+        s = batch.column("src")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        mask = pc.starts_with(s, seed_prefix)
+        t = batch.filter(mask)
+        out = t.select(["src"]).group_by(["src"]).aggregate([])
+        return pa.table(
+            {
+                "part": node_part(out.column("src").to_pylist()),
+                "node": out.column("src"),
+                "level": pa.array(np.zeros(out.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def dedup_nodes(g: pa.Table) -> pa.Table:
+        out = g.group_by(["part", "node"]).aggregate([("level", "min")])
+        return out.rename_columns(["part", "node", "level"])
+
+    assigned = (
+        adj.map_batches(init_nodes, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+    frontier = assigned
+    n_assigned = assigned.count()
+    for depth in range(1, max_depth + 1):
+        # expand: co-partition adj (by src) with the frontier; emit dsts
+        def tag_f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "part": batch.column("part"),
+                    "src": batch.column("node"),
+                    "dst": pa.array([""] * batch.num_rows, pa.string()),
+                    "is_f": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+                }
+            )
+
+        def tag_adj(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "is_f", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+            )
+
+        def expand(g: pa.Table) -> pa.Table:
+            is_f = pc.equal(g.column("is_f"), pa.scalar(1, pa.int8()))
+            ft = g.filter(is_f)
+            et = g.filter(pc.invert(is_f))
+            mask = pc.is_in(
+                et.column("src").combine_chunks(),
+                value_set=ft.column("src").combine_chunks(),
+            )
+            dsts = et.filter(mask).select(["dst"]).group_by(["dst"]).aggregate([])
+            return pa.table(
+                {
+                    "part": node_part(dsts.column("dst").to_pylist()),
+                    "node": dsts.column("dst"),
+                }
+            )
+
+        cand = (
+            adj.map_batches(tag_adj, batch_format="pyarrow")
+            .union(frontier.map_batches(tag_f, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(expand, batch_format="pyarrow")
+        )
+
+        # subtract assigned: co-partition candidates with assigned nodes
+        def tag_c(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "part": batch.column("part"),
+                    "node": batch.column("node"),
+                    "is_a": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+                }
+            )
+
+        def tag_a(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "part": batch.column("part"),
+                    "node": batch.column("node"),
+                    "is_a": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+                }
+            )
+
+        def fresh(g: pa.Table, _d=depth) -> pa.Table:
+            is_a = pc.equal(g.column("is_a"), pa.scalar(1, pa.int8()))
+            at = g.filter(is_a)
+            ct = g.filter(pc.invert(is_a))
+            dedup = ct.select(["part", "node"]).group_by(["part", "node"]).aggregate([])
+            mask = pc.is_in(
+                dedup.column("node").combine_chunks(),
+                value_set=at.column("node").combine_chunks(),
+            )
+            new = dedup.filter(pc.invert(mask))
+            return new.append_column(
+                "level", pa.array(np.full(new.num_rows, _d, np.int64), pa.int64())
+            )
+
+        new_frontier = (
+            cand.map_batches(tag_c, batch_format="pyarrow")
+            .union(assigned.map_batches(tag_a, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(fresh, batch_format="pyarrow")
+            .materialize()
+        )
+        n_new = new_frontier.count()
+        if n_new == 0:
+            break
+        assigned = assigned.union(new_frontier).materialize()
+        frontier = new_frontier
+        n_assigned += n_new
+    return assigned.select_columns(["node", "level"])

@@ -5308,6 +5308,74 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Multi-source BFS levels over the link graph (hop distance from a host).
+# ---------------------------------------------------------------------------
+
+_BFS_SEED_PREFIX = "http://h0000.example"
+
+
+def q_bfs_levels(sf_dir: str):
+    """Hop distance of every page from host h0000's pages over the
+    undirected link graph (``functions/graph.py:bfs_levels``) — the
+    standalone form of the frontier expansion the crawl engine runs
+    every round; at the fixture all 1035 nodes resolve within 6 levels.
+    Size-selected to the single numpy task; the distributed per-level
+    semi-join plan is pytest-pinned equal.  The oracle unrolls 9 BFS
+    waves as MATERIALIZED CTEs (extra waves past exhaustion are
+    identity)."""
+    from ..functions.graph import bfs_levels
+
+    return bfs_levels(_web_link_edges(sf_dir), _BFS_SEED_PREFIX, n_parts=16)
+
+
+def _bfs_sql(prefix: str = _BFS_SEED_PREFIX, iters: int = 9) -> str:
+    ctes = [
+        f"""sp AS MATERIALIZED (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+)""",
+        """raw AS MATERIALIZED (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+)""",
+        """e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+)""",
+        """adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+)""",
+        f"""a0 AS MATERIALIZED (
+  SELECT node, 0 AS lvl FROM (
+    SELECT DISTINCT src AS node FROM adj WHERE src LIKE '{prefix}%'
+  )
+)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"""nb{k} AS MATERIALIZED (
+  SELECT DISTINCT adj.dst AS node FROM adj JOIN a{p} ON adj.src = a{p}.node
+)"""
+        )
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT node, lvl FROM a{p}
+  UNION ALL
+  SELECT nb{k}.node, {k} FROM nb{k}
+  WHERE nb{k}.node NOT IN (SELECT node FROM a{p})
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(lvl AS BIGINT) AS level FROM a{iters}"
+    )
+
+
+SQL_BFS_LEVELS = _bfs_sql()
+
+
+# ---------------------------------------------------------------------------
 # Table profiling: per-column rows/nulls/distinct/min/max in one pass.
 # ---------------------------------------------------------------------------
 
@@ -6997,6 +7065,8 @@ EXTRA_QUERIES = {
     "zipf_stats": q_zipf_stats,
     # one-pass per-column table profile (rows/nulls/distinct/min/max)
     "table_profile": q_table_profile,
+    # multi-source BFS hop levels from a seed host (unrolled-CTE oracle)
+    "bfs_levels": q_bfs_levels,
 }
 
 ORACLE_SQL = {
@@ -7106,4 +7176,5 @@ EXTRA_ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "zipf_stats": SQL_ZIPF_STATS,
     "table_profile": SQL_TABLE_PROFILE,
+    "bfs_levels": SQL_BFS_LEVELS,
 }
