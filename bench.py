@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "zipf_stats",
     "table_profile",
     "bfs_levels",
+    "dup_cluster_sizes",
 ]
 
 

@@ -2181,6 +2181,53 @@ FROM documents d LEFT JOIN canon c USING (doc_id)
 """
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size HISTOGRAM — (members, n_clusters) over the
+    connected components the keep policy resolves — the dedup-health
+    dashboard number (a fat tail here means boilerplate or mirror
+    domains are flooding the corpus).  Reuses ``q_neardup_canonical``'s
+    size-selected component labels; two map-side-combined grouped
+    counts fold documents → component sizes → histogram, so only
+    (label, partial-count) then (size, partial-count) rows cross the
+    exchanges."""
+    from ..functions.agg import grouped_sum_count
+
+    canon = q_neardup_canonical(sf_dir).select_columns(["doc_id", "canonical_id"])
+    sizes = grouped_sum_count(
+        canon, ["canonical_id"], [], {}, count_name="members"
+    ).select_columns(["canonical_id", "members"])
+    return grouped_sum_count(
+        sizes, ["members"], [], {}, count_name="n_clusters"
+    ).select_columns(["members", "n_clusters"])
+
+
+SQL_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE
+pairs AS ({SQL_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+canon AS (SELECT u AS doc_id, min(label) AS canonical_id FROM reach GROUP BY u),
+allc AS (
+  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN canon c USING (doc_id)
+),
+sizes AS (
+  SELECT canonical_id, count(*) AS members FROM allc GROUP BY canonical_id
+)
+SELECT CAST(members AS BIGINT) AS members,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY members
+"""
+
+
 def q_neardup_embeddings(sf_dir: str):
     """Exact embedding-cosine pairs ≥ 0.4 — broadcast matmul, no shuffle."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -7067,6 +7114,8 @@ EXTRA_QUERIES = {
     "table_profile": q_table_profile,
     # multi-source BFS hop levels from a seed host (unrolled-CTE oracle)
     "bfs_levels": q_bfs_levels,
+    # near-dup cluster-size histogram (dedup-health dashboard)
+    "dup_cluster_sizes": q_dup_cluster_sizes,
 }
 
 ORACLE_SQL = {
@@ -7177,4 +7226,5 @@ EXTRA_ORACLE_SQL = {
     "zipf_stats": SQL_ZIPF_STATS,
     "table_profile": SQL_TABLE_PROFILE,
     "bfs_levels": SQL_BFS_LEVELS,
+    "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
 }
