@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "table_profile",
     "bfs_levels",
     "dup_cluster_sizes",
+    "join_cardinality",
 ]
 
 

@@ -5355,6 +5355,83 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Join-cardinality explosion guard (per-key m x n products before a join).
+# ---------------------------------------------------------------------------
+
+def q_join_cardinality(sf_dir: str):
+    """Pre-join blow-up detector for events.user_id ⋈ orders.o_custkey:
+    per join key, the left count, right count, and the m·n pair count
+    the join WOULD produce — the planner guard that catches a hot key
+    turning an innocent join into 10^12 rows before any data moves.
+    Both sides reduce to (key, count) partials map-side; the two count
+    tables (join-key-cardinality sized, not data sized) meet in one
+    co-partition exchange and multiply.  Keys missing from either side
+    produce no row (they contribute nothing to the join)."""
+    from ..functions.agg import grouped_sum_count
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey"])
+
+    def tag_side(key_col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            out = pa.table({"join_key": pa.array(k, pa.int64())}).group_by(
+                ["join_key"]
+            ).aggregate([([], "count_all")])
+            t = out.rename_columns(["join_key", "cnt"])
+            kk = t.column("join_key").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "part": pa.array(kk % 16, pa.int64()),
+                    "join_key": t.column("join_key"),
+                    "cnt": t.column("cnt").cast(pa.int64()),
+                    "side": pa.array(np.full(t.num_rows, side, np.int8), pa.int8()),
+                }
+            )
+
+        return fn
+
+    def multiply(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g.column("side"), pa.scalar(0, pa.int8()))
+        lt = g.filter(is_l)
+        rt = g.filter(pc.invert(is_l))
+        # partial counts from different blocks first merge per key
+        lm = lt.group_by(["join_key"]).aggregate([("cnt", "sum")])
+        rm = rt.group_by(["join_key"]).aggregate([("cnt", "sum")])
+        j = lm.rename_columns(["join_key", "n_left"]).join(
+            rm.rename_columns(["join_key", "n_right"]),
+            keys=["join_key"], join_type="inner",
+        ).combine_chunks()
+        nl = j.column("n_left").to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = j.column("n_right").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "join_key": j.column("join_key"),
+                "n_left": pa.array(nl, pa.int64()),
+                "n_right": pa.array(nr, pa.int64()),
+                "n_pairs": pa.array(nl * nr, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag_side("user_id", 0), batch_format="pyarrow")
+        .union(od.map_batches(tag_side("o_custkey", 1), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(multiply, batch_format="pyarrow")
+    )
+
+
+SQL_JOIN_CARDINALITY = """
+WITH l AS (SELECT user_id AS join_key, count(*) AS n_left FROM events GROUP BY 1),
+r AS (SELECT o_custkey AS join_key, count(*) AS n_right FROM orders GROUP BY 1)
+SELECT l.join_key, CAST(l.n_left AS BIGINT) AS n_left,
+       CAST(r.n_right AS BIGINT) AS n_right,
+       CAST(l.n_left * r.n_right AS BIGINT) AS n_pairs
+FROM l JOIN r USING (join_key)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-source BFS levels over the link graph (hop distance from a host).
 # ---------------------------------------------------------------------------
 
@@ -7116,6 +7193,8 @@ EXTRA_QUERIES = {
     "bfs_levels": q_bfs_levels,
     # near-dup cluster-size histogram (dedup-health dashboard)
     "dup_cluster_sizes": q_dup_cluster_sizes,
+    # pre-join per-key m*n cardinality guard (blow-up detector)
+    "join_cardinality": q_join_cardinality,
 }
 
 ORACLE_SQL = {
@@ -7227,4 +7306,5 @@ EXTRA_ORACLE_SQL = {
     "table_profile": SQL_TABLE_PROFILE,
     "bfs_levels": SQL_BFS_LEVELS,
     "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
+    "join_cardinality": SQL_JOIN_CARDINALITY,
 }
