@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "bfs_levels",
     "dup_cluster_sizes",
     "join_cardinality",
+    "source_sim",
 ]
 
 

@@ -5355,6 +5355,141 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Source-level set similarity (grouped-entity Jaccard over shingle unions).
+# ---------------------------------------------------------------------------
+
+def q_source_sim(sf_dir: str):
+    """Pairwise Jaccard between SOURCES (each source's set = the union
+    of its documents' 3-gram shingles) — entity-level near-dup: two
+    feeds syndicating the same content score high even when no single
+    doc pair crosses a threshold.  Inverted-index plan: (source,
+    shingle) pairs dedup in a coarse shingle-hash exchange; each
+    partition emits source-PAIR intersection partials (one count per
+    shared shingle) and source-size partials; a tiny grouped sum per
+    side merges, and the 20-row size table broadcasts into the final
+    Jaccard map.  Only (pair, count) rows ever shuffle — the doc texts
+    never leave their read tasks."""
+    from ..functions.agg import grouped_sum_count
+    from ..functions.hashing import flat_tokens, shingle_hash_flat, token_hashes
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        hv, offsets = shingle_hash_flat(token_hashes(flat), offsets, 3)
+        src = batch.column("source").to_pylist()
+        seg = np.repeat(np.arange(len(src)), np.diff(offsets))
+        codes, inv = np.unique(np.asarray(src, object), return_inverse=True)
+        sc = inv[seg]
+        order = np.lexsort((hv, sc))
+        h_s, c_s = hv[order], sc[order]
+        first = np.r_[True, (h_s[1:] != h_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        uh, uc = h_s[first], c_s[first]
+        return pa.table(
+            {
+                "part": pa.array((uh % np.uint64(32)).astype(np.int64), pa.int64()),
+                "h": pa.array(uh, pa.uint64()),
+                "source": pa.array([str(codes[c]) for c in uc], pa.string()),
+            }
+        )
+
+    def part_pairs(g: pa.Table) -> pa.Table:
+        # block partials may repeat (h, source): dedup within the partition
+        d = g.select(["h", "source"]).group_by(["h", "source"]).aggregate([])
+        h = d.column("h").to_numpy(zero_copy_only=False)
+        s = np.asarray(d.column("source").to_pylist(), dtype=object)
+        order = np.lexsort((s, h))
+        h_s, s_s = h[order], s[order]
+        out_a: list[str] = []
+        out_b: list[str] = []
+        sizes: dict[str, int] = {}
+        i, n = 0, len(h_s)
+        while i < n:
+            j = i
+            while j < n and h_s[j] == h_s[i]:
+                j += 1
+            for x in range(i, j):
+                sizes[s_s[x]] = sizes.get(s_s[x], 0) + 1
+                for y in range(x + 1, j):
+                    out_a.append(s_s[x])
+                    out_b.append(s_s[y])
+            i = j
+        inter = (
+            pa.table(
+                {"src_a": pa.array(out_a, pa.string()),
+                 "src_b": pa.array(out_b, pa.string())}
+            ).group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
+        ).rename_columns(["src_a", "src_b", "cnt"])
+        size_t = pa.table(
+            {
+                "src_a": pa.array(sorted(sizes), pa.string()),
+                "src_b": pa.array(["\x00size"] * len(sizes), pa.string()),
+                "cnt": pa.array([sizes[k] for k in sorted(sizes)], pa.int64()),
+            }
+        )
+        return pa.concat_tables([inter, size_t])
+
+    merged = grouped_sum_count(
+        ds.map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pyarrow"),
+        ["src_a", "src_b"], ["cnt"], {"cnt": "n"},
+    ).materialize()
+
+    size_rows = merged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("src_b"), pa.scalar("\x00size"))),
+        batch_format="pyarrow",
+    ).take_all()
+    sizes = {r["src_a"]: int(r["n"]) for r in size_rows}
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("src_b"), pa.scalar("\x00size"))
+        t = batch.filter(mask)
+        a = t.column("src_a").to_pylist()
+        b = t.column("src_b").to_pylist()
+        i = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = np.array([sizes[x] + sizes[y] for x, y in zip(a, b)], np.int64) - i
+        return pa.table(
+            {
+                "src_a": t.column("src_a"),
+                "src_b": t.column("src_b"),
+                "jac_micro": pa.array(i * 1_000_000 // uni, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SOURCE_SIM = r"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+expl AS (
+  SELECT source, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT source, t, 0 AS i FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+ps AS (
+  SELECT DISTINCT source,
+         CASE WHEN i = 0 AND len(t) < 3 THEN array_to_string(t, ' ')
+              ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS sh
+  FROM expl
+),
+sz AS (SELECT source, count(*) AS m FROM ps GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+  FROM ps a JOIN ps b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(i * 1000000 // (za.m + zb.m - i) AS BIGINT) AS jac_micro
+FROM inter
+JOIN sz za ON za.source = src_a
+JOIN sz zb ON zb.source = src_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Join-cardinality explosion guard (per-key m x n products before a join).
 # ---------------------------------------------------------------------------
 
@@ -7195,6 +7330,8 @@ EXTRA_QUERIES = {
     "dup_cluster_sizes": q_dup_cluster_sizes,
     # pre-join per-key m*n cardinality guard (blow-up detector)
     "join_cardinality": q_join_cardinality,
+    # source-level Jaccard over shingle unions (feed syndication detector)
+    "source_sim": q_source_sim,
 }
 
 ORACLE_SQL = {
@@ -7307,4 +7444,5 @@ EXTRA_ORACLE_SQL = {
     "bfs_levels": SQL_BFS_LEVELS,
     "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
     "join_cardinality": SQL_JOIN_CARDINALITY,
+    "source_sim": SQL_SOURCE_SIM,
 }
