@@ -112,3 +112,78 @@ def test_run_pipeline_end_to_end(t1_web, tmp_path):
     assert os.path.isdir(os.path.join(out, "out")) or os.path.isdir(
         os.path.join(out, "processed_data")
     )
+
+
+def test_pipeline_pagination_chains(ray_session, t1_web, tmp_path):
+    """Reference config.yaml `sites.pagination` consumed: each matching
+    seed follows its next-link chain (first same-host link span) for up
+    to max_pages total pages, emitted with page_index 1..k; non-matching
+    seeds stay single-page."""
+    from web_scraping_script_ray.pipelines.spec import PipelineSpec, run_pipeline
+    from web_scraping_script_ray.synthweb import WebParams, host_starts, doc_url
+
+    p = WebParams(n_docs=1000, n_hosts=20, seed=42)
+    starts = host_starts(p)
+    # seed 0 on h0000, seed 2 explicitly on another host's first doc
+    other = int(starts[5])
+    urls = [str(u) for u in doc_url([0, other], p, starts)]
+    spec = PipelineSpec(
+        urls=urls,
+        extract_text=True,
+        extract_links=True,
+        sites={
+            "h0": {
+                "base_url": "http://h0000.example",
+                "scraping_mode": "simple",
+                "selectors": {"title": "h1.title"},  # parsed, carried
+                "pagination": {"enabled": True, "selector": "a.next", "max_pages": 3},
+                "login": {"required": False},
+            }
+        },
+    )
+    out = str(tmp_path / "pag")
+    ds = run_pipeline(spec, t1_web, out, export_result=False)
+    df = ds.to_pandas().sort_values("crawl_seq").reset_index(drop=True)
+    base = df[df.page_index == 0]
+    extra = df[df.page_index > 0]
+    assert len(base) == 2
+    # the h0000 seed paginated: up to 2 extra pages, all on h0000, distinct
+    assert 1 <= len(extra) <= 2, extra.url.tolist()
+    assert set(extra.page_index) <= {1, 2}
+    assert all(u.startswith("http://h0000.example") for u in extra.url)
+    assert len(set(extra.url) | set(base.url)) == len(extra) + len(base)
+    assert (extra.ok).all()
+
+
+def test_pipeline_spec_parses_reference_site_config(tmp_path):
+    """A verbatim reference-format sites block round-trips from YAML."""
+    from web_scraping_script_ray.pipelines.spec import PipelineSpec
+
+    y = tmp_path / "config.yaml"
+    y.write_text(
+        """
+sites:
+  example_site:
+    base_url: "https://example.com"
+    scraping_mode: "simple"
+    selectors:
+      title: "h1.title"
+    pagination:
+      enabled: true
+      selector: "a.next-page"
+      max_pages: 5
+    login:
+      required: false
+      login_url: ""
+  youtube:
+    base_url: "https://www.youtube.com"
+    scraping_mode: "playwright"
+    download:
+      videos: true
+      preferred_resolution: "720p"
+"""
+    )
+    sites = PipelineSpec.load_site_config(str(y))
+    assert set(sites) == {"example_site", "youtube"}
+    assert sites["example_site"]["pagination"]["max_pages"] == 5
+    assert sites["youtube"]["download"]["videos"] is True

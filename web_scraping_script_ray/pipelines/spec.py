@@ -42,6 +42,12 @@ class PipelineSpec:
     operations: list[dict] = field(default_factory=list)
     export_format: str = "parquet"
     export_path: str = "processed_data"
+    # reference config.yaml `sites:` blocks (src/config.yaml:111-157):
+    # base_url / scraping_mode / selectors / pagination / login / download.
+    # Selectors+login+download parse and carry (the reference declares but
+    # never consumes pagination/login in code); pagination IS consumed
+    # here: bounded next-link chains per seed in pipeline mode.
+    sites: dict = field(default_factory=dict)
 
     @staticmethod
     def from_yaml(path: str) -> "PipelineSpec":
@@ -62,7 +68,19 @@ class PipelineSpec:
             operations=list(post.get("operations") or []),
             export_format=exp.get("format", "parquet"),
             export_path=exp.get("path", "processed_data"),
+            sites=dict(raw.get("sites") or {}),
         )
+
+    @staticmethod
+    def load_site_config(path: str) -> dict:
+        """Parse a reference-format ``config.yaml``'s ``sites:`` section
+        (selectors / pagination / login / download blocks all accepted)
+        so reference config files drop in verbatim."""
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return dict(raw.get("sites") or {})
 
 
 def _project_flags(spec: PipelineSpec):
@@ -90,9 +108,89 @@ def _project_flags(spec: PipelineSpec):
             # per-doc span count as the metadata surface
             lens = pc.list_value_length(batch.column("spans")).cast(pa.int64())
             out = out.append_column("n_spans", lens)
+        # pagination rows carry their chain position; crawl rows are page 0
+        if "page_index" in batch.schema.names:
+            out = out.append_column("page_index", batch.column("page_index"))
+        else:
+            out = out.append_column(
+                "page_index", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+            )
         return out
 
     return project
+
+
+def _pagination_rules(spec: PipelineSpec) -> list[tuple[str, int]]:
+    """(host-prefix, max_pages) for every site with pagination enabled."""
+    rules = []
+    for site in spec.sites.values():
+        pag = (site or {}).get("pagination") or {}
+        if pag.get("enabled") and site.get("base_url"):
+            rules.append((str(site["base_url"]), int(pag.get("max_pages", 5))))
+    return rules
+
+
+def _paginate_task(
+    web_dir: str, n_buckets: int, chains: list, span_type
+) -> pa.Table:
+    """Follow each seed's next-link chain (the synthetic web's stand-in
+    for the reference's ``pagination.selector``: the page's FIRST
+    same-host link span in document order) for up to ``max_pages - 1``
+    extra pages.  One bounded task: pipeline seeds x max_pages lookups
+    against the bucketed web — never a crawl round, exactly the
+    reference's per-seed pagination loop shape."""
+    from urllib.parse import urlparse
+
+    import numpy as np
+
+    from ..stages.fetch import WebFetcher
+    from ..urlnorm import url_hash64
+
+    f = WebFetcher(web_dir, n_buckets)
+
+    def get_spans(u: str):
+        return f.lookup([u], np.array([url_hash64(u)], np.uint64)).get(u)
+
+    urls: list[str] = []
+    seqs: list[int] = []
+    oks: list[bool] = []
+    times: list[float] = []
+    pages: list[int] = []
+    spans_out: list[list] = []
+    for ci, (seed, max_pages) in enumerate(chains):
+        host = urlparse(seed).netloc
+        cur_spans = get_spans(seed)
+        for page in range(1, max_pages):
+            nxt = None
+            for s in sorted(cur_spans or [], key=lambda s: s["offset"]):
+                if s["kind"] == "link" and urlparse(s["media_ref"]).netloc == host:
+                    nxt = s["media_ref"]
+                    break
+            if nxt is None:
+                break
+            nspans = get_spans(nxt)
+            urls.append(nxt)
+            # deterministic, collision-free sequence region above any
+            # one-round crawl_seq: chains are pipeline-seed-indexed
+            seqs.append(1_000_000_000 + ci * 10_000 + page)
+            oks.append(nspans is not None)
+            times.append(float(page))
+            pages.append(page)
+            spans_out.append(nspans or [])
+            if nspans is None:
+                break
+            cur_spans = nspans
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(seqs, pa.int64()),
+            pa.array(oks, pa.bool_()),
+            pa.array(times, pa.float64()),
+            pa.array(pages, pa.int64()),
+            pa.array(spans_out, span_type),
+        ],
+        names=["url", "crawl_seq", "ok", "fetch_time", "page_index", "spans"],
+    )
 
 
 def run_pipeline(
@@ -135,6 +233,31 @@ def run_pipeline(
     try:
         ds = eng.crawled_dataset()
         ds = ds.map_batches(_project_flags(spec), batch_format="pyarrow")
+        rules = _pagination_rules(spec)
+        if rules:
+            import json
+
+            import ray
+            import ray.data as rd
+
+            from ..schemas import WEB_SCHEMA
+
+            with open(os.path.join(web_dir, "params.json")) as fh:
+                n_buckets = int(json.load(fh)["n_buckets"])
+            chains = [
+                (u, max_pages)
+                for u in spec.urls
+                for prefix, max_pages in rules
+                if u.startswith(prefix)
+            ]
+            if chains:
+                pag_ref = ray.remote(_paginate_task).remote(
+                    web_dir, n_buckets, chains, WEB_SCHEMA.field("spans").type
+                )
+                pag_ds = rd.from_arrow_refs([pag_ref]).map_batches(
+                    _project_flags(spec), batch_format="pyarrow"
+                )
+                ds = ds.union(pag_ds)
         ds = apply_ops(ds, spec.operations, order_col="crawl_seq")
         if export_result:
             export(ds, os.path.join(out_dir, spec.export_path), spec.export_format)
