@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--synth-hosts", type=int, default=None)
     ap.add_argument("--synth-seed", type=int, default=7)
     ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument(
+        "--site-config",
+        help="reference-format config.yaml whose sites: blocks (selectors/"
+        "pagination/login/download) merge into the pipeline spec",
+    )
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
@@ -59,6 +64,10 @@ def main() -> None:
         else:
             web = args.web
         spec = PipelineSpec.from_yaml(args.spec)
+        if args.site_config:
+            merged = PipelineSpec.load_site_config(args.site_config)
+            merged.update(spec.sites)  # pipeline-YAML blocks win
+            spec.sites = merged
         t0 = time.time()
         ds = run_pipeline(spec, web, args.out, export_result=True)
         n = ds.count()
