@@ -588,3 +588,61 @@ def test_bfs_levels_plans_agree(ray_session):
         )
         got = list(zip(out.node.tolist(), [int(x) for x in out.level]))
         assert got == ref, plan
+
+
+def test_reach2_kernel_no_uint8_wraparound(ray_session):
+    """A node pair with exactly 256 common neighbors and no direct edge
+    must still count in each other's 2-hop reach (the uint8-matmul trap)."""
+    import ray as _ray
+
+    from web_scraping_script_ray.functions import graph as G
+
+    u = []
+    v = []
+    for i in range(256):  # star: A - m_i - B
+        u.append("aa")
+        v.append(f"m{i:03d}")
+        u.append(f"m{i:03d}")
+        v.append("zz")
+    refs = [_ray.put(pa.table({"u": u, "v": v}))]
+    out = _ray.get(G._reach2_single_task.remote(refs, "u", "v")).to_pandas()
+    row = out[out.node == "aa"].iloc[0]
+    # aa reaches 256 middles at 1 hop + zz at 2 hops
+    assert int(row.reach2) == 257
+
+
+def test_bfs_levels_empty_edges(ray_session):
+    """Zero surviving edges yields an empty typed table, not a crash."""
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import bfs_levels
+
+    edges = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
+    )
+    out = bfs_levels(edges, "s", force_plan="single")
+    assert out.count() == 0
+
+
+def test_hits_plans_agree_on_subset_node_set(ray_session):
+    """HITS parity must hold when nodes are a strict SUBSET of
+    0..n_nodes-1 (out-of-set destinations excluded from normalization)."""
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import hits_fixed_point
+
+    n = 96
+    ids = np.arange(0, n, 3)  # every 3rd node only
+    nodes = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})
+    ).repartition(4)
+    small = (
+        hits_fixed_point(nodes, n, iters=2)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    dist = (
+        hits_fixed_point(nodes, n, iters=2, small_limit=0)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    np.testing.assert_array_equal(small["hub"].to_numpy(), dist["hub"].to_numpy())
+    np.testing.assert_array_equal(small["auth"].to_numpy(), dist["auth"].to_numpy())

@@ -594,3 +594,55 @@ def test_setsim_df_order_matches_hash_order(ray_session):
     )
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_snapshot_diff_one_sided_partitions(ray_session):
+    """A part group holding only one snapshot side must classify, not
+    crash (the empty-array searchsorted trap)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import web_scraping_script_ray.pipelines.queries as qq
+
+    # doc_ids chosen so some part (id % 64) groups hold only one
+    # snapshot side: % 5 == 4 -> new-only (added), % 5 == 0 -> old-only
+    # (removed), % 7 == 0 -> revised (changed)
+    ids = [0, 4, 65, 69, 7]
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([f"t{i}" for i in ids], pa.string()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        out = qq.q_snapshot_diff(d).to_pandas()
+    got = dict(zip(out.doc_id, out.status))
+    # %5==4 -> added; %5==0 -> removed; 7 %7==0 -> changed
+    assert got[4] == "added" and got[69] == "added"
+    assert got[0] == "removed" and got[65] == "removed"
+    assert got[7] == "changed"
+
+
+def test_token_truncate_preserves_under_cap_rows(ray_session):
+    """token_truncate must leave rows under the cap byte-identical
+    (case and whitespace preserved); only over-cap rows are rewritten."""
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.postprocess import apply_ops
+
+    texts = ["Hello  World\nSecond Line", "a b c d e f g h"]
+    ds = ray.data.from_arrow(pa.table({"seq": [0, 1], "text": texts}))
+    out = (
+        apply_ops(ds, [{"type": "token_truncate", "column": "text", "max_tokens": 4}])
+        .to_pandas().sort_values("seq").reset_index(drop=True)
+    )
+    assert out.text[0] == "Hello  World\nSecond Line"  # 4 tokens: untouched
+    assert out.text[1] == "a b c d"  # truncated (rejoined form)

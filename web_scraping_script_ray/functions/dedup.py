@@ -1094,13 +1094,21 @@ def setsim_join(
                 f"broadcast limit {df_broadcast_limit}; use order='hash' or "
                 f"the token-keyed co-partition plan described in the docstring"
             )
-        tables = ray.get(df_ds.to_arrow_refs())
-        keys = np.concatenate(
-            [t.column("h").to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
-        ) if tables else np.zeros(0, np.uint64)
-        dfs = np.concatenate(
-            [t.column("df").to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
-        ).astype(np.int64) if tables else np.zeros(0, np.int64)
+        tables = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+        keys = (
+            np.concatenate(
+                [t.column("h").to_numpy(zero_copy_only=False) for t in tables]
+            )
+            if tables
+            else np.zeros(0, np.uint64)
+        )
+        dfs = (
+            np.concatenate(
+                [t.column("df").to_numpy(zero_copy_only=False) for t in tables]
+            ).astype(np.int64)
+            if tables
+            else np.zeros(0, np.int64)
+        )
         ko = np.argsort(keys)
         df_ref = ray.put((keys[ko], dfs[ko]))
 

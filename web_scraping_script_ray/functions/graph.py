@@ -1127,6 +1127,30 @@ _GSTAT_SINGLE_EDGE_LIMIT = 2_000_000
 _REACH2_SINGLE_NODE_LIMIT = 5_000  # n^2 bool matrix stays <= 25 MB
 
 
+def gstat_single_or(
+    edges: "ray.data.Dataset",
+    u_col: str,
+    v_col: str,
+    task,
+    force_plan: str | None,
+    extra_args: tuple = (),
+):
+    """Shared size-selection gate for the small-graph statistics: returns
+    ``(result_dataset, edges)`` where ``result_dataset`` is the single-
+    task answer when the edge count is under ``_GSTAT_SINGLE_EDGE_LIMIT``
+    (or force_plan == 'single'), else None with the materialized edges
+    for the caller's distributed plan."""
+    import ray.data as rd
+
+    if force_plan == "distributed":
+        return None, edges
+    edges_mat = edges.materialize()
+    if force_plan == "single" or edges_mat.count() <= _GSTAT_SINGLE_EDGE_LIMIT:
+        refs = edges_mat.select_columns([u_col, v_col]).to_arrow_refs()
+        return rd.from_arrow_refs([task.remote(refs, u_col, v_col, *extra_args)]), edges_mat
+    return None, edges_mat
+
+
 @ray.remote
 def _assort_single_task(refs: list, u_col: str, v_col: str):
     tables = [t for t in ray.get(list(refs)) if t.num_rows]
@@ -1175,7 +1199,9 @@ def _reach2_single_task(
         adj[a, b] = True
         adj[b, a] = True
         # within-2-hops = 1-hop OR 2-hop; bool matmul then drop self
-        two = (adj.astype(np.uint8) @ adj.astype(np.uint8)) > 0
+        # int32 accumulator: a uint8 matmul wraps mod 256 and silently
+        # drops pairs with a multiple-of-256 common-neighbor count
+        two = (adj.astype(np.int32) @ adj.astype(np.int32)) > 0
         r = adj | two
         np.fill_diagonal(r, False)
         counts = r.sum(axis=1).astype(np.int64)
@@ -1414,10 +1440,50 @@ def hits_fixed_point(
                 {"doc_id": pa.array(out_dst, pa.int64()), "v": pa.array(out_v, pa.int64())}
             )
 
-        auth_sums = grouped_sum_count(
+        auth_all = grouped_sum_count(
             hubs.map_batches(scatter_auth, batch_format="pyarrow"),
             ["doc_id"], ["v"], {"v": "a"},
-        ).materialize()
+        )
+
+        # restrict to the NODE SET before normalizing: the kernel only
+        # accumulates dsts inside the id set, so out-of-set destinations
+        # must not contribute to the normalization total either (they
+        # only coincide when nodes == 0..n-1 contiguous)
+        def tag_sum(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"part": pa.array(d % 64, pa.int64()),
+                 "doc_id": batch.column("doc_id"),
+                 "a": batch.column("a").cast(pa.int64()),
+                 "is_m": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())}
+            )
+
+        def tag_members(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"part": pa.array(d % 64, pa.int64()),
+                 "doc_id": batch.column("doc_id"),
+                 "a": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+                 "is_m": pa.array(np.ones(batch.num_rows, np.int8), pa.int8())}
+            )
+
+        def member_only(g: pa.Table) -> pa.Table:
+            is_m = pc.equal(g.column("is_m"), pa.scalar(1, pa.int8()))
+            mt = g.filter(is_m)
+            st = g.filter(pc.invert(is_m))
+            mask = pc.is_in(
+                st.column("doc_id").combine_chunks(),
+                value_set=mt.column("doc_id").combine_chunks(),
+            )
+            return st.filter(mask).select(["doc_id", "a"])
+
+        auth_sums = (
+            auth_all.map_batches(tag_sum, batch_format="pyarrow")
+            .union(hubs.map_batches(tag_members, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(member_only, batch_format="pyarrow")
+            .materialize()
+        )
         ta = int(auth_sums.sum("a") or 0)
 
         def norm_auth(batch: pa.Table, _t=ta) -> pa.Table:
@@ -1484,6 +1550,10 @@ def _bfs_single_task(refs: list, u_col: str, v_col: str, prefix: str):
     for t in tables:
         u.extend(t.column(u_col).to_pylist())
         v.extend(t.column(v_col).to_pylist())
+    if not u:
+        return pa.table(
+            {"node": pa.array([], pa.string()), "level": pa.array([], pa.int64())}
+        )
     nodes, inv = np.unique(
         np.concatenate([np.array(u, object), np.array(v, object)]),
         return_inverse=True,
@@ -1534,16 +1604,11 @@ def bfs_levels(
     and already-assigned nodes subtract in a second co-partition —
     nothing driver-resident but the per-level count.  Level count =
     graph diameter from the seeds (logarithmic on web-ish graphs)."""
-    import ray.data as rd
-
-    if force_plan != "distributed":
-        edges_mat = edges.materialize()
-        if force_plan == "single" or edges_mat.count() <= _GSTAT_SINGLE_EDGE_LIMIT:
-            refs = edges_mat.select_columns([u_col, v_col]).to_arrow_refs()
-            return rd.from_arrow_refs(
-                [_bfs_single_task.remote(refs, u_col, v_col, seed_prefix)]
-            )
-        edges = edges_mat
+    res, edges = gstat_single_or(
+        edges, u_col, v_col, _bfs_single_task, force_plan, (seed_prefix,)
+    )
+    if res is not None:
+        return res
 
     import zlib
 

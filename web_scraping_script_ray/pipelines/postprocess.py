@@ -272,8 +272,16 @@ def apply_ops(
                     toks,
                 )
                 joined = pc.binary_join(lists, " ")
+                # rows UNDER the cap keep their original text byte-for-byte
+                # (the rejoin lowercases and collapses whitespace — that
+                # rewrite is the price of truncation only)
+                over = pa.array(counts > mt)
+                orig = batch.column(col)
+                if isinstance(orig, pa.ChunkedArray):
+                    orig = orig.combine_chunks()
+                merged = pc.if_else(over, joined, orig)
                 i = batch.schema.names.index(col)
-                return batch.set_column(i, col, joined)
+                return batch.set_column(i, col, merged)
 
             ds = ds.map_batches(trunc, batch_format="pyarrow")
         else:

@@ -5671,6 +5671,7 @@ def q_table_profile(sf_dir: str):
         n_nulls: list[int] = []
         mins: list[str] = []
         maxs: list[str] = []
+        has: list[bool] = []
         dvals: list[np.ndarray] = []
         doffs = [0]
         for col, kind in _PROFILE_COLS:
@@ -5700,6 +5701,7 @@ def q_table_profile(sf_dir: str):
             else:
                 mins.append("")
                 maxs.append("")
+            has.append(len(u) > 0)
             su = u.astype(str) if kind != "str" else u
             dvals.append(np.asarray(su, dtype=object))
             doffs.append(doffs[-1] + len(u))
@@ -5713,6 +5715,7 @@ def q_table_profile(sf_dir: str):
                 "n_nulls": pa.array(n_nulls, pa.int64()),
                 "min_str": pa.array(mins, pa.string()),
                 "max_str": pa.array(maxs, pa.string()),
+                "has_data": pa.array(has, pa.bool_()),
                 "distinct": pa.ListArray.from_arrays(
                     pa.array(doffs, pa.int32()),
                     pa.array(list(flat), pa.string()),
@@ -5731,8 +5734,11 @@ def q_table_profile(sf_dir: str):
         if isinstance(dcol, pa.ChunkedArray):
             dcol = dcol.combine_chunks()
         vals = np.asarray(dcol.values.to_pylist(), dtype=object)
-        mins = [m for m in g.column("min_str").to_pylist() if m != ""]
-        maxs = [m for m in g.column("max_str").to_pylist() if m != ""]
+        # has_data flags distinguish "block had no valid values" from a
+        # legitimate empty-string minimum
+        hd = g.column("has_data").to_pylist()
+        mins = [m for m, h in zip(g.column("min_str").to_pylist(), hd) if h]
+        maxs = [m for m, h in zip(g.column("max_str").to_pylist(), hd) if h]
         if kind == "str":
             uniq = np.unique(vals)
             mn = min(mins) if mins else ""
@@ -6239,7 +6245,12 @@ def q_snapshot_diff(sf_dir: str):
         o_order = np.argsort(oid)
         oid_s, oh_s = oid[o_order], oh[o_order]
         pos = np.searchsorted(oid_s, nid)
-        in_old = (pos < len(oid_s)) & (oid_s[np.minimum(pos, len(oid_s) - 1)] == nid)
+        if len(oid_s):
+            in_old = (pos < len(oid_s)) & (
+                oid_s[np.minimum(pos, len(oid_s) - 1)] == nid
+            )
+        else:  # partition holds only new-side rows
+            in_old = np.zeros(len(nid), bool)
         ids: list[int] = []
         status: list[str] = []
         # new-side rows: added (absent from old) or changed (hash differs)
@@ -6253,9 +6264,12 @@ def q_snapshot_diff(sf_dir: str):
         # old-side rows absent from new: removed
         n_sorted = np.sort(nid)
         posn = np.searchsorted(n_sorted, oid)
-        in_new = (posn < len(n_sorted)) & (
-            n_sorted[np.minimum(posn, len(n_sorted) - 1)] == oid
-        )
+        if len(n_sorted):
+            in_new = (posn < len(n_sorted)) & (
+                n_sorted[np.minimum(posn, len(n_sorted) - 1)] == oid
+            )
+        else:  # partition holds only old-side rows
+            in_new = np.zeros(len(oid), bool)
         ids.extend(int(x) for x in oid[~in_new])
         status.extend(["removed"] * int((~in_new).sum()))
         return pa.table(
@@ -6508,20 +6522,13 @@ def q_reach2(sf_dir: str, force_plan: str | None = None):
     ``functions/sketch.py``), then (node, reached) pairs — 1-hop union
     2-hop, self excluded — dedup and count in one coarse groupby on
     crc32(node).  Nothing is driver-resident."""
-    from ..functions.graph import (
-        _GSTAT_SINGLE_EDGE_LIMIT,
-        _reach2_single_task,
+    from ..functions.graph import _reach2_single_task, gstat_single_or
+
+    res, edges = gstat_single_or(
+        _web_link_edges(sf_dir), "u", "v", _reach2_single_task, force_plan
     )
-
-    edges = _web_link_edges(sf_dir)
-    if force_plan != "distributed":
-        import ray.data as _rd
-
-        edges_mat = edges.materialize()
-        if force_plan == "single" or edges_mat.count() <= _GSTAT_SINGLE_EDGE_LIMIT:
-            refs = edges_mat.select_columns(["u", "v"]).to_arrow_refs()
-            return _rd.from_arrow_refs([_reach2_single_task.remote(refs, "u", "v")])
-        edges = edges_mat
+    if res is not None:
+        return res
 
     def sym(batch: pa.Table) -> pa.Table:
         u = batch.column("u")
@@ -6654,21 +6661,15 @@ def q_assortativity(sf_dir: str, force_plan: str | None = None):
     map-side, one row crosses the final exchange per block."""
     import zlib
 
-    from ..functions.graph import (
-        _GSTAT_SINGLE_EDGE_LIMIT,
-        _assort_single_task,
+    from ..functions.graph import _assort_single_task, gstat_single_or
+
+    # gstat_single_or materializes once; the materialized edges feed
+    # degrees AND both attach passes on the distributed path
+    res, edges = gstat_single_or(
+        _web_link_edges(sf_dir), "u", "v", _assort_single_task, force_plan
     )
-
-    # one materialization feeds degrees AND both attach passes (each
-    # consumer of a lazy pipeline would re-read + re-sort the fixture)
-    edges = _web_link_edges(sf_dir).materialize()
-    if force_plan != "distributed" and (
-        force_plan == "single" or edges.count() <= _GSTAT_SINGLE_EDGE_LIMIT
-    ):
-        import ray.data as _rd
-
-        refs = edges.select_columns(["u", "v"]).to_arrow_refs()
-        return _rd.from_arrow_refs([_assort_single_task.remote(refs, "u", "v")])
+    if res is not None:
+        return res
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         nodes = pa.array(
@@ -6864,14 +6865,17 @@ def q_collocations(sf_dir: str):
         )
         return out.rename_columns(["ta", "tb", "cnt"])
 
+    # materialized: uni feeds the total AND both attach passes, bi feeds
+    # the total AND the candidate chain — lazy pipelines would re-run the
+    # corpus tokenization once per consumer (the assortativity lesson)
     uni = grouped_sum_count(
         ds.map_batches(uni_partial, batch_format="pyarrow"),
         ["tok"], ["cnt"], {"cnt": "c"}, coarse=64,
-    )
+    ).materialize()
     bi = grouped_sum_count(
         ds.map_batches(bi_partial, batch_format="pyarrow"),
         ["ta", "tb"], ["cnt"], {"cnt": "c"}, coarse=64,
-    )
+    ).materialize()
     n_uni = int(uni.sum("c"))
     n_bi = int(bi.sum("c"))
 

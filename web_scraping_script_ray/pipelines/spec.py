@@ -160,14 +160,20 @@ def _paginate_task(
     for ci, (seed, max_pages) in enumerate(chains):
         host = urlparse(seed).netloc
         cur_spans = get_spans(seed)
+        visited = {seed}  # prev/next cycles must not loop the chain
         for page in range(1, max_pages):
             nxt = None
             for s in sorted(cur_spans or [], key=lambda s: s["offset"]):
-                if s["kind"] == "link" and urlparse(s["media_ref"]).netloc == host:
+                if (
+                    s["kind"] == "link"
+                    and urlparse(s["media_ref"]).netloc == host
+                    and s["media_ref"] not in visited
+                ):
                     nxt = s["media_ref"]
                     break
             if nxt is None:
                 break
+            visited.add(nxt)
             nspans = get_spans(nxt)
             urls.append(nxt)
             # deterministic, collision-free sequence region above any
@@ -244,12 +250,12 @@ def run_pipeline(
 
             with open(os.path.join(web_dir, "params.json")) as fh:
                 n_buckets = int(json.load(fh)["n_buckets"])
-            chains = [
-                (u, max_pages)
-                for u in spec.urls
-                for prefix, max_pages in rules
-                if u.startswith(prefix)
-            ]
+            chains = []
+            for u in spec.urls:
+                for prefix, max_pages in rules:  # first matching rule wins
+                    if u.startswith(prefix):
+                        chains.append((u, max_pages))
+                        break
             if chains:
                 pag_ref = ray.remote(_paginate_task).remote(
                     web_dir, n_buckets, chains, WEB_SCHEMA.field("spans").type
