@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "dup_cluster_sizes",
     "join_cardinality",
     "source_sim",
+    "greedy_cover",
 ]
 
 

@@ -5355,6 +5355,179 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# Greedy set cover over sources (diversity-maximizing corpus selection).
+# ---------------------------------------------------------------------------
+
+_COVER_STEPS = 5
+
+
+def q_greedy_cover(sf_dir: str):
+    """Greedy weighted set cover: pick 5 sources, each
+    maximizing the count of 3-gram shingles NOT covered by earlier
+    picks (ties break lexicographically) — the classic diversity-
+    selection pass when budgeting which feeds enter a training mix.
+    Emits (step, source, gain) with gain = newly covered shingles.
+
+    Per round, entirely as exchanges: (source, shingle) pairs dedup in
+    a coarse shingle-hash co-partition, the covered set (itself a
+    shingle-hash Dataset) subtracts in the SAME partitioning, per-
+    source marginal counts fold map-side, and the driver sees one
+    (source, count) table of O(#sources) rows to argmax.  The SQL
+    oracle unrolls the greedy rounds as MATERIALIZED CTEs."""
+    import ray.data as rd
+
+    from ..functions.agg import grouped_sum_count
+    from ..functions.hashing import flat_tokens, shingle_hash_flat, token_hashes
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def ps_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        hv, offsets = shingle_hash_flat(token_hashes(flat), offsets, 3)
+        src = batch.column("source").to_pylist()
+        seg = np.repeat(np.arange(len(src)), np.diff(offsets))
+        codes, inv = np.unique(np.asarray(src, object), return_inverse=True)
+        sc = inv[seg]
+        order = np.lexsort((hv, sc))
+        h_s, c_s = hv[order], sc[order]
+        first = np.r_[True, (h_s[1:] != h_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        uh, uc = h_s[first], c_s[first]
+        return pa.table(
+            {
+                "part": pa.array((uh % np.uint64(32)).astype(np.int64), pa.int64()),
+                "h": pa.array(uh, pa.uint64()),
+                "source": pa.array([str(codes[c]) for c in uc], pa.string()),
+            }
+        )
+
+    def dedup_ps(g: pa.Table) -> pa.Table:
+        return g.select(["part", "h", "source"]).group_by(
+            ["part", "h", "source"]
+        ).aggregate([])
+
+    ps = (
+        ds.map_batches(ps_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_ps, batch_format="pyarrow")
+        .materialize()
+    )
+
+    covered = None  # Dataset[part, h] of shingles covered so far
+    out_steps: list[int] = []
+    out_src: list[str] = []
+    out_gain: list[int] = []
+    for step in range(_COVER_STEPS):
+        if covered is None:
+            uncovered = ps
+        else:
+
+            def tag_cov(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "part": batch.column("part"),
+                        "h": batch.column("h"),
+                        "source": pa.array(["\x00cov"] * batch.num_rows, pa.string()),
+                    }
+                )
+
+            def subtract(g: pa.Table) -> pa.Table:
+                is_c = pc.equal(g.column("source"), pa.scalar("\x00cov"))
+                cov = g.filter(is_c)
+                rest = g.filter(pc.invert(is_c))
+                mask = pc.is_in(
+                    rest.column("h").combine_chunks(),
+                    value_set=cov.column("h").combine_chunks(),
+                )
+                return rest.filter(pc.invert(mask))
+
+            uncovered = (
+                ps.union(covered.map_batches(tag_cov, batch_format="pyarrow"))
+                .groupby("part")
+                .map_groups(subtract, batch_format="pyarrow")
+                .materialize()
+            )
+        gains = grouped_sum_count(
+            uncovered, ["source"], [], {}, count_name="gain"
+        ).take_all()  # O(#sources) rows — the greedy argmax input
+        if not gains:
+            break
+        # deterministic: max gain, then lexicographically smallest source
+        best_gain = max(int(r["gain"]) for r in gains)
+        best_src = min(r["source"] for r in gains if int(r["gain"]) == best_gain)
+        out_steps.append(step + 1)
+        out_src.append(best_src)
+        out_gain.append(best_gain)
+
+        def winner_only(batch: pa.Table, w=best_src) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("source"), pa.scalar(w))
+            ).select(["part", "h"])
+
+        won = uncovered.map_batches(winner_only, batch_format="pyarrow").materialize()
+        covered = won if covered is None else covered.union(won).materialize()
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(out_steps, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
+                "gain": pa.array(out_gain, pa.int64()),
+            }
+        )
+    )
+
+
+def _greedy_cover_sql(steps: int = _COVER_STEPS) -> str:
+    ctes = [
+        r"""toks AS MATERIALIZED (
+  SELECT source, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+)""",
+        """expl AS MATERIALIZED (
+  SELECT source, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT source, t, 0 AS i FROM toks WHERE len(t) BETWEEN 1 AND 2
+)""",
+        """ps AS MATERIALIZED (
+  SELECT DISTINCT source,
+         CASE WHEN i = 0 AND len(t) < 3 THEN array_to_string(t, ' ')
+              ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS sh
+  FROM expl
+)""",
+        "cov0 AS MATERIALIZED (SELECT sh FROM ps WHERE 1 = 0)",
+    ]
+    for k in range(1, steps + 1):
+        p = k - 1
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+  SELECT source, count(*) AS gain FROM ps
+  WHERE sh NOT IN (SELECT sh FROM cov{p})
+  GROUP BY source
+)"""
+        )
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT source, gain FROM g{k}
+  ORDER BY gain DESC, source LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""cov{k} AS MATERIALIZED (
+  SELECT sh FROM cov{p}
+  UNION
+  SELECT ps.sh FROM ps JOIN w{k} ON ps.source = w{k}.source
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, source, CAST(gain AS BIGINT) AS gain FROM w{k}"
+        for k in range(1, steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_GREEDY_COVER = _greedy_cover_sql()
+
+
+# ---------------------------------------------------------------------------
 # Source-level set similarity (grouped-entity Jaccard over shingle unions).
 # ---------------------------------------------------------------------------
 
@@ -7336,6 +7509,8 @@ EXTRA_QUERIES = {
     "join_cardinality": q_join_cardinality,
     # source-level Jaccard over shingle unions (feed syndication detector)
     "source_sim": q_source_sim,
+    # greedy set cover over sources (diversity-maximizing selection)
+    "greedy_cover": q_greedy_cover,
 }
 
 ORACLE_SQL = {
@@ -7449,4 +7624,5 @@ EXTRA_ORACLE_SQL = {
     "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
     "join_cardinality": SQL_JOIN_CARDINALITY,
     "source_sim": SQL_SOURCE_SIM,
+    "greedy_cover": SQL_GREEDY_COVER,
 }
