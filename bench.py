@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "join_cardinality",
     "source_sim",
     "greedy_cover",
+    "bpe_top_pairs",
 ]
 
 

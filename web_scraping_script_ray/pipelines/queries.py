@@ -5355,6 +5355,99 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# BPE step 1: corpus-wide adjacent character-pair counts (top merges).
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_K = 20
+
+
+def q_bpe_top_pairs(sf_dir: str):
+    """The first byte-pair-encoding merge decision: counts of ADJACENT
+    CHARACTER pairs inside whitespace tokens across the whole corpus,
+    top 20 by (count desc, pair asc) — what a tokenizer trainer computes
+    before its first merge.  Each block folds its tokens into ONE fixed
+    65,536-cell int64 histogram (256·a + b codes over the flat token
+    bytes, cross-token seams masked out in numpy); histograms are a
+    linear projection of the pair counts, so block partials merge by
+    addition — none of the text shuffles, one 512 KB array per block
+    crosses the exchange.  Emits (pair, n) with pair as the 2-char
+    string."""
+    import ray.data as rd
+
+    from ..functions.hashing import flat_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def block_hist(batch: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(batch.column("text"))
+        if len(flat) == 0:
+            return pa.table(
+                {"hist": pa.array([np.zeros(65536, np.int64)], pa.list_(pa.int64()))}
+            )
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        # flat token bytes + offsets, zero-copy from Arrow
+        buf = flat.buffers()[2]
+        data = np.frombuffer(buf, dtype=np.uint8, count=len(buf))
+        offs = np.frombuffer(flat.buffers()[1], dtype=np.int32, count=len(flat) + 1)
+        lo, hi = int(offs[0]), int(offs[-1])
+        data = data[lo:hi]
+        offs = offs.astype(np.int64) - lo
+        total = len(data)
+        hist = np.zeros(65536, np.int64)
+        if total >= 2:
+            codes = data[:-1].astype(np.int64) * 256 + data[1:]
+            mask = np.ones(total - 1, bool)
+            ends = offs[1:-1] - 1  # last byte of each token except the final
+            mask[ends[(ends >= 0) & (ends < total - 1)]] = False
+            np.add.at(hist, codes[mask], 1)
+        return pa.table({"hist": pa.array([hist], pa.list_(pa.int64()))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        col = batch.column("hist")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, 65536
+        )
+        h = vals.sum(axis=0)
+        # count desc, code asc on ties (== SQL's ORDER BY n DESC, pair for
+        # the ASCII corpus: 2-char string order is byte order)
+        order = np.lexsort((np.arange(65536), -h))
+        sel = order[: _BPE_TOP_K]
+        sel = sel[h[sel] > 0]
+        pairs = [chr(int(c) // 256) + chr(int(c) % 256) for c in sel]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n": pa.array(h[sel], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(block_hist, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+SQL_BPE_TOP_PAIRS = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents
+),
+pairs AS (
+  SELECT substr(tok, i, 2) AS pair
+  FROM (SELECT tok, unnest(range(1, length(tok))) AS i FROM toks
+        WHERE length(tok) >= 2)
+),
+cnt AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, CAST(n AS BIGINT) AS n
+FROM cnt
+QUALIFY row_number() OVER (ORDER BY n DESC, pair) <= {_BPE_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Greedy set cover over sources (diversity-maximizing corpus selection).
 # ---------------------------------------------------------------------------
 
@@ -7511,6 +7604,8 @@ EXTRA_QUERIES = {
     "source_sim": q_source_sim,
     # greedy set cover over sources (diversity-maximizing selection)
     "greedy_cover": q_greedy_cover,
+    # first BPE merge decision (corpus char-pair histogram top-20)
+    "bpe_top_pairs": q_bpe_top_pairs,
 }
 
 ORACLE_SQL = {
@@ -7625,4 +7720,5 @@ EXTRA_ORACLE_SQL = {
     "join_cardinality": SQL_JOIN_CARDINALITY,
     "source_sim": SQL_SOURCE_SIM,
     "greedy_cover": SQL_GREEDY_COVER,
+    "bpe_top_pairs": SQL_BPE_TOP_PAIRS,
 }
