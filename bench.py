@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "source_sim",
     "greedy_cover",
     "bpe_top_pairs",
+    "ann_recall",
 ]
 
 

@@ -5355,6 +5355,90 @@ SQL_KCORE = _kcore_unrolled_sql(_KCORE_K, 14)
 
 
 # ---------------------------------------------------------------------------
+# ANN recall: sign-LSH top-10 measured against the exact brute top-10.
+# ---------------------------------------------------------------------------
+
+def q_ann_recall(sf_dir: str):
+    """Recall@10 of the sign-LSH ANN index against the exact brute-force
+    top-10 for the same query vectors — the approximate index's quality
+    number computed INSIDE the engine (and value-hash-checked, since
+    both sides have bit-exact oracles): per query, how many of the true
+    nearest neighbors the bucketed search returned.  One co-partition
+    on qid joins the two small result sets."""
+    exact = q_ann_topk(sf_dir)
+    lsh = q_ann_lsh(sf_dir)
+
+    def tag(is_lsh: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            q = batch.column("qid").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "part": pa.array(q % 8, pa.int64()),
+                    "qid": pa.array(q, pa.int64()),
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
+                    "is_lsh": pa.array(
+                        np.full(batch.num_rows, is_lsh, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    def score(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g.column("is_lsh"), pa.scalar(1, pa.int8()))
+        lt = g.filter(is_l).select(["qid", "vec_id"])
+        et = g.filter(pc.invert(is_l)).select(["qid", "vec_id"])
+        hits = et.join(lt, keys=["qid", "vec_id"], join_type="inner")
+        per_e = et.group_by(["qid"]).aggregate([([], "count_all")]).rename_columns(
+            ["qid", "n_exact"]
+        )
+        per_h = hits.group_by(["qid"]).aggregate([([], "count_all")]).rename_columns(
+            ["qid", "n_hit"]
+        )
+        j = per_e.join(per_h, keys=["qid"], join_type="left outer").combine_chunks()
+        ne = j.column("n_exact").to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = np.nan_to_num(
+            j.column("n_hit").to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "qid": j.column("qid"),
+                "n_exact": pa.array(ne, pa.int64()),
+                "n_hit": pa.array(nh, pa.int64()),
+                "recall_micro": pa.array(nh * 1_000_000 // ne, pa.int64()),
+            }
+        )
+
+    return (
+        exact.map_batches(tag(0), batch_format="pyarrow")
+        .union(lsh.map_batches(tag(1), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(score, batch_format="pyarrow")
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH ex AS ({SQL_ANN_TOPK}),
+ls AS ({SQL_ANN_LSH}),
+h AS (
+  SELECT ex.qid, count(*) AS n_hit
+  FROM ex JOIN ls ON ex.qid = ls.qid AND ex.vec_id = ls.vec_id
+  GROUP BY ex.qid
+),
+e AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+SELECT e.qid, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.n_hit, 0) * 1000000 // e.n_exact AS BIGINT)
+         AS recall_micro
+FROM e LEFT JOIN h USING (qid)
+"""
+
+
+SQL_ANN_RECALL = _ann_recall_sql()
+
+
+# ---------------------------------------------------------------------------
 # BPE step 1: corpus-wide adjacent character-pair counts (top merges).
 # ---------------------------------------------------------------------------
 
@@ -7606,6 +7690,8 @@ EXTRA_QUERIES = {
     "greedy_cover": q_greedy_cover,
     # first BPE merge decision (corpus char-pair histogram top-20)
     "bpe_top_pairs": q_bpe_top_pairs,
+    # recall@10 of the sign-LSH ANN vs the exact brute top-10
+    "ann_recall": q_ann_recall,
 }
 
 ORACLE_SQL = {
@@ -7721,4 +7807,5 @@ EXTRA_ORACLE_SQL = {
     "source_sim": SQL_SOURCE_SIM,
     "greedy_cover": SQL_GREEDY_COVER,
     "bpe_top_pairs": SQL_BPE_TOP_PAIRS,
+    "ann_recall": SQL_ANN_RECALL,
 }
