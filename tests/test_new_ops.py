@@ -646,3 +646,51 @@ def test_token_truncate_preserves_under_cap_rows(ray_session):
     )
     assert out.text[0] == "Hello  World\nSecond Line"  # 4 tokens: untouched
     assert out.text[1] == "a b c d"  # truncated (rejoined form)
+
+
+def test_interval_coverage_random_vs_bruteforce(ray_session):
+    """Random event times (with duplicates and cross-window gaps): the
+    telescoped sweep == brute-force union of [t, t+300s) intervals."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import web_scraping_script_ray.pipelines.queries as qq
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for uid in range(6):
+        n = rng.integers(1, 25)
+        ts = rng.integers(0, 3_000, size=n) * 1_000_000  # us, dense+sparse
+        rows.extend((uid, int(t)) for t in ts)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array(
+                        [t for _, t in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                    "event_type": pa.array(["e"] * len(rows), pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            os.path.join(d, "events.parquet"),
+        )
+        out = qq.q_interval_coverage(d).to_pandas()
+    got = dict(zip(out.user_id, out.covered_us))
+    L = 300 * 1_000_000
+    for uid in range(6):
+        ivs = sorted(t for u, t in rows if u == uid)
+        covered, end = 0, -1
+        for t in ivs:
+            s, e = max(t, end), t + L
+            if e > s:
+                covered += e - s
+            end = max(end, e)
+        assert got[uid] == covered, uid
