@@ -1402,35 +1402,45 @@ def containment_join(
         io = np.argsort(i_tok, kind="stable")
         ptk, prw = p_tok[po], p_occ_row[po]
         itk, irw = i_tok[io], i_occ_row[io]
-        cand = set()
-        ii = 0
-        n_i = len(itk)
-        x = 0
-        while x < len(ptk):
-            y = x
-            while y < len(ptk) and ptk[y] == ptk[x]:
-                y += 1
-            while ii < n_i and itk[ii] < ptk[x]:
-                ii += 1
-            jj = ii
-            while jj < n_i and itk[jj] == ptk[x]:
-                jj += 1
-            if jj > ii:
-                for xr in prw[x:y]:
-                    a = int(p_ids[xr])
-                    for yr in irw[ii:jj]:
-                        b = int(i_ids[yr])
-                        if a != b:
-                            cand.add((a, b))
-            x = y
-        out_a, out_b, out_c = [], [], []
-        for a, b in cand:
-            sa, sb = probe_set[a], index_set[b]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            if inter * t_den >= len(sa) * t_num:
-                out_a.append(a)
-                out_b.append(b)
-                out_c.append(inter * 1_000_000 // len(sa))
+        # per-TOKEN numpy pair expansion (a per-PAIR python loop was the
+        # partition hot spot): find shared tokens via unique-run bounds on
+        # both sorted streams, then cartesian-expand each run with
+        # repeat/tile; dedup candidates with one np.unique on packed codes
+        pu, pstart, pcnt = np.unique(ptk, return_index=True, return_counts=True)
+        iu, istart, icnt = np.unique(itk, return_index=True, return_counts=True)
+        common, p_pos, i_pos = np.intersect1d(
+            pu, iu, assume_unique=True, return_indices=True
+        )
+        a_chunks: list[np.ndarray] = []
+        b_chunks: list[np.ndarray] = []
+        for ci in range(len(common)):
+            ps, pc_ = int(pstart[p_pos[ci]]), int(pcnt[p_pos[ci]])
+            is_, ic_ = int(istart[i_pos[ci]]), int(icnt[i_pos[ci]])
+            arows = p_ids[prw[ps : ps + pc_]]
+            brows = i_ids[irw[is_ : is_ + ic_]]
+            a_chunks.append(np.repeat(arows, ic_))
+            b_chunks.append(np.tile(brows, pc_))
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[int] = []
+        if a_chunks:
+            alla = np.concatenate(a_chunks)
+            allb = np.concatenate(b_chunks)
+            # composite-key dedup via lexsort — NO id packing (the module
+            # invariant: ids of any width, no 32-bit aliasing)
+            order = np.lexsort((allb, alla))
+            a_s, b_s = alla[order], allb[order]
+            firstc = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+            a_s, b_s = a_s[firstc], b_s[firstc]
+            keep = a_s != b_s
+            for a, b in zip(a_s[keep], b_s[keep]):
+                a, b = int(a), int(b)
+                sa, sb = probe_set[a], index_set[b]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                if inter * t_den >= len(sa) * t_num:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(inter * 1_000_000 // len(sa))
         part2 = [(a * 1_000_003 + b) % n_parts for a, b in zip(out_a, out_b)]
         return pa.Table.from_arrays(
             [
