@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "greedy_cover",
     "bpe_top_pairs",
     "ann_recall",
+    "sliding_distinct",
 ]
 
 

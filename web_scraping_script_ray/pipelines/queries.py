@@ -6391,6 +6391,81 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window distinct users (1 h windows sliding by 15 min).
+# ---------------------------------------------------------------------------
+
+_SLIDE_W_US = 3600 * 1_000_000
+_SLIDE_S_US = 900 * 1_000_000
+
+
+def q_sliding_distinct(sf_dir: str):
+    """Distinct active users per 1-hour window sliding every 15 minutes
+    — the overlapping-window DISTINCT aggregate (engagement dashboards'
+    hardest streaming shape: each event belongs to width/step = 4
+    windows and distinctness is per window, so pre-summed counts can't
+    compose).  Each event explodes into its 4 covering window starts
+    (vectorized), (window, user) pairs dedup inside ONE coarse
+    co-partition keyed on the window, and per-window counts fold from
+    the partition-local distinct — only (window, user-partial) rows
+    shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    k = _SLIDE_W_US // _SLIDE_S_US  # windows covering each event
+
+    def explode(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        last = t // _SLIDE_S_US  # last window index whose start <= ts
+        idx = (
+            last[:, None] - np.arange(k, dtype=np.int64)[None, :]
+        ).ravel()  # the k windows covering ts (start > ts - width)
+        starts = idx * _SLIDE_S_US
+        uu = np.repeat(u, k)
+        valid = starts >= 0
+        out = (
+            pa.table(
+                {
+                    "w": pa.array(starts[valid], pa.int64()),
+                    "user_id": pa.array(uu[valid], pa.int64()),
+                }
+            )
+            .group_by(["w", "user_id"])
+            .aggregate([])
+        )
+        part = pc.cast(
+            pc.divide(out.column("w"), pa.scalar(_SLIDE_S_US, pa.int64())),
+            pa.int64(),
+        )
+        return out.append_column(
+            "part", pa.array(part.to_numpy(zero_copy_only=False) % 16, pa.int64())
+        )
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        d = g.select(["w", "user_id"]).group_by(["w", "user_id"]).aggregate([])
+        out = d.group_by(["w"]).aggregate([([], "count_all")])
+        return out.rename_columns(["window_start_us", "n_users"])
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_distinct, batch_format="pyarrow")
+    )
+
+
+SQL_SLIDING_DISTINCT = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+),
+w AS (
+  SELECT (t // {_SLIDE_S_US} - j) * {_SLIDE_S_US} AS window_start_us, user_id
+  FROM e CROSS JOIN (SELECT unnest(range(0, {_SLIDE_W_US // _SLIDE_S_US})) AS j) js
+  WHERE (t // {_SLIDE_S_US} - j) >= 0
+)
+SELECT window_start_us, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY window_start_us
+"""
+
+
+# ---------------------------------------------------------------------------
 # Interval-union coverage per user (sweep over fixed activity windows).
 # ---------------------------------------------------------------------------
 
@@ -7692,6 +7767,8 @@ EXTRA_QUERIES = {
     "bpe_top_pairs": q_bpe_top_pairs,
     # recall@10 of the sign-LSH ANN vs the exact brute top-10
     "ann_recall": q_ann_recall,
+    # sliding-window distinct users (overlapping-window DISTINCT)
+    "sliding_distinct": q_sliding_distinct,
 }
 
 ORACLE_SQL = {
@@ -7808,4 +7885,5 @@ EXTRA_ORACLE_SQL = {
     "greedy_cover": SQL_GREEDY_COVER,
     "bpe_top_pairs": SQL_BPE_TOP_PAIRS,
     "ann_recall": SQL_ANN_RECALL,
+    "sliding_distinct": SQL_SLIDING_DISTINCT,
 }
