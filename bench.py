@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "bpe_top_pairs",
     "ann_recall",
     "sliding_distinct",
+    "novelty_curve",
 ]
 
 

@@ -6391,6 +6391,129 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Corpus novelty curve (first-seen shingle fraction per ingestion chunk).
+# ---------------------------------------------------------------------------
+
+_NOVELTY_CHUNK = 100  # docs per ingestion chunk
+
+
+def q_novelty_curve(sf_dir: str):
+    """Diminishing-returns curve of the corpus: treating doc_id order as
+    ingestion order in chunks of 100 docs, the fraction of each chunk's
+    3-gram shingle OCCURRENCES whose shingle first appears in that
+    chunk — the curve a curation pipeline watches to decide when a
+    source stops contributing novelty.  Plan: one pass emits (shingle,
+    chunk) pairs; a coarse shingle-hash co-partition resolves each
+    shingle's FIRST chunk (partition-local min is global — a shingle's
+    rows co-locate); per-chunk totals and first-seen counts fold
+    map-side; one small join yields (chunk, n_shingles, n_new,
+    novelty_micro)."""
+    from ..functions.agg import grouped_sum_count
+    from ..functions.hashing import flat_tokens, shingle_hash_flat, token_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        hv, offsets = shingle_hash_flat(token_hashes(flat), offsets, 3)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = np.repeat(ids // _NOVELTY_CHUNK, np.diff(offsets))
+        # per-(shingle, chunk) occurrence counts fold block-locally
+        t = (
+            pa.table(
+                {"h": pa.array(hv, pa.uint64()), "chunk": pa.array(chunk, pa.int64())}
+            )
+            .group_by(["h", "chunk"])
+            .aggregate([([], "count_all")])
+        ).rename_columns(["h", "chunk", "occ"])
+        return t.append_column(
+            "part",
+            pa.array(
+                (t.column("h").to_numpy(zero_copy_only=False) % np.uint64(32)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def per_chunk(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        c = g.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
+        occ = g.column("occ").to_numpy(zero_copy_only=False).astype(np.int64)
+        # merge block partials: per (h, chunk) occurrence sums
+        order = np.lexsort((c, h))
+        h_s, c_s, o_s = h[order], c[order], occ[order]
+        firstp = np.r_[True, (h_s[1:] != h_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        grp = np.cumsum(firstp) - 1
+        occ_m = np.zeros(grp[-1] + 1 if len(grp) else 0, np.int64)
+        np.add.at(occ_m, grp, o_s)
+        h_m, c_m = h_s[firstp], c_s[firstp]
+        # a shingle's rows are all in this partition: local min chunk is
+        # its global first chunk
+        firsth = np.r_[True, h_m[1:] != h_m[:-1]]
+        hgrp = np.cumsum(firsth) - 1
+        minc = np.full(hgrp[-1] + 1 if len(hgrp) else 0, np.iinfo(np.int64).max)
+        np.minimum.at(minc, hgrp, c_m)
+        is_new = c_m == minc[hgrp]
+        out = pa.table(
+            {
+                "chunk": pa.array(c_m, pa.int64()),
+                "occ": pa.array(occ_m, pa.int64()),
+                "new_occ": pa.array(np.where(is_new, occ_m, 0), pa.int64()),
+            }
+        )
+        agg = out.group_by(["chunk"]).aggregate([("occ", "sum"), ("new_occ", "sum")])
+        return agg.rename_columns(["chunk", "occ", "new_occ"])
+
+    merged = grouped_sum_count(
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_chunk, batch_format="pyarrow"),
+        ["chunk"], ["occ", "new_occ"], {"occ": "n_occ", "new_occ": "n_new"},
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_occ").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("n_new").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "chunk": batch.column("chunk"),
+                "n_occ": pa.array(n, pa.int64()),
+                "n_new": pa.array(w, pa.int64()),
+                "novelty_micro": pa.array(w * 1_000_000 // n, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
+SQL_NOVELTY_CURVE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+expl AS (
+  SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, t, 0 AS i FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+sh AS (
+  SELECT doc_id // {_NOVELTY_CHUNK} AS chunk,
+         CASE WHEN i = 0 AND len(t) < 3 THEN array_to_string(t, ' ')
+              ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+  FROM expl
+),
+firstc AS (SELECT s, min(chunk) AS fc FROM sh GROUP BY s)
+SELECT sh.chunk, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(sum(CASE WHEN firstc.fc = sh.chunk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN firstc.fc = sh.chunk THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_micro
+FROM sh JOIN firstc USING (s)
+GROUP BY sh.chunk
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window distinct users (1 h windows sliding by 15 min).
 # ---------------------------------------------------------------------------
 
@@ -7769,6 +7892,8 @@ EXTRA_QUERIES = {
     "ann_recall": q_ann_recall,
     # sliding-window distinct users (overlapping-window DISTINCT)
     "sliding_distinct": q_sliding_distinct,
+    # corpus novelty curve (first-seen shingle fraction per chunk)
+    "novelty_curve": q_novelty_curve,
 }
 
 ORACLE_SQL = {
@@ -7886,4 +8011,5 @@ EXTRA_ORACLE_SQL = {
     "bpe_top_pairs": SQL_BPE_TOP_PAIRS,
     "ann_recall": SQL_ANN_RECALL,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
+    "novelty_curve": SQL_NOVELTY_CURVE,
 }
