@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "ann_recall",
     "sliding_distinct",
     "novelty_curve",
+    "host_modularity",
 ]
 
 

@@ -6391,6 +6391,116 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Host-partition modularity of the link graph (exact integer statistics).
+# ---------------------------------------------------------------------------
+
+def q_host_modularity(sf_dir: str):
+    """Newman modularity of the partition-by-host over the link graph,
+    as EXACT integer sufficient statistics: m (edges), within (edges
+    whose endpoints share a host) and sum_deg_sq = Σ_hosts (Σ_{v∈host}
+    deg v)² — Q = within/m − sum_deg_sq/(2m)² is left to the consumer
+    in their precision (the repo's assortativity convention: exact ints
+    hash, floats don't).  High Q means link structure follows host
+    boundaries — the community signal crawl prioritization exploits.
+    Edge-local host extraction (no join), per-host degree sums fold
+    map-side in one coarse exchange, and the three scalars fold in one
+    tiny task."""
+    edges = _web_link_edges(sf_dir).materialize()
+
+    def host_of(arr: pa.Array) -> pa.Array:
+        # node ids are URLs: host = chars between '://' and the next '/'
+        no_scheme = pc.list_element(pc.split_pattern(arr, "://"), 1)
+        return pc.list_element(pc.split_pattern(no_scheme, "/"), 0)
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u")
+        v = batch.column("v")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        hu = host_of(u)
+        hv = host_of(v)
+        within = int(pc.sum(pc.cast(pc.equal(hu, hv), pa.int64())).as_py() or 0)
+        # per-host degree partials from both endpoints
+        hosts = pa.concat_arrays([hu, hv])
+        deg = pa.table({"host": hosts}).group_by(["host"]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["host", "deg"])
+        out = deg.append_column(
+            "m_part", pa.array(np.zeros(deg.num_rows, np.int64), pa.int64())
+        )
+        out = out.append_column(
+            "w_part", pa.array(np.zeros(deg.num_rows, np.int64), pa.int64())
+        )
+        # one carrier row holds this block's edge/within counts
+        carrier = pa.table(
+            {
+                "host": pa.array(["\x00stats"], pa.string()),
+                "deg": pa.array([0], pa.int64()),
+                "m_part": pa.array([batch.num_rows], pa.int64()),
+                "w_part": pa.array([within], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, carrier])
+
+    from ..functions.agg import grouped_sum_count
+
+    merged = grouped_sum_count(
+        edges.map_batches(edge_partial, batch_format="pyarrow"),
+        ["host"], ["deg", "m_part", "w_part"],
+        {"deg": "deg", "m_part": "m", "w_part": "w"},
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        deg = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = batch.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_h = np.array([h != "\x00stats" for h in hosts])
+        return pa.table(
+            {
+                "m": pa.array([int(m.sum())], pa.int64()),
+                "within": pa.array([int(w.sum())], pa.int64()),
+                "sum_deg_sq": pa.array(
+                    [int((deg[is_h].astype(object) ** 2).sum())], pa.int64()
+                ),
+            }
+        )
+
+    return merged.repartition(1).map_batches(fold, batch_format="pyarrow")
+
+
+SQL_HOST_MODULARITY = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+eh AS (
+  SELECT split_part(split_part(u, '://', 2), '/', 1) AS hu,
+         split_part(split_part(v, '://', 2), '/', 1) AS hv
+  FROM e
+),
+deg AS (
+  SELECT h, count(*) AS d
+  FROM (SELECT hu AS h FROM eh UNION ALL SELECT hv FROM eh) GROUP BY h
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS m,
+       (SELECT CAST(sum(CASE WHEN hu = hv THEN 1 ELSE 0 END) AS BIGINT)
+        FROM eh) AS within,
+       (SELECT CAST(sum(d * d) AS BIGINT) FROM deg) AS sum_deg_sq
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus novelty curve (first-seen shingle fraction per ingestion chunk).
 # ---------------------------------------------------------------------------
 
@@ -7894,6 +8004,8 @@ EXTRA_QUERIES = {
     "sliding_distinct": q_sliding_distinct,
     # corpus novelty curve (first-seen shingle fraction per chunk)
     "novelty_curve": q_novelty_curve,
+    # host-partition modularity sufficient statistics (community signal)
+    "host_modularity": q_host_modularity,
 }
 
 ORACLE_SQL = {
@@ -8012,4 +8124,5 @@ EXTRA_ORACLE_SQL = {
     "ann_recall": SQL_ANN_RECALL,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
     "novelty_curve": SQL_NOVELTY_CURVE,
+    "host_modularity": SQL_HOST_MODULARITY,
 }
