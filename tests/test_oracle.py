@@ -77,3 +77,38 @@ def test_oracle_metrics(t1_web):
     assert total == len(res.crawled)
     ok_bytes = sum(c["nbytes"] for c in res.crawled)
     assert sum(r["bytes"] for r in m) == ok_bytes
+
+
+def test_ln_floor_micro_parity_numpy_vs_duckdb():
+    """The whole micro/milli-log oracle family (lm_score, collocations,
+    dsir, zipf, weighted_sample) rests on floor(ln(x)*scale) being
+    bit-identical between numpy float64 and DuckDB: assert it across a
+    wide random sample of positive int64-derived doubles."""
+    import duckdb
+    import numpy as np
+
+    duck = duckdb.connect()
+    rng = np.random.default_rng(17)
+    ints = np.unique(
+        np.concatenate(
+            [
+                rng.integers(1, 10**3, 300),
+                rng.integers(10**3, 10**9, 300),
+                rng.integers(10**9, 10**15, 300),
+                np.array([1, 2, 3, 10, 255, 256, 65536, 10**6, 10**12]),
+            ]
+        )
+    ).astype(np.int64)
+    for scale in (1_000, 1_000_000):
+        want = np.floor(np.log(ints.astype(np.float64)) * scale).astype(np.int64)
+        lit = ", ".join(str(int(x)) for x in ints)
+        got = (
+            duck.sql(
+                f"SELECT CAST(floor(ln(CAST(v AS DOUBLE)) * {scale}) AS BIGINT)"
+                f" FROM (SELECT unnest([{lit}]) AS v)"
+            )
+            .fetchnumpy()
+            .popitem()[1]
+            .astype(np.int64)
+        )
+        np.testing.assert_array_equal(want, got)
