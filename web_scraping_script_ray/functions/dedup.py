@@ -1403,14 +1403,23 @@ def containment_join(
         ptk, prw = p_tok[po], p_occ_row[po]
         itk, irw = i_tok[io], i_occ_row[io]
         # per-TOKEN numpy pair expansion (a per-PAIR python loop was the
-        # partition hot spot): find shared tokens via unique-run bounds on
-        # both sorted streams, then cartesian-expand each run with
-        # repeat/tile; dedup candidates with one np.unique on packed codes
-        pu, pstart, pcnt = np.unique(ptk, return_index=True, return_counts=True)
-        iu, istart, icnt = np.unique(itk, return_index=True, return_counts=True)
-        common, p_pos, i_pos = np.intersect1d(
-            pu, iu, assume_unique=True, return_indices=True
-        )
+        # partition hot spot).  ptk/itk are ALREADY sorted, so run bounds
+        # come from one adjacent-diff pass and the shared tokens from one
+        # searchsorted merge — no redundant np.unique/intersect1d re-sorts
+        pfirst = np.flatnonzero(np.r_[True, ptk[1:] != ptk[:-1]])
+        ifirst = np.flatnonzero(np.r_[True, itk[1:] != itk[:-1]])
+        pu = ptk[pfirst]
+        iu = itk[ifirst]
+        pcnt = np.diff(np.r_[pfirst, len(ptk)])
+        icnt = np.diff(np.r_[ifirst, len(itk)])
+        pos_in_i = np.searchsorted(iu, pu)
+        hit = (pos_in_i < len(iu)) & (
+            iu[np.minimum(pos_in_i, max(len(iu) - 1, 0))] == pu
+        ) if len(iu) else np.zeros(len(pu), bool)
+        p_pos = np.flatnonzero(hit)
+        i_pos = pos_in_i[hit]
+        common = pu[p_pos]
+        pstart, istart = pfirst, ifirst
         a_chunks: list[np.ndarray] = []
         b_chunks: list[np.ndarray] = []
         for ci in range(len(common)):

@@ -5470,10 +5470,15 @@ def q_bpe_top_pairs(sf_dir: str):
             )
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
-        # flat token bytes + offsets, zero-copy from Arrow
+        # flat token bytes + offsets, zero-copy from Arrow; offsets are
+        # int32 for string and int64 for large_string — dispatch, never
+        # assume (a silent int32 read of 64-bit offsets would corrupt the
+        # seam mask without crashing)
+        off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+        assert pa.types.is_string(flat.type) or pa.types.is_large_string(flat.type)
         buf = flat.buffers()[2]
         data = np.frombuffer(buf, dtype=np.uint8, count=len(buf))
-        offs = np.frombuffer(flat.buffers()[1], dtype=np.int32, count=len(flat) + 1)
+        offs = np.frombuffer(flat.buffers()[1], dtype=off_dtype, count=len(flat) + 1)
         lo, hi = int(offs[0]), int(offs[-1])
         data = data[lo:hi]
         offs = offs.astype(np.int64) - lo
