@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "sliding_distinct",
     "novelty_curve",
     "host_modularity",
+    "benchmark_containment",
 ]
 
 

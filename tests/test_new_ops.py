@@ -694,3 +694,40 @@ def test_interval_coverage_random_vs_bruteforce(ray_session):
                 covered += e - s
             end = max(end, e)
         assert got[uid] == covered, uid
+
+
+def test_containment_broadcast_vs_bruteforce(ray_session):
+    """Probe-broadcast containment == brute-force |A∩B|/|A| over two
+    random datasets (unigram sets), self-pairs excluded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.dedup import containment_probe_broadcast
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(10)]
+    corpus = [" ".join(rng.choice(vocab, size=rng.integers(2, 9))) for _ in range(40)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(40)), "text": corpus})
+    ).repartition(3)
+    probe_ids = [3, 7, 11]
+    probe = ray.data.from_arrow(
+        pa.table({"doc_id": probe_ids, "text": [corpus[i] for i in probe_ids]})
+    )
+    got = containment_probe_broadcast(
+        ds, probe, "text", "doc_id", t_num=3, t_den=4
+    ).to_pandas()
+    got_t = sorted(zip(got.id_a, got.id_b, got.cont_micro))
+    sets = [frozenset(t.lower().split()) for t in corpus]
+    want = []
+    for a in probe_ids:
+        for b in range(40):
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * 4 >= 3 * len(sets[a]):
+                want.append((a, b, inter * 1_000_000 // len(sets[a])))
+    want.sort()
+    assert got_t == want
+    assert want

@@ -1476,3 +1476,103 @@ def containment_join(
         .groupby("part")
         .map_groups(dedup_pairs, batch_format="pyarrow")
     )
+
+
+def containment_probe_broadcast(
+    ds: "ray.data.Dataset",
+    probe_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 7,
+    t_den: int = 10,
+    shingle_k: int | None = None,
+    probe_limit_rows: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Two-dataset containment (|A ∩ B| / |A| >= t, A from ``probe_ds``,
+    B from ``ds``) with the PROBE SIDE BROADCAST — the decontaminate-
+    shaped scale plan for ``containment_join`` when the query corpus is
+    small: probe sets and a token->probe inverted prefix index build
+    ONCE in a remote task and ship via ``ray.put``; the big side then
+    streams through ``map_batches`` with ZERO exchanges (no shuffle at
+    all), each batch probing the index and exact-verifying its hits.
+    Same output contract as ``containment_join``: (id_a, id_b,
+    cont_micro), id_a != id_b; a corpus doc that also appears in the
+    probe set never pairs with itself."""
+    from .hashing import flat_tokens, shingle_hash_flat, token_hashes
+
+    def _doc_sets(batch: pa.Table):
+        flat, offsets = flat_tokens(batch.column(text_col))
+        hv = token_hashes(flat)
+        if shingle_k is not None:
+            hv, offsets = shingle_hash_flat(hv, offsets, shingle_k)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, hv, offsets
+
+    @ray.remote
+    def build_index(refs: list):
+        tables = [t for t in ray.get(list(refs)) if t.num_rows]
+        pid: list[int] = []
+        sets: list[np.ndarray] = []
+        tok2probe: dict[int, list[int]] = {}
+        row = 0
+        for t in tables:
+            ids, hv, offsets = _doc_sets(t)
+            for i in range(len(ids)):
+                s = np.unique(hv[offsets[i] : offsets[i + 1]])
+                m = len(s)
+                if m == 0:
+                    continue
+                p = m - ((t_num * m + t_den - 1) // t_den) + 1
+                pid.append(int(ids[i]))
+                sets.append(s)
+                for tok in s[:p]:
+                    tok2probe.setdefault(int(tok), []).append(row)
+                row += 1
+        return pid, sets, tok2probe
+
+    probe_mat = probe_ds.materialize()
+    n_probe = probe_mat.count()
+    if n_probe > probe_limit_rows:
+        raise ValueError(
+            f"containment_probe_broadcast: probe side has {n_probe} rows > "
+            f"{probe_limit_rows}; use the shuffle plan (containment_join)"
+        )
+    idx_ref = build_index.remote(
+        probe_mat.select_columns([id_col, text_col]).to_arrow_refs()
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        pid, sets, tok2probe = ray.get(idx_ref)
+        ids, hv, offsets = _doc_sets(batch)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[int] = []
+        for i in range(len(ids)):
+            sb = np.unique(hv[offsets[i] : offsets[i + 1]])
+            if len(sb) == 0:
+                continue
+            b = int(ids[i])
+            cand: set[int] = set()
+            for tok in sb:
+                hits = tok2probe.get(int(tok))
+                if hits:
+                    cand.update(hits)
+            for r in cand:
+                a = int(pid[r])
+                if a == b:
+                    continue
+                sa = sets[r]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                if inter * t_den >= len(sa) * t_num:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(inter * 1_000_000 // len(sa))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "cont_micro": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

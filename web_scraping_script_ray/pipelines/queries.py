@@ -6396,6 +6396,57 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Benchmark containment via probe-side broadcast (zero-shuffle plan).
+# ---------------------------------------------------------------------------
+
+def q_benchmark_containment(sf_dir: str):
+    """Corpus documents that contain >= 70% of any BENCHMARK document's
+    3-gram shingles (benchmark = doc_id % 50 == 0) — the containment
+    form of decontamination, catching paraphrased-benchmark leakage the
+    exact 5-gram semi-join (``decontaminate``) misses.  Runs the
+    ``containment_probe_broadcast`` plan: the small probe side's sets +
+    inverted prefix index build once and broadcast via ``ray.put``, the
+    corpus streams through with ZERO exchanges.  Self-pairs (a
+    benchmark doc trivially containing itself) are excluded."""
+    from ..functions.dedup import containment_probe_broadcast
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def probe_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    probe = ds.map_batches(probe_only, batch_format="pyarrow")
+    return containment_probe_broadcast(
+        ds, probe, "text", "doc_id", t_num=7, t_den=10, shingle_k=3
+    )
+
+
+SQL_BENCHMARK_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+expl AS (
+  SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT doc_id, t, 0 AS i FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+sh AS (
+  SELECT doc_id,
+         list(DISTINCT CASE WHEN i = 0 AND len(t) < 3
+                            THEN array_to_string(t, ' ')
+                            ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END) AS s
+  FROM expl GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) * 1000000 // len(a.s) AS BIGINT)
+         AS cont_micro
+FROM sh a JOIN sh b ON a.doc_id % 50 = 0 AND a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 10 >= 7 * len(a.s)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Host-partition modularity of the link graph (exact integer statistics).
 # ---------------------------------------------------------------------------
 
@@ -8011,6 +8062,8 @@ EXTRA_QUERIES = {
     "novelty_curve": q_novelty_curve,
     # host-partition modularity sufficient statistics (community signal)
     "host_modularity": q_host_modularity,
+    # paraphrase-decontamination containment (probe broadcast, no shuffle)
+    "benchmark_containment": q_benchmark_containment,
 }
 
 ORACLE_SQL = {
@@ -8130,4 +8183,5 @@ EXTRA_ORACLE_SQL = {
     "sliding_distinct": SQL_SLIDING_DISTINCT,
     "novelty_curve": SQL_NOVELTY_CURVE,
     "host_modularity": SQL_HOST_MODULARITY,
+    "benchmark_containment": SQL_BENCHMARK_CONTAINMENT,
 }
