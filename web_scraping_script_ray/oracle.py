@@ -165,7 +165,11 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
                 m[0] += 1
                 m[2] += c["nbytes"]
                 for si, s in enumerate(spans):
-                    if s["kind"] != "link":
+                    # 'redirect' = an HTTP 3xx alias page: its single span
+                    # names the canonical target, which enters the frontier
+                    # exactly like a discovered link (the alias fetch spent
+                    # the politeness slot; the target is fetched next round)
+                    if s["kind"] not in ("link", "redirect"):
                         continue
                     cu = canonicalize(s["media_ref"], base_url=c["url"])
                     if cu is None:

@@ -49,7 +49,13 @@ def expand_links(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0:
         return FRONTIER_SCHEMA.empty_table()
     flat, parents, span_idx = _flat_spans(batch)
-    mask = pc.equal(pc.struct_field(flat, "kind"), "link").to_numpy(zero_copy_only=False)
+    # 'redirect' spans (HTTP 3xx alias pages, synthweb p_redirect) feed the
+    # frontier exactly like links: the alias fetch consumed its politeness
+    # slot and the canonical target is enqueued for the next round.
+    kinds = pc.struct_field(flat, "kind")
+    mask = pc.is_in(
+        kinds, value_set=pa.array(["link", "redirect"], pa.string())
+    ).to_numpy(zero_copy_only=False)
     if not mask.any():
         return FRONTIER_SCHEMA.empty_table()
     sel = np.where(mask)[0]

@@ -61,6 +61,7 @@ class WebParams:
     p_dangling: float = 0.01
     p_private: float = 0.04    # docs under /private/ (robots-disallowed on h0001)
     n_seeds: int = 8           # seed-list size (spread across the doc space)
+    p_redirect: float = 0.0    # share of docs reachable via a 3xx alias URL
 
 
 def host_starts(p: WebParams) -> np.ndarray:
@@ -86,6 +87,23 @@ def host_of_doc(idx: np.ndarray, starts: np.ndarray) -> np.ndarray:
 def _is_private(idx: np.ndarray, p: WebParams) -> np.ndarray:
     # cheap per-doc deterministic coin independent of chunk seeding
     return (idx * 2654435761 % 997) < int(p.p_private * 997)
+
+
+def _has_alias(idx, p: WebParams):
+    """Closed-form coin: doc ``idx`` is also served behind a 3xx alias URL.
+
+    Intentionally NOT rng-driven so p_redirect=0 leaves every random draw
+    (and therefore every existing fixture/golden crawl) byte-identical.
+    """
+    return (np.asarray(idx, dtype=np.int64) * 1183186591 % 1013) < int(
+        p.p_redirect * 1013
+    )
+
+
+def alias_url(idx: int, starts: np.ndarray) -> str:
+    """The 3xx alias form of doc ``idx`` (same host, /r/ path)."""
+    h = int(host_of_doc(np.array([idx], np.int64), starts)[0])
+    return f"http://h{h:04d}.example/r/{idx:07d}"
 
 
 def doc_url(idx, p: WebParams, starts: np.ndarray):
@@ -157,6 +175,11 @@ def gen_chunk(chunk_idx: int, p: WebParams, starts: np.ndarray) -> pa.Table:
                 else:
                     tgt = int(starts[h] + np.floor(host_sizes[h] * rng.random() ** 2))
                     ref = str(doc_url([tgt], p, starts)[0])
+                # aliased targets are linked through their 3xx alias URL
+                # (closed-form coin — no rng draw, so p_redirect=0 keeps
+                # every existing fixture byte-identical)
+                if p.p_redirect > 0 and u >= p.p_dangling and _has_alias(tgt, p):
+                    ref = alias_url(tgt, starts)
                 # exercise the canonicalizer: some raw refs carry fragments /
                 # uppercase hosts; canonical form must still match the target
                 v = rng.random()
@@ -173,6 +196,23 @@ def gen_chunk(chunk_idx: int, p: WebParams, starts: np.ndarray) -> pa.Table:
                 )
         lengths.append(ns)
 
+    all_urls = list(urls)
+    if p.p_redirect > 0:
+        # alias rows for this chunk's aliased docs: one 'redirect' span
+        # naming the canonical URL (an HTTP 3xx page, reference semantics:
+        # requests follows these transparently; the crawl engine makes the
+        # hop explicit so politeness/seen-set account for the alias fetch)
+        aliased = idx[_has_alias(idx, p)]
+        canon = doc_url(aliased, p, starts)
+        for j, a_idx in enumerate(aliased):
+            all_urls.append(alias_url(int(a_idx), starts))
+            kinds_flat.append("redirect")
+            texts_flat.append("")
+            refs_flat.append(str(canon[j]))
+            offs_flat.append(0)
+            lengths.append(1)
+        n += len(aliased)
+
     span_struct = pa.StructArray.from_arrays(
         [
             pa.array(kinds_flat, pa.string()),
@@ -185,7 +225,7 @@ def gen_chunk(chunk_idx: int, p: WebParams, starts: np.ndarray) -> pa.Table:
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
     spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_struct)
-    return pa.Table.from_arrays([pa.array(list(urls), pa.string()), spans], schema=WEB_SCHEMA)
+    return pa.Table.from_arrays([pa.array(all_urls, pa.string()), spans], schema=WEB_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +329,8 @@ def write_web(out_dir: str, p: WebParams, parallel: bool = False) -> None:
 def fixture_dir(p: WebParams, root: str = "/tmp/synthweb", parallel: bool = False) -> str:
     """Deterministic cached fixture location; generate once per param set."""
     key = f"d{p.n_docs}_h{p.n_hosts}_s{p.seed}_b{p.n_buckets}_sd{p.n_seeds}"
+    if p.p_redirect > 0:
+        key += f"_rd{p.p_redirect}"
     out = os.path.join(root, key)
     marker = os.path.join(out, "params.json")
     if not os.path.exists(marker):
