@@ -107,6 +107,7 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
 
     res = OracleResult()
     clock: dict[str, float] = {}
+    host_fetched: dict[str, int] = {}  # cumulative scheduled, for max_per_host
 
     # round-0 candidates from seeds
     cands = []
@@ -135,12 +136,22 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
                 continue
             in_round.add(h)
             kept.append(c)
-        # politeness schedule: per-host serial virtual clock
+        # politeness schedule: per-host serial virtual clock; the per-host
+        # page cap (budget.max_per_host, 0 = unlimited) drops each host's
+        # over-quota discovery-order suffix unseen (rediscoverable, but
+        # the quota never recovers)
         per_host_idx: dict[str, int] = {}
+        capped = []
         for c in kept:
             i = per_host_idx.get(c["host"], 0)
             per_host_idx[c["host"]] = i + 1
+            if budget.max_per_host > 0 and (
+                host_fetched.get(c["host"], 0) + i >= budget.max_per_host
+            ):
+                continue
             c["fetch_time"] = clock.get(c["host"], 0.0) + i * delay_of(c["host"])
+            capped.append(c)
+        kept = capped
         kept.sort(key=lambda c: (c["fetch_time"], c["host"],
                                  c["disc_primary"], c["disc_secondary"]))
         kept = kept[: budget.max_urls - seq]
@@ -182,5 +193,6 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
             res.crawled.append(c)
         for h, k in fetched_per_host.items():
             clock[h] = clock.get(h, 0.0) + k * delay_of(h)
+            host_fetched[h] = host_fetched.get(h, 0) + k
         cands = next_cands
     return res

@@ -224,6 +224,7 @@ def _schedule_small_round(
     seen_shards: list,
     pol_shards: list,
     advance_token,
+    max_per_host: int = 0,
 ) -> pa.Table:
     """Small-round scheduling fast path: per-host politeness rank + global
     (fetch_time, host, disc) order + budget truncation + crawl_seq over
@@ -276,9 +277,14 @@ def _schedule_small_round(
         groups.setdefault(host_shard(h, n_pol), []).append(h)
     items = sorted(groups.items())
     clock_vals = retry_actor_get(
-        lambda: [pol_shards[s].get_clocks.remote(hs) for s, hs in items]
+        lambda: [pol_shards[s].get_clock_counts.remote(hs) for s, hs in items]
     )
-    clocks = {h: v for (s, hs), vals in zip(items, clock_vals) for h, v in zip(hs, vals)}
+    clocks: dict[str, float] = {}
+    fetched_so_far: dict[str, int] = {}
+    for (s, hs), (cl, cn) in zip(items, clock_vals):
+        for h, v, k in zip(hs, cl, cn):
+            clocks[h] = v
+            fetched_so_far[h] = k
     delays = {h: rules.delay(h) for h in hcodes}
 
     # per-host rank in discovery order → fetch_time
@@ -294,6 +300,22 @@ def _schedule_small_round(
     clock_arr = np.array([clocks[h] for h in hcodes], dtype=np.float64)
     delay_arr = np.array([delays[h] for h in hcodes], dtype=np.float64)
     fetch_time = clock_arr[hinv] + rank * delay_arr[hinv]
+
+    if max_per_host > 0:
+        # per-host cumulative page cap (crawler-trap guard): candidates
+        # beyond the host's remaining quota — a SUFFIX of its
+        # discovery-order run, so surviving ranks stay 0..q-1 and the
+        # fetch_time formula is untouched — are dropped, unseen (they may
+        # be rediscovered, but the quota never recovers)
+        quota = max_per_host - np.array(
+            [fetched_so_far[h] for h in hcodes], dtype=np.int64
+        )
+        keep = rank < np.maximum(quota, 0)[hinv]
+        if not keep.all():
+            kidx = np.where(keep)[0]
+            t = t.take(pa.array(kidx))
+            uh, dp, ds_, hinv = uh[kidx], dp[kidx], ds_[kidx], hinv[kidx]
+            fetch_time = fetch_time[kidx]
 
     # global order + budget truncation + crawl_seq
     gorder = np.lexsort((ds_, dp, hinv, fetch_time))
@@ -318,16 +340,17 @@ def _schedule_small_round(
         lambda: [seen_shards[s].add.remote(final_h[sid == s]) for s in live]
     )
     fetched_codes, fetched_counts = np.unique(hinv[gorder], return_counts=True)
-    adv: dict[int, tuple[list, list]] = {}
+    adv: dict[int, tuple[list, list, list]] = {}
     for c, k in zip(fetched_codes, fetched_counts):
         h = hcodes[c]
         s = host_shard(h, n_pol)
-        adv.setdefault(s, ([], []))[0].append(h)
+        adv.setdefault(s, ([], [], []))[0].append(h)
         adv[s][1].append(float(k) * delays[h])
+        adv[s][2].append(int(k))
     retry_actor_get(
         lambda: [
-            pol_shards[s].advance.remote(hs, deltas, (advance_token, s))
-            for s, (hs, deltas) in sorted(adv.items())
+            pol_shards[s].advance.remote(hs, deltas, (advance_token, s), ks)
+            for s, (hs, deltas, ks) in sorted(adv.items())
         ]
     )
     return t
@@ -351,7 +374,7 @@ def _host_count_slices(t: pa.Table, n_shards: int):
 
 
 @ray.remote
-def _shard_clock_carry(pol_shard, rules, n_blocks: int, *slices):
+def _shard_clock_carry(pol_shard, rules, n_blocks: int, max_per_host: int, *slices):
     """One politeness shard's share of the distributed schedule carry.
 
     ``slices[b]`` is block ``b``'s (host, n) counts for THIS shard's
@@ -366,9 +389,18 @@ def _shard_clock_carry(pol_shard, rules, n_blocks: int, *slices):
 
     tables = list(slices)
     all_hosts = sorted({h for t in tables for h in t.column("host").to_pylist()})
-    clock_vals = retry_actor_get(lambda: [pol_shard.get_clocks.remote(all_hosts)])[0]
+    clock_vals, count_vals = retry_actor_get(
+        lambda: [pol_shard.get_clock_counts.remote(all_hosts)]
+    )[0]
     clock_map = dict(zip(all_hosts, clock_vals))
     delay_map = {h: rules.delay(h) for h in all_hosts}
+    # per-host remaining page-cap quota (-1 = uncapped); the assignment
+    # task keeps rows with base + local_rank < quota, a per-host prefix
+    quota_map = (
+        {h: max(0, max_per_host - k) for h, k in zip(all_hosts, count_vals)}
+        if max_per_host > 0
+        else {h: -1 for h in all_hosts}
+    )
     running: dict = {}
     outs = []
     for t in tables:
@@ -381,8 +413,9 @@ def _shard_clock_carry(pol_shard, rules, n_blocks: int, *slices):
                     pa.array([running.get(h, 0) for h in hosts], pa.int64()),
                     pa.array([clock_map[h] for h in hosts], pa.float64()),
                     pa.array([delay_map[h] for h in hosts], pa.float64()),
+                    pa.array([quota_map[h] for h in hosts], pa.int64()),
                 ],
-                names=["host", "base", "t0", "dh"],
+                names=["host", "base", "t0", "dh", "quota"],
             )
         )
         for h, c in zip(hosts, ns):
@@ -418,7 +451,15 @@ def _assign_block_fetch_times(t: pa.Table, *carries) -> pa.Table:
     t0 = carry.column("t0").to_numpy(zero_copy_only=False)[pos]
     dh = carry.column("dh").to_numpy(zero_copy_only=False)[pos]
     fetch_time = t0[run_ids] + (base[run_ids] + local_rank) * dh[run_ids]
-    return t.append_column("fetch_time", pa.array(fetch_time, pa.float64()))
+    quota = carry.column("quota").to_numpy(zero_copy_only=False)[pos][run_ids]
+    t = t.append_column("fetch_time", pa.array(fetch_time, pa.float64()))
+    capped = quota >= 0
+    if capped.any():
+        # page cap: keep each host's global-rank prefix (base+local < quota)
+        keep = ~capped | (base[run_ids] + local_rank < quota)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+    return t
 
 
 @ray.remote(num_cpus=0)
@@ -440,15 +481,16 @@ def _advance_clocks_task(pol_shards: list, rules, token, *count_tables) -> int:
         for h, c in zip(t.column("host").to_pylist(), t.column("n").to_pylist()):
             merged[h] = merged.get(h, 0) + int(c)
     n_pol = len(pol_shards)
-    adv: dict[int, tuple[list, list]] = {}
+    adv: dict[int, tuple[list, list, list]] = {}
     for h, c in merged.items():
         s = host_shard(h, n_pol)
-        adv.setdefault(s, ([], []))[0].append(h)
+        adv.setdefault(s, ([], [], []))[0].append(h)
         adv[s][1].append(float(c) * rules.delay(h))
+        adv[s][2].append(int(c))
     retry_actor_get(
         lambda: [
-            pol_shards[s].advance.remote(hs, deltas, (token, s))
-            for s, (hs, deltas) in sorted(adv.items())
+            pol_shards[s].advance.remote(hs, deltas, (token, s), ks)
+            for s, (hs, deltas, ks) in sorted(adv.items())
         ]
     )
     return 0
@@ -659,6 +701,7 @@ class CrawlEngine:
                 self.seen.shards,
                 self.sched.shards,
                 ("round", rnd),
+                self.budget.max_per_host,
             )
             n_fetched = ray.get(_nrows0.remote(tbl_ref))
             tr.mark("schedule+state")
@@ -723,6 +766,7 @@ class CrawlEngine:
                         pol_shards[s],
                         self.rules_ref,
                         n_blocks,
+                        self.budget.max_per_host,
                         *(slice_refs[b][s] for b in range(n_blocks)),
                     ),
                     n_blocks,

@@ -105,6 +105,7 @@ HOST_CLOCK_SCHEMA = pa.schema(
     [
         ("host", pa.string()),
         ("next_time", pa.float64()),
+        ("fetched", pa.int64()),  # cumulative scheduled fetches (page cap)
     ]
 )
 

@@ -38,13 +38,24 @@ class PolitenessShard:
 
     def __init__(self):
         self.clock: dict[str, float] = {}
+        self.count: dict[str, int] = {}       # cumulative scheduled fetches
         self._applied: set = set()            # advance tokens already applied
         self._applied_order: list = []        # FIFO for the bounded window
 
     def get_clocks(self, hosts: list[str]) -> list[float]:
         return [self.clock.get(h, 0.0) for h in hosts]
 
-    def advance(self, hosts: list[str], deltas: list[float], token=None) -> None:
+    def get_clock_counts(self, hosts: list[str]):
+        """(clock, cumulative fetched count) per host — one RPC serves both
+        the fetch-time base and the per-host page-cap quota."""
+        return (
+            [self.clock.get(h, 0.0) for h in hosts],
+            [self.count.get(h, 0) for h in hosts],
+        )
+
+    def advance(
+        self, hosts: list[str], deltas: list[float], token=None, counts=None
+    ) -> None:
         # token guard makes advance idempotent: a retried RPC whose first
         # attempt DID execute (actor-unavailable is ambiguous) is a no-op
         if token is not None:
@@ -56,12 +67,16 @@ class PolitenessShard:
                 self._applied.discard(self._applied_order.pop(0))
         for h, d in zip(hosts, deltas):
             self.clock[h] = self.clock.get(h, 0.0) + d
+        if counts is not None:
+            for h, k in zip(hosts, counts):
+                self.count[h] = self.count.get(h, 0) + int(k)
 
-    def dump(self) -> dict[str, float]:
-        return dict(self.clock)
+    def dump(self) -> tuple[dict[str, float], dict[str, int]]:
+        return dict(self.clock), dict(self.count)
 
-    def load(self, clock: dict[str, float]) -> None:
+    def load(self, clock: dict[str, float], count: dict[str, int] | None = None) -> None:
         self.clock = dict(clock)
+        self.count = dict(count or {})
 
 
 class PolitenessScheduler:
@@ -117,23 +132,38 @@ class PolitenessScheduler:
         import ray
 
         merged: dict[str, float] = {}
-        for d in ray.get([s.dump.remote() for s in self.shards]):
+        merged_n: dict[str, int] = {}
+        for d, dn in ray.get([s.dump.remote() for s in self.shards]):
             merged.update(d)
+            merged_n.update(dn)
         hosts = sorted(merged)
         return pa.Table.from_arrays(
             [pa.array(hosts, pa.string()),
-             pa.array([merged[h] for h in hosts], pa.float64())],
+             pa.array([merged[h] for h in hosts], pa.float64()),
+             pa.array([merged_n.get(h, 0) for h in hosts], pa.int64())],
             schema=HOST_CLOCK_SCHEMA,
         )
 
     def load_table(self, t: pa.Table) -> None:
         import ray
 
-        clocks = dict(zip(t.column("host").to_pylist(), t.column("next_time").to_pylist()))
-        groups: dict[int, dict[str, float]] = {}
+        hosts = t.column("host").to_pylist()
+        clocks = dict(zip(hosts, t.column("next_time").to_pylist()))
+        # pre-page-cap checkpoints have no fetched column — counts restart
+        # at 0, which only matters when max_per_host is newly enabled
+        counts = (
+            dict(zip(hosts, t.column("fetched").to_pylist()))
+            if "fetched" in t.column_names
+            else {}
+        )
+        groups: dict[int, tuple[dict, dict]] = {}
         for h, v in clocks.items():
-            groups.setdefault(host_shard(h, self.n_shards), {})[h] = v
-        ray.get([self.shards[s].load.remote(d) for s, d in groups.items()])
+            g = groups.setdefault(host_shard(h, self.n_shards), ({}, {}))
+            g[0][h] = v
+            g[1][h] = counts.get(h, 0)
+        ray.get(
+            [self.shards[s].load.remote(d, dn) for s, (d, dn) in groups.items()]
+        )
 
     def shutdown(self) -> None:
         import ray

@@ -62,6 +62,7 @@ class WebParams:
     p_private: float = 0.04    # docs under /private/ (robots-disallowed on h0001)
     n_seeds: int = 8           # seed-list size (spread across the doc space)
     p_redirect: float = 0.0    # share of docs reachable via a 3xx alias URL
+    sitemap_frac: float = 0.0  # per-host sitemap.xml listing this doc share
 
 
 def host_starts(p: WebParams) -> np.ndarray:
@@ -104,6 +105,19 @@ def alias_url(idx: int, starts: np.ndarray) -> str:
     """The 3xx alias form of doc ``idx`` (same host, /r/ path)."""
     h = int(host_of_doc(np.array([idx], np.int64), starts)[0])
     return f"http://h{h:04d}.example/r/{idx:07d}"
+
+
+def sitemap_url(host: int) -> str:
+    return f"http://h{host:04d}.example/sitemap.xml"
+
+
+def sitemap_doc_idx(host: int, p: WebParams, starts: np.ndarray) -> np.ndarray:
+    """The doc indices host ``host``'s sitemap lists (closed-form: every
+    k-th doc of the host's contiguous range, k = round(1/sitemap_frac))."""
+    if p.sitemap_frac <= 0:
+        return np.empty(0, np.int64)
+    step = max(1, int(round(1.0 / p.sitemap_frac)))
+    return np.arange(starts[host], starts[host + 1], step, dtype=np.int64)
 
 
 def doc_url(idx, p: WebParams, starts: np.ndarray):
@@ -213,6 +227,25 @@ def gen_chunk(chunk_idx: int, p: WebParams, starts: np.ndarray) -> pa.Table:
             lengths.append(1)
         n += len(aliased)
 
+    if p.sitemap_frac > 0:
+        # host h's /sitemap.xml row is owned by the chunk holding the
+        # host's first doc — a real page whose spans are plain links to
+        # every k-th doc of the host (closed-form; no rng draws, so
+        # sitemap_frac=0 keeps existing fixtures byte-identical)
+        for h in range(p.n_hosts):
+            if not (lo <= int(starts[h]) < hi):
+                continue
+            listed = sitemap_doc_idx(h, p, starts)
+            urls_listed = doc_url(listed, p, starts)
+            all_urls.append(sitemap_url(h))
+            for j, u2 in enumerate(urls_listed):
+                kinds_flat.append("link")
+                texts_flat.append("")
+                refs_flat.append(str(u2))
+                offs_flat.append(j + 1)
+            lengths.append(len(listed))
+            n += 1
+
     span_struct = pa.StructArray.from_arrays(
         [
             pa.array(kinds_flat, pa.string()),
@@ -238,6 +271,10 @@ class Budget:
     max_urls: int = 10**9
     default_delay: float = 1.0
     per_host_parallel: int = 1  # per-host serial, like the reference's loop
+    max_per_host: int = 0       # cumulative page cap per host; 0 = unlimited
+                                # (crawler-trap guard; reference analogue:
+                                # per-site pagination max_pages,
+                                # src/config.yaml:123)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -265,6 +302,12 @@ def make_seeds(p: WebParams, starts: np.ndarray, n_seeds: int | None = None) -> 
     # dangling seed + duplicate seed (first-wins dedup exercise)
     urls.append(f"http://h0000.example/p/{p.n_docs + 999:07d}")
     urls.append(urls[0])
+    if p.sitemap_frac > 0:
+        # sitemap ingestion: each host's /sitemap.xml joins the seed list
+        # (a real crawl reads robots.txt's Sitemap: line; here the URL is
+        # well-known) — the sitemap is itself a fetched page whose links
+        # bulk-feed the frontier
+        urls.extend(sitemap_url(h) for h in range(p.n_hosts))
     return pa.Table.from_arrays(
         [pa.array(urls, pa.string()), pa.array(range(len(urls)), pa.int64())],
         schema=SEEDS_SCHEMA,
@@ -331,6 +374,8 @@ def fixture_dir(p: WebParams, root: str = "/tmp/synthweb", parallel: bool = Fals
     key = f"d{p.n_docs}_h{p.n_hosts}_s{p.seed}_b{p.n_buckets}_sd{p.n_seeds}"
     if p.p_redirect > 0:
         key += f"_rd{p.p_redirect}"
+    if p.sitemap_frac > 0:
+        key += f"_sm{p.sitemap_frac}"
     out = os.path.join(root, key)
     marker = os.path.join(out, "params.json")
     if not os.path.exists(marker):
