@@ -42,10 +42,22 @@ def main() -> None:
                     help="crawl seed URLs in the synthetic web (default keeps "
                     "WebParams' smoke-test-sized 8; pass n_docs//4 for real runs)")
     ap.add_argument("--synth-buckets", type=int, default=None)
+    ap.add_argument("--synth-redirects", type=float, default=0.0,
+                    help="share of docs behind a 3xx alias URL")
+    ap.add_argument("--synth-sitemaps", type=float, default=0.0,
+                    help="per-host sitemap.xml listing this doc share (joins seeds)")
+    ap.add_argument("--synth-flaky", type=float, default=0.0,
+                    help="share of docs failing their first 1..3 fetch attempts")
     ap.add_argument("--out", required=True, help="checkpoint/output directory")
     ap.add_argument("--max-rounds", type=int, default=4)
     ap.add_argument("--max-urls", type=int, default=10**9)
     ap.add_argument("--default-delay", type=float, default=1.0)
+    ap.add_argument("--max-per-host", type=int, default=0,
+                    help="cumulative page cap per host (crawler-trap guard); 0 = off")
+    ap.add_argument("--max-retries", type=int, default=0,
+                    help="fetch attempts per URL (tenacity-style); 0 = no retries")
+    ap.add_argument("--retry-delay", type=float, default=5.0)
+    ap.add_argument("--retry-mult", type=float, default=1.5)
     ap.add_argument("--resume", action="store_true", help="continue from last manifest")
     ap.add_argument("--seen-shards", type=int, default=8)
     ap.add_argument("--politeness-shards", type=int, default=4)
@@ -76,6 +88,9 @@ def main() -> None:
             seed=args.synth_seed,
             **({"n_buckets": args.synth_buckets} if args.synth_buckets else {}),
             **({"n_seeds": args.synth_seeds} if args.synth_seeds else {}),
+            p_redirect=args.synth_redirects,
+            sitemap_frac=args.synth_sitemaps,
+            p_flaky=args.synth_flaky,
         )
         web_dir = fixture_dir(p, parallel=True)
 
@@ -90,6 +105,10 @@ def main() -> None:
             max_rounds=args.max_rounds,
             max_urls=args.max_urls,
             default_delay=args.default_delay,
+            max_per_host=args.max_per_host,
+            max_retries=args.max_retries,
+            retry_delay=args.retry_delay,
+            retry_mult=args.retry_mult,
         ),
         n_seen_shards=args.seen_shards,
         n_politeness_shards=args.politeness_shards,

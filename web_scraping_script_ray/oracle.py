@@ -109,6 +109,19 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
     clock: dict[str, float] = {}
     host_fetched: dict[str, int] = {}  # cumulative scheduled, for max_per_host
 
+    # transient-failure retry model (engine twin: stages/fetch.py): doc →
+    # first-attempt failure count; backoff charge table in integer micro-
+    # seconds so accumulation order cannot diverge from the engine's
+    flaky: dict[int, int] = {}
+    fpath = os.path.join(web_dir, "flaky.parquet")
+    if os.path.exists(fpath):
+        ft = pq.read_table(fpath)
+        flaky = dict(
+            zip(ft.column("url_hash").to_pylist(), ft.column("fails").to_pylist())
+        )
+    mr = budget.max_retries
+    pen_table = budget.retry_penalties_micro()
+
     # round-0 candidates from seeds
     cands = []
     for row in seeds:
@@ -158,6 +171,7 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
 
         next_cands = []
         fetched_per_host: dict[str, int] = {}
+        host_pen: dict[str, int] = {}
         for c in kept:
             c["crawl_seq"] = seq
             c["round"] = rnd
@@ -166,6 +180,27 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
             fetched_per_host[c["host"]] = fetched_per_host.get(c["host"], 0) + 1
             spans = web.get(c["url"])
             m = res.metrics.setdefault(c["host"], [0, 0, 0])
+            # attempt accounting (engine twin: fetch_rows_in_bucket):
+            # misses burn every attempt; flaky docs recover iff their
+            # failure count is under the budget; retries-off means the
+            # first failed attempt is final
+            fails = flaky.get(c["url_hash"], 0) if spans is not None else 0
+            if spans is None:
+                c["attempts"] = mr if mr > 0 else 1
+            elif fails > 0 and mr > 0 and fails < mr:
+                c["attempts"] = fails + 1
+            elif fails > 0 and mr > 0:
+                c["attempts"] = mr
+                spans = None  # exhausted: content never arrived
+            elif fails > 0:
+                c["attempts"] = 1
+                spans = None
+            else:
+                c["attempts"] = 1
+            if mr > 0:
+                host_pen[c["host"]] = (
+                    host_pen.get(c["host"], 0) + pen_table[c["attempts"] - 1]
+                )
             if spans is None:
                 c["ok"], c["nbytes"], c["spans"] = False, 0, []
                 m[1] += 1
@@ -194,5 +229,11 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
         for h, k in fetched_per_host.items():
             clock[h] = clock.get(h, 0.0) + k * delay_of(h)
             host_fetched[h] = host_fetched.get(h, 0) + k
+        # retry backoff charge, a SEPARATE addition after the per-round
+        # advance — same two-step float sequence as the engine's
+        # schedule-time advance + _charge_retry_penalties
+        for h, v in host_pen.items():
+            if v:
+                clock[h] = clock.get(h, 0.0) + v / 1e6
         cands = next_cands
     return res

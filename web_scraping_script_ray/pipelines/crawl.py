@@ -112,6 +112,11 @@ class _Trace:
 
 
 def _host_value_counts(t: pa.Table, col: str) -> pa.Table:
+    if col not in t.column_names:
+        # an all-filtered round can sort to an empty, SCHEMA-LESS block
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())], names=[col, "n"]
+        )
     vc = pa.compute.value_counts(t.column(col).combine_chunks())
     return pa.Table.from_arrays(
         [
@@ -430,6 +435,9 @@ def _assign_block_fetch_times(t: pa.Table, *carries) -> pa.Table:
     ``t0 + (base + rank)·dh`` (bit-identical formula to the small path
     and the old per_key_rank plan)."""
     if t.num_rows == 0:
+        # normalize: empty sort outputs can be schema-less — downstream
+        # consumers (zip_with_index sort keys) need the full frontier schema
+        t = FRONTIER_SCHEMA.empty_table()
         return t.append_column("fetch_time", pa.array([], pa.float64()))
     carry = pa.concat_tables([c for c in carries if c.num_rows])
     hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
@@ -465,6 +473,21 @@ def _assign_block_fetch_times(t: pa.Table, *carries) -> pa.Table:
 @ray.remote(num_cpus=0)
 def _host_counts_block(t: pa.Table) -> pa.Table:
     return _host_value_counts(t, "host")
+
+
+@ray.remote(num_cpus=0)
+def _host_penalty_partial_block(t: pa.Table, pen_table: list) -> list:
+    """(host, integer-microsecond retry charge) partials of one crawled
+    block — the partition-path twin of the fused task's ``pen`` meta."""
+    if t.num_rows == 0:
+        return []
+    hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+    att = t.column("attempts").to_numpy(zero_copy_only=False)
+    row = np.asarray(pen_table, np.int64)[att - 1]
+    uniq, inv = np.unique(hosts, return_inverse=True)
+    p = np.zeros(len(uniq), np.int64)
+    np.add.at(p, inv, row)
+    return [(h, int(v)) for h, v in zip(uniq.tolist(), p.tolist()) if v > 0]
 
 
 @ray.remote
@@ -556,6 +579,14 @@ class CrawlEngine:
         # M18 size guard (reference src/media_downloader.py:156-179 +
         # config.yaml max_file_size): oversized docs fetch as ok=False
         self.max_file_size = max_file_size
+        # retry backoff charge table (attempts → integer micro-seconds of
+        # virtual time), shared bit-for-bit with the oracle via
+        # Budget.retry_penalties_micro()
+        self._pen_table = (
+            self.budget.retry_penalties_micro()
+            if self.budget.max_retries > 0
+            else None
+        )
         # block-count floor for each round's candidate table.  Sorts and
         # groupbys inherit parallelism from input block count — a 1-block
         # frontier serializes the round — but too many blocks turns each
@@ -579,6 +610,23 @@ class CrawlEngine:
         self.metrics = ShardedMetrics(n_politeness_shards)
 
     # ------------------------------------------------------------------ paths
+    def _charge_retry_penalties(self, rnd: int, pairs) -> None:
+        """Advance host clocks by the round's retry backoff waits — the
+        virtual-clock analogue of tenacity's blocking sleeps, charged at
+        round close because transience is only discovered at fetch time.
+        ``pairs`` are (host, integer-microsecond) partials; integer
+        merging keeps the charge order-independent, and the single
+        int→seconds conversion per host matches the oracle bit-for-bit.
+        Token-guarded idempotent like every other clock advance."""
+        if self.budget.max_retries <= 0 or not pairs:
+            return
+        merged: dict[str, int] = {}
+        for h, v in pairs:
+            merged[h] = merged.get(h, 0) + int(v)
+        self.sched.advance(
+            {h: v / 1e6 for h, v in merged.items()}, token=("retrypen", rnd)
+        )
+
     def _round_dir(self, kind: str, rnd: int) -> str:
         return os.path.join(self.out_dir, kind, f"round-{rnd}")
 
@@ -844,6 +892,8 @@ class CrawlEngine:
                     parsed_dir,
                     fdir,
                     self.max_file_size,
+                    self.budget.max_retries,
+                    self._pen_table,
                 )
                 for b in range(self.n_buckets)
             ]
@@ -871,6 +921,9 @@ class CrawlEngine:
             self.metrics.add_rows(
                 [r for m in metas for r in m["metrics"]], token=("metrics", rnd)
             )
+            self._charge_retry_penalties(
+                rnd, [p for m in metas for p in m.get("pen", ())]
+            )
             if n_next == 0:
                 if fdir:
                     shutil.rmtree(fdir, ignore_errors=True)
@@ -889,7 +942,9 @@ class CrawlEngine:
             scheduled.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(
-                make_bucket_fetcher(self.web_dir, self.max_file_size),
+                make_bucket_fetcher(
+                    self.web_dir, self.max_file_size, self.budget.max_retries
+                ),
                 batch_format="pyarrow",
             )
         )
@@ -957,6 +1012,14 @@ class CrawlEngine:
         tr.mark("write+parse+expand")
 
         self.metrics.merge_partial_refs(metric_refs, token=("metrics", rnd))
+        if self.budget.max_retries > 0:
+            pen_refs = [
+                _host_penalty_partial_block.remote(r, self._pen_table)
+                for r in crawled.to_arrow_refs()
+            ]
+            self._charge_retry_penalties(
+                rnd, [p for part in ray.get(pen_refs) for p in part]
+            )
         tr.mark("metrics")
         return nxt, n_next
 

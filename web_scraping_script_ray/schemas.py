@@ -82,6 +82,7 @@ CRAWLED_SCHEMA = pa.schema(
         ("ok", pa.bool_()),
         ("nbytes", pa.int64()),
         ("spans", pa.list_(SPAN_STRUCT)),
+        ("attempts", pa.int32()),       # fetch attempts consumed (retry)
     ]
 )
 

@@ -96,6 +96,43 @@ _BUCKET_CACHE_TOTAL_BYTES = 512 << 20  # per-worker TOTAL budget
 _BUCKET_CACHE_BYTES = [0]
 
 
+# per-worker flaky-table cache (url_hash → fails, hash-sorted): the
+# synthetic stand-in for network transience, tiny (O(p_flaky · n_docs))
+# and immutable, so one decode per worker serves every round
+_FLAKY_CACHE: dict[str, "tuple[np.ndarray, np.ndarray] | None"] = {}
+
+
+def _load_flaky(web_dir: str):
+    if web_dir in _FLAKY_CACHE:
+        return _FLAKY_CACHE[web_dir]
+    path = os.path.join(web_dir, "flaky.parquet")
+    out = None
+    if os.path.exists(path):
+        t = pads.dataset(path).to_table()
+        h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        f = t.column("fails").to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.argsort(h)
+        out = (h[order], f[order])
+    _FLAKY_CACHE[web_dir] = out
+    return out
+
+
+def _fails_of(web_dir: str, hashes: np.ndarray) -> np.ndarray:
+    """Per-row first-attempt failure count (0 = healthy) from the flaky
+    table, via one searchsorted over the hash-sorted index."""
+    fl = _load_flaky(web_dir)
+    n = len(hashes)
+    if fl is None or n == 0 or len(fl[0]) == 0:
+        return np.zeros(n, np.int32)
+    fh, ff = fl
+    pos = np.searchsorted(fh, hashes)
+    pos = np.minimum(pos, len(fh) - 1)
+    hit = fh[pos] == hashes
+    out = np.zeros(n, np.int32)
+    out[hit] = ff[pos[hit]]
+    return out
+
+
 def _load_bucket(web_dir: str, bucket: int) -> pa.Table | None:
     key = (web_dir, bucket)
     t = _BUCKET_CACHE.get(key)
@@ -124,7 +161,11 @@ def _load_bucket(web_dir: str, bucket: int) -> pa.Table | None:
 
 
 def fetch_rows_in_bucket(
-    web_dir: str, bucket: int, group: pa.Table, max_nbytes: int | None = None
+    web_dir: str,
+    bucket: int,
+    group: pa.Table,
+    max_nbytes: int | None = None,
+    max_retries: int = 0,
 ) -> pa.Table:
     """Lookup-join ``group`` (frontier rows whose url_hash maps to
     ``bucket``) against that ONE web bucket; appends ok/nbytes/spans.
@@ -158,7 +199,10 @@ def fetch_rows_in_bucket(
             pa.array(np.zeros(n + 1, np.int32), pa.int32()),
             pa.array([], span_type.value_type),
         )
-        return group.append_column("spans", empty)
+        group = group.append_column("spans", empty)
+        # every row is a miss: with retries on, each consumed all attempts
+        att = np.full(n, max_retries if max_retries > 0 else 1, np.int32)
+        return group.append_column("attempts", pa.array(att, pa.int32()))
 
     idx = pc.index_in(urls, value_set=t.column("doc_id").combine_chunks())
     ok_np = pc.is_valid(idx).to_numpy(zero_copy_only=False)
@@ -181,21 +225,53 @@ def fetch_rows_in_bucket(
     nbytes = np.zeros(n, dtype=np.int64)
     parents = pc.list_parent_indices(spans_out).to_numpy(zero_copy_only=False)
     np.add.at(nbytes, parents, span_chars)
+    # transient-failure model (reference: tenacity @retry on fetch,
+    # src/scraper.py:137): a flaky doc fails its first ``fails`` attempts.
+    # With retries on, fails < max_retries recovers (ok, attempts=fails+1);
+    # fails >= max_retries exhausts the budget (content dropped).  With
+    # retries off the first failed attempt is final.  Misses (404s) burn
+    # every attempt — tenacity retries exceptions indiscriminately.
+    attempts = np.ones(n, np.int32)
+    drop = np.zeros(n, dtype=bool)
+    hashes = group.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    fails = _fails_of(web_dir, hashes)
+    flaky = (fails > 0) & ok_np
+    if max_retries > 0:
+        attempts[~ok_np] = max_retries
+        recovered = flaky & (fails < max_retries)
+        attempts[recovered] = fails[recovered] + 1
+        exhausted = flaky & (fails >= max_retries)
+        attempts[exhausted] = max_retries
+        drop |= exhausted
+    else:
+        drop |= flaky
+    if drop.any():
+        # failed fetch: content never arrived
+        nbytes = np.where(drop, 0, nbytes)
+    strip = drop.copy()
     if max_nbytes is not None:
+        # over-size rows keep their (known) nbytes but lose content —
+        # the mid-download abort, never retried (a deliberate rejection,
+        # not an exception; reference src/media_downloader.py:174-179)
         over = nbytes > max_nbytes
-        if over.any():
-            ok_np = ok_np & ~over
-            flat = flat.filter(pa.array(~over[parents]))
-            kept = np.where(over, 0, lengths)
-            offsets = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(kept, out=offsets[1:])
-            spans_out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        strip |= over
+        ok_np = ok_np & ~over
+    ok_np = ok_np & ~drop
+    if strip.any():
+        flat = flat.filter(pa.array(~strip[parents]))
+        kept = np.where(strip, 0, lengths)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(kept, out=offsets[1:])
+        spans_out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
     group = group.append_column("ok", pa.array(ok_np))
     group = group.append_column("nbytes", pa.array(nbytes, pa.int64()))
-    return group.append_column("spans", spans_out)
+    group = group.append_column("spans", spans_out)
+    return group.append_column("attempts", pa.array(attempts, pa.int32()))
 
 
-def make_bucket_fetcher(web_dir: str, max_nbytes: int | None = None):
+def make_bucket_fetcher(
+    web_dir: str, max_nbytes: int | None = None, max_retries: int = 0
+):
     """Per-bucket lookup join for ``groupby('bucket').map_groups`` — the
     PARTITION fetch path (used when a round is too large to broadcast):
     the frontier is hash-partitioned by ``url_hash % n_buckets`` so each
@@ -207,7 +283,7 @@ def make_bucket_fetcher(web_dir: str, max_nbytes: int | None = None):
             return group
         b = int(group.column("bucket")[0].as_py())
         return fetch_rows_in_bucket(
-            web_dir, b, group.drop_columns(["bucket"]), max_nbytes
+            web_dir, b, group.drop_columns(["bucket"]), max_nbytes, max_retries
         )
 
     return fetch_group
@@ -267,6 +343,8 @@ def crawl_bucket_task(
     parsed_dir: str | None,
     frontier_dir: str | None,
     max_nbytes: int | None = None,
+    max_retries: int = 0,
+    pen_table: list | None = None,
 ):
     """Fused per-bucket round superstage: fetch (bucketed lookup join) +
     parse + parquet sinks (crawled/parsed/frontier partitions) + metrics
@@ -288,7 +366,7 @@ def crawl_bucket_task(
 
     _t0 = _time.time()
     group = _bucket_rows(block_refs, bucket, n_buckets)
-    out = fetch_rows_in_bucket(web_dir, bucket, group, max_nbytes)
+    out = fetch_rows_in_bucket(web_dir, bucket, group, max_nbytes, max_retries)
     out = out.append_column(
         "round", pa.array(np.full(out.num_rows, rnd, dtype=np.int32))
     )
@@ -304,8 +382,10 @@ def crawl_bucket_task(
         if parsed_dir is not None:
             _pq.write_table(parsed, os.path.join(parsed_dir, f"part-{bucket:05d}.parquet"))
 
-    # per-host metric partials (host, fetched, errors, bytes)
+    # per-host metric partials (host, fetched, errors, bytes) + retry
+    # backoff penalties (host, seconds of virtual wait to charge the clock)
     mets: list = []
+    pens: list = []
     if out.num_rows:
         hosts = np.asarray(out.column("host").to_pylist(), dtype=object)
         okc = out.column("ok").to_numpy(zero_copy_only=False)
@@ -318,6 +398,12 @@ def crawl_bucket_task(
         np.add.at(e, inv, (~okc).astype(np.int64))
         np.add.at(by, inv, nb * okc.astype(np.int64))
         mets = list(zip(uniq.tolist(), f.tolist(), e.tolist(), by.tolist()))
+        if max_retries > 0 and pen_table is not None:
+            att = out.column("attempts").to_numpy(zero_copy_only=False)
+            row_pen = np.asarray(pen_table, np.int64)[att - 1]
+            p = np.zeros(len(uniq), np.int64)
+            np.add.at(p, inv, row_pen)
+            pens = [(h, int(v)) for h, v in zip(uniq.tolist(), p.tolist()) if v > 0]
 
     if frontier_dir is None:
         # budget exhausted or depth cap reached — expanding links the
@@ -327,6 +413,7 @@ def crawl_bucket_task(
         return FRONTIER_SCHEMA.empty_table(), {
             "n_next": 0,
             "metrics": mets,
+            "pen": pens,
             "n_rows": out.num_rows,
             "wall": _time.time() - _t0,
         }
@@ -338,6 +425,7 @@ def crawl_bucket_task(
     return frontier, {
         "n_next": frontier.num_rows,
         "metrics": mets,
+        "pen": pens,
         "n_rows": out.num_rows,
         "wall": _time.time() - _t0,
     }

@@ -63,6 +63,7 @@ class WebParams:
     n_seeds: int = 8           # seed-list size (spread across the doc space)
     p_redirect: float = 0.0    # share of docs reachable via a 3xx alias URL
     sitemap_frac: float = 0.0  # per-host sitemap.xml listing this doc share
+    p_flaky: float = 0.0       # share of docs that fail 1..3 fetch attempts
 
 
 def host_starts(p: WebParams) -> np.ndarray:
@@ -105,6 +106,29 @@ def alias_url(idx: int, starts: np.ndarray) -> str:
     """The 3xx alias form of doc ``idx`` (same host, /r/ path)."""
     h = int(host_of_doc(np.array([idx], np.int64), starts)[0])
     return f"http://h{h:04d}.example/r/{idx:07d}"
+
+
+def flaky_fails(idx, p: WebParams):
+    """Closed-form transient-failure model: doc ``idx`` fails its first
+    ``fails`` fetch attempts (0 = healthy; 1..3 otherwise — with 3 total
+    attempts, fails=3 means the fetch never succeeds this crawl)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    flaky = (idx * 2860486313 % 1019) < int(p.p_flaky * 1019)
+    return np.where(flaky, (idx % 3) + 1, 0).astype(np.int32)
+
+
+def make_flaky(p: WebParams, starts: np.ndarray) -> pa.Table:
+    """(url_hash, fails) for every flaky doc — the synthetic stand-in for
+    network transience, consulted by the fetch stage at attempt time."""
+    idx = np.arange(p.n_docs, dtype=np.int64)
+    fails = flaky_fails(idx, p)
+    sel = fails > 0
+    urls = doc_url(idx[sel], p, starts)
+    hashes = np.array([url_hash64(u) for u in urls], dtype=np.uint64)
+    return pa.Table.from_arrays(
+        [pa.array(hashes, pa.uint64()), pa.array(fails[sel], pa.int32())],
+        names=["url_hash", "fails"],
+    )
 
 
 def sitemap_url(host: int) -> str:
@@ -275,6 +299,30 @@ class Budget:
                                 # (crawler-trap guard; reference analogue:
                                 # per-site pagination max_pages,
                                 # src/config.yaml:123)
+    # transient-failure retry (reference: tenacity @retry on fetch,
+    # src/scraper.py:137 stop_after_attempt(3) wait_exponential;
+    # src/config.yaml:104-108 retry_delay 5 s, timeout_multiplier 1.5).
+    # 0 = retries off (default — byte-identical to the pre-retry engine).
+    # Backoff waits charge the host's politeness clock at round close
+    # (the virtual-clock analogue of tenacity's blocking sleeps).
+    max_retries: int = 0
+    retry_delay: float = 5.0
+    retry_mult: float = 1.5
+
+    def retry_penalties_micro(self) -> list[int]:
+        """Backoff-wait total by attempts consumed: entry ``a-1`` is the
+        clock charge for a fetch that took ``a`` attempts (``a-1`` waits of
+        ``retry_delay · retry_mult^j``), in integer MICROSECONDS of virtual
+        time — per-host sums stay integers (order-independent across the
+        engine's per-bucket partials), so engine and oracle charge
+        bit-identical clocks regardless of accumulation order."""
+        out = []
+        for a in range(1, max(self.max_retries, 1) + 1):
+            pen = 0.0
+            for j in range(a - 1):
+                pen += self.retry_delay * self.retry_mult**j
+            out.append(round(pen * 1e6))
+        return out
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -365,6 +413,8 @@ def write_web(out_dir: str, p: WebParams, parallel: bool = False) -> None:
             _write_chunk(out_dir, p, starts, c)
     pq.write_table(make_seeds(p, starts), os.path.join(out_dir, "seeds.parquet"))
     pq.write_table(make_robots(p), os.path.join(out_dir, "robots.parquet"))
+    if p.p_flaky > 0:
+        pq.write_table(make_flaky(p, starts), os.path.join(out_dir, "flaky.parquet"))
     with open(os.path.join(out_dir, "params.json"), "w") as f:
         json.dump(p.__dict__, f)
 
@@ -376,6 +426,8 @@ def fixture_dir(p: WebParams, root: str = "/tmp/synthweb", parallel: bool = Fals
         key += f"_rd{p.p_redirect}"
     if p.sitemap_frac > 0:
         key += f"_sm{p.sitemap_frac}"
+    if p.p_flaky > 0:
+        key += f"_fk{p.p_flaky}"
     out = os.path.join(root, key)
     marker = os.path.join(out, "params.json")
     if not os.path.exists(marker):
