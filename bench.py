@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     "novelty_curve",
     "host_modularity",
     "benchmark_containment",
+    "lag_gaps",
+    "cube_lineitem",
+    "bm25_topk",
+    "dbscan_core",
 ]
 
 

@@ -79,6 +79,13 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd (or extras-only, without --extras) name must not pass
+        # vacuously as "all good"
+        print(f"FAIL  unknown query names: {sorted(unknown)} (forgot --extras?)")
+        sys.exit(2)
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

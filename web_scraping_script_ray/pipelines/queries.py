@@ -7871,6 +7871,338 @@ QUALIFY row_number() OVER (ORDER BY CAST(micro AS DOUBLE) / n_chars, doc_id) <= 
 
 
 # ---------------------------------------------------------------------------
+# LAG window: per-user inter-event gaps (session-5 window-family addition).
+# ---------------------------------------------------------------------------
+
+def q_lag_gaps(sf_dir: str):
+    """Per-user gap to the PREVIOUS event (LAG window function) in
+    (ts, event_id) order, in integer microseconds — the inter-arrival
+    signal sessionization/rate-limiting builds on.  Same coarse-partition
+    plan as running_sum: user_id % P groups, one vectorized lexsort +
+    shifted diff per partition, no per-user dispatch.  First event per
+    user is excluded (its LAG is NULL)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    P = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("upart", pa.array(uid % P, pa.int64()))
+
+    def gaps_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        u, t, e = uid[order], us[order], eid[order]
+        gap = np.empty(len(u), np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        keep = np.zeros(len(u), dtype=bool)
+        keep[1:] = u[1:] == u[:-1]  # same-user rows only (LAG non-NULL)
+        return pa.Table.from_arrays(
+            [
+                pa.array(e[keep], pa.int64()),
+                pa.array(u[keep], pa.int64()),
+                pa.array(gap[keep], pa.int64()),
+            ],
+            names=["event_id", "user_id", "gap_us"],
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(gaps_part, batch_format="pyarrow")
+    )
+
+
+SQL_LAG_GAPS = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us
+FROM events
+QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE super-aggregate: all four grouping sets from ONE partial pass.
+# ---------------------------------------------------------------------------
+
+def q_cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — sum(qty) + row count
+    for all 4 grouping sets, with 'ALL' marking rolled-up dimensions.
+    Like rollup_lineitem, raw rows collapse to ≤ |flag|×|status| partial
+    rows per block inside ``map_batches``; the cube's 3 derived sets
+    re-aggregate THAT tiny table, so the exchange carries a handful of
+    rows however large lineitem is."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("l_returnflag"), batch.column("l_linestatus"), q],
+            names=["f", "s", "q"],
+        )
+        out = t.group_by(["f", "s"]).aggregate([("q", "sum"), ([], "count_all")])
+        # 'nr' (not 'n'): grouped_sum_count's internal count partial is
+        # __p_n, which a sum column literally named 'n' would collide with
+        return out.rename_columns(["f", "s", "sum_q", "nr"])
+
+    from ..functions.agg import grouped_sum_count
+
+    fine = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["f", "s"], ["sum_q", "nr"], {"sum_q": "sum_q", "nr": "nr"},
+    )
+
+    def expand_cube(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_pylist()
+        s = batch.column("s").to_pylist()
+        sq = batch.column("sum_q").to_pylist()
+        n = batch.column("nr").to_pylist()
+        allf = ["ALL"] * len(f)
+        return pa.Table.from_arrays(
+            [
+                pa.array(f + f + allf + allf, pa.string()),
+                pa.array(s + ["ALL"] * len(s) + s + ["ALL"] * len(s), pa.string()),
+                pa.array(sq * 4, pa.int64()),
+                pa.array(n * 4, pa.int64()),
+            ],
+            names=["l_returnflag", "l_linestatus", "sum_qty", "n_rows"],
+        )
+
+    cubed = fine.map_batches(expand_cube, batch_format="pyarrow")
+    merged = grouped_sum_count(
+        cubed,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "n_rows"],
+        {"sum_qty": "sum_qty", "n_rows": "n_rows"},
+        count_name="__n_fine",  # fine-key count per set: not part of the cube
+    )
+    return merged.drop_columns(["__n_fine"])
+
+
+SQL_CUBE_LINEITEM = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the documents corpus (integer-exact scoring).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("scan", "window", "join", "merge")
+_BM25_K = 10
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-10 documents for a fixed 4-term query — the ranked-
+    retrieval op a corpus search stack needs beyond the boolean
+    inverted index.  Two streaming passes, no shuffle of documents:
+
+    1. corpus stats: one tiny per-block partial (N docs, total tokens T,
+       per-query-term document frequency df) merged into scalars;
+    2. scoring: per block, each doc's integer score
+       ``Σ_t idf_micro(t) · 44·T·tf // (20·T·tf + 6·T + 18·L·N)``
+       — BM25 with k1=6/5, b=3/4 cleared of denominators (A = T/N
+       multiplied through), so every step after the one ln() is exact
+       int64 arithmetic; idf_micro = floor(ln((N-df+.5)/(df+.5)+1)·1e6)
+       rides the floor(ln·scale) numpy↔DuckDB bit-parity the LM scorer
+       established.  Partial top-k per block, global sort+limit over
+       O(blocks·k) rows."""
+    from ..functions.hashing import flat_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(_BM25_TERMS)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        toks = flat.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        dfs = []
+        for term in terms:
+            hit = toks == term
+            if hit.any():
+                rows = np.unique(np.searchsorted(offsets, np.where(hit)[0], "right") - 1)
+                dfs.append(len(rows))
+            else:
+                dfs.append(0)
+        return pa.Table.from_arrays(
+            [
+                pa.array([batch.num_rows], pa.int64()),
+                pa.array([int(lens.sum())], pa.int64()),
+                *[pa.array([d], pa.int64()) for d in dfs],
+            ],
+            names=["n", "t", *[f"df{i}" for i in range(len(terms))]],
+        )
+
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    stats_ds = ds.map_batches(stats_partial, batch_format="pyarrow")
+    agg = stats_ds.aggregate(
+        Sum("n"), Sum("t"), *[Sum(f"df{i}") for i in range(len(terms))]
+    )
+    N = int(agg["sum(n)"])
+    T = int(agg["sum(t)"])
+    df = [int(agg[f"sum(df{i})"]) for i in range(len(terms))]
+    idf_micro = [
+        int(np.floor(np.log((N - d + 0.5) / (d + 0.5) + 1.0) * 1e6)) for d in df
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        toks = flat.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        total = np.zeros(n, np.int64)
+        for ti, term in enumerate(terms):
+            hit = np.where(toks == term)[0]
+            if not len(hit):
+                continue
+            rows = np.searchsorted(offsets, hit, "right") - 1
+            tf = np.zeros(n, np.int64)
+            np.add.at(tf, rows, 1)
+            has = tf > 0
+            num = idf_micro[ti] * 44 * T * tf[has]
+            den = 20 * T * tf[has] + 6 * T + 18 * lens[has] * N
+            total[has] += num // den
+        keep = total > 0
+        t = pa.Table.from_arrays(
+            [pa.array(ids[keep], pa.int64()), pa.array(total[keep], pa.int64())],
+            names=["doc_id", "score_micro"],
+        )
+        # block-local partial top-k
+        order = np.lexsort((ids[keep], -total[keep]))[:_BM25_K]
+        return t.take(pa.array(np.sort(order)))
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score_micro", "doc_id"], descending=[True, False])
+        .limit(_BM25_K)
+    )
+
+
+SQL_BM25_TOPK = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(t)) AS BIGINT) AS tt
+  FROM toks
+),
+term(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM term JOIN toks ON list_contains(toks.t, term.term)
+  GROUP BY term
+),
+idf AS (
+  SELECT term,
+         CAST(floor(ln((s.n - df + 0.5) / (df + 0.5) + 1.0) * 1000000) AS BIGINT)
+           AS idf_micro
+  FROM df, stats s
+),
+tf AS (
+  SELECT doc_id, term,
+         CAST(len(list_filter(t, x -> x = term)) AS BIGINT) AS tf,
+         CAST(len(t) AS BIGINT) AS dl
+  FROM toks, term
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum((idf_micro * 44 * s.tt * tf) //
+                  (20 * s.tt * tf + 6 * s.tt + 18 * dl * s.n)) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN idf USING (term), stats s
+  WHERE tf > 0
+  GROUP BY doc_id
+)
+SELECT doc_id, score_micro FROM scored
+QUALIFY row_number() OVER (ORDER BY score_micro DESC, doc_id) <= {_BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN core points over the embedding space (density signal).
+# ---------------------------------------------------------------------------
+
+_DBSCAN_MINPTS = 3
+
+
+def q_dbscan_core(sf_dir: str):
+    """DBSCAN's density classification over embeddings: a vector is a
+    CORE point iff ≥ minpts others lie within the eps-ball (cosine ≥
+    0.4 — the neardup threshold).  Rides the exact-pair machinery
+    (broadcast matmul / LSH auto-switch in embedding_neardup_pairs);
+    neighbor counts are one tiny groupby over the pair list; every
+    vector appears (zero-neighbor rows included via a left join against
+    the id column — no full-table shuffle)."""
+    from ..functions.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, threshold=0.4)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([a, b]), pa.int64())], names=["vec_id"]
+        )
+
+    from ..functions.agg import grouped_sum_count
+
+    both = pairs.map_batches(both_dirs, batch_format="pyarrow").map_batches(
+        lambda b: b.append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    counts = grouped_sum_count(both, ["vec_id"], ["one"], {"one": "nn"})
+    joined = ds.select_columns(["vec_id"]).join(
+        counts, join_type="left_outer", num_partitions=8, on=("vec_id",)
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = batch.column("nn").fill_null(0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(nn, pa.int64()),
+                pa.array(nn >= _DBSCAN_MINPTS),
+            ],
+            names=["vec_id", "n_neighbors", "is_core"],
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_DBSCAN_CORE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings),
+nb AS (
+  SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE list_cosine_similarity(a.em, b.em) >= 0.4
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id, COALESCE(nb.n, 0) AS n_neighbors,
+       COALESCE(nb.n, 0) >= {_DBSCAN_MINPTS} AS is_core
+FROM e LEFT JOIN nb USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -8064,6 +8396,14 @@ EXTRA_QUERIES = {
     "host_modularity": q_host_modularity,
     # paraphrase-decontamination containment (probe broadcast, no shuffle)
     "benchmark_containment": q_benchmark_containment,
+    # LAG window: per-user inter-event gaps in integer microseconds
+    "lag_gaps": q_lag_gaps,
+    # CUBE(flag, status) super-aggregate from one partial pass
+    "cube_lineitem": q_cube_lineitem,
+    # BM25 ranked retrieval, integer-exact scoring (search stack)
+    "bm25_topk": q_bm25_topk,
+    # DBSCAN density classification over the embedding space
+    "dbscan_core": q_dbscan_core,
 }
 
 ORACLE_SQL = {
@@ -8184,4 +8524,8 @@ EXTRA_ORACLE_SQL = {
     "novelty_curve": SQL_NOVELTY_CURVE,
     "host_modularity": SQL_HOST_MODULARITY,
     "benchmark_containment": SQL_BENCHMARK_CONTAINMENT,
+    "lag_gaps": SQL_LAG_GAPS,
+    "cube_lineitem": SQL_CUBE_LINEITEM,
+    "bm25_topk": SQL_BM25_TOPK,
+    "dbscan_core": SQL_DBSCAN_CORE,
 }
