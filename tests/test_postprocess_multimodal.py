@@ -198,6 +198,7 @@ def test_fetch_max_nbytes_guard(t1_web):
             pa.array(np.arange(len(urls)), pa.int64()),
             pa.array(np.zeros(len(urls), np.int64), pa.int64()),
             pa.array([""] * len(urls), pa.string()),
+            pa.array(np.ones(len(urls), np.int64), pa.int64()),
         ],
         schema=FRONTIER_SCHEMA,
     )

@@ -58,6 +58,10 @@ def main() -> None:
                     help="fetch attempts per URL (tenacity-style); 0 = no retries")
     ap.add_argument("--retry-delay", type=float, default=5.0)
     ap.add_argument("--retry-mult", type=float, default=1.5)
+    ap.add_argument("--priority", choices=["discovery", "popularity"],
+                    default="discovery",
+                    help="frontier order: reference BFS, or most-discovered-"
+                    "first within each host's politeness run")
     ap.add_argument("--resume", action="store_true", help="continue from last manifest")
     ap.add_argument("--seen-shards", type=int, default=8)
     ap.add_argument("--politeness-shards", type=int, default=4)
@@ -109,6 +113,7 @@ def main() -> None:
             max_retries=args.max_retries,
             retry_delay=args.retry_delay,
             retry_mult=args.retry_mult,
+            priority=args.priority,
         ),
         n_seen_shards=args.seen_shards,
         n_politeness_shards=args.politeness_shards,

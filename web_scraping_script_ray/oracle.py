@@ -138,8 +138,14 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
     for rnd in range(budget.max_rounds):
         if not cands or seq >= budget.max_urls:
             break
-        # first-wins dedup in discovery order, then seen + robots filters
+        # first-wins dedup in discovery order, then seen + robots filters;
+        # n_disc counts this round's discoverers per URL (engine twin:
+        # expand_links block partials + shard-stage fold) — all duplicates
+        # of a hash share one URL, so robots commutes with the count
         cands.sort(key=lambda c: (c["disc_primary"], c["disc_secondary"]))
+        n_disc: dict[int, int] = {}
+        for c in cands:
+            n_disc[c["url_hash"]] = n_disc.get(c["url_hash"], 0) + 1
         kept, in_round = [], set()
         for c in cands:
             h = c["url_hash"]
@@ -148,7 +154,14 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
             if disallowed(c["host"], path_of(c["url"])):
                 continue
             in_round.add(h)
+            c["n_disc"] = n_disc[h]
             kept.append(c)
+        if budget.priority == "popularity":
+            # priority frontier: popular URLs take each host's earlier
+            # politeness slots
+            kept.sort(
+                key=lambda c: (-c["n_disc"], c["disc_primary"], c["disc_secondary"])
+            )
         # politeness schedule: per-host serial virtual clock; the per-host
         # page cap (budget.max_per_host, 0 = unlimited) drops each host's
         # over-quota discovery-order suffix unseen (rediscoverable, but
@@ -165,8 +178,12 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
             c["fetch_time"] = clock.get(c["host"], 0.0) + i * delay_of(c["host"])
             capped.append(c)
         kept = capped
-        kept.sort(key=lambda c: (c["fetch_time"], c["host"],
-                                 c["disc_primary"], c["disc_secondary"]))
+        if budget.priority == "popularity":
+            kept.sort(key=lambda c: (c["fetch_time"], c["host"], -c["n_disc"],
+                                     c["disc_primary"], c["disc_secondary"]))
+        else:
+            kept.sort(key=lambda c: (c["fetch_time"], c["host"],
+                                     c["disc_primary"], c["disc_secondary"]))
         kept = kept[: budget.max_urls - seq]
 
         next_cands = []

@@ -206,12 +206,22 @@ def _shard_dedup_probe(
     uh = t.column("url_hash").to_numpy(zero_copy_only=False)
     dp = t.column("disc_primary").to_numpy(zero_copy_only=False)
     ds_ = t.column("disc_secondary").to_numpy(zero_copy_only=False)
+    nd = t.column("n_disc").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((ds_, dp, uh))
     suh = uh[order]
     first = np.ones(len(suh), dtype=bool)
     first[1:] = suh[1:] != suh[:-1]
     keep = order[first]
     t = t.take(pa.array(keep))
+    if not first.all():
+        # fold duplicate discoverers into the survivor's n_disc — equal
+        # hashes always land in THIS shard, so the per-shard sum of the
+        # block partials IS the round-global discoverer count
+        gstarts = np.where(first)[0]
+        gsum = np.add.reduceat(nd[order], gstarts)
+        t = t.set_column(
+            t.column_names.index("n_disc"), "n_disc", pa.array(gsum, pa.int64())
+        )
     seen_mask = retry_actor_get(
         lambda: [seen_shard.probe.remote(uh[keep])]
     )[0]
@@ -230,6 +240,7 @@ def _schedule_small_round(
     pol_shards: list,
     advance_token,
     max_per_host: int = 0,
+    priority: str = "discovery",
 ) -> pa.Table:
     """Small-round scheduling fast path: per-host politeness rank + global
     (fetch_time, host, disc) order + budget truncation + crawl_seq over
@@ -292,8 +303,16 @@ def _schedule_small_round(
             fetched_so_far[h] = k
     delays = {h: rules.delay(h) for h in hcodes}
 
-    # per-host rank in discovery order → fetch_time
-    horder = np.lexsort((ds_, dp, hinv))
+    # per-host rank → fetch_time.  Discovery mode ranks by discovery
+    # order (reference BFS semantics); popularity mode is the PRIORITY
+    # FRONTIER — within each host, URLs with more round-discoverers
+    # (n_disc, folded map-side in expand_links + summed in the shard
+    # stage) take the earlier politeness slots.
+    nd = t.column("n_disc").to_numpy(zero_copy_only=False).astype(np.int64)
+    if priority == "popularity":
+        horder = np.lexsort((ds_, dp, -nd, hinv))
+    else:
+        horder = np.lexsort((ds_, dp, hinv))
     sh = hinv[horder]
     change = np.ones(len(sh), dtype=bool)
     change[1:] = sh[1:] != sh[:-1]
@@ -320,10 +339,14 @@ def _schedule_small_round(
             kidx = np.where(keep)[0]
             t = t.take(pa.array(kidx))
             uh, dp, ds_, hinv = uh[kidx], dp[kidx], ds_[kidx], hinv[kidx]
+            nd = nd[kidx]
             fetch_time = fetch_time[kidx]
 
     # global order + budget truncation + crawl_seq
-    gorder = np.lexsort((ds_, dp, hinv, fetch_time))
+    if priority == "popularity":
+        gorder = np.lexsort((ds_, dp, -nd, hinv, fetch_time))
+    else:
+        gorder = np.lexsort((ds_, dp, hinv, fetch_time))
     # tie-break parity note: the distributed path sorts by (fetch_time,
     # host-string, disc); hinv codes are assigned in np.unique's sorted
     # (lexicographic) host order, so the orders agree exactly.
@@ -656,6 +679,7 @@ class CrawlEngine:
                 rows["disc_primary"].append(int(rank))
                 rows["disc_secondary"].append(0)
                 rows["discovered_by"].append("")
+                rows["n_disc"].append(1)
             return pa.Table.from_arrays(
                 [
                     pa.array(rows[n], FRONTIER_SCHEMA.field(n).type)
@@ -750,6 +774,7 @@ class CrawlEngine:
                 self.sched.shards,
                 ("round", rnd),
                 self.budget.max_per_host,
+                self.budget.priority,
             )
             n_fetched = ray.get(_nrows0.remote(tbl_ref))
             tr.mark("schedule+state")
@@ -769,9 +794,49 @@ class CrawlEngine:
             if n_in_blocks is None or n_in_blocks < self.round_blocks:
                 cands = cands.repartition(self.round_blocks)
             cands = cands.map_batches(robots_allowed, batch_format="pyarrow")
-            cands = dedup_first_wins(
-                cands, "url_hash", ["disc_primary", "disc_secondary"]
-            )
+            if self.budget.priority == "popularity":
+                # first-wins dedup AND discoverer-count fold in one hash
+                # exchange: equal hashes co-locate in a coarse group, the
+                # group task keeps each hash's (dp, ds)-minimum row and
+                # sums the block-partial n_disc — same kernel as the
+                # small path's shard stage
+                K = 64
+
+                def add_hpart(b: pa.Table) -> pa.Table:
+                    h = b.column("url_hash").to_numpy(zero_copy_only=False)
+                    part = (h.astype(np.uint64) % np.uint64(K)).astype(np.int64)
+                    return b.append_column("__hpart", pa.array(part, pa.int64()))
+
+                def dedup_sum(g: pa.Table) -> pa.Table:
+                    g = g.drop_columns(["__hpart"])
+                    uh = g.column("url_hash").to_numpy(zero_copy_only=False)
+                    dp = g.column("disc_primary").to_numpy(zero_copy_only=False)
+                    ds2 = g.column("disc_secondary").to_numpy(zero_copy_only=False)
+                    nd = g.column("n_disc").to_numpy(zero_copy_only=False)
+                    order = np.lexsort((ds2, dp, uh))
+                    suh = uh[order]
+                    first = np.ones(len(suh), dtype=bool)
+                    first[1:] = suh[1:] != suh[:-1]
+                    keep = order[first]
+                    out = g.take(pa.array(keep))
+                    gsum = np.add.reduceat(
+                        nd[order].astype(np.int64), np.where(first)[0]
+                    )
+                    return out.set_column(
+                        out.column_names.index("n_disc"),
+                        "n_disc",
+                        pa.array(gsum, pa.int64()),
+                    )
+
+                cands = (
+                    cands.map_batches(add_hpart, batch_format="pyarrow")
+                    .groupby("__hpart")
+                    .map_groups(dedup_sum, batch_format="pyarrow")
+                )
+            else:
+                cands = dedup_first_wins(
+                    cands, "url_hash", ["disc_primary", "disc_secondary"]
+                )
             # seen probe AFTER dedup (commutes — seen is keyed by url_hash)
             # over fewer rows, one RPC per shard group
             cands = (
@@ -790,7 +855,13 @@ class CrawlEngine:
             # t0, dh) rows.  The driver holds a refs matrix
             # (O(blocks × shards)); no host set, clock dict or count
             # dict ever materializes on it.
-            cands = cands.sort(["host", "disc_primary", "disc_secondary"])
+            if self.budget.priority == "popularity":
+                cands = cands.sort(
+                    ["host", "n_disc", "disc_primary", "disc_secondary"],
+                    descending=[False, True, False, False],
+                )
+            else:
+                cands = cands.sort(["host", "disc_primary", "disc_secondary"])
             refs = cands.to_arrow_refs()
             n_blocks = len(refs)
             if n_blocks == 0:
@@ -829,12 +900,21 @@ class CrawlEngine:
             ]
             tr.mark("sharded-carry-launch")
             scheduled_lazy = ray.data.from_arrow_refs(assigned)
+            if self.budget.priority == "popularity":
+                zip_keys = [
+                    "fetch_time", "host", "n_disc", "disc_primary", "disc_secondary",
+                ]
+                zip_desc = [False, False, True, False, False]
+            else:
+                zip_keys = ["fetch_time", "host", "disc_primary", "disc_secondary"]
+                zip_desc = None
             scheduled, n_fetched = zip_with_index(
                 scheduled_lazy,
-                ["fetch_time", "host", "disc_primary", "disc_secondary"],
+                zip_keys,
                 col="crawl_seq",
                 limit=remaining,
                 base=self.seq,
+                descending=zip_desc,
             )
             tr.mark("schedule+rank")
             if n_fetched == 0:

@@ -65,6 +65,7 @@ FRONTIER_SCHEMA = pa.schema(
         ("disc_primary", pa.int64()),
         ("disc_secondary", pa.int64()),
         ("discovered_by", pa.string()),
+        ("n_disc", pa.int64()),  # discoverers this round (priority signal)
     ]
 )
 

@@ -41,12 +41,15 @@ def zip_with_index(
     col: str = "rank",
     limit: int | None = None,
     base: int = 0,
+    descending: "list[bool] | None" = None,
 ) -> tuple["ray.data.Dataset", int]:
     """Total-order rank (``base + position``) by ``sort_keys``; rows whose
     0-based position ≥ ``limit`` are dropped (budget truncation fused into
     the same pass).  Returns (materialized dataset, surviving row count).
     """
-    ds = ds.sort(sort_keys)
+    ds = ds.sort(sort_keys) if descending is None else ds.sort(
+        sort_keys, descending=descending
+    )
     refs = ds.to_arrow_refs()
     if not refs:
         return ds, 0

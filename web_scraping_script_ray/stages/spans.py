@@ -122,6 +122,7 @@ def expand_links(batch: pa.Table) -> pa.Table:
             pa.array(seqs[parents_sel[keep]].astype(np.int64), pa.int64()),
             pa.array(span_idx_sel[keep], pa.int64()),
             pa.array([base_urls[p] for p in parents_sel[keep]], pa.string()),
+            pa.array(np.ones(len(keep), np.int64), pa.int64()),
         ],
         schema=FRONTIER_SCHEMA,
     )
@@ -130,7 +131,9 @@ def expand_links(batch: pa.Table) -> pa.Table:
     # rediscovered constantly; dropping block-local repeats shrinks the
     # frontier shipped to the scheduler without changing its global
     # first-wins result (each block's surviving row is its block-minimum,
-    # so the global minimum always survives).
+    # so the global minimum always survives).  The duplicate COUNT per
+    # hash is folded into the survivor's ``n_disc`` — the priority
+    # signal's map-side partial (global n_disc = sum of block partials).
     uh = out.column("url_hash").to_numpy(zero_copy_only=False)
     dp = out.column("disc_primary").to_numpy(zero_copy_only=False)
     ds2 = out.column("disc_secondary").to_numpy(zero_copy_only=False)
@@ -138,10 +141,18 @@ def expand_links(batch: pa.Table) -> pa.Table:
     suh = uh[order]
     first = np.ones(len(suh), dtype=bool)
     first[1:] = suh[1:] != suh[:-1]
-    sel2 = np.sort(order[first])
-    if len(sel2) < len(uh):
-        out = out.take(pa.array(sel2))
-    return out
+    if first.all():
+        return out
+    starts = np.where(first)[0]
+    counts = np.diff(np.append(starts, len(suh)))
+    keep_rows = order[first]
+    back = np.argsort(keep_rows, kind="stable")
+    out = out.take(pa.array(np.sort(keep_rows)))
+    return out.set_column(
+        out.column_names.index("n_disc"),
+        "n_disc",
+        pa.array(counts[back], pa.int64()),
+    )
 
 
 def project_text(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:

@@ -308,6 +308,12 @@ class Budget:
     max_retries: int = 0
     retry_delay: float = 5.0
     retry_mult: float = 1.5
+    # frontier priority: "discovery" reproduces the reference's BFS order;
+    # "popularity" is the priority frontier — within each host's politeness
+    # run, URLs discovered by MORE pages this round take the earlier slots
+    # (n_disc, folded map-side in expand_links; north_star "priority
+    # frontier ... groupby-aggregate-sort")
+    priority: str = "discovery"
 
     def retry_penalties_micro(self) -> list[int]:
         """Backoff-wait total by attempts consumed: entry ``a-1`` is the
