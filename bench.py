@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "cube_lineitem",
     "bm25_topk",
     "dbscan_core",
+    "above_avg_orders",
+    "moving_avg",
+    "mad_outliers",
+    "web_components",
 ]
 
 

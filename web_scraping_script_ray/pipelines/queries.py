@@ -8203,6 +8203,345 @@ FROM e LEFT JOIN nb USING (vec_id)
 
 
 # ---------------------------------------------------------------------------
+# Correlated-subquery pattern: rows above their group's average.
+# ---------------------------------------------------------------------------
+
+def q_above_avg_orders(sf_dir: str):
+    """Orders priced strictly above their customer's average order price
+    — the classic correlated subquery (TPC-H Q17's shape), decorrelated
+    into aggregate-then-join: map-side (custkey, sum, count) partials,
+    Ray's native hash join back to orders, and the comparison done as
+    integer cross-multiplication (cents·n > sum) so no float division
+    can smear the boundary."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda b: _cents(b, "o_totalprice", "cents"), batch_format="pyarrow"
+    ).select_columns(["o_orderkey", "o_custkey", "cents"])
+
+    from ..functions.agg import grouped_sum_count
+
+    stats = grouped_sum_count(
+        ds.select_columns(["o_custkey", "cents"]),
+        ["o_custkey"], ["cents"], {"cents": "sum_cents"}, count_name="n_orders",
+    )
+    joined = ds.join(stats, join_type="inner", num_partitions=16, on=("o_custkey",))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("sum_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(c * n > s)).select(
+            ["o_orderkey", "o_custkey", "cents"]
+        )
+
+    return joined.map_batches(flt, batch_format="pyarrow")
+
+
+SQL_ABOVE_AVG_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n FROM o GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.cents
+FROM o JOIN s USING (o_custkey)
+WHERE o.cents * s.n > s.sum_cents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window frame: 3-row moving sum per user (ROWS BETWEEN 2 PRECEDING ...).
+# ---------------------------------------------------------------------------
+
+def q_moving_avg(sf_dir: str):
+    """Per-user 3-row moving window over event values in (ts, event_id)
+    order — emitted as the exact integer (window_sum_cents, window_n)
+    pair rather than a float average.  Same coarse-partition lexsort
+    plan as running_sum; the frame sum is a cumsum difference within
+    each user's segment (no per-row loop)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
+    )
+    P = 32
+    W = 3
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("upart", pa.array(uid % P, pa.int64()))
+
+    def windowed(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        u, e, c = uid[order], eid[order], cents[order]
+        n = len(u)
+        cs = np.concatenate([[0], np.cumsum(c)])
+        pos = np.arange(n, dtype=np.int64)
+        newu = np.ones(n, dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        seg_start = pos[newu][np.cumsum(newu) - 1]  # segment start per row
+        lo = np.maximum(pos - (W - 1), seg_start)
+        wsum = cs[pos + 1] - cs[lo]
+        wn = pos + 1 - lo
+        return pa.Table.from_arrays(
+            [
+                pa.array(e, pa.int64()),
+                pa.array(u, pa.int64()),
+                pa.array(wsum, pa.int64()),
+                pa.array(wn, pa.int64()),
+            ],
+            names=["event_id", "user_id", "window_sum_cents", "window_n"],
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(windowed, batch_format="pyarrow")
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS window_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS window_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: per-group median absolute deviation (MAD).
+# ---------------------------------------------------------------------------
+
+def _disc_median_from_counts(vals: np.ndarray, counts: np.ndarray) -> int:
+    """Lower (discrete) median — sorted[(n-1)//2] — from a value→count
+    table, matching DuckDB ``quantile_disc(x, 0.5)`` exactly."""
+    order = np.argsort(vals)
+    v, c = vals[order], counts[order]
+    cum = np.cumsum(c)
+    target = (cum[-1] - 1) // 2 + 1
+    return int(v[np.searchsorted(cum, target)])
+
+
+def q_mad_outliers(sf_dir: str):
+    """Per-group median absolute deviation of integer-cent prices — the
+    robust outlier scale (winsorization/anomaly gates use median ± k·MAD
+    where quantiles resist the heavy tail that wrecks stddev).  Two
+    passes of the bounded-cardinality count-partial plan (group_stats'
+    exact-median machinery): pass 1 folds (flag, cents) counts → lower
+    median; pass 2 folds (flag, |cents−median|) counts → MAD.  Raw rows
+    never shuffle; the exchanges carry distinct-value partials only."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]).map_batches(
+        lambda b: _cents(b, "l_extendedprice", "cents"), batch_format="pyarrow"
+    ).select_columns(["l_returnflag", "cents"])
+
+    from ..functions.agg import grouped_sum_count
+
+    def count_partials(col_out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = batch.group_by(["l_returnflag", col_out]).aggregate(
+                [([], "count_all")]
+            )
+            return out.rename_columns(["l_returnflag", col_out, "cnt"])
+
+        return fn
+
+    med_counts = grouped_sum_count(
+        ds.map_batches(count_partials("cents"), batch_format="pyarrow"),
+        ["l_returnflag", "cents"], ["cnt"], {"cnt": "n"},
+        coarse=16,  # (flag, cents) is high-cardinality — dodge Ray's
+        # per-distinct-key groupby cost with the N-way hash merge
+    )
+
+    def fold_median(g: pa.Table) -> pa.Table:
+        flag = g.column("l_returnflag")[0].as_py()
+        med = _disc_median_from_counts(
+            g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64),
+            g.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table(
+            {"l_returnflag": pa.array([flag]), "median_cents": pa.array([med], pa.int64())}
+        )
+
+    medians = (
+        med_counts.groupby("l_returnflag")
+        .map_groups(fold_median, batch_format="pyarrow")
+        .to_pandas()
+    )
+    med_map = dict(zip(medians["l_returnflag"], medians["median_cents"]))
+    med_ref = ray.put(med_map)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        flags = batch.column("l_returnflag").to_pylist()
+        c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        med = np.array([mm[f] for f in flags], np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("l_returnflag"), pa.array(np.abs(c - med), pa.int64())],
+            names=["l_returnflag", "dev"],
+        )
+
+    dev_counts = grouped_sum_count(
+        ds.map_batches(absdev, batch_format="pyarrow").map_batches(
+            count_partials("dev"), batch_format="pyarrow"
+        ),
+        ["l_returnflag", "dev"], ["cnt"], {"cnt": "n"},
+        coarse=16,
+    )
+
+    def fold_mad(g: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        flag = g.column("l_returnflag")[0].as_py()
+        mad = _disc_median_from_counts(
+            g.column("dev").to_numpy(zero_copy_only=False).astype(np.int64),
+            g.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array([flag]),
+                "median_cents": pa.array([int(mm[flag])], pa.int64()),
+                "mad_cents": pa.array([mad], pa.int64()),
+            }
+        )
+
+    return dev_counts.groupby("l_returnflag").map_groups(
+        fold_mad, batch_format="pyarrow"
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH c AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
+  FROM c GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, m.median_cents,
+       CAST(quantile_disc(abs(c.cents - m.median_cents), 0.5) AS BIGINT)
+         AS mad_cents
+FROM c JOIN m USING (l_returnflag)
+GROUP BY c.l_returnflag, m.median_cents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components of the web link graph (crawl-analysis surface).
+# ---------------------------------------------------------------------------
+
+def q_web_components(sf_dir: str, force_plan: str | None = None):
+    """Weakly-connected components of the crawled link graph: every
+    linked node labeled with its component's minimum doc index — the
+    same size-selected distributed min-id label propagation the dedup
+    keep policy runs (functions/graph.py), applied to the web itself
+    (mirror/orphan detection).  Node ids are the integer doc indices
+    embedded in the URLs; the oracle is the recursive-CTE transitive
+    closure over the identical edge derivation."""
+    edges = _web_link_edges(sf_dir)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        def ids_of(col):
+            arr = pc.extract_regex(batch.column(col), r"(?P<d>[0-9]+)$")
+            return pc.cast(pc.struct_field(arr, "d"), pa.int64())
+
+        return pa.Table.from_arrays(
+            [ids_of("u"), ids_of("v")], names=["id_a", "id_b"]
+        )
+
+    pairs_ds = edges.map_batches(to_int, batch_format="pyarrow")
+    # size-selected like the dedup keep policy: the web graph's giant
+    # component makes ITERATION COUNT ≈ its eccentricity, so the
+    # distributed min-id loop only pays off when the edge list itself
+    # is too big to union-find in one task
+    n_edges = pairs_ds.count()
+    plan = force_plan or (
+        "driver" if n_edges <= _CC_DRIVER_PAIR_LIMIT else "distributed"
+    )
+    if plan == "distributed":
+        from ..functions.graph import connected_components_minid
+
+        comp = connected_components_minid(pairs_ds, max_iters=256)
+        return comp.map_batches(
+            lambda b: b.rename_columns(["node_id", "component_id"]),
+            batch_format="pyarrow",
+        )
+    pairs = pa.concat_tables(
+        [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = sorted(
+        set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(touched, pa.int64()),
+            pa.array([find(x) for x in touched], pa.int64()),
+        ],
+        names=["node_id", "component_id"],
+    )
+
+
+SQL_WEB_COMPONENTS = f"""
+WITH RECURSIVE
+sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e0 AS (
+  -- TRY_CAST: DuckDB's projection pushdown may evaluate this on spans
+  -- the kind='link' filter later removes (empty media_ref → ''), so the
+  -- cast must be total; NULLs never survive the joins below
+  SELECT DISTINCT
+    TRY_CAST(regexp_extract(src, '([0-9]+)$', 1) AS BIGINT) AS u,
+    TRY_CAST(regexp_extract(dst, '([0-9]+)$', 1) AS BIGINT) AS v
+  FROM raw
+  WHERE src <> dst
+    AND regexp_matches(src, '[0-9]+$') AND regexp_matches(dst, '[0-9]+$')
+),
+edges AS (
+  SELECT u, v FROM e0 WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM e0 WHERE u <> v
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS node_id, CAST(min(label) AS BIGINT) AS component_id
+FROM reach GROUP BY u
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -8404,6 +8743,14 @@ EXTRA_QUERIES = {
     "bm25_topk": q_bm25_topk,
     # DBSCAN density classification over the embedding space
     "dbscan_core": q_dbscan_core,
+    # correlated subquery: orders above their customer's average
+    "above_avg_orders": q_above_avg_orders,
+    # 3-row moving window frame per user (exact integer sums)
+    "moving_avg": q_moving_avg,
+    # robust per-group median absolute deviation
+    "mad_outliers": q_mad_outliers,
+    # weakly-connected components of the web link graph
+    "web_components": q_web_components,
 }
 
 ORACLE_SQL = {
@@ -8528,4 +8875,8 @@ EXTRA_ORACLE_SQL = {
     "cube_lineitem": SQL_CUBE_LINEITEM,
     "bm25_topk": SQL_BM25_TOPK,
     "dbscan_core": SQL_DBSCAN_CORE,
+    "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
+    "moving_avg": SQL_MOVING_AVG,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "web_components": SQL_WEB_COMPONENTS,
 }
