@@ -167,6 +167,12 @@ def bench_crawl(num_cpus: int) -> dict:
         seed=77,
         n_buckets=64,
         n_seeds=max(8, BENCH_WEB_DOCS // 5),
+        # feature-laden crawl bench (redirect hops / transient retries /
+        # sitemap seeding): zero by default so the headline web and its
+        # cached fixture stay byte-identical across sessions
+        p_redirect=float(os.environ.get("GRAFT_BENCH_REDIRECTS", "0")),
+        p_flaky=float(os.environ.get("GRAFT_BENCH_FLAKY", "0")),
+        sitemap_frac=float(os.environ.get("GRAFT_BENCH_SITEMAPS", "0")),
     )
     t0 = time.time()
     web_dir = fixture_dir(p, parallel=True)
@@ -177,6 +183,9 @@ def bench_crawl(num_cpus: int) -> dict:
         max_rounds=6,
         max_urls=int(os.environ.get("GRAFT_BENCH_MAX_URLS", "600000")),
         default_delay=1.0,
+        max_per_host=int(os.environ.get("GRAFT_BENCH_MAX_PER_HOST", "0")),
+        max_retries=int(os.environ.get("GRAFT_BENCH_RETRIES", "0")),
+        priority=os.environ.get("GRAFT_BENCH_PRIORITY", "discovery"),
     )
     from web_scraping_script_ray.pipelines.crawl import CrawlEngine
 
