@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "moving_avg",
     "mad_outliers",
     "web_components",
+    "late_events",
 ]
 
 

@@ -8542,6 +8542,92 @@ FROM reach GROUP BY u
 
 
 # ---------------------------------------------------------------------------
+# Streaming watermark: late-event detection via a distributed prefix-scan.
+# ---------------------------------------------------------------------------
+
+_WATERMARK_US = 2 * 3600 * 1_000_000  # allowed lateness: 2 h
+
+
+def q_late_events(sf_dir: str):
+    """Watermark semantics over the event stream: with ingestion order =
+    event_id, the watermark at each arrival is (running max event time)
+    − 2 h, and an event is LATE iff its own time is below it — the rule
+    a streaming engine uses to close windows.
+
+    The running max is a PREFIX-SCAN, the one aggregation shape
+    map-side combining can't express: it needs every earlier row.  The
+    distributed plan is the classic two-phase scan — range-sort by
+    event_id, per-block max partials, an O(blocks) exclusive prefix on
+    the driver (scalar per block, never row data), then each block
+    applies ``np.maximum.accumulate`` seeded with its carry.  One sort
+    exchange, one tiny carry round-trip."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"]).sort("event_id")
+    refs = ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_max(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return -(1 << 62)
+        us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return int(pc.max(us).as_py())
+
+    maxes = ray.get([block_max.remote(r) for r in refs])
+    carries = []
+    run = -(1 << 62)
+    for m in maxes:
+        carries.append(run)  # exclusive: max of all PRECEDING blocks
+        run = max(run, m)
+
+    @ray.remote(num_cpus=0)
+    def apply_scan(t: pa.Table, carry: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "watermark_us": pa.array([], pa.int64()),
+                    "is_late": pa.array([], pa.bool_()),
+                }
+            )
+        us = (
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        prefix = np.maximum.accumulate(np.maximum(us, carry))
+        # watermark AT ARRIVAL excludes the event itself (exclusive scan):
+        # shift by one, seeding with the carry
+        prev = np.empty(len(us), np.int64)
+        prev[0] = carry
+        prev[1:] = prefix[:-1]
+        wm = prev - _WATERMARK_US
+        return pa.Table.from_arrays(
+            [
+                t.column("event_id"),
+                pa.array(wm, pa.int64()),
+                pa.array(us < wm),
+            ],
+            names=["event_id", "watermark_us", "is_late"],
+        )
+
+    out = [apply_scan.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out)
+
+
+SQL_LATE_EVENTS = f"""
+WITH s AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events
+)
+SELECT event_id,
+       CAST(coalesce(prev_max, {-(1 << 62)}) - {_WATERMARK_US} AS BIGINT)
+         AS watermark_us,
+       us < coalesce(prev_max, {-(1 << 62)}) - {_WATERMARK_US} AS is_late
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -8751,6 +8837,8 @@ EXTRA_QUERIES = {
     "mad_outliers": q_mad_outliers,
     # weakly-connected components of the web link graph
     "web_components": q_web_components,
+    # streaming watermark / late-event detection (distributed prefix-scan)
+    "late_events": q_late_events,
 }
 
 ORACLE_SQL = {
@@ -8879,4 +8967,5 @@ EXTRA_ORACLE_SQL = {
     "moving_avg": SQL_MOVING_AVG,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "web_components": SQL_WEB_COMPONENTS,
+    "late_events": SQL_LATE_EVENTS,
 }
