@@ -271,3 +271,61 @@ def test_bottomk_quantiles_accuracy_and_merge_invariance():
             rank = np.searchsorted(sub, est) / (len(sub) - 1)
             assert abs(rank - q) < 0.06, (key, q, rank)
         assert int(df.loc[key, "k_used"]) == 1024
+
+
+def test_ams_f2_accuracy_and_linearity():
+    """AMS counters computed over block partials equal the whole-table
+    counters (linearity), and the median-of-groups estimate lands within
+    a constant factor of the true F2 on a zipf-ish stream."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_scraping_script_ray.functions.sketch import (
+        AMS_K,
+        ams_f2_estimate,
+        ams_f2_partial,
+    )
+
+    rng = np.random.RandomState(11)
+    vals = rng.zipf(1.6, 20_000) % 500  # heavy-hitter-ish stream
+    t = pa.table({"u": pa.array(vals, pa.int64())})
+    whole = ams_f2_partial(t, "u", AMS_K).column("z").to_numpy(zero_copy_only=False)
+    # linearity: sum of per-block partials == whole-table counters
+    z_sum = np.zeros(AMS_K, np.int64)
+    for lo in range(0, len(vals), 3_333):
+        part = ams_f2_partial(t.slice(lo, 3_333), "u", AMS_K)
+        z_sum += part.column("z").to_numpy(zero_copy_only=False)
+    assert (z_sum == whole).all()
+    _, est = ams_f2_estimate(whole)
+    _, counts = np.unique(vals, return_counts=True)
+    f2 = int((counts.astype(np.int64) ** 2).sum())
+    assert f2 / 4 <= est <= f2 * 4  # sketch-grade accuracy, deterministic seed
+
+
+def test_kmv_merge_sets_exact_and_estimate_regimes():
+    """Set-op estimates: exact when the union fits in k; within sketch
+    tolerance (and consistent) in the estimating regime."""
+    import numpy as np
+
+    from web_scraping_script_ray.functions.sketch import (
+        _kmv_hashes,
+        kmv_merge_sets,
+    )
+    import pyarrow as pa
+
+    def hashes(ids):
+        return np.sort(_kmv_hashes(pa.array([str(i) for i in ids], pa.string())))
+
+    # exact regime: |A ∪ B| = 30 < k = 64
+    a = hashes(range(0, 20))
+    b = hashes(range(10, 30))
+    nc, m, uest, iest = kmv_merge_sets(a[:64], b[:64], 64)
+    assert (m, uest, iest) == (30, 30, 10) and nc == 10
+
+    # estimating regime: 3000 ∪ 3000 with 1000 common
+    a = hashes(range(0, 3000))[:64]
+    b = hashes(range(2000, 5000))[:64]
+    nc, m, uest, iest = kmv_merge_sets(a, b, 64)
+    assert m == 64
+    assert 5000 / 2 <= uest <= 5000 * 2
+    assert 1000 / 3 <= iest <= 1000 * 3

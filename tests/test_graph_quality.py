@@ -646,3 +646,75 @@ def test_hits_plans_agree_on_subset_node_set(ray_session):
     )
     np.testing.assert_array_equal(small["hub"].to_numpy(), dist["hub"].to_numpy())
     np.testing.assert_array_equal(small["auth"].to_numpy(), dist["auth"].to_numpy())
+
+
+def test_sssp_plans_agree(ray_session):
+    """Weighted SSSP: single-task numpy Bellman-Ford == distributed
+    per-round co-partition relaxation, against an independent Dijkstra
+    reference with the same md5 edge weights."""
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import (
+        edge_weights_md5,
+        sssp_weighted,
+    )
+
+    rng = np.random.RandomState(7)
+    pairs = sorted(
+        {
+            (f"s{min(a, b):02d}" if min(a, b) < 5 else f"n{min(a, b):02d}",
+             f"n{max(a, b):02d}")
+            for a, b in rng.randint(0, 70, (160, 2))
+            if a != b
+        }
+    )
+    u = [p[0] for p in pairs]
+    v = [p[1] for p in pairs]
+    w = edge_weights_md5(u, v, 9)
+    edges = ray.data.from_arrow(pa.table({"u": u, "v": v})).repartition(3)
+
+    # reference Dijkstra from all "s"-prefixed nodes
+    adj: dict[str, list] = {}
+    for (a, b), ww in zip(pairs, w):
+        adj.setdefault(a, []).append((b, int(ww)))
+        adj.setdefault(b, []).append((a, int(ww)))
+    dist = {n: 0 for n in adj if n.startswith("s")}
+    heap = [(0, n) for n in dist]
+    heapq.heapify(heap)
+    while heap:
+        d, x = heapq.heappop(heap)
+        if d > dist.get(x, 1 << 60):
+            continue
+        for y, ww in adj[x]:
+            nd = d + ww
+            if nd < dist.get(y, 1 << 60):
+                dist[y] = nd
+                heapq.heappush(heap, (nd, y))
+    ref = sorted(dist.items())
+    assert ref and any(d > 9 for _, d in ref)  # multi-hop weighted paths
+
+    for plan in ("single", "distributed"):
+        out = (
+            sssp_weighted(edges, "s", force_plan=plan, n_parts=4)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        got = list(zip(out.node.tolist(), [int(x) for x in out.dist]))
+        assert got == ref, plan
+
+
+def test_sssp_empty_edges(ray_session):
+    """Zero edges yields an empty typed table, not a crash."""
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.graph import sssp_weighted
+
+    edges = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
+    )
+    out = sssp_weighted(edges, "s", force_plan="single")
+    assert out.count() == 0

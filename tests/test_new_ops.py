@@ -731,3 +731,37 @@ def test_containment_broadcast_vs_bruteforce(ray_session):
     want.sort()
     assert got_t == want
     assert want
+
+
+def test_basket_pairs_vs_bruteforce(ray_session):
+    """Vectorized per-basket pair generation == brute-force itertools,
+    including duplicate rows (deduped per basket) and support filter."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.functions.joins import basket_pairs
+
+    rng = np.random.RandomState(5)
+    baskets = rng.randint(0, 40, 600)
+    items = rng.randint(0, 25, 600)
+    t = pa.table(
+        {"b": pa.array(baskets, pa.int64()), "i": pa.array(items, pa.int64())}
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    ref: dict = {}
+    for bk in np.unique(baskets):
+        its = sorted(set(items[baskets == bk].tolist()))
+        for x, y in itertools.combinations(its, 2):
+            ref[(x, y)] = ref.get((x, y), 0) + 1
+    ref = {k: v for k, v in ref.items() if v >= 3}
+
+    out = basket_pairs(ds, "b", "i", min_support=3).to_pandas()
+    got = {
+        (int(r.item_u), int(r.item_v)): int(r.n_baskets)
+        for r in out.itertuples()
+    }
+    assert got == ref and len(ref) > 10

@@ -1746,3 +1746,275 @@ def bfs_levels(
         frontier = new_frontier
         n_assigned += n_new
     return assigned.select_columns(["node", "level"])
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford relaxation).
+# ---------------------------------------------------------------------------
+
+def edge_weights_md5(u, v, mod: int = 9) -> np.ndarray:
+    """Deterministic integer weight 1..mod per undirected edge (u, v):
+    1 + (md5-prefix-u64 of "u|v") % mod — the same md5-prefix rule every
+    oracle-able hash in this repo uses, so a SQL engine reproduces the
+    weights exactly (``1 + ('0x'||substr(md5(u||'|'||v),1,16))::UBIGINT
+    % mod``)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    out = np.fromiter(
+        (
+            1 + int.from_bytes(md5((a + "|" + b).encode()).digest()[:8], "big") % mod
+            for a, b in zip(u, v)
+        ),
+        dtype=np.int64,
+        count=len(u),
+    )
+    return out
+
+
+_SSSP_INF = 1 << 60
+
+
+@ray.remote
+def _sssp_single_task(refs: list, u_col: str, v_col: str, prefix: str, wmod: int):
+    """One-task numpy Bellman-Ford to the exact fixed point."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    u: list[str] = []
+    v: list[str] = []
+    for t in tables:
+        u.extend(t.column(u_col).to_pylist())
+        v.extend(t.column(v_col).to_pylist())
+    if not u:
+        return pa.table(
+            {"node": pa.array([], pa.string()), "dist": pa.array([], pa.int64())}
+        )
+    w = edge_weights_md5(u, v, wmod)
+    nodes, inv = np.unique(
+        np.concatenate([np.array(u, object), np.array(v, object)]),
+        return_inverse=True,
+    )
+    n = len(nodes)
+    a, b = inv[: len(u)], inv[len(u) :]
+    dist = np.full(n, _SSSP_INF, np.int64)
+    seed = np.array([str(x).startswith(prefix) for x in nodes])
+    dist[seed] = 0
+    while True:
+        nd = dist.copy()
+        np.minimum.at(nd, b, np.where(dist[a] < _SSSP_INF, dist[a] + w, _SSSP_INF))
+        np.minimum.at(nd, a, np.where(dist[b] < _SSSP_INF, dist[b] + w, _SSSP_INF))
+        if (nd == dist).all():
+            break
+        dist = nd
+    keep = dist < _SSSP_INF
+    return pa.Table.from_arrays(
+        [
+            pa.array(list(nodes[keep]), pa.string()),
+            pa.array(dist[keep], pa.int64()),
+        ],
+        names=["node", "dist"],
+    )
+
+
+def sssp_weighted(
+    edges: "ray.data.Dataset",
+    seed_prefix: str,
+    u_col: str = "u",
+    v_col: str = "v",
+    weight_mod: int = 9,
+    n_parts: int = 16,
+    force_plan: str | None = None,
+    max_iters: int = 500,
+) -> "ray.data.Dataset":
+    """Weighted shortest distance from a seed set (nodes whose id starts
+    with ``seed_prefix``) over an undirected string graph with
+    deterministic md5 edge weights 1..``weight_mod`` — Bellman-Ford run
+    to its exact fixed point.  Unreachable nodes are omitted.
+
+    Size-selected like ``bfs_levels``: ONE numpy task under
+    ``_GSTAT_SINGLE_EDGE_LIMIT`` edges; above it, each relaxation round
+    is two co-partition exchanges — (1) the CHANGED frontier joins the
+    src-partitioned adjacency and emits per-dst minimum candidates,
+    (2) candidates merge with the dst-partitioned distance table and
+    only strict improvements survive as the next frontier.  Rounds ≤
+    the hop length of the longest shortest path (≈ weighted diameter /
+    min weight); each round's exchange carries only frontier-adjacent
+    edges and one (part, node, dist) row per touched node — raw edges
+    never reshuffle after the initial adjacency materialization."""
+    res, edges = gstat_single_or(
+        edges, u_col, v_col, _sssp_single_task, force_plan, (seed_prefix, weight_mod)
+    )
+    if res is not None:
+        return res
+
+    import zlib
+
+    def node_part(values) -> pa.Array:
+        return pa.array(
+            [zlib.crc32(x.encode()) % n_parts for x in values], pa.int64()
+        )
+
+    def sym(batch: pa.Table) -> pa.Table:
+        uu = batch.column(u_col)
+        vv = batch.column(v_col)
+        if isinstance(uu, pa.ChunkedArray):
+            uu = uu.combine_chunks()
+        if isinstance(vv, pa.ChunkedArray):
+            vv = vv.combine_chunks()
+        w = edge_weights_md5(uu.to_pylist(), vv.to_pylist(), weight_mod)
+        src = pa.concat_arrays([uu, vv])
+        dst = pa.concat_arrays([vv, uu])
+        ww = pa.array(np.concatenate([w, w]), pa.int64())
+        return pa.table(
+            {
+                "part": node_part(src.to_pylist()),
+                "src": src,
+                "dst": dst,
+                "w": ww,
+            }
+        )
+
+    # adjacency partitioned by SRC: a frontier node's relaxations all
+    # happen inside its own partition group
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_nodes(batch: pa.Table) -> pa.Table:
+        s = batch.column("src")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        mask = pc.starts_with(s, seed_prefix)
+        t = batch.filter(mask)
+        out = t.select(["src"]).group_by(["src"]).aggregate([])
+        return pa.table(
+            {
+                "part": node_part(out.column("src").to_pylist()),
+                "node": out.column("src"),
+                "dist": pa.array(np.zeros(out.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def dedup_nodes(g: pa.Table) -> pa.Table:
+        out = g.group_by(["part", "node"]).aggregate([("dist", "min")])
+        return out.rename_columns(["part", "node", "dist"])
+
+    assigned = (
+        adj.map_batches(init_nodes, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+    frontier = assigned
+    for _ in range(max_iters):
+        # relax: co-partition adj (by src) with the changed frontier;
+        # emit per-dst min candidate distances within the group
+        def tag_f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "part": batch.column("part"),
+                    "src": batch.column("node"),
+                    "dst": pa.array([""] * batch.num_rows, pa.string()),
+                    "w": batch.column("dist"),  # carries dist in the w slot
+                    "is_f": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+                }
+            )
+
+        def tag_adj(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "is_f", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+            )
+
+        def relax(g: pa.Table) -> pa.Table:
+            is_f = pc.equal(g.column("is_f"), pa.scalar(1, pa.int8()))
+            ft = g.filter(is_f)
+            et = g.filter(pc.invert(is_f))
+            if ft.num_rows == 0 or et.num_rows == 0:
+                return pa.table(
+                    {
+                        "part": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.string()),
+                        "dist": pa.array([], pa.int64()),
+                    }
+                )
+            fsrc = ft.column("src").combine_chunks()
+            idx = pc.index_in(et.column("src").combine_chunks(), value_set=fsrc)
+            hit = pc.is_valid(idx)
+            et = et.filter(hit)
+            fdist = ft.column("w").to_numpy(zero_copy_only=False)
+            base = fdist[idx.filter(hit).to_numpy(zero_copy_only=False)]
+            cand = base + et.column("w").to_numpy(zero_copy_only=False)
+            out = pa.table(
+                {"node": et.column("dst"), "dist": pa.array(cand, pa.int64())}
+            )
+            out = out.group_by(["node"]).aggregate([("dist", "min")])
+            out = out.rename_columns(["node", "dist"])
+            return pa.table(
+                {
+                    "part": node_part(out.column("node").to_pylist()),
+                    "node": out.column("node"),
+                    "dist": out.column("dist"),
+                }
+            )
+
+        cand = (
+            adj.map_batches(tag_adj, batch_format="pyarrow")
+            .union(frontier.map_batches(tag_f, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(relax, batch_format="pyarrow")
+        )
+
+        # merge: co-partition candidates with the assigned table; keep
+        # strict improvements (or first sightings) as the new frontier
+        def tag_c(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "is_a", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+            )
+
+        def tag_a(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "is_a", pa.array(np.ones(batch.num_rows, np.int8), pa.int8())
+            )
+
+        def improved(g: pa.Table) -> pa.Table:
+            is_a = pc.equal(g.column("is_a"), pa.scalar(1, pa.int8()))
+            at = g.filter(is_a)
+            ct = g.filter(pc.invert(is_a))
+            if ct.num_rows == 0:
+                return pa.table(
+                    {
+                        "part": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.string()),
+                        "dist": pa.array([], pa.int64()),
+                    }
+                )
+            best = ct.group_by(["part", "node"]).aggregate([("dist", "min")])
+            best = best.rename_columns(["part", "node", "dist"])
+            anode = at.column("node").combine_chunks()
+            idx = pc.index_in(best.column("node").combine_chunks(), value_set=anode)
+            old = np.full(best.num_rows, _SSSP_INF, np.int64)
+            ok = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            if ok.any():
+                adist = at.column("dist").to_numpy(zero_copy_only=False)
+                old[ok] = adist[
+                    idx.filter(pc.is_valid(idx)).to_numpy(zero_copy_only=False)
+                ]
+            new = best.column("dist").to_numpy(zero_copy_only=False)
+            return best.filter(pa.array(new < old))
+
+        new_frontier = (
+            cand.map_batches(tag_c, batch_format="pyarrow")
+            .union(assigned.map_batches(tag_a, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(improved, batch_format="pyarrow")
+            .materialize()
+        )
+        if new_frontier.count() == 0:
+            break
+
+        # fold improvements into the distance table (per-part min merge)
+        assigned = (
+            assigned.union(new_frontier)
+            .groupby("part")
+            .map_groups(dedup_nodes, batch_format="pyarrow")
+            .materialize()
+        )
+        frontier = new_frontier
+    return assigned.select_columns(["node", "dist"])

@@ -831,3 +831,85 @@ def edit1_self_join(
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pyarrow")
     )
+
+
+def basket_pairs(
+    ds: "ray.data.Dataset",
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Frequent co-occurring item PAIRS across baskets (the first level of
+    market-basket / co-occurrence mining): (item_u, item_v, n_baskets)
+    for every unordered item pair appearing together in ≥ ``min_support``
+    baskets.
+
+    Plan: one coarse hash exchange co-locates each basket's rows
+    (``basket % n_parts``), the group task dedups (basket, item) and
+    generates each basket's C(m,2) pairs with pure index arithmetic
+    (np.repeat over per-basket run lengths — no Python loop over rows),
+    then pair counts fold map-side per block before a tiny grouped merge
+    (``grouped_sum_count``).  Baskets are small and bounded in practice
+    (a web corpus's per-page entities, an order's line items), so the
+    quadratic blow-up is per-basket-local; the exchange carries only
+    (pair, partial_count) rows."""
+    from .agg import grouped_sum_count
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        b = batch.column(basket_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(b % n_parts, pa.int64()),
+                "basket": pa.array(b, pa.int64()),
+                "item": batch.column(item_col).cast(pa.int64()),
+            }
+        )
+
+    def gen_pairs(g: pa.Table) -> pa.Table:
+        t = g.select(["basket", "item"]).group_by(["basket", "item"]).aggregate([])
+        b = t.column("basket").to_numpy(zero_copy_only=False)
+        it = t.column("item").to_numpy(zero_copy_only=False)
+        order = np.lexsort((it, b))
+        b, it = b[order], it[order]
+        n = len(b)
+        if n == 0:
+            return pa.table(
+                {
+                    "item_u": pa.array([], pa.int64()),
+                    "item_v": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        run_start = np.repeat(starts, lens)          # basket start per row
+        pos_in_run = np.arange(n) - run_start        # 0..m-1 within basket
+        run_len = np.repeat(lens, lens)
+        cnt = run_len - 1 - pos_in_run               # pairs this row opens
+        first = np.repeat(np.arange(n), cnt)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        within = np.arange(offs[-1]) - np.repeat(offs[:-1], cnt)
+        second = first + 1 + within
+        return pa.table(
+            {
+                "item_u": pa.array(it[first], pa.int64()),
+                "item_v": pa.array(it[second], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gen_pairs, batch_format="pyarrow")
+    )
+    counted = grouped_sum_count(
+        pairs, ["item_u", "item_v"], [], {}, count_name="n_baskets", coarse=n_parts
+    )
+
+    def supported(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater_equal(b.column("n_baskets"), pa.scalar(min_support, pa.int64()))
+        )
+
+    return counted.map_batches(supported, batch_format="pyarrow")

@@ -460,3 +460,93 @@ def cm_estimate(
         hv = (token_hashes(salted) % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, merged[r][hv])
     return est
+
+
+# ---------------------------------------------------------------------------
+# AMS / Tug-of-War F2 sketch (Alon-Matias-Szegedy 1996): estimate the
+# second frequency moment Σ c_u² — the self-join size — from K fixed-size
+# counters.  The sketch is LINEAR (z_k = Σ_u sign_k(u)·c_u distributes
+# over block-partial counts), so each block folds to K integers and NO
+# per-key exchange happens for the estimate at all; only the exact
+# comparison value pays a distinct-key shuffle.  Deterministic md5 sign
+# hashes make every counter — and the median-of-groups estimate — bit-
+# exactly SQL-reproducible (an approximate operator with an exact oracle,
+# the kmv/hll/cm pattern).
+# ---------------------------------------------------------------------------
+
+AMS_K = 64          # counters
+AMS_GROUPS = 8      # median-of-groups (8 groups × 8 counters)
+
+
+def _ams_signs(values: pa.Array, k: int) -> np.ndarray:
+    """(len(values), k) ±1 sign matrix: parity of md5_u64("<val>|<k>")."""
+    s = pc.cast(values, pa.string())
+    n = len(s)
+    out = np.empty((n, k), np.int64)
+    for j in range(k):
+        salted = pc.binary_join_element_wise(
+            s, pa.array([str(j)] * n, pa.string()), "|"
+        )
+        hv = token_hashes(salted)
+        out[:, j] = np.where((hv & np.uint64(1)).astype(bool), 1, -1)
+    return out
+
+
+def ams_f2_partial(batch: pa.Table, val_col: str, k: int = AMS_K) -> pa.Table:
+    """Per-block partial: K counter values over the block's local counts."""
+    counts = (
+        batch.select([val_col]).group_by([val_col]).aggregate([([], "count_all")])
+    )
+    vals = counts.column(val_col)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    c = counts.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+    signs = _ams_signs(vals, k)
+    z = signs.T @ c  # (k,)
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+            pa.array(z, pa.int64()),
+        ],
+        names=["k", "z"],
+    )
+
+
+def ams_f2_estimate(z: np.ndarray, groups: int = AMS_GROUPS) -> tuple[int, int]:
+    """(median_group_sum, estimate): group the K counters into ``groups``
+    consecutive runs, sum z² within each, take the LOWER median (sorted
+    index (groups-1)//2 — ORDER BY ... OFFSET in SQL), divide by the
+    group size for the F2 estimate (integer floor)."""
+    k = len(z)
+    per = k // groups
+    z2 = z.astype(object)  # arbitrary precision: z² can exceed int64 at scale
+    gsum = [int(sum(x * x for x in z2[g * per : (g + 1) * per])) for g in range(groups)]
+    med = sorted(gsum)[(groups - 1) // 2]
+    return med, med // per
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations (Beyer et al. 2007): union and intersection distinct
+# estimates between two sets from their k-minimum-values sketches.  The
+# union sketch is the k smallest of the two sketches' union; an element
+# of the union sketch lies in A∩B iff it appears in BOTH input sketches
+# (h ≤ kth(A∪B) ≤ kth(A), kth(B) — membership is decidable), so
+# |A∩B| ≈ (n_common / k) · |A∪B|.  Same md5-prefix hash and estimator
+# arithmetic as ``kmv_distinct`` — bit-exactly SQL-reproducible.
+# ---------------------------------------------------------------------------
+
+def kmv_merge_sets(
+    a_hashes: np.ndarray, b_hashes: np.ndarray, k: int
+) -> tuple[int, int, int, int]:
+    """From the two sets' (already k-truncated, sorted-unique) sketch
+    hash arrays: (n_common, m_union, union_est, inter_est)."""
+    import math
+
+    un = np.unique(np.concatenate([a_hashes, b_hashes]))[:k]
+    m = len(un)
+    common = un[np.isin(un, a_hashes) & np.isin(un, b_hashes)]
+    nc = len(common)
+    if m < k:
+        return nc, m, m, nc
+    u_raw = (k - 1) * (TWO64 / float(un[-1]))
+    return nc, m, int(math.floor(u_raw)), int(math.floor(nc * u_raw / k))

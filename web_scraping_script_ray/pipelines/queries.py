@@ -8628,6 +8628,249 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# Weighted shortest paths from the crawl seed host (Bellman-Ford).
+# ---------------------------------------------------------------------------
+
+def q_sssp(sf_dir: str):
+    """Weighted shortest distance of every page from host h0000's pages
+    over the undirected link graph with deterministic md5 edge weights
+    1..9 (``functions/graph.py:sssp_weighted``) — the cost-aware
+    generalization of ``bfs_levels`` (crawl scheduling with per-link
+    costs, link-distance ranking).  Bellman-Ford run to the exact fixed
+    point; size-selected to one numpy task at this graph, with the
+    per-round co-partition relax plan pytest-pinned equal.  The oracle
+    unrolls 14 relaxation waves as MATERIALIZED CTEs (the fixture
+    converges in 9; extra waves are identity)."""
+    from ..functions.graph import sssp_weighted
+
+    return sssp_weighted(_web_link_edges(sf_dir), _BFS_SEED_PREFIX, n_parts=16)
+
+
+def _sssp_sql(prefix: str = _BFS_SEED_PREFIX, iters: int = 14) -> str:
+    ctes = [
+        f"""sp AS MATERIALIZED (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+)""",
+        """raw AS MATERIALIZED (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+)""",
+        """e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+)""",
+        """we AS MATERIALIZED (
+  SELECT u, v,
+         CAST(1 + ('0x' || substr(md5(u || '|' || v), 1, 16))::UBIGINT % 9
+              AS BIGINT) AS w
+  FROM e
+)""",
+        """adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM we UNION ALL SELECT v, u, w FROM we
+)""",
+        f"""d0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS d FROM (
+    SELECT DISTINCT src AS node FROM adj WHERE src LIKE '{prefix}%'
+  )
+)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d{p}
+    UNION ALL
+    SELECT adj.dst AS node, d{p}.d + adj.w AS d
+    FROM adj JOIN d{p} ON adj.src = d{p}.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(d AS BIGINT) AS dist FROM d{iters}"
+    )
+
+
+SQL_SSSP = _sssp_sql()
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence pairs over lineitem.
+# ---------------------------------------------------------------------------
+
+def q_copurchase(sf_dir: str):
+    """Part pairs co-purchased in ≥ 2 orders (the first level of frequent-
+    itemset mining / co-occurrence analysis — the "related items" signal
+    of a recommender and the co-citation signal of a link corpus).
+    ``functions/joins.py:basket_pairs``: baskets co-locate in ONE coarse
+    hash exchange, each basket's C(m,2) pairs generate with pure index
+    arithmetic, pair counts fold map-side before the tiny merge — the
+    quadratic step is per-basket-local, never global."""
+    from ..functions.joins import basket_pairs
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
+
+
+SQL_COPURCHASE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT CAST(a.p AS BIGINT) AS item_u, CAST(b.p AS BIGINT) AS item_v,
+       CAST(count(*) AS BIGINT) AS n_baskets
+FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# AMS (Tug-of-War) F2 sketch: self-join-size estimation from K counters.
+# ---------------------------------------------------------------------------
+
+def q_ams_f2(sf_dir: str):
+    """Second frequency moment of ``events.user_id`` — the SELF-JOIN SIZE
+    Σ c_u², estimated by the AMS/Tug-of-War sketch next to its exact
+    value (``functions/sketch.py``).  The sketch is LINEAR: every block
+    folds to 64 signed-count integers with NO per-key exchange at all
+    (the planner's join-blow-up probe at any scale — compare
+    ``join_cardinality``, which pays the per-key shuffle for the exact
+    per-key answer); only the exact comparison value pays a distinct-key
+    exchange.  Deterministic md5 sign hashes make every counter and the
+    lower-median-of-8-groups estimate bit-exactly SQL-reproducible — an
+    approximate operator with an exact oracle (the kmv/hll/cm pattern)."""
+    from ..functions.agg import grouped_sum_count
+    from ..functions.sketch import AMS_GROUPS, AMS_K, ams_f2_estimate, ams_f2_partial
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    # sketch counters: per-block partials sum associatively (linearity)
+    partials = ds.map_batches(
+        lambda b: ams_f2_partial(b, "user_id", AMS_K), batch_format="pyarrow"
+    )
+    z_rows = grouped_sum_count(partials, ["k"], ["z"], {"z": "z"}).take_all()
+    z = np.zeros(AMS_K, np.int64)
+    for r in z_rows:
+        z[int(r["k"])] = int(r["z"])
+    med, est = ams_f2_estimate(z, AMS_GROUPS)
+    # exact F2: per-user counts (coarse-merged partials), then Σ c²
+    counts = grouped_sum_count(
+        _read(sf_dir, "events", ["user_id"]), ["user_id"], [], {},
+        count_name="c", coarse=16,
+    )
+
+    def sq(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"c2": pa.array([int((c * c).sum())], pa.int64())})
+
+    f2 = sum(r["c2"] for r in counts.map_batches(sq, batch_format="pyarrow").take_all())
+    return pa.table(
+        {
+            "stat": pa.array(["f2_exact", "ams_med_group_sum", "ams_est"]),
+            "value": pa.array([int(f2), int(med), int(est)], pa.int64()),
+        }
+    )
+
+
+SQL_AMS_F2 = """
+WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+ks AS (SELECT range AS k FROM range(64)),
+s AS (
+  SELECT k,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+                    || CAST(k AS VARCHAR)), 1, 16))::UBIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS sgn,
+         c
+  FROM c CROSS JOIN ks
+),
+z AS (SELECT k, sum(sgn * c) AS z FROM s GROUP BY 1),
+g AS (SELECT k // 8 AS grp, sum(z * z) AS gsum FROM z GROUP BY 1),
+med AS (SELECT gsum FROM g ORDER BY gsum LIMIT 1 OFFSET 3)
+SELECT 'f2_exact' AS stat, CAST(sum(c * c) AS BIGINT) AS value FROM c
+UNION ALL SELECT 'ams_med_group_sum', CAST(gsum AS BIGINT) FROM med
+UNION ALL SELECT 'ams_est', CAST(gsum // 8 AS BIGINT) FROM med
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection distinct estimates.
+# ---------------------------------------------------------------------------
+
+def q_kmv_set_ops(sf_dir: str):
+    """Distinct-user UNION and INTERSECTION estimates between the click
+    audience and the purchase audience from their KMV sketches
+    (``functions/sketch.py:kmv_merge_sets``) — the sketch SET ALGEBRA
+    that answers audience-overlap questions without ever co-shuffling
+    the two sides: each block folds to ≤ k hashes per set, one tiny
+    merge task combines.  An element of the union sketch is decidably
+    in A∩B (h ≤ kth(A∪B) ≤ both kth's), giving
+    |A∩B| ≈ (n_common/k)·|A∪B|.  Same md5-prefix hash and estimator
+    arithmetic as ``kmv_distinct`` — bit-exact oracle in both the exact
+    (m < k) and estimating regimes."""
+    from ..functions.sketch import _kmv_partial, kmv_merge_sets
+
+    k = 64
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def only_ab(b: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            b.column("event_type"),
+            value_set=pa.array(["click", "purchase"], pa.string()),
+        )
+        return b.filter(m)
+
+    partials = ds.map_batches(only_ab, batch_format="pyarrow").map_batches(
+        lambda b: _kmv_partial(b, "event_type", "user_id", k),
+        batch_format="pyarrow",
+    )
+    refs = partials.materialize().to_arrow_refs()
+
+    @ray.remote
+    def merge(*tbls) -> pa.Table:
+        t = pa.concat_tables([x for x in tbls if x.num_rows], promote_options="none")
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        hv = t.column("__hv").to_numpy(zero_copy_only=False).astype(np.uint64)
+        a = np.unique(hv[et == "click"])[:k]
+        b = np.unique(hv[et == "purchase"])[:k]
+        nc, m, uest, iest = kmv_merge_sets(a, b, k)
+        return pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n_common": pa.array([nc], pa.int64()),
+                "union_est": pa.array([uest], pa.int64()),
+                "inter_est": pa.array([iest], pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow_refs([merge.remote(*refs)])
+
+
+SQL_KMV_SET_OPS = """
+WITH a AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM events WHERE event_type = 'purchase'
+), ua AS (SELECT hv FROM a ORDER BY hv LIMIT 64),
+ub AS (SELECT hv FROM b ORDER BY hv LIMIT 64),
+un AS (
+  SELECT hv FROM (SELECT hv FROM ua UNION SELECT hv FROM ub) ORDER BY hv LIMIT 64
+), stats AS (SELECT count(*) AS m, max(hv) AS kth FROM un),
+common AS (
+  SELECT count(*) AS nc FROM un
+  WHERE hv IN (SELECT hv FROM ua) AND hv IN (SELECT hv FROM ub)
+)
+SELECT 64 AS k, CAST(nc AS BIGINT) AS n_common,
+  CAST(CASE WHEN m < 64 THEN m
+       ELSE floor(63.0 * (18446744073709551616.0 / CAST(kth AS DOUBLE)))
+       END AS BIGINT) AS union_est,
+  CAST(CASE WHEN m < 64 THEN nc
+       ELSE floor(nc * (63.0 * (18446744073709551616.0 / CAST(kth AS DOUBLE))) / 64.0)
+       END AS BIGINT) AS inter_est
+FROM stats, common
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -8839,6 +9082,14 @@ EXTRA_QUERIES = {
     "web_components": q_web_components,
     # streaming watermark / late-event detection (distributed prefix-scan)
     "late_events": q_late_events,
+    # weighted shortest paths from the seed host (Bellman-Ford fixed point)
+    "sssp": q_sssp,
+    # frequent co-purchased part pairs (market-basket mining, support >= 2)
+    "copurchase": q_copurchase,
+    # AMS/Tug-of-War F2 sketch: self-join size from 64 linear counters
+    "ams_f2": q_ams_f2,
+    # KMV sketch set algebra: audience union/intersection estimates
+    "kmv_set_ops": q_kmv_set_ops,
 }
 
 ORACLE_SQL = {
@@ -8968,4 +9219,8 @@ EXTRA_ORACLE_SQL = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "web_components": SQL_WEB_COMPONENTS,
     "late_events": SQL_LATE_EVENTS,
+    "sssp": SQL_SSSP,
+    "copurchase": SQL_COPURCHASE,
+    "ams_f2": SQL_AMS_F2,
+    "kmv_set_ops": SQL_KMV_SET_OPS,
 }
