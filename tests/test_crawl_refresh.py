@@ -1,0 +1,197 @@
+"""Refresh (re)crawl: conditional-GET revisits, status diff and corpus
+merge vs the sequential oracle, on both schedule plans.
+
+The synthetic web's freshness epochs are closed-form per-(doc, epoch)
+coins applied AFTER generation (synthweb.is_changed / is_gone /
+has_child), so unchanged docs stay byte-identical across epochs — the
+invariant the conditional-GET (304) model rests on.
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from web_scraping_script_ray.functions.hashing import span_content_hash_py
+from web_scraping_script_ray.oracle import run_oracle
+from web_scraping_script_ray.synthweb import (
+    Budget,
+    WebParams,
+    fixture_dir,
+    gen_chunk,
+    has_child,
+    host_starts,
+    is_changed,
+    is_gone,
+)
+
+P1 = WebParams(n_docs=1500, n_hosts=15, seed=23, n_seeds=6)
+P2 = replace(P1, epoch=1, p_change=0.12, p_gone=0.05, child_frac=0.5)
+B = Budget(max_rounds=6, max_urls=1_000_000)
+
+ORDER_COLS = [
+    "url", "host", "url_hash", "depth", "crawl_seq", "round",
+    "fetch_time", "discovered_by", "ok", "nbytes", "not_modified",
+]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+@pytest.fixture(scope="module")
+def webs():
+    return fixture_dir(P1), fixture_dir(P2)
+
+
+@pytest.fixture(scope="module")
+def prior(webs, tmp_path_factory):
+    """Epoch-1 crawl (engine) + its oracle twin."""
+    from web_scraping_script_ray.pipelines.crawl import run_crawl
+
+    out = str(tmp_path_factory.mktemp("refresh_prior"))
+    eng, info = run_crawl(webs[0], out, B)
+    eng.shutdown()
+    return out, run_oracle(webs[0], B)
+
+
+def _oracle_refresh(web2: str, o1):
+    seeds = [dict(url=c["url"], seed_rank=c["crawl_seq"]) for c in o1.crawled]
+    etags = {
+        c["url_hash"]: span_content_hash_py(c["spans"])
+        for c in o1.crawled
+        if c["ok"] and c["spans"]
+    }
+    return run_oracle(web2, B, seeds=seeds, etags=etags)
+
+
+def test_epoch_zero_knobs_are_identity():
+    """epoch=1 with zero change/gone/child fracs generates byte-identical
+    chunks — no existing fixture or golden can move."""
+    t0 = gen_chunk(0, P1, host_starts(P1))
+    t1 = gen_chunk(0, replace(P1, epoch=1), host_starts(P1))
+    assert t0.equals(t1)
+
+
+def test_epoch_mutation_semantics():
+    """Changed docs gain ONLY a leading revision span (links intact),
+    gone docs vanish, children exist exactly for changed+child docs."""
+    starts = host_starts(P2)
+    t1 = gen_chunk(0, P1, starts)
+    t2 = gen_chunk(0, P2, starts)
+    s1 = dict(zip(t1.column("doc_id").to_pylist(), t1.column("spans").to_pylist()))
+    s2 = dict(zip(t2.column("doc_id").to_pylist(), t2.column("spans").to_pylist()))
+    idx = np.arange(min(P1.n_docs, 1500))
+    ch, go, kid = is_changed(idx, P2), is_gone(idx, P2), has_child(idx, P2)
+    assert ch.sum() > 50 and go.sum() > 20 and kid.sum() > 20
+    n_changed = 0
+    for u, sp in s1.items():
+        if u not in s2:
+            continue
+        sp2 = s2[u]
+        if sp2 == sp:
+            continue
+        assert sp2[0]["text"].startswith("rev1"), u
+        n_changed += 1
+    assert n_changed == ch.sum()
+    # every gone doc's URL is absent from epoch 2; unchanged count adds up
+    from web_scraping_script_ray.synthweb import doc_url
+
+    gone_urls = {str(u) for u in doc_url(idx[go], P1, starts)}
+    assert gone_urls and not (gone_urls & set(s2))
+    assert len(s2) == len(s1) - go.sum() + kid.sum()
+
+
+@pytest.mark.parametrize("small_limit", [None, 0])
+def test_refresh_parity_both_plans(webs, prior, tmp_path_factory, small_limit):
+    """Engine refresh == sequential refresh oracle: row-for-row order,
+    schedule, 304 flags, byte sizes and span sequences."""
+    from web_scraping_script_ray.pipelines.refresh import refresh_crawl
+
+    prior_out, o1 = prior
+    kw = {} if small_limit is None else {"schedule_small_limit": 0}
+    out = str(tmp_path_factory.mktemp(f"refresh_{small_limit}"))
+    eng, info = refresh_crawl(webs[1], prior_out, out, B, **kw)
+    try:
+        got = (
+            eng.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+    finally:
+        eng.shutdown()
+    o2 = _oracle_refresh(webs[1], o1)
+    exp = o2.crawled_table().to_pandas()
+    assert len(got) == len(exp) == info["fetched"]
+    for col in ORDER_COLS:
+        assert (got[col].values == exp[col].values).all(), col
+    # span-sequence equality (kind, text, media_ref, order)
+    for a, b in zip(got["spans"].tolist(), exp["spans"].tolist()):
+        ka = [(s["kind"], s["text"], s["media_ref"]) for s in a]
+        kb = [(s["kind"], s["text"], s["media_ref"]) for s in b]
+        assert ka == kb
+    # the refresh actually exercised every status class
+    assert got["not_modified"].sum() > 500
+    assert ((got.ok) & (~got.not_modified)).sum() > 100
+    assert (~got.ok).sum() > 20
+
+
+def test_refresh_statuses_and_corpus(webs, prior, tmp_path_factory):
+    """Status diff matches the closed-form mutation coins, and the merged
+    corpus equals the epoch-2 web for live pages (304s carry prior
+    bytes, gone pages tombstone)."""
+    from web_scraping_script_ray.pipelines.refresh import (
+        classify_statuses,
+        materialize_corpus,
+        refresh_crawl,
+    )
+
+    prior_out, o1 = prior
+    out = str(tmp_path_factory.mktemp("refresh_status"))
+    eng, info = refresh_crawl(webs[1], prior_out, out, B)
+    eng.shutdown()
+    st = classify_statuses(out, info["refresh_inputs"]["etag_dir"]).to_pandas()
+    counts = st.status.value_counts().to_dict()
+    assert set(counts) <= {"unchanged", "changed", "new", "gone", "error"}
+    # oracle twin of the status diff
+    o2 = _oracle_refresh(webs[1], o1)
+    etag_keys = {
+        c["url_hash"] for c in o1.crawled if c["ok"] and c["spans"]
+    }
+    exp_counts: dict = {}
+    for c in o2.crawled:
+        s = (
+            "unchanged" if c.get("not_modified")
+            else ("changed" if c["url_hash"] in etag_keys else "new") if c["ok"]
+            else ("gone" if c["url_hash"] in etag_keys else "error")
+        )
+        exp_counts[s] = exp_counts.get(s, 0) + 1
+    assert counts == exp_counts
+    # corpus merge: every live page's content equals the epoch-2 web
+    corpus_dir = str(tmp_path_factory.mktemp("refresh_corpus"))
+    summary = materialize_corpus(prior_out, out, corpus_dir, P1.n_buckets)
+    assert summary["rows"] == summary["carried"] + summary["refetched"] + summary["stale"]
+    assert summary["carried"] == counts["unchanged"]
+    assert summary["refetched"] == counts.get("changed", 0) + counts.get("new", 0)
+
+    import pyarrow.dataset as pads
+
+    from web_scraping_script_ray.oracle import load_web_dict
+
+    web2 = load_web_dict(webs[1])
+    t = pads.dataset(corpus_dir).to_table()
+    urls = t.column("url").to_pylist()
+    spans = t.column("spans").to_pylist()
+    assert len(urls) == len(set(urls))  # one row per live URL
+    for u, sp in zip(urls, spans):
+        exp_sp = web2.get(u)
+        assert exp_sp is not None, u
+        assert [
+            (s["kind"], s["text"], s["media_ref"]) for s in sp
+        ] == [(s["kind"], s["text"], s["media_ref"]) for s in exp_sp], u
+    # gone pages are tombstoned out
+    gone_urls = {
+        c["url"] for c in o2.crawled
+        if not c["ok"] and c["url_hash"] in etag_keys
+    }
+    assert gone_urls and not (gone_urls & set(urls))

@@ -169,3 +169,51 @@ def band_salt(n_bands: int) -> np.ndarray:
     """Per-band xor salts so identical row-chunks in different bands never
     collide into one bucket."""
     return mix64(np.arange(1, n_bands + 1, dtype=np.uint64) * _GOLD)
+
+
+def span_content_hashes(spans) -> "np.ndarray":
+    """uint64 content fingerprint per document from its span list — the
+    ETag of the conditional-GET refresh model: md5-prefix (the repo's
+    oracle-able hash) of the spans serialized as
+    ``kind\\x1ftext\\x1fmedia_ref`` joined by ``\\x1e``.  Offsets are
+    EXCLUDED on purpose: a changed doc is one whose *content* changed.
+    Vectorized end-to-end: struct-field joins + one Arrow list-join;
+    the md5 loop runs once per document string."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    n = len(spans)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    flat = pc.list_flatten(spans)
+    per_span = pc.binary_join_element_wise(
+        pc.struct_field(flat, "kind"),
+        pc.struct_field(flat, "text"),
+        pc.struct_field(flat, "media_ref"),
+        "\x1f",
+    )
+    offsets = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    offs = np.zeros(n + 1, np.int32)
+    np.cumsum(offsets, out=offs[1:])
+    lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), per_span)
+    joined = pc.binary_join(lst, "\x1e")
+    md5 = hashlib.md5
+    return np.fromiter(
+        (
+            int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big")
+            for s in joined.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=n,
+    )
+
+
+def span_content_hash_py(spans: list[dict]) -> int:
+    """Scalar twin of ``span_content_hashes`` for the sequential oracle —
+    pytest-pinned equal (tests/test_hashing.py)."""
+    s = "\x1e".join(
+        f"{sp['kind']}\x1f{sp['text']}\x1f{sp['media_ref']}" for sp in spans
+    )
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")

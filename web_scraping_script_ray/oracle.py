@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+from .functions.hashing import span_content_hash_py
 from .schemas import CRAWLED_SCHEMA, METRICS_SCHEMA, SEEN_SCHEMA
 from .synthweb import Budget
 from .urlnorm import canonicalize, host_of, path_of, url_hash64
@@ -54,7 +55,12 @@ class OracleResult:
     metrics: dict[str, list[int]] = field(default_factory=dict)  # host -> [fetched, errors, bytes]
 
     def crawled_table(self) -> pa.Table:
-        return pa.Table.from_pylist(self.crawled, schema=CRAWLED_SCHEMA)
+        schema = CRAWLED_SCHEMA
+        if self.crawled and "not_modified" in self.crawled[0]:
+            schema = pa.schema(
+                list(CRAWLED_SCHEMA) + [pa.field("not_modified", pa.bool_())]
+            )
+        return pa.Table.from_pylist(self.crawled, schema=schema)
 
     def seen_table(self) -> pa.Table:
         items = sorted(self.seen.items())
@@ -98,10 +104,23 @@ def _robots_maps(robots: pa.Table, budget: Budget):
     )
 
 
-def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
+def run_oracle(
+    web_dir: str,
+    budget: Budget | None = None,
+    seeds: list[dict] | None = None,
+    etags: dict[int, int] | None = None,
+) -> OracleResult:
+    """``seeds`` overrides the web's seed file (url/seed_rank dicts) and
+    ``etags`` (url_hash → prior content fingerprint) turns fetches into
+    conditional GETs: a hit whose content hash equals its etag comes back
+    ok=True, nbytes=0, spans=[], not_modified=True — the politeness slot
+    is spent (the server was contacted) but no body transfers and no
+    links expand.  Together these make this the sequential REFRESH-crawl
+    oracle (engine twin: pipelines/refresh.py)."""
     budget = budget or Budget()
     web = load_web_dict(web_dir)
-    seeds = pq.read_table(os.path.join(web_dir, "seeds.parquet")).to_pylist()
+    if seeds is None:
+        seeds = pq.read_table(os.path.join(web_dir, "seeds.parquet")).to_pylist()
     robots = pq.read_table(os.path.join(web_dir, "robots.parquet"))
     _, delay_of, disallowed = _robots_maps(robots, budget)
 
@@ -218,9 +237,18 @@ def run_oracle(web_dir: str, budget: Budget | None = None) -> OracleResult:
                 host_pen[c["host"]] = (
                     host_pen.get(c["host"], 0) + pen_table[c["attempts"] - 1]
                 )
+            if etags is not None:
+                c["not_modified"] = False
             if spans is None:
                 c["ok"], c["nbytes"], c["spans"] = False, 0, []
                 m[1] += 1
+            elif etags is not None and etags.get(c["url_hash"]) == (
+                span_content_hash_py(spans)
+            ):
+                # conditional GET hit: slot spent, no body, no expansion
+                c["ok"], c["nbytes"], c["spans"] = True, 0, []
+                c["not_modified"] = True
+                m[0] += 1
             else:
                 c["ok"] = True
                 c["nbytes"] = sum(len(s["text"]) + len(s["media_ref"]) for s in spans)

@@ -584,9 +584,16 @@ class CrawlEngine:
         parse: bool = True,
         max_file_size: int | None = None,
         warmup: bool = True,
+        seeds_path: str | None = None,
+        etag_dir: str | None = None,
     ):
         self.web_dir = web_dir
         self.out_dir = out_dir
+        # refresh-crawl mode (pipelines/refresh.py): seeds stream from the
+        # prior crawl's URL list instead of the web's seed file, and the
+        # per-bucket etag store turns fetches into conditional GETs
+        self.seeds_path = seeds_path or os.path.join(web_dir, "seeds.parquet")
+        self.etag_dir = etag_dir
         self.budget = budget or Budget()
         with open(os.path.join(web_dir, "params.json")) as f:
             self.n_buckets = json.load(f)["n_buckets"]
@@ -688,9 +695,9 @@ class CrawlEngine:
                 schema=FRONTIER_SCHEMA,
             )
 
-        return ray.data.read_parquet(
-            os.path.join(self.web_dir, "seeds.parquet")
-        ).map_batches(to_frontier, batch_format="pyarrow")
+        return ray.data.read_parquet(self.seeds_path).map_batches(
+            to_frontier, batch_format="pyarrow"
+        )
 
     # ------------------------------------------------------------------ round
     def _launch_shard_stage(self, cand_refs: list) -> list:
@@ -974,6 +981,7 @@ class CrawlEngine:
                     self.max_file_size,
                     self.budget.max_retries,
                     self._pen_table,
+                    self.etag_dir,
                 )
                 for b in range(self.n_buckets)
             ]
@@ -1023,12 +1031,15 @@ class CrawlEngine:
             .groupby("bucket")
             .map_groups(
                 make_bucket_fetcher(
-                    self.web_dir, self.max_file_size, self.budget.max_retries
+                    self.web_dir, self.max_file_size, self.budget.max_retries,
+                    self.etag_dir,
                 ),
                 batch_format="pyarrow",
             )
         )
         keep_cols = list(CRAWLED_SCHEMA.names)
+        if self.etag_dir is not None:
+            keep_cols.append("not_modified")
         crawled = crawled.map_batches(
             lambda t, rnd=rnd: t.append_column(
                 "round", pa.array(np.full(t.num_rows, rnd, dtype=np.int32))

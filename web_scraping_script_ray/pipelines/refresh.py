@@ -1,0 +1,309 @@
+"""Refresh (re)crawl: conditional-GET revisits + corpus maintenance.
+
+The reference script has no freshness story — rerunning it refetches and
+rewrites everything (reference: src/main.py:79 seed loop, src/storage.py
+append-only sinks).  At 100 TB that is the difference between a nightly
+job and an impossible one, so the engine makes refresh a first-class
+pipeline over the SAME politeness/seen/schedule machinery:
+
+1. **Revisit seeds** = the prior crawl's URL list in crawl_seq order —
+   streamed from its own parquet (never driver-resident), exactly like
+   round-0 seeds.
+2. **Etag store** = (url_hash → content fingerprint) of the prior
+   corpus, bucketed by ``url_hash % n_buckets`` like the web table, so a
+   refresh bucket task reads ONLY its own shard (at 100 TB this is the
+   doc store's fingerprint column read back as a Lance take-by-key —
+   never a broadcast, never a shuffle).
+3. **Conditional GET** (stages/fetch.py etag hook): an unchanged page
+   costs its politeness slot but transfers no body (ok=True, nbytes=0,
+   spans=[], not_modified=True) and expands no links; changed pages
+   return full content; vanished pages come back ok=False.  New URLs
+   enter ONLY through changed pages' links — the refresh naturally
+   crawls the delta frontier.
+4. **Corpus merge**: per-bucket carry tasks produce the refreshed
+   snapshot — new content for changed/new pages, prior bytes carried
+   for 304s, tombstones for gone pages — so downstream dedup/training
+   pipelines always see one consistent table.
+
+Sequential twin: ``oracle.run_oracle(web2, budget, seeds=..., etags=...)``
+(tests/test_crawl_refresh.py pins engine == oracle on both schedule
+plans).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.hashing import span_content_hashes
+from ..synthweb import Budget
+from .crawl import CrawlEngine
+
+# status codes of the refresh diff (snapshot_diff's crawl-native form)
+STATUSES = ("unchanged", "changed", "new", "gone", "error")
+
+
+def _crawled_files(out_dir: str, bucket: int | None = None) -> list[str]:
+    pat = (
+        f"part-{bucket:05d}.parquet" if bucket is not None else "part-*.parquet"
+    )
+    return sorted(glob.glob(os.path.join(out_dir, "crawled", "round-*", pat)))
+
+
+def build_refresh_inputs(prior_out_dir: str, dest_dir: str, n_buckets: int) -> dict:
+    """From a finished crawl's output, derive the two refresh inputs:
+
+    - ``seeds.parquet`` dir: (url, seed_rank = prior crawl_seq) — ALL
+      previously crawled URLs re-enter (errors retry; the engine's
+      first-wins dedup keeps the earliest rank per URL).
+    - ``etags/bucket=k/``: (url_hash, etag) for every ok page with
+      content — the conditional-GET reference store.
+
+    Both are map_batches streams over the prior crawled parquet; nothing
+    lands on the driver."""
+    files = _crawled_files(prior_out_dir)
+    if not files:
+        raise ValueError(f"no crawled output under {prior_out_dir}")
+    seeds_dir = os.path.join(dest_dir, "seeds.parquet")
+    etag_dir = os.path.join(dest_dir, "etags")
+    ds = ray.data.read_parquet(files)
+
+    def to_seed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": b.column("url"), "seed_rank": b.column("crawl_seq")}
+        )
+
+    ds.map_batches(to_seed, batch_format="pyarrow").write_parquet(seeds_dir)
+
+    def to_etag(b: pa.Table) -> pa.Table:
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        has = pc.list_value_length(b.column("spans")).to_numpy(
+            zero_copy_only=False
+        ) > 0
+        t = b.filter(pa.array(ok & has))
+        uh = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "url_hash": pa.array(uh, pa.uint64()),
+                "etag": pa.array(span_content_hashes(t.column("spans")), pa.uint64()),
+                "bucket": pa.array(
+                    (uh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds.map_batches(to_etag, batch_format="pyarrow").write_parquet(
+        etag_dir, partition_cols=["bucket"]
+    )
+    return {"seeds_path": seeds_dir, "etag_dir": etag_dir}
+
+
+def refresh_crawl(
+    web_dir: str,
+    prior_out_dir: str,
+    out_dir: str,
+    budget: Budget | None = None,
+    **engine_kw,
+) -> tuple[CrawlEngine, dict]:
+    """Run a refresh epoch: revisit every previously crawled URL against
+    (a possibly mutated) ``web_dir`` with conditional-GET semantics, and
+    crawl whatever NEW frontier changed pages expose — all through the
+    standard engine (politeness, robots, seen-set, budgets, checkpoints
+    and both schedule plans apply unchanged)."""
+    with open(os.path.join(web_dir, "params.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    inputs = build_refresh_inputs(
+        prior_out_dir, os.path.join(out_dir, "refresh_inputs"), n_buckets
+    )
+    eng = CrawlEngine(
+        web_dir,
+        out_dir,
+        budget,
+        seeds_path=inputs["seeds_path"],
+        etag_dir=inputs["etag_dir"],
+        **engine_kw,
+    )
+    info = eng.run()
+    info["refresh_inputs"] = inputs
+    return eng, info
+
+
+def classify_statuses(refresh_out_dir: str, etag_dir: str) -> "ray.data.Dataset":
+    """(url, url_hash, status) per refreshed row — the crawl-native
+    snapshot diff.  ``status``: unchanged (304) / changed (200, prior
+    etag exists) / new (200, never seen before) / gone (fetch miss on a
+    previously-held page) / error (miss on a page we never held — e.g. a
+    dangling link discovered this epoch).  Prior membership resolves
+    against the bucketed etag store via the same per-worker shard cache
+    the fetch path uses — no broadcast, no shuffle."""
+    from ..stages.fetch import _load_etags
+
+    files = _crawled_files(refresh_out_dir)
+    ds = ray.data.read_parquet(files)
+
+    def add_status(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        uh = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ok = b.column("ok").to_numpy(zero_copy_only=False)
+        nm = b.column("not_modified").to_numpy(zero_copy_only=False)
+        # prior-membership probe, bucket-sharded (shard count from layout)
+        prior = np.zeros(n, dtype=bool)
+        shards = sorted(glob.glob(os.path.join(etag_dir, "bucket=*")))
+        n_buckets = len(shards)
+        if n_buckets:
+            bids = (uh % np.uint64(n_buckets)).astype(np.int64)
+            for bid in np.unique(bids):
+                et = _load_etags(etag_dir, int(bid))
+                if et is None or not len(et[0]):
+                    continue
+                sel = bids == bid
+                pos = np.searchsorted(et[0], uh[sel])
+                pos = np.minimum(pos, len(et[0]) - 1)
+                prior[sel] = et[0][pos] == uh[sel]
+        status = np.where(
+            nm,
+            "unchanged",
+            np.where(
+                ok,
+                np.where(prior, "changed", "new"),
+                np.where(prior, "gone", "error"),
+            ),
+        )
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "url_hash": b.column("url_hash"),
+                "status": pa.array(status.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(add_status, batch_format="pyarrow")
+
+
+@ray.remote
+def _merge_bucket_task(
+    prior_out_dir: str, refresh_out_dir: str, bucket: int, dest_dir: str
+) -> dict:
+    """Per-bucket corpus merge: latest content per URL.  Reads only this
+    bucket's part files from both crawls (the crawled sink is already
+    bucket-partitioned) — the merge never shuffles and each task's
+    working set is one bucket."""
+    from ..schemas import WEB_SCHEMA
+
+    def load(out_dir: str) -> pa.Table | None:
+        files = _crawled_files(out_dir, bucket)
+        if not files:
+            return None
+        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
+
+    prior = load(prior_out_dir)
+    new = load(refresh_out_dir)
+    span_type = WEB_SCHEMA.field("spans").type
+
+    def with_src(t: pa.Table, src: str) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "spans": t.column("spans").combine_chunks()
+                if isinstance(t.column("spans"), pa.ChunkedArray)
+                else t.column("spans"),
+                "src": pa.array([src] * t.num_rows, pa.string()),
+            }
+        )
+
+    pieces: list[pa.Table] = []
+    counts = {"carried": 0, "refetched": 0, "stale": 0}
+    prior_ok = None
+    if prior is not None:
+        prior_ok = prior.filter(prior.column("ok"))
+    if new is not None:
+        nok = new.column("ok").to_numpy(zero_copy_only=False)
+        nnm = (
+            new.column("not_modified").to_numpy(zero_copy_only=False)
+            if "not_modified" in new.column_names
+            else np.zeros(new.num_rows, dtype=bool)
+        )
+        # 200s: changed or brand-new pages carry their fresh content;
+        # !ok rows (gone / error) tombstone out of the merge entirely
+        refetched = new.filter(pa.array(nok & ~nnm))
+        pieces.append(with_src(refetched, "refetched"))
+        counts["refetched"] = refetched.num_rows
+        # 304s: body never transferred — carry the prior crawl's bytes
+        nm_rows = new.filter(pa.array(nnm))
+        if nm_rows.num_rows and prior_ok is not None and prior_ok.num_rows:
+            idx = pc.index_in(
+                nm_rows.column("url_hash").combine_chunks(),
+                value_set=prior_ok.column("url_hash").combine_chunks(),
+            )
+            hit = pc.is_valid(idx)
+            nm_rows = nm_rows.filter(hit)
+            carried_spans = (
+                prior_ok.column("spans").combine_chunks().take(idx.filter(hit))
+            )
+            t = pa.table(
+                {
+                    "url": nm_rows.column("url"),
+                    "spans": carried_spans,
+                    "src": pa.array(["carried"] * nm_rows.num_rows, pa.string()),
+                }
+            )
+            pieces.append(t)
+            counts["carried"] = t.num_rows
+    # stale carry: prior ok pages the refresh never revisited (budget cut)
+    if prior_ok is not None and prior_ok.num_rows:
+        if new is not None and new.num_rows:
+            seen = pc.is_in(
+                prior_ok.column("url_hash").combine_chunks(),
+                value_set=new.column("url_hash").combine_chunks(),
+            )
+            stale = prior_ok.filter(pc.invert(seen))
+        else:
+            stale = prior_ok
+        pieces.append(with_src(stale, "stale"))
+        counts["stale"] = stale.num_rows
+    if pieces:
+        t = pa.concat_tables(pieces, promote_options="none")
+    else:
+        t = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "spans": pa.array([], span_type),
+                "src": pa.array([], pa.string()),
+            }
+        )
+    if t.num_rows:
+        pq.write_table(t, os.path.join(dest_dir, f"part-{bucket:05d}.parquet"))
+    return {"bucket": bucket, "rows": t.num_rows, **counts}
+
+
+def materialize_corpus(
+    prior_out_dir: str,
+    refresh_out_dir: str,
+    dest_dir: str,
+    n_buckets: int,
+) -> dict:
+    """Merge the prior corpus with a refresh crawl into one refreshed
+    snapshot at ``dest_dir`` (url, spans, src ∈ carried/refetched/stale),
+    one parquet per bucket — resumable partition layout.  At 100 TB the
+    same merge is a Lance row-level upsert keyed by url_hash; here the
+    per-bucket carry task IS that upsert, bucket-local by construction."""
+    os.makedirs(dest_dir, exist_ok=True)
+    metas = ray.get(
+        [
+            _merge_bucket_task.remote(prior_out_dir, refresh_out_dir, b, dest_dir)
+            for b in range(n_buckets)
+        ]
+    )
+    return {
+        "rows": sum(m["rows"] for m in metas),
+        "carried": sum(m["carried"] for m in metas),
+        "refetched": sum(m["refetched"] for m in metas),
+        "stale": sum(m["stale"] for m in metas),
+    }

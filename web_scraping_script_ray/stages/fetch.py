@@ -133,6 +133,30 @@ def _fails_of(web_dir: str, hashes: np.ndarray) -> np.ndarray:
     return out
 
 
+# per-worker etag-shard cache (conditional-GET refresh model): the prior
+# crawl's (url_hash → content fingerprint) store, bucketed exactly like
+# the web table, so a refresh round's bucket task reads only its own
+# shard — at 100 TB this is the doc store's own fingerprint column read
+# back as a Lance take-by-key, never a broadcast.
+_ETAG_CACHE: dict[tuple[str, int], "tuple[np.ndarray, np.ndarray] | None"] = {}
+
+
+def _load_etags(etag_dir: str, bucket: int):
+    key = (etag_dir, bucket)
+    if key in _ETAG_CACHE:
+        return _ETAG_CACHE[key]
+    path = os.path.join(etag_dir, f"bucket={bucket}")
+    out = None
+    if os.path.isdir(path):
+        t = pads.dataset(path).to_table()
+        h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        e = t.column("etag").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(h)
+        out = (h[order], e[order])
+    _ETAG_CACHE[key] = out
+    return out
+
+
 def _load_bucket(web_dir: str, bucket: int) -> pa.Table | None:
     key = (web_dir, bucket)
     t = _BUCKET_CACHE.get(key)
@@ -166,6 +190,7 @@ def fetch_rows_in_bucket(
     group: pa.Table,
     max_nbytes: int | None = None,
     max_retries: int = 0,
+    etag_dir: str | None = None,
 ) -> pa.Table:
     """Lookup-join ``group`` (frontier rows whose url_hash maps to
     ``bucket``) against that ONE web bucket; appends ok/nbytes/spans.
@@ -202,7 +227,12 @@ def fetch_rows_in_bucket(
         group = group.append_column("spans", empty)
         # every row is a miss: with retries on, each consumed all attempts
         att = np.full(n, max_retries if max_retries > 0 else 1, np.int32)
-        return group.append_column("attempts", pa.array(att, pa.int32()))
+        group = group.append_column("attempts", pa.array(att, pa.int32()))
+        if etag_dir is not None:
+            group = group.append_column(
+                "not_modified", pa.array(np.zeros(n, dtype=bool))
+            )
+        return group
 
     idx = pc.index_in(urls, value_set=t.column("doc_id").combine_chunks())
     ok_np = pc.is_valid(idx).to_numpy(zero_copy_only=False)
@@ -263,14 +293,47 @@ def fetch_rows_in_bucket(
         offsets = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(kept, out=offsets[1:])
         spans_out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    nm = None
+    if etag_dir is not None:
+        # conditional GET (HTTP 304 semantics, the refresh-crawl model):
+        # a row whose NEW content fingerprint equals the prior crawl's
+        # etag is "not modified" — the fetch still spent its politeness
+        # slot (the server was contacted) but the body never transfers:
+        # spans drop, nbytes goes 0, ok stays True.  Changed / brand-new
+        # rows carry full content (200), misses stay ok=False (404/410).
+        nm = np.zeros(n, dtype=bool)
+        et = _load_etags(etag_dir, bucket)
+        if et is not None and len(et[0]) and ok_np.any():
+            from ..functions.hashing import span_content_hashes
+
+            ch = span_content_hashes(spans_out)
+            pos = np.searchsorted(et[0], hashes)
+            pos = np.minimum(pos, len(et[0]) - 1)
+            found = et[0][pos] == hashes
+            nm = ok_np & found & (ch == et[1][pos])
+        if nm.any():
+            parents2 = pc.list_parent_indices(spans_out).to_numpy(zero_copy_only=False)
+            flat2 = pc.list_flatten(spans_out).filter(pa.array(~nm[parents2]))
+            lens2 = pc.list_value_length(spans_out).to_numpy(zero_copy_only=False)
+            lens2 = np.where(nm, 0, lens2)
+            offs2 = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lens2, out=offs2[1:])
+            spans_out = pa.ListArray.from_arrays(pa.array(offs2, pa.int32()), flat2)
+            nbytes = np.where(nm, 0, nbytes)
     group = group.append_column("ok", pa.array(ok_np))
     group = group.append_column("nbytes", pa.array(nbytes, pa.int64()))
     group = group.append_column("spans", spans_out)
-    return group.append_column("attempts", pa.array(attempts, pa.int32()))
+    group = group.append_column("attempts", pa.array(attempts, pa.int32()))
+    if nm is not None:
+        group = group.append_column("not_modified", pa.array(nm))
+    return group
 
 
 def make_bucket_fetcher(
-    web_dir: str, max_nbytes: int | None = None, max_retries: int = 0
+    web_dir: str,
+    max_nbytes: int | None = None,
+    max_retries: int = 0,
+    etag_dir: str | None = None,
 ):
     """Per-bucket lookup join for ``groupby('bucket').map_groups`` — the
     PARTITION fetch path (used when a round is too large to broadcast):
@@ -283,7 +346,8 @@ def make_bucket_fetcher(
             return group
         b = int(group.column("bucket")[0].as_py())
         return fetch_rows_in_bucket(
-            web_dir, b, group.drop_columns(["bucket"]), max_nbytes, max_retries
+            web_dir, b, group.drop_columns(["bucket"]), max_nbytes, max_retries,
+            etag_dir,
         )
 
     return fetch_group
@@ -345,6 +409,7 @@ def crawl_bucket_task(
     max_nbytes: int | None = None,
     max_retries: int = 0,
     pen_table: list | None = None,
+    etag_dir: str | None = None,
 ):
     """Fused per-bucket round superstage: fetch (bucketed lookup join) +
     parse + parquet sinks (crawled/parsed/frontier partitions) + metrics
@@ -366,11 +431,16 @@ def crawl_bucket_task(
 
     _t0 = _time.time()
     group = _bucket_rows(block_refs, bucket, n_buckets)
-    out = fetch_rows_in_bucket(web_dir, bucket, group, max_nbytes, max_retries)
+    out = fetch_rows_in_bucket(
+        web_dir, bucket, group, max_nbytes, max_retries, etag_dir
+    )
     out = out.append_column(
         "round", pa.array(np.full(out.num_rows, rnd, dtype=np.int32))
     )
-    crawled = out.select(list(CRAWLED_SCHEMA.names))
+    keep = list(CRAWLED_SCHEMA.names)
+    if etag_dir is not None:
+        keep.append("not_modified")
+    crawled = out.select(keep)
     if out.num_rows:
         _pq.write_table(crawled, os.path.join(crawled_dir, f"part-{bucket:05d}.parquet"))
     if parse and out.num_rows:

@@ -64,6 +64,14 @@ class WebParams:
     p_redirect: float = 0.0    # share of docs reachable via a 3xx alias URL
     sitemap_frac: float = 0.0  # per-host sitemap.xml listing this doc share
     p_flaky: float = 0.0       # share of docs that fail 1..3 fetch attempts
+    # ---- freshness epochs (recrawl model): epoch 0 is the original web;
+    # epoch >= 1 applies closed-form per-doc mutations AFTER generation,
+    # so unchanged docs stay byte-identical across epochs (the conditional-
+    # GET contract) and epoch=0 webs keep every existing fixture unchanged.
+    epoch: int = 0
+    p_change: float = 0.0      # share of docs whose content changes this epoch
+    p_gone: float = 0.0        # share of docs that 404 this epoch
+    child_frac: float = 0.0    # share of CHANGED docs that link a NEW child page
 
 
 def host_starts(p: WebParams) -> np.ndarray:
@@ -106,6 +114,41 @@ def alias_url(idx: int, starts: np.ndarray) -> str:
     """The 3xx alias form of doc ``idx`` (same host, /r/ path)."""
     h = int(host_of_doc(np.array([idx], np.int64), starts)[0])
     return f"http://h{h:04d}.example/r/{idx:07d}"
+
+
+def _epoch_coin(idx, p: WebParams, mul: int, emul: int, mod: int, frac: float):
+    """Closed-form per-(doc, epoch) coin — rng-free, so epoch=0 and
+    frac=0 leave every existing fixture and golden byte-identical."""
+    if p.epoch <= 0 or frac <= 0:
+        return np.zeros(np.shape(np.asarray(idx)), dtype=bool)
+    idx = np.asarray(idx, dtype=np.int64)
+    return ((idx * mul + p.epoch * emul) % mod) < int(frac * mod)
+
+
+def is_changed(idx, p: WebParams):
+    """Doc content differs from the previous epoch (conditional-GET 200)."""
+    return _epoch_coin(idx, p, 1327217885, 2654435761, 1021, p.p_change) & ~is_gone(
+        idx, p
+    )
+
+
+def is_gone(idx, p: WebParams):
+    """Doc 404s this epoch (tombstone in the refreshed corpus)."""
+    return _epoch_coin(idx, p, 972663749, 370248451, 1031, p.p_gone)
+
+
+def has_child(idx, p: WebParams):
+    """A changed doc additionally links one brand-new child page — the
+    discovery channel of a recrawl (new URLs only ever appear on pages
+    whose content changed)."""
+    return is_changed(idx, p) & _epoch_coin(
+        idx, p, 2246822519, 1, 1033, p.child_frac
+    )
+
+
+def child_url(parent_idx: int, p: WebParams, starts: np.ndarray) -> str:
+    h = int(host_of_doc(np.array([parent_idx], np.int64), starts)[0])
+    return f"http://h{h:04d}.example/p2/{p.n_docs + parent_idx:07d}"
 
 
 def flaky_fails(idx, p: WebParams):
@@ -234,13 +277,67 @@ def gen_chunk(chunk_idx: int, p: WebParams, starts: np.ndarray) -> pa.Table:
                 )
         lengths.append(ns)
 
-    all_urls = list(urls)
+    gone_all = is_gone(idx, p)
+    if p.epoch > 0 and (p.p_change > 0 or p.p_gone > 0 or p.child_frac > 0):
+        # freshness mutations, applied AFTER generation so every rng draw
+        # above is identical across epochs: unchanged docs stay byte-
+        # identical (the conditional-GET contract), changed docs gain a
+        # leading revision text span (content hash moves, links intact),
+        # gone docs drop out of the web table (fetch → 404), and some
+        # changed docs append a link to a brand-new child page — the only
+        # way new URLs enter an epoch.
+        changed = is_changed(idx, p)
+        child = has_child(idx, p)
+        nk: list[str] = []
+        nt: list[str] = []
+        nr: list[str] = []
+        no: list[int] = []
+        nl: list[int] = []
+        kept_urls: list[str] = []
+        pos = 0
+        for i in range(n):
+            s0 = pos
+            pos += lengths[i]
+            if gone_all[i]:
+                continue
+            kept_urls.append(str(urls[i]))
+            cnt = lengths[i]
+            if changed[i]:
+                nk.append("text")
+                nt.append(f"rev{p.epoch} edition")
+                nr.append("")
+                no.append(0)
+                cnt += 1
+            nk.extend(kinds_flat[s0 : s0 + lengths[i]])
+            nt.extend(texts_flat[s0 : s0 + lengths[i]])
+            nr.extend(refs_flat[s0 : s0 + lengths[i]])
+            no.extend(offs_flat[s0 : s0 + lengths[i]])
+            if child[i]:
+                nk.append("link")
+                nt.append("")
+                nr.append(child_url(int(idx[i]), p, starts))
+                no.append(int(offs_flat[s0 + lengths[i] - 1]) + 7)
+                cnt += 1
+            nl.append(cnt)
+        for i in range(n):
+            if child[i]:
+                kept_urls.append(child_url(int(idx[i]), p, starts))
+                nk.append("text")
+                nt.append(f"child of doc {int(idx[i])} rev{p.epoch}")
+                nr.append("")
+                no.append(0)
+                nl.append(1)
+        kinds_flat, texts_flat, refs_flat, offs_flat, lengths = nk, nt, nr, no, nl
+        all_urls = kept_urls
+        n = len(kept_urls)
+    else:
+        all_urls = list(urls)
     if p.p_redirect > 0:
         # alias rows for this chunk's aliased docs: one 'redirect' span
         # naming the canonical URL (an HTTP 3xx page, reference semantics:
         # requests follows these transparently; the crawl engine makes the
         # hop explicit so politeness/seen-set account for the alias fetch)
-        aliased = idx[_has_alias(idx, p)]
+        aliased = idx[_has_alias(idx, p) & ~gone_all]
         canon = doc_url(aliased, p, starts)
         for j, a_idx in enumerate(aliased):
             all_urls.append(alias_url(int(a_idx), starts))
@@ -434,6 +531,8 @@ def fixture_dir(p: WebParams, root: str = "/tmp/synthweb", parallel: bool = Fals
         key += f"_sm{p.sitemap_frac}"
     if p.p_flaky > 0:
         key += f"_fk{p.p_flaky}"
+    if p.epoch > 0:
+        key += f"_e{p.epoch}_ch{p.p_change}_go{p.p_gone}_cf{p.child_frac}"
     out = os.path.join(root, key)
     marker = os.path.join(out, "params.json")
     if not os.path.exists(marker):
