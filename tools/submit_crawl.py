@@ -48,6 +48,21 @@ def main() -> None:
                     help="per-host sitemap.xml listing this doc share (joins seeds)")
     ap.add_argument("--synth-flaky", type=float, default=0.0,
                     help="share of docs failing their first 1..3 fetch attempts")
+    ap.add_argument("--synth-epoch", type=int, default=0,
+                    help="freshness epoch of the synthetic web (recrawl model)")
+    ap.add_argument("--synth-change", type=float, default=0.0,
+                    help="share of docs whose content changed this epoch")
+    ap.add_argument("--synth-gone", type=float, default=0.0,
+                    help="share of docs that 404 this epoch")
+    ap.add_argument("--synth-children", type=float, default=0.0,
+                    help="share of changed docs linking a brand-new child page")
+    ap.add_argument("--refresh-from", default=None, metavar="PRIOR_OUT",
+                    help="run a REFRESH crawl: revisit every URL of this "
+                    "prior crawl output with conditional-GET semantics "
+                    "(pipelines/refresh.py); prints the status-diff counts")
+    ap.add_argument("--merge-corpus", default=None, metavar="DEST",
+                    help="with --refresh-from: merge prior + refresh into a "
+                    "refreshed corpus snapshot at DEST")
     ap.add_argument("--out", required=True, help="checkpoint/output directory")
     ap.add_argument("--max-rounds", type=int, default=4)
     ap.add_argument("--max-urls", type=int, default=10**9)
@@ -95,6 +110,10 @@ def main() -> None:
             p_redirect=args.synth_redirects,
             sitemap_frac=args.synth_sitemaps,
             p_flaky=args.synth_flaky,
+            epoch=args.synth_epoch,
+            p_change=args.synth_change,
+            p_gone=args.synth_gone,
+            child_frac=args.synth_children,
         )
         web_dir = fixture_dir(p, parallel=True)
 
@@ -102,6 +121,17 @@ def main() -> None:
     from web_scraping_script_ray.synthweb import Budget
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    refresh_kw = {}
+    if args.refresh_from:
+        import json as _json
+
+        from web_scraping_script_ray.pipelines.refresh import build_refresh_inputs
+
+        with open(os.path.join(web_dir, "params.json")) as f:
+            _nb = _json.load(f)["n_buckets"]
+        refresh_kw = build_refresh_inputs(
+            args.refresh_from, os.path.join(args.out, "refresh_inputs"), _nb
+        )
     eng = CrawlEngine(
         web_dir,
         args.out,
@@ -121,22 +151,39 @@ def main() -> None:
         fetch_batch_size=args.fetch_batch_size,
         parse=not args.no_parse,
         max_file_size=args.max_file_size,
+        **refresh_kw,
     )
     t0 = time.time()
     info = eng.run(resume=args.resume)
     secs = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "web_dir": web_dir,
-                "out_dir": args.out,
-                "resumed": bool(args.resume),
-                "crawl_sec": round(secs, 2),
-                "urls_per_sec": round(info["fetched"] / secs, 1) if secs else None,
-                **info,
-            }
+    line = {
+        "web_dir": web_dir,
+        "out_dir": args.out,
+        "resumed": bool(args.resume),
+        "crawl_sec": round(secs, 2),
+        "urls_per_sec": round(info["fetched"] / secs, 1) if secs else None,
+        **info,
+    }
+    if args.refresh_from:
+        from web_scraping_script_ray.pipelines.refresh import (
+            classify_statuses,
+            materialize_corpus,
         )
-    )
+
+        st = classify_statuses(args.out, refresh_kw["etag_dir"])
+        counts: dict[str, int] = {}
+        for b in st.select_columns(["status"]).iter_batches(batch_format="pyarrow"):
+            vc = b.column("status").value_counts()
+            for item in vc.to_pylist():
+                counts[item["values"]] = counts.get(item["values"], 0) + item["counts"]
+        line["refresh_statuses"] = counts
+        if args.merge_corpus:
+            with open(os.path.join(web_dir, "params.json")) as f:
+                _nb = json.load(f)["n_buckets"]
+            line["corpus"] = materialize_corpus(
+                args.refresh_from, args.out, args.merge_corpus, _nb
+            )
+    print(json.dumps(line))
     eng.shutdown()
     ray.shutdown()
 

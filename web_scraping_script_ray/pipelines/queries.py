@@ -8871,6 +8871,63 @@ FROM stats, common
 
 
 # ---------------------------------------------------------------------------
+# Refresh crawl: conditional-GET revisit diff (pipelines/refresh.py).
+# ---------------------------------------------------------------------------
+
+_REFRESH_DIFF_CACHE: dict[str, "object"] = {}
+
+
+def q_refresh_diff(sf_dir: str):
+    """The refresh (re)crawl's status diff over the 1000-doc web pair:
+    crawl epoch 1, then revisit everything against the mutated epoch-2
+    web with conditional-GET semantics (pipelines/refresh.py) and label
+    every refreshed row unchanged / changed / new / gone / error.  The
+    golden parquet is generated by the SEQUENTIAL oracle chain
+    (run_oracle → seeds+etags → run_oracle), so this row checks the
+    whole distributed refresh engine — politeness-scheduled revisits,
+    bucketed etag shards, 304 span stripping, delta-frontier discovery
+    — against an independent single-threaded specification."""
+    if "t" in _REFRESH_DIFF_CACHE:
+        return _REFRESH_DIFF_CACHE["t"]
+    import shutil
+    import tempfile
+    from dataclasses import replace as _replace
+
+    from ..synthweb import Budget, WebParams, fixture_dir
+    from .crawl import run_crawl
+    from .refresh import classify_statuses, refresh_crawl
+
+    p1 = WebParams(n_docs=1000, n_hosts=20, seed=42)
+    p2 = _replace(p1, epoch=1, p_change=0.12, p_gone=0.05, child_frac=0.5)
+    budget = Budget(max_rounds=6, max_urls=5000)
+    w1, w2 = fixture_dir(p1), fixture_dir(p2)
+    out1 = tempfile.mkdtemp(prefix="refq1_")
+    out2 = tempfile.mkdtemp(prefix="refq2_")
+    try:
+        eng1, _ = run_crawl(w1, out1, budget)
+        eng1.shutdown()
+        eng2, info = refresh_crawl(w2, out1, out2, budget)
+        eng2.shutdown()
+        t = (
+            classify_statuses(out2, info["refresh_inputs"]["etag_dir"])
+            .select_columns(["url", "status"])
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+    _REFRESH_DIFF_CACHE["t"] = t
+    return t
+
+
+SQL_REFRESH_DIFF = (
+    "SELECT url, status FROM read_parquet('"
+    + os.path.join(_FIXTURES_DIR, "refresh_diff_golden.parquet").replace("'", "''")
+    + "')"
+)
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -9090,6 +9147,8 @@ EXTRA_QUERIES = {
     "ams_f2": q_ams_f2,
     # KMV sketch set algebra: audience union/intersection estimates
     "kmv_set_ops": q_kmv_set_ops,
+    # refresh crawl: conditional-GET revisit status diff vs oracle golden
+    "refresh_diff": q_refresh_diff,
 }
 
 ORACLE_SQL = {
@@ -9223,4 +9282,5 @@ EXTRA_ORACLE_SQL = {
     "copurchase": SQL_COPURCHASE,
     "ams_f2": SQL_AMS_F2,
     "kmv_set_ops": SQL_KMV_SET_OPS,
+    "refresh_diff": SQL_REFRESH_DIFF,
 }
