@@ -254,6 +254,81 @@ def bench_crawl(num_cpus: int) -> dict:
     }
 
 
+def bench_refresh(num_cpus: int) -> dict:
+    """Refresh-crawl throughput (``--refresh``): crawl the bench web, then
+    revisit everything against its mutated epoch-2 twin with
+    conditional-GET semantics.  The interesting number is the 304 ratio
+    — revisits of unchanged pages move no spans and skip the parse, so a
+    mostly-unchanged web should refresh FASTER than it crawled."""
+    from web_scraping_script_ray.pipelines.crawl import CrawlEngine
+    from web_scraping_script_ray.pipelines.refresh import refresh_crawl
+    from web_scraping_script_ray.synthweb import Budget, WebParams, fixture_dir
+
+    base = dict(
+        n_docs=BENCH_WEB_DOCS,
+        n_hosts=BENCH_WEB_HOSTS,
+        seed=77,
+        n_buckets=64,
+        n_seeds=max(8, BENCH_WEB_DOCS // 5),
+    )
+    p1 = WebParams(**base)
+    p2 = WebParams(
+        **base,
+        epoch=1,
+        p_change=float(os.environ.get("GRAFT_BENCH_CHANGE", "0.05")),
+        p_gone=float(os.environ.get("GRAFT_BENCH_GONE", "0.02")),
+        child_frac=float(os.environ.get("GRAFT_BENCH_CHILDREN", "0.5")),
+    )
+    t0 = time.time()
+    w1 = fixture_dir(p1, parallel=True)
+    w2 = fixture_dir(p2, parallel=True)
+    gen_s = time.time() - t0
+    budget = Budget(
+        max_rounds=6,
+        max_urls=int(os.environ.get("GRAFT_BENCH_MAX_URLS", "600000")),
+        default_delay=1.0,
+    )
+    out1 = "/tmp/bench_refresh_prior"
+    out2 = "/tmp/bench_refresh_out"
+    shutil.rmtree(out1, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
+    kw = dict(
+        fetch_concurrency=max(2, num_cpus // 2),
+        fetch_batch_size=4096,
+        n_seen_shards=8,
+        n_politeness_shards=4,
+    )
+    eng = CrawlEngine(w1, out1, budget, **kw)
+    t0 = time.time()
+    info1 = eng.run()
+    crawl_s = time.time() - t0
+    eng.shutdown()
+    t0 = time.time()
+    eng2, info2 = refresh_crawl(w2, out1, out2, budget, **kw)
+    refresh_s = time.time() - t0
+    eng2.shutdown()
+    # status counts straight off the refreshed crawled table
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(out2, "crawled")).to_table(
+        columns=["ok", "not_modified"]
+    )
+    ok = t.column("ok").to_numpy(zero_copy_only=False)
+    nm = t.column("not_modified").to_numpy(zero_copy_only=False)
+    return {
+        "web_docs": p1.n_docs,
+        "gen_sec": round(gen_s, 2),
+        "crawl_sec": round(crawl_s, 2),
+        "crawl_urls_per_sec": round(info1["fetched"] / crawl_s, 1),
+        "refresh_sec": round(refresh_s, 2),
+        "refresh_fetched": info2["fetched"],
+        "refresh_urls_per_sec": round(info2["fetched"] / refresh_s, 1),
+        "n_304": int(nm.sum()),
+        "n_200": int((ok & ~nm).sum()),
+        "n_miss": int((~ok).sum()),
+    }
+
+
 def bench_queries(sf_dir: str) -> dict[str, float]:
     from web_scraping_script_ray.pipelines.queries import EXTRA_QUERIES, QUERIES
 
@@ -434,5 +509,16 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--refresh" in sys.argv:
+        _init_ray(NUM_CPUS)
+        out = {
+            "metric": "refresh_urls_per_sec",
+            "num_cpus": NUM_CPUS,
+            "machine_probe_sec": round(machine_probe(), 2),
+            **bench_refresh(NUM_CPUS),
+        }
+        out["value"] = out["refresh_urls_per_sec"]
+        out["unit"] = "urls/sec"
+        print(json.dumps(out))
     else:
         print(json.dumps(run_single(NUM_CPUS, crawl_only="--crawl-only" in sys.argv)))

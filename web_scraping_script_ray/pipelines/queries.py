@@ -8017,10 +8017,15 @@ def q_bm25_topk(sf_dir: str):
        rides the floor(ln·scale) numpy↔DuckDB bit-parity the LM scorer
        established.  Partial top-k per block, global sort+limit over
        O(blocks·k) rows."""
+    return _bm25_scored(sf_dir, list(_BM25_TERMS), _BM25_K)
+
+
+def _bm25_scored(sf_dir: str, terms: list[str], k: int):
+    """Top-``k`` (doc_id, score_micro) by integer-exact BM25 for
+    ``terms`` — the shared kernel of ``bm25_topk`` and ``rrf_fusion``."""
     from ..functions.hashing import flat_tokens
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    terms = list(_BM25_TERMS)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         flat, offsets = flat_tokens(batch.column("text"))
@@ -8081,13 +8086,13 @@ def q_bm25_topk(sf_dir: str):
             names=["doc_id", "score_micro"],
         )
         # block-local partial top-k
-        order = np.lexsort((ids[keep], -total[keep]))[:_BM25_K]
+        order = np.lexsort((ids[keep], -total[keep]))[:k]
         return t.take(pa.array(np.sort(order)))
 
     return (
         ds.map_batches(score, batch_format="pyarrow")
         .sort(["score_micro", "doc_id"], descending=[True, False])
-        .limit(_BM25_K)
+        .limit(k)
     )
 
 
@@ -8928,6 +8933,217 @@ SQL_REFRESH_DIFF = (
 
 
 # ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two BM25 rankings (retrieval stack).
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS_B = ("hash", "filter", "sort", "stream")
+_RRF_DEPTH = 100  # rank cutoff per input ranking (RRF@100)
+_RRF_C = 60       # the standard RRF constant
+_RRF_K = 10
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two BM25 rankings (the two 4-term
+    queries), RRF@100 with the standard c=60: fused(doc) =
+    Σ_r floor(1e9 / (60 + rank_r(doc))) over the rankings that contain
+    the doc, top-10 by (fused desc, doc_id) — how a search stack merges
+    retrievers (query expansion, BM25 + dense, multi-field).  Each
+    ranking is the streaming integer-exact BM25 kernel capped at depth
+    100, so the fusion itself touches only O(depth) driver-bounded rows
+    regardless of corpus size; integer contributions keep the oracle
+    bit-exact."""
+    tables = []
+    for terms in (list(_BM25_TERMS), list(_RRF_TERMS_B)):
+        t = _bm25_scored(sf_dir, terms, _RRF_DEPTH).take_all()
+        t.sort(key=lambda r: (-r["score_micro"], r["doc_id"]))
+        tables.append(t)
+    fused: dict[int, int] = {}
+    for ranking in tables:
+        for r, row in enumerate(ranking, start=1):
+            d = int(row["doc_id"])
+            fused[d] = fused.get(d, 0) + 10**9 // (_RRF_C + r)
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_K]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in top], pa.int64()),
+            "rrf_micro": pa.array([s for _, s in top], pa.int64()),
+        }
+    )
+
+
+def _bm25_rank_sql(terms, suffix: str, depth: int) -> str:
+    """CTE block computing rank{suffix}(doc_id, r): the BM25 ranking for
+    ``terms`` capped at ``depth`` (shares toks/stats CTEs)."""
+    s = suffix
+    return rf"""term{s}(term) AS (VALUES {", ".join(f"('{t}')" for t in terms)}),
+df{s} AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM term{s} JOIN toks ON list_contains(toks.t, term{s}.term)
+  GROUP BY term
+),
+idf{s} AS (
+  SELECT term,
+         CAST(floor(ln((st.n - df + 0.5) / (df + 0.5) + 1.0) * 1000000) AS BIGINT)
+           AS idf_micro
+  FROM df{s}, stats st
+),
+tf{s} AS (
+  SELECT doc_id, term,
+         CAST(len(list_filter(t, x -> x = term)) AS BIGINT) AS tf,
+         CAST(len(t) AS BIGINT) AS dl
+  FROM toks, term{s}
+),
+scored{s} AS (
+  SELECT doc_id,
+         CAST(sum((idf_micro * 44 * st.tt * tf) //
+                  (20 * st.tt * tf + 6 * st.tt + 18 * dl * st.n)) AS BIGINT)
+           AS score_micro
+  FROM tf{s} JOIN idf{s} USING (term), stats st
+  WHERE tf > 0
+  GROUP BY doc_id
+),
+rank{s} AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r
+    FROM scored{s}
+  ) WHERE r <= {depth}
+)"""
+
+
+SQL_RRF_FUSION = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(t)) AS BIGINT) AS tt
+  FROM toks
+),
+{_bm25_rank_sql(_BM25_TERMS, "a", _RRF_DEPTH)},
+{_bm25_rank_sql(_RRF_TERMS_B, "b", _RRF_DEPTH)},
+fused AS (
+  SELECT doc_id,
+         CAST(sum(1000000000 // ({_RRF_C} + r)) AS BIGINT) AS rrf_micro
+  FROM (SELECT * FROM ranka UNION ALL SELECT * FROM rankb)
+  GROUP BY doc_id
+)
+SELECT doc_id, rrf_micro FROM fused
+QUALIFY row_number() OVER (ORDER BY rrf_micro DESC, doc_id) <= {_RRF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift between crawl epochs (refresh-maintenance analytics).
+# ---------------------------------------------------------------------------
+
+_DRIFT_WEB2 = (
+    "/tmp/synthweb/d1000_h20_s42_b16_sd8_e1_ch0.12_go0.05_cf0.5/web/*/*.parquet"
+)
+_DRIFT_K = 20
+
+
+def q_corpus_drift(sf_dir: str):
+    """Term-frequency drift between the two crawl epochs of the 1000-doc
+    web pair: the 20 terms whose corpus counts moved most
+    (term, n1, n2, delta) — the "what changed in my training corpus
+    after the refresh" report.  Each epoch folds to per-block (term,
+    partial) counts over its text spans (one pass, map-side combined);
+    the two count tables union under an epoch tag, one coarse groupby
+    pivots them to (n1, n2), and only the tiny vocabulary-sized table
+    ever sorts."""
+    from dataclasses import replace as _replace
+
+    from ..functions.agg import grouped_sum_count
+    from ..functions.hashing import flat_tokens
+    from ..synthweb import WebParams, fixture_dir
+
+    p1 = WebParams(n_docs=1000, n_hosts=20, seed=42)
+    w1 = fixture_dir(p1)
+    w2 = fixture_dir(
+        _replace(p1, epoch=1, p_change=0.12, p_gone=0.05, child_frac=0.5)
+    )
+
+    def counts(web_dir: str, col: str):
+        ds = ray.data.read_parquet(os.path.join(web_dir, "web"))
+
+        def partial(b: pa.Table) -> pa.Table:
+            spans = b.column("spans")
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            flat = pc.list_flatten(spans)
+            is_text = pc.equal(pc.struct_field(flat, "kind"), pa.scalar("text"))
+            texts = pc.struct_field(flat, "text").filter(is_text)
+            toks, _ = flat_tokens(texts)
+            out = pa.table({"term": toks}).group_by(["term"]).aggregate(
+                [([], "count_all")]
+            )
+            zero = pa.array(np.zeros(out.num_rows, np.int64), pa.int64())
+            cnt = out.column("count_all").cast(pa.int64())
+            return pa.table(
+                {
+                    "term": out.column("term"),
+                    "n1": cnt if col == "n1" else zero,
+                    "n2": cnt if col == "n2" else zero,
+                }
+            )
+
+        return ds.map_batches(partial, batch_format="pyarrow")
+
+    merged = grouped_sum_count(
+        counts(w1, "n1").union(counts(w2, "n2")),
+        ["term"],
+        ["n1", "n2"],
+        {"n1": "n1", "n2": "n2"},
+        count_name="__nblocks",
+        coarse=16,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n1 = b.column("n1").to_numpy(zero_copy_only=False)
+        n2 = b.column("n2").to_numpy(zero_copy_only=False)
+        d = n2 - n1
+        return pa.table(
+            {
+                "term": b.column("term"),
+                "n1": b.column("n1"),
+                "n2": b.column("n2"),
+                "delta": pa.array(d, pa.int64()),
+                "__absd": pa.array(np.abs(d), pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(finish, batch_format="pyarrow")
+        .sort(["__absd", "term"], descending=[True, False])
+        .limit(_DRIFT_K)
+        .drop_columns(["__absd"])
+    )
+
+
+SQL_CORPUS_DRIFT = rf"""
+WITH f1 AS (
+  SELECT unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+), f2 AS (
+  SELECT unnest(spans) AS s FROM read_parquet('{_DRIFT_WEB2}')
+), c1 AS (
+  SELECT unnest(regexp_extract_all(lower(s.text), '\S+')) AS term
+  FROM f1 WHERE s.kind = 'text'
+), c2 AS (
+  SELECT unnest(regexp_extract_all(lower(s.text), '\S+')) AS term
+  FROM f2 WHERE s.kind = 'text'
+), g1 AS (SELECT term, CAST(count(*) AS BIGINT) AS n1 FROM c1 GROUP BY 1),
+g2 AS (SELECT term, CAST(count(*) AS BIGINT) AS n2 FROM c2 GROUP BY 1),
+m AS (
+  SELECT coalesce(g1.term, g2.term) AS term,
+         coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+  FROM g1 FULL OUTER JOIN g2 ON g1.term = g2.term
+)
+SELECT term, n1, n2, n2 - n1 AS delta FROM m
+QUALIFY row_number() OVER (ORDER BY abs(n2 - n1) DESC, term) <= {_DRIFT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -9149,6 +9365,10 @@ EXTRA_QUERIES = {
     "kmv_set_ops": q_kmv_set_ops,
     # refresh crawl: conditional-GET revisit status diff vs oracle golden
     "refresh_diff": q_refresh_diff,
+    # reciprocal-rank fusion of two BM25 rankings (retriever merging)
+    "rrf_fusion": q_rrf_fusion,
+    # term-frequency drift between crawl epochs (corpus maintenance)
+    "corpus_drift": q_corpus_drift,
 }
 
 ORACLE_SQL = {
@@ -9283,4 +9503,6 @@ EXTRA_ORACLE_SQL = {
     "ams_f2": SQL_AMS_F2,
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "refresh_diff": SQL_REFRESH_DIFF,
+    "rrf_fusion": SQL_RRF_FUSION,
+    "corpus_drift": SQL_CORPUS_DRIFT,
 }
