@@ -195,3 +195,73 @@ def test_refresh_statuses_and_corpus(webs, prior, tmp_path_factory):
         if not c["ok"] and c["url_hash"] in etag_keys
     }
     assert gone_urls and not (gone_urls & set(urls))
+
+
+def test_chained_refresh_from_corpus(webs, prior, tmp_path_factory):
+    """The maintenance LOOP: crawl → refresh → corpus snapshot → refresh
+    AGAIN from the corpus against a third epoch — engine == oracle on
+    the chained crawl, and the epoch-3 corpus equals the epoch-3 web."""
+    import pyarrow.dataset as pads
+
+    from web_scraping_script_ray.oracle import load_web_dict
+    from web_scraping_script_ray.pipelines.refresh import (
+        materialize_corpus,
+        refresh_crawl,
+    )
+
+    prior_out, _ = prior
+    p3 = replace(P1, epoch=2, p_change=0.10, p_gone=0.04, child_frac=0.4)
+    web3 = fixture_dir(p3)
+
+    # epoch-2 refresh → corpus2 (verified elsewhere; re-run for isolation)
+    out2 = str(tmp_path_factory.mktemp("chain_out2"))
+    eng2, _ = refresh_crawl(webs[1], prior_out, out2, B)
+    eng2.shutdown()
+    corpus2 = str(tmp_path_factory.mktemp("chain_corpus2"))
+    materialize_corpus(prior_out, out2, corpus2, P1.n_buckets)
+
+    # epoch-3 refresh FROM THE CORPUS (no crawled/ dir — corpus mode)
+    out3 = str(tmp_path_factory.mktemp("chain_out3"))
+    eng3, info3 = refresh_crawl(web3, corpus2, out3, B)
+    try:
+        got = (
+            eng3.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+    finally:
+        eng3.shutdown()
+
+    # oracle twin: seeds = corpus2 urls in sort order, etags from corpus2
+    ct = pads.dataset(corpus2).to_table()
+    order = sorted(range(ct.num_rows), key=lambda i: ct.column("url")[i].as_py())
+    seeds = [
+        dict(url=ct.column("url")[i].as_py(), seed_rank=r)
+        for r, i in enumerate(order)
+    ]
+    etags = {
+        ct.column("url_hash")[i].as_py(): span_content_hash_py(
+            ct.column("spans")[i].as_py()
+        )
+        for i in range(ct.num_rows)
+    }
+    o3 = run_oracle(web3, B, seeds=seeds, etags=etags)
+    exp = o3.crawled_table().to_pandas()
+    assert len(got) == len(exp) == info3["fetched"]
+    for col in ORDER_COLS:
+        assert (got[col].values == exp[col].values).all(), col
+    assert got["not_modified"].sum() > 400
+
+    # corpus3 == the epoch-3 web for every live page
+    corpus3 = str(tmp_path_factory.mktemp("chain_corpus3"))
+    summary = materialize_corpus(corpus2, out3, corpus3, P1.n_buckets)
+    assert summary["rows"] > 0 and summary["carried"] > 400
+    web3_dict = load_web_dict(web3)
+    t3 = pads.dataset(corpus3).to_table()
+    urls = t3.column("url").to_pylist()
+    assert len(urls) == len(set(urls))
+    for u, sp in zip(urls, t3.column("spans").to_pylist()):
+        exp_sp = web3_dict.get(u)
+        assert exp_sp is not None, u
+        assert [
+            (s["kind"], s["text"], s["media_ref"]) for s in sp
+        ] == [(s["kind"], s["text"], s["media_ref"]) for s in exp_sp], u

@@ -105,6 +105,43 @@ def build_refresh_inputs(prior_out_dir: str, dest_dir: str, n_buckets: int) -> d
     return {"seeds_path": seeds_dir, "etag_dir": etag_dir}
 
 
+def build_refresh_inputs_from_corpus(
+    corpus_dir: str, dest_dir: str, n_buckets: int
+) -> dict:
+    """Corpus-mode refresh inputs — the CHAINED maintenance loop: a
+    refreshed snapshot (``materialize_corpus`` output: url, url_hash,
+    spans, src) is itself the prior for the next epoch's refresh.
+    Seeds rank by URL sort order (a corpus has no crawl_seq — any
+    deterministic total order works, and the sort keeps the oracle twin
+    one line); etags fingerprint the corpus spans directly."""
+    from ..stages.rank import zip_with_index
+
+    seeds_dir = os.path.join(dest_dir, "seeds.parquet")
+    etag_dir = os.path.join(dest_dir, "etags")
+    ds = ray.data.read_parquet(corpus_dir)
+    seeds, _ = zip_with_index(
+        ds.select_columns(["url"]), ["url"], col="seed_rank"
+    )
+    seeds.write_parquet(seeds_dir)
+
+    def to_etag(b: pa.Table) -> pa.Table:
+        uh = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "url_hash": pa.array(uh, pa.uint64()),
+                "etag": pa.array(span_content_hashes(b.column("spans")), pa.uint64()),
+                "bucket": pa.array(
+                    (uh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds.map_batches(to_etag, batch_format="pyarrow").write_parquet(
+        etag_dir, partition_cols=["bucket"]
+    )
+    return {"seeds_path": seeds_dir, "etag_dir": etag_dir}
+
+
 def refresh_crawl(
     web_dir: str,
     prior_out_dir: str,
@@ -116,10 +153,17 @@ def refresh_crawl(
     (a possibly mutated) ``web_dir`` with conditional-GET semantics, and
     crawl whatever NEW frontier changed pages expose — all through the
     standard engine (politeness, robots, seen-set, budgets, checkpoints
-    and both schedule plans apply unchanged)."""
+    and both schedule plans apply unchanged).  ``prior_out_dir`` may be
+    a crawl output (has ``crawled/``) or a materialized corpus snapshot
+    — refreshes chain either way."""
     with open(os.path.join(web_dir, "params.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
-    inputs = build_refresh_inputs(
+    build = (
+        build_refresh_inputs
+        if os.path.isdir(os.path.join(prior_out_dir, "crawled"))
+        else build_refresh_inputs_from_corpus
+    )
+    inputs = build(
         prior_out_dir, os.path.join(out_dir, "refresh_inputs"), n_buckets
     )
     eng = CrawlEngine(
@@ -200,7 +244,15 @@ def _merge_bucket_task(
     def load(out_dir: str) -> pa.Table | None:
         files = _crawled_files(out_dir, bucket)
         if not files:
-            return None
+            # corpus-mode prior (chained refresh): flat bucket part files,
+            # every row live — synthesize the ok column the merge keys on
+            cf = os.path.join(out_dir, f"part-{bucket:05d}.parquet")
+            if not os.path.exists(cf):
+                return None
+            t = pq.read_table(cf)
+            return t.append_column(
+                "ok", pa.array(np.ones(t.num_rows, dtype=bool))
+            )
         return pa.concat_tables([pq.read_table(f) for f in files], promote_options="permissive")
 
     prior = load(prior_out_dir)
@@ -211,6 +263,7 @@ def _merge_bucket_task(
         return pa.table(
             {
                 "url": t.column("url"),
+                "url_hash": t.column("url_hash"),
                 "spans": t.column("spans").combine_chunks()
                 if isinstance(t.column("spans"), pa.ChunkedArray)
                 else t.column("spans"),
@@ -250,6 +303,7 @@ def _merge_bucket_task(
             t = pa.table(
                 {
                     "url": nm_rows.column("url"),
+                    "url_hash": nm_rows.column("url_hash"),
                     "spans": carried_spans,
                     "src": pa.array(["carried"] * nm_rows.num_rows, pa.string()),
                 }
@@ -274,6 +328,7 @@ def _merge_bucket_task(
         t = pa.table(
             {
                 "url": pa.array([], pa.string()),
+                "url_hash": pa.array([], pa.uint64()),
                 "spans": pa.array([], span_type),
                 "src": pa.array([], pa.string()),
             }
