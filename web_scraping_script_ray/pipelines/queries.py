@@ -9144,6 +9144,133 @@ QUALIFY row_number() OVER (ORDER BY abs(n2 - n1) DESC, term) <= {_DRIFT_K}
 
 
 # ---------------------------------------------------------------------------
+# Blocklist content filter (C4 "bad words" scan) over documents.
+# ---------------------------------------------------------------------------
+
+_BLOCK_TERMS = ("slow", "leak", "flaky")
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Multi-literal content scan (the C4/CCNet blocklist step): per doc,
+    the SUBSTRING occurrence count of each blocklist literal over the
+    lowercased text (one vectorized ``pc.count_substring`` kernel per
+    literal — an Aho-Corasick stand-in whose per-pattern cost is one
+    C++ scan), plus the keep flag (no hits anywhere).  Non-overlapping
+    counts on both sides keep the oracle exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b.column("text"))
+        cols = {"doc_id": b.column("doc_id")}
+        total = np.zeros(b.num_rows, np.int64)
+        for term in _BLOCK_TERMS:
+            c = pc.count_substring(low, term).cast(pa.int64())
+            cols[f"n_{term}"] = c
+            total += c.to_numpy(zero_copy_only=False)
+        cols["keep"] = pa.array(total == 0)
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+SQL_BLOCKLIST_FILTER = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{t}')) AS BIGINT) AS n_{t}"
+        for t in _BLOCK_TERMS
+    )
+    + ", ("
+    + " + ".join(
+        f"len(regexp_extract_all(lower(text), '{t}'))" for t in _BLOCK_TERMS
+    )
+    + ") = 0 AS keep FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend sufficient statistics (value vs time) per event type.
+# ---------------------------------------------------------------------------
+
+def q_trend_ols(sf_dir: str):
+    """Per-event-type linear-trend sufficient statistics: regress value
+    (integer cents) on the event's epoch-HOUR index — one exact int64
+    row (event_type, n, sx, sy, sxx, sxy) per type, the inputs of
+    slope = (n·sxy − sx·sy)/(n·sxx − sx²).  The dashboard "is this
+    metric drifting" probe: everything folds map-side (the zipf_stats
+    sufficient-statistics pattern), only 5 partial rows per block move.
+    Hours are re-based to the table's first hour via a constant derived
+    from a min() pre-pass — sxx of raw epoch-hours (~490k) squared
+    times 1e5 rows would overflow int64."""
+    from ray.data.aggregate import Min
+
+    from ..functions.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    h0 = int(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "h": pa.array(
+                        [
+                            int(
+                                pc.min(
+                                    b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+                                ).as_py()
+                                // 3_600_000_000
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Min("h"))["min(h)"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        h = (us.to_numpy(zero_copy_only=False) // 3_600_000_000) - h0
+        v = (
+            pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "one": pa.array(np.ones(len(h), np.int64), pa.int64()),
+                "sx": pa.array(h, pa.int64()),
+                "sy": pa.array(v, pa.int64()),
+                "sxx": pa.array(h * h, pa.int64()),
+                "sxy": pa.array(h * v, pa.int64()),
+            }
+        )
+
+    return grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        ["one", "sx", "sy", "sxx", "sxy"],
+        {"one": "n", "sx": "sx", "sy": "sy", "sxx": "sxx", "sxy": "sxy"},
+        count_name="__nrows",
+    ).drop_columns(["__nrows"])
+
+
+SQL_TREND_OLS = """
+WITH base AS (SELECT min(epoch_us(ts) // 3600000000) AS h0 FROM events),
+x AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 - h0 AS h,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events, base
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(h) AS BIGINT) AS sx, CAST(sum(v) AS BIGINT) AS sy,
+       CAST(sum(h * h) AS BIGINT) AS sxx, CAST(sum(h * v) AS BIGINT) AS sxy
+FROM x GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -9369,6 +9496,10 @@ EXTRA_QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     # term-frequency drift between crawl epochs (corpus maintenance)
     "corpus_drift": q_corpus_drift,
+    # multi-literal blocklist content scan (C4 bad-words filter)
+    "blocklist_filter": q_blocklist_filter,
+    # per-group OLS trend sufficient statistics (metric-drift probe)
+    "trend_ols": q_trend_ols,
 }
 
 ORACLE_SQL = {
@@ -9505,4 +9636,6 @@ EXTRA_ORACLE_SQL = {
     "refresh_diff": SQL_REFRESH_DIFF,
     "rrf_fusion": SQL_RRF_FUSION,
     "corpus_drift": SQL_CORPUS_DRIFT,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "trend_ols": SQL_TREND_OLS,
 }
