@@ -265,3 +265,72 @@ def test_chained_refresh_from_corpus(webs, prior, tmp_path_factory):
         assert [
             (s["kind"], s["text"], s["media_ref"]) for s in sp
         ] == [(s["kind"], s["text"], s["media_ref"]) for s in exp_sp], u
+
+
+def test_chained_refresh_change_first_ordering(webs, prior, tmp_path_factory):
+    """Corpus-mode seed_order='change_first' (Cho-style freshness
+    scheduling): pages that changed last epoch take each host's earlier
+    politeness slots — engine == oracle under the reordered seeds, and
+    within every host all previously-refetched pages fetch before any
+    carried page in round 0."""
+    import pyarrow.dataset as pads
+
+    from web_scraping_script_ray.pipelines.refresh import (
+        materialize_corpus,
+        refresh_crawl,
+    )
+
+    prior_out, _ = prior
+    p3 = replace(P1, epoch=2, p_change=0.10, p_gone=0.04, child_frac=0.4)
+    web3 = fixture_dir(p3)
+
+    out2 = str(tmp_path_factory.mktemp("cf_out2"))
+    eng2, _ = refresh_crawl(webs[1], prior_out, out2, B)
+    eng2.shutdown()
+    corpus2 = str(tmp_path_factory.mktemp("cf_corpus2"))
+    materialize_corpus(prior_out, out2, corpus2, P1.n_buckets)
+
+    out3 = str(tmp_path_factory.mktemp("cf_out3"))
+    eng3, info3 = refresh_crawl(
+        web3, corpus2, out3, B, seed_order="change_first"
+    )
+    try:
+        got = (
+            eng3.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+    finally:
+        eng3.shutdown()
+
+    # oracle twin: refetched-class pages first, URL-sorted within class
+    ct = pads.dataset(corpus2).to_table()
+    rows = list(
+        zip(
+            ct.column("url").to_pylist(),
+            ct.column("src").to_pylist(),
+            ct.column("url_hash").to_pylist(),
+            ct.column("spans").to_pylist(),
+        )
+    )
+    rows.sort(key=lambda r: (0 if r[1] == "refetched" else 1, r[0]))
+    seeds = [dict(url=u, seed_rank=r) for r, (u, _, _, _) in enumerate(rows)]
+    etags = {h: span_content_hash_py(sp) for u, _, h, sp in rows}
+    o3 = run_oracle(web3, B, seeds=seeds, etags=etags)
+    exp = o3.crawled_table().to_pandas()
+    assert len(got) == len(exp) == info3["fetched"]
+    for col in ORDER_COLS:
+        assert (got[col].values == exp[col].values).all(), col
+
+    # the scheduling claim: within each host's round-0 run, every
+    # changed-last-epoch page fetches before any carried page
+    changed_urls = {u for u, s, _, _ in rows if s == "refetched"}
+    r0 = got[got["round"] == 0]
+    n_hosts_with_both = 0
+    for _, grp in r0.groupby("host"):
+        is_ch = grp["url"].isin(changed_urls).values
+        if is_ch.any() and (~is_ch).any():
+            n_hosts_with_both += 1
+            assert grp["fetch_time"].values[is_ch].max() < grp[
+                "fetch_time"
+            ].values[~is_ch].min()
+    assert n_hosts_with_both > 3

@@ -106,22 +106,44 @@ def build_refresh_inputs(prior_out_dir: str, dest_dir: str, n_buckets: int) -> d
 
 
 def build_refresh_inputs_from_corpus(
-    corpus_dir: str, dest_dir: str, n_buckets: int
+    corpus_dir: str, dest_dir: str, n_buckets: int, order: str = "url"
 ) -> dict:
     """Corpus-mode refresh inputs — the CHAINED maintenance loop: a
     refreshed snapshot (``materialize_corpus`` output: url, url_hash,
     spans, src) is itself the prior for the next epoch's refresh.
-    Seeds rank by URL sort order (a corpus has no crawl_seq — any
-    deterministic total order works, and the sort keeps the oracle twin
-    one line); etags fingerprint the corpus spans directly."""
+    Seeds rank by a deterministic total order; etags fingerprint the
+    corpus spans directly.
+
+    ``order``:
+    - ``"url"``: plain URL sort (the oracle twin is one line).
+    - ``"change_first"``: pages that CHANGED last epoch (src =
+      'refetched') rank before carried/stale pages, URL-sorted within
+      each class — change-frequency-aware revisit scheduling (Cho &
+      Garcia-Molina freshness ordering): under a truncating budget the
+      crawler spends its politeness slots where content actually moves,
+      and within each host's run the likely-changed pages fetch first."""
     from ..stages.rank import zip_with_index
 
     seeds_dir = os.path.join(dest_dir, "seeds.parquet")
     etag_dir = os.path.join(dest_dir, "etags")
     ds = ray.data.read_parquet(corpus_dir)
-    seeds, _ = zip_with_index(
-        ds.select_columns(["url"]), ["url"], col="seed_rank"
-    )
+    if order == "change_first":
+
+        def keyed(b: pa.Table) -> pa.Table:
+            changed = pc.equal(b.column("src"), pa.scalar("refetched"))
+            cls = pc.if_else(changed, pa.scalar(0), pa.scalar(1)).cast(pa.int64())
+            return pa.table({"__cls": cls, "url": b.column("url")})
+
+        seeds, _ = zip_with_index(
+            ds.map_batches(keyed, batch_format="pyarrow"),
+            ["__cls", "url"],
+            col="seed_rank",
+        )
+        seeds = seeds.drop_columns(["__cls"])
+    else:
+        seeds, _ = zip_with_index(
+            ds.select_columns(["url"]), ["url"], col="seed_rank"
+        )
     seeds.write_parquet(seeds_dir)
 
     def to_etag(b: pa.Table) -> pa.Table:
@@ -147,6 +169,7 @@ def refresh_crawl(
     prior_out_dir: str,
     out_dir: str,
     budget: Budget | None = None,
+    seed_order: str = "url",
     **engine_kw,
 ) -> tuple[CrawlEngine, dict]:
     """Run a refresh epoch: revisit every previously crawled URL against
@@ -155,17 +178,17 @@ def refresh_crawl(
     standard engine (politeness, robots, seen-set, budgets, checkpoints
     and both schedule plans apply unchanged).  ``prior_out_dir`` may be
     a crawl output (has ``crawled/``) or a materialized corpus snapshot
-    — refreshes chain either way."""
+    — refreshes chain either way; ``seed_order`` picks the corpus-mode
+    revisit ranking ("url" or change-history-aware "change_first")."""
     with open(os.path.join(web_dir, "params.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
-    build = (
-        build_refresh_inputs
-        if os.path.isdir(os.path.join(prior_out_dir, "crawled"))
-        else build_refresh_inputs_from_corpus
-    )
-    inputs = build(
-        prior_out_dir, os.path.join(out_dir, "refresh_inputs"), n_buckets
-    )
+    dest = os.path.join(out_dir, "refresh_inputs")
+    if os.path.isdir(os.path.join(prior_out_dir, "crawled")):
+        inputs = build_refresh_inputs(prior_out_dir, dest, n_buckets)
+    else:
+        inputs = build_refresh_inputs_from_corpus(
+            prior_out_dir, dest, n_buckets, order=seed_order
+        )
     eng = CrawlEngine(
         web_dir,
         out_dir,
