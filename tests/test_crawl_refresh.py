@@ -334,3 +334,49 @@ def test_chained_refresh_change_first_ordering(webs, prior, tmp_path_factory):
                 "fetch_time"
             ].values[~is_ch].min()
     assert n_hosts_with_both > 3
+
+
+def test_refresh_with_redirects_and_retries(tmp_path_factory, ray_session):
+    """Refresh × session-5 features: conditional GETs on a web with 3xx
+    alias pages AND transient failures under a retry budget — alias
+    pages 304 like any page, flaky docs that exhaust retries during the
+    refresh read as gone, recovered ones re-verify against their etag."""
+    from web_scraping_script_ray.pipelines.refresh import refresh_crawl
+    from web_scraping_script_ray.pipelines.crawl import run_crawl
+
+    pa1 = replace(P1, p_redirect=0.2, p_flaky=0.1)
+    pa2 = replace(pa1, epoch=1, p_change=0.12, p_gone=0.05, child_frac=0.5)
+    bud = Budget(max_rounds=6, max_urls=1_000_000, max_retries=3)
+    w1, w2 = fixture_dir(pa1), fixture_dir(pa2)
+
+    out1 = str(tmp_path_factory.mktemp("ref_combo1"))
+    eng1, _ = run_crawl(w1, out1, bud)
+    eng1.shutdown()
+    o1 = run_oracle(w1, bud)
+
+    out2 = str(tmp_path_factory.mktemp("ref_combo2"))
+    eng2, info2 = refresh_crawl(w2, out1, out2, bud)
+    try:
+        got = (
+            eng2.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+    finally:
+        eng2.shutdown()
+    seeds = [dict(url=c["url"], seed_rank=c["crawl_seq"]) for c in o1.crawled]
+    etags = {
+        c["url_hash"]: span_content_hash_py(c["spans"])
+        for c in o1.crawled
+        if c["ok"] and c["spans"]
+    }
+    o2 = run_oracle(w2, bud, seeds=seeds, etags=etags)
+    exp = o2.crawled_table().to_pandas()
+    assert len(got) == len(exp) == info2["fetched"]
+    for col in ORDER_COLS + ["attempts"]:
+        assert (got[col].values == exp[col].values).all(), col
+    # all three interaction classes actually occurred
+    assert got["not_modified"].sum() > 400              # 304s
+    assert got["url"].str.contains("/r/").sum() > 20    # alias revisits
+    assert ((got["attempts"] > 1) & got["ok"]).sum() > 10   # recovered
+    alias_304 = got[got["url"].str.contains("/r/") & got["not_modified"]]
+    assert len(alias_304) > 10                          # alias pages 304 too
