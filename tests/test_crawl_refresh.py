@@ -380,3 +380,37 @@ def test_refresh_with_redirects_and_retries(tmp_path_factory, ray_session):
     assert ((got["attempts"] > 1) & got["ok"]).sum() > 10   # recovered
     alias_304 = got[got["url"].str.contains("/r/") & got["not_modified"]]
     assert len(alias_304) > 10                          # alias pages 304 too
+
+
+def test_refresh_resume_identical(webs, prior, tmp_path_factory):
+    """A refresh interrupted after 2 rounds and resumed to 6 equals a
+    straight 6-round refresh — the etag store, seen shards and clocks
+    all ride the standard checkpoint; the reused refresh_inputs dir is
+    not re-derived (write_parquet append trap)."""
+    from web_scraping_script_ray.pipelines.refresh import refresh_crawl
+
+    prior_out, _ = prior
+    short = Budget(max_rounds=2, max_urls=1_000_000)
+    out1 = str(tmp_path_factory.mktemp("refresh_resume"))
+    eng, _ = refresh_crawl(webs[1], prior_out, out1, short)
+    eng.shutdown()
+    eng2, _ = refresh_crawl(webs[1], prior_out, out1, B, resume=True)
+    try:
+        got = (
+            eng2.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+    finally:
+        eng2.shutdown()
+    out2 = str(tmp_path_factory.mktemp("refresh_straight"))
+    eng3, _ = refresh_crawl(webs[1], prior_out, out2, B)
+    try:
+        exp = (
+            eng3.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+    finally:
+        eng3.shutdown()
+    assert len(got) == len(exp)
+    for col in ORDER_COLS:
+        assert (got[col].values == exp[col].values).all(), col

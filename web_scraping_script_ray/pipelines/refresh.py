@@ -170,6 +170,7 @@ def refresh_crawl(
     out_dir: str,
     budget: Budget | None = None,
     seed_order: str = "url",
+    resume: bool = False,
     **engine_kw,
 ) -> tuple[CrawlEngine, dict]:
     """Run a refresh epoch: revisit every previously crawled URL against
@@ -183,7 +184,15 @@ def refresh_crawl(
     with open(os.path.join(web_dir, "params.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
     dest = os.path.join(out_dir, "refresh_inputs")
-    if os.path.isdir(os.path.join(prior_out_dir, "crawled")):
+    if resume and os.path.isdir(os.path.join(dest, "etags")):
+        # the derivation is deterministic, but write_parquet into a
+        # non-empty dir would APPEND a second copy — a resumed run reuses
+        # the inputs it checkpointed, exactly like the round manifests
+        inputs = {
+            "seeds_path": os.path.join(dest, "seeds.parquet"),
+            "etag_dir": os.path.join(dest, "etags"),
+        }
+    elif os.path.isdir(os.path.join(prior_out_dir, "crawled")):
         inputs = build_refresh_inputs(prior_out_dir, dest, n_buckets)
     else:
         inputs = build_refresh_inputs_from_corpus(
@@ -197,7 +206,7 @@ def refresh_crawl(
         etag_dir=inputs["etag_dir"],
         **engine_kw,
     )
-    info = eng.run()
+    info = eng.run(resume=resume)
     info["refresh_inputs"] = inputs
     return eng, info
 
