@@ -414,3 +414,63 @@ def test_refresh_resume_identical(webs, prior, tmp_path_factory):
     assert len(got) == len(exp)
     for col in ORDER_COLS:
         assert (got[col].values == exp[col].values).all(), col
+
+
+def test_refresh_training_set_incremental(webs, prior, tmp_path_factory):
+    """Incremental dataset maintenance: the refreshed training export ==
+    the same filter+dedup applied to the routed union (prior parsed for
+    unchanged/stale pages, refresh parsed for changed/new, nothing for
+    gone/error) — computed independently in pandas."""
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from web_scraping_script_ray.pipelines.refresh import (
+        _REFRESH_SEQ_OFFSET,
+        classify_statuses,
+        refresh_crawl,
+        refresh_training_set,
+    )
+
+    prior_out, _ = prior
+    out = str(tmp_path_factory.mktemp("rts_out"))
+    eng, info = refresh_crawl(webs[1], prior_out, out, B)
+    eng.shutdown()
+    etag_dir = info["refresh_inputs"]["etag_dir"]
+    export_dir = str(tmp_path_factory.mktemp("rts_export"))
+    stats = refresh_training_set(prior_out, out, etag_dir, export_dir, n_shards=4)
+    assert stats["kept_rows"] > 500
+
+    st = classify_statuses(out, etag_dir).to_pandas()
+    status_of = dict(zip(st.url, st.status))
+    prior_df = pads.dataset(os.path.join(prior_out, "parsed")).to_table().to_pandas()
+    new_df = pads.dataset(os.path.join(out, "parsed")).to_table().to_pandas()
+
+    keep_prior = prior_df[
+        prior_df.url.map(lambda u: status_of.get(u, "stale")).isin(
+            ["unchanged", "stale"]
+        )
+    ].copy()
+    keep_new = new_df[
+        new_df.url.map(lambda u: status_of.get(u, "")).isin(["changed", "new"])
+    ].copy()
+    keep_new["crawl_seq"] = keep_new["crawl_seq"] + _REFRESH_SEQ_OFFSET
+    cand = pd.concat([keep_prior, keep_new], ignore_index=True)
+    # same first-wins simhash dedup
+    cand = cand.sort_values(["simhash", "crawl_seq"]).drop_duplicates(
+        "simhash", keep="first"
+    )
+    expected = set(zip(cand.url, cand.crawl_seq.astype("int64")))
+
+    got_df = pads.dataset(export_dir).to_table().to_pandas()
+    got = set(zip(got_df.url, got_df.crawl_seq.astype("int64")))
+    assert got == expected
+    # the export really is incremental: unchanged pages kept their prior
+    # rows, changed pages carry refreshed content stats
+    changed_urls = {u for u, s in status_of.items() if s == "changed"}
+    in_export_changed = got_df[got_df.url.isin(changed_urls)]
+    assert len(in_export_changed) > 20
+    assert (in_export_changed.crawl_seq >= _REFRESH_SEQ_OFFSET).all()
+    gone_urls = {u for u, s in status_of.items() if s in ("gone", "error")}
+    assert not (set(got_df.url) & gone_urls)

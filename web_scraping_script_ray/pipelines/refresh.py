@@ -394,3 +394,167 @@ def materialize_corpus(
         "refetched": sum(m["refetched"] for m in metas),
         "stale": sum(m["stale"] for m in metas),
     }
+
+
+def _write_status_shards(
+    statuses: "ray.data.Dataset", dest_dir: str, n_buckets: int
+) -> None:
+    """(url_hash, status) bucketed like the etag store, so downstream
+    probes read only their shard."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uh = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "url_hash": pa.array(uh, pa.uint64()),
+                "status": b.column("status"),
+                "bucket": pa.array(
+                    (uh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    statuses.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        dest_dir, partition_cols=["bucket"]
+    )
+
+
+_STATUS_CACHE: dict[tuple[str, int], "tuple[np.ndarray, np.ndarray] | None"] = {}
+_STATUS_CODE = {"unchanged": 0, "changed": 1, "new": 2, "gone": 3, "error": 4}
+
+
+def _load_statuses(status_dir: str, bucket: int):
+    import pyarrow.dataset as pads
+
+    key = (status_dir, bucket)
+    if key in _STATUS_CACHE:
+        return _STATUS_CACHE[key]
+    path = os.path.join(status_dir, f"bucket={bucket}")
+    out = None
+    if os.path.isdir(path):
+        t = pads.dataset(path).to_table()
+        h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = np.array(
+            [_STATUS_CODE[x] for x in t.column("status").to_pylist()], np.int8
+        )
+        order = np.argsort(h)
+        out = (h[order], s[order])
+    _STATUS_CACHE[key] = out
+    return out
+
+
+def _status_of(status_dir: str, n_buckets: int, uh: np.ndarray) -> np.ndarray:
+    """Vectorized status-code lookup (-1 = not revisited, i.e. stale)."""
+    out = np.full(len(uh), -1, np.int8)
+    bids = (uh % np.uint64(n_buckets)).astype(np.int64)
+    for bid in np.unique(bids):
+        sh = _load_statuses(status_dir, int(bid))
+        if sh is None or not len(sh[0]):
+            continue
+        sel = bids == bid
+        pos = np.searchsorted(sh[0], uh[sel])
+        pos = np.minimum(pos, len(sh[0]) - 1)
+        hit = sh[0][pos] == uh[sel]
+        vals = np.full(int(sel.sum()), -1, np.int8)
+        vals[hit] = sh[1][pos[hit]]
+        out[sel] = vals
+    return out
+
+
+# refresh rows get crawl_seq offset into a disjoint range so the two
+# epochs' sequence keys (dedup order, shard hashing) can never collide
+_REFRESH_SEQ_OFFSET = 1 << 40
+
+
+def refresh_training_set(
+    prior_out_dir: str,
+    refresh_out_dir: str,
+    etag_dir: str,
+    export_dir: str,
+    min_quality: float = 0.0,
+    langs: list[str] | None = None,
+    n_shards: int = 16,
+    shuffle_seed: int | None = None,
+) -> dict:
+    """INCREMENTAL dataset maintenance — the composition a 100-TB corpus
+    actually needs after a refresh: rebuild the training export without
+    re-parsing the unchanged 90+%.
+
+    The updated parsed view routes rows by refresh status (bucketed
+    status shards, per-worker cached — no broadcast):
+
+    - prior parsed rows carry over where the page was unchanged (304) or
+      never revisited (stale); changed/gone/error rows drop out;
+    - refresh parsed rows enter where the fetch returned new content
+      (changed or brand-new pages); 304/miss rows drop (their parse
+      columns are empty — the body never transferred);
+    - refresh rows take a disjoint crawl_seq range (epoch offset) so
+      dedup order and shard membership stay collision-free.
+
+    Then the standard filter → SimHash first-wins dedup → hash-sharded
+    export runs over the union (same knobs as ``build_training_set``)."""
+    from ..stages.rank import dedup_first_wins
+    from ..urlnorm import url_hash64
+    from .postprocess import export_shards
+
+    with_statuses = os.path.join(refresh_out_dir, "status_shards")
+    n_buckets = len(glob.glob(os.path.join(etag_dir, "bucket=*"))) or 16
+    if not os.path.isdir(with_statuses):
+        _write_status_shards(
+            classify_statuses(refresh_out_dir, etag_dir), with_statuses, n_buckets
+        )
+
+    def route(keep_codes: tuple, seq_offset: int):
+        def fn(b: pa.Table) -> pa.Table:
+            uh = np.fromiter(
+                (url_hash64(u) for u in b.column("url").to_pylist()),
+                np.uint64,
+                count=b.num_rows,
+            )
+            st = _status_of(with_statuses, n_buckets, uh)
+            mask = np.isin(st, keep_codes)
+            t = b.filter(pa.array(mask))
+            if seq_offset and t.num_rows:
+                seq = t.column("crawl_seq").to_numpy(zero_copy_only=False)
+                t = t.set_column(
+                    t.column_names.index("crawl_seq"),
+                    "crawl_seq",
+                    pa.array(seq + seq_offset, pa.int64()),
+                )
+            return t
+
+        return fn
+
+    carried = ray.data.read_parquet(
+        os.path.join(prior_out_dir, "parsed")
+    ).map_batches(route((_STATUS_CODE["unchanged"], -1), 0), batch_format="pyarrow")
+    fresh = ray.data.read_parquet(
+        os.path.join(refresh_out_dir, "parsed")
+    ).map_batches(
+        route((_STATUS_CODE["changed"], _STATUS_CODE["new"]), _REFRESH_SEQ_OFFSET),
+        batch_format="pyarrow",
+    )
+    ds = carried.union(fresh)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("quality"), min_quality)
+        if langs is not None:
+            mask = pc.and_(
+                mask, pc.is_in(batch.column("lang_pred"), value_set=pa.array(langs))
+            )
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(keep, batch_format="pyarrow")
+    deduped = dedup_first_wins(filtered, "simhash", ["crawl_seq"])
+    manifest = export_shards(
+        deduped,
+        export_dir,
+        n_shards=n_shards,
+        key_col="crawl_seq",
+        resume=False,
+        shuffle_seed=shuffle_seed,
+    )
+    return {
+        "kept_rows": manifest["rows"],
+        "manifest": dict(manifest),
+    }
