@@ -198,6 +198,12 @@ def refresh_crawl(
         inputs = build_refresh_inputs_from_corpus(
             prior_out_dir, dest, n_buckets, order=seed_order
         )
+    # A refresh's round 0 is the WORST-CASE frontier — every previously
+    # crawled URL at once — so the schedule-plan crossover sits far below
+    # the discovery crawl's default (one 7.5M-row revisit round measured
+    # 51.8k URLs/s distributed vs 39.7k on the single-task small path;
+    # BASELINE.md session-6).  Default the switch lower; callers override.
+    engine_kw.setdefault("schedule_small_limit", 2_000_000)
     eng = CrawlEngine(
         web_dir,
         out_dir,
