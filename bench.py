@@ -140,6 +140,16 @@ BENCH_QUERIES = [
     "mad_outliers",
     "web_components",
     "late_events",
+    # session-6 additions (refresh_diff drives two crawl engines and is
+    # benched via --refresh / the crawl line instead)
+    "sssp",
+    "copurchase",
+    "ams_f2",
+    "kmv_set_ops",
+    "rrf_fusion",
+    "corpus_drift",
+    "blocklist_filter",
+    "trend_ols",
 ]
 
 
