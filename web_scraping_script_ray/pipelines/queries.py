@@ -9271,6 +9271,76 @@ FROM x GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Exponentially-decayed counters (freshness-weighted frequency).
+# ---------------------------------------------------------------------------
+
+_DECAY_BITS = 30  # hourly half-life; contributions older than 30 h round to 0
+
+
+def q_decayed_counts(sf_dir: str):
+    """Time-decayed event counts per type with an HOURLY HALF-LIFE — the
+    freshness-weighted popularity signal (trending detection, recrawl
+    prioritization, cache warming).  Anchored at the stream's max hour
+    T, an event aged ``a`` hours contributes ``2^(30−a)`` (0 beyond
+    30 h) — exponential decay in EXACT integer arithmetic, so the
+    merge is order-independent and the oracle bit-exact; the consumer
+    divides by 2³⁰ for the [0, 1] decay weights.  Pass 1 folds to one
+    scalar (max hour); pass 2 is vectorized shifts + the standard
+    map-side-combined grouped sum."""
+    from ray.data.aggregate import Max
+
+    from ..functions.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"h": pa.array([int(pc.max(us).as_py() // 3_600_000_000)], pa.int64())}
+        )
+
+    hm = int(
+        ds.map_batches(hour_partial, batch_format="pyarrow").aggregate(Max("h"))[
+            "max(h)"
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        age = hm - (us.to_numpy(zero_copy_only=False) // 3_600_000_000)
+        w = np.where(
+            age <= _DECAY_BITS, np.int64(1) << np.maximum(_DECAY_BITS - age, 0), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    return grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        ["w"],
+        {"w": "decayed_x2_30"},
+        count_name="n_events",
+    )
+
+
+SQL_DECAYED_COUNTS = f"""
+WITH t AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+), m AS (SELECT max(h) AS hm FROM t)
+SELECT event_type,
+       CAST(sum(CASE WHEN hm - h <= {_DECAY_BITS}
+                THEN (CAST(1 AS BIGINT) << CAST({_DECAY_BITS} - (hm - h) AS INT))
+                ELSE 0 END) AS BIGINT) AS decayed_x2_30,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM t, m GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -9500,6 +9570,8 @@ EXTRA_QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     # per-group OLS trend sufficient statistics (metric-drift probe)
     "trend_ols": q_trend_ols,
+    # hourly-half-life decayed counters (freshness-weighted frequency)
+    "decayed_counts": q_decayed_counts,
 }
 
 ORACLE_SQL = {
@@ -9638,4 +9710,5 @@ EXTRA_ORACLE_SQL = {
     "corpus_drift": SQL_CORPUS_DRIFT,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "trend_ols": SQL_TREND_OLS,
+    "decayed_counts": SQL_DECAYED_COUNTS,
 }
