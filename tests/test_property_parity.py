@@ -48,3 +48,58 @@ def test_random_web_parity(n_docs, n_hosts, seed, hot, links, budget, tmp_path_f
         assert eng_seen == set(oracle.seen), seed
     finally:
         eng.shutdown()
+
+
+REFRESH_CASES = [
+    # (n_docs, n_hosts, seed, p_change, p_gone, child_frac, budget)
+    (300, 5, 111, 0.3, 0.1, 0.8, Budget(max_rounds=4)),     # heavy churn
+    (600, 25, 222, 0.02, 0.0, 0.0, Budget(max_rounds=4)),   # near-static web
+    (400, 8, 333, 0.15, 0.05, 0.5, Budget(max_rounds=3, max_urls=150)),  # cut
+]
+
+
+@pytest.mark.parametrize(
+    "n_docs,n_hosts,seed,ch,go,cf,budget", REFRESH_CASES
+)
+def test_random_refresh_parity(
+    n_docs, n_hosts, seed, ch, go, cf, budget, tmp_path_factory
+):
+    """Refresh parity over diverse churn regimes: heavy mutation, a
+    near-static web (almost everything 304s), and a truncating budget
+    (not every revisit fits)."""
+    from dataclasses import replace
+
+    from web_scraping_script_ray.functions.hashing import span_content_hash_py
+    from web_scraping_script_ray.pipelines.crawl import run_crawl
+    from web_scraping_script_ray.pipelines.refresh import refresh_crawl
+
+    p1 = WebParams(n_docs=n_docs, n_hosts=n_hosts, seed=seed, n_buckets=8)
+    p2 = replace(p1, epoch=1, p_change=ch, p_gone=go, child_frac=cf)
+    w1, w2 = fixture_dir(p1), fixture_dir(p2)
+    out1 = str(tmp_path_factory.mktemp(f"rprop{seed}a"))
+    eng1, _ = run_crawl(w1, out1, budget)
+    eng1.shutdown()
+    o1 = run_oracle(w1, budget)
+    out2 = str(tmp_path_factory.mktemp(f"rprop{seed}b"))
+    eng2, info = refresh_crawl(w2, out1, out2, budget)
+    try:
+        got = (
+            eng2.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+    finally:
+        eng2.shutdown()
+    seeds = [dict(url=c["url"], seed_rank=c["crawl_seq"]) for c in o1.crawled]
+    etags = {
+        c["url_hash"]: span_content_hash_py(c["spans"])
+        for c in o1.crawled
+        if c["ok"] and c["spans"]
+    }
+    o2 = run_oracle(w2, budget, seeds=seeds, etags=etags)
+    exp = o2.crawled_table().to_pandas()
+    assert len(got) == len(exp) == info["fetched"]
+    for col in (
+        "url", "host", "crawl_seq", "fetch_time", "ok", "nbytes",
+        "round", "not_modified",
+    ):
+        assert (got[col].values == exp[col].values).all(), (seed, col)
