@@ -474,3 +474,29 @@ def test_refresh_training_set_incremental(webs, prior, tmp_path_factory):
     assert (in_export_changed.crawl_seq >= _REFRESH_SEQ_OFFSET).all()
     gone_urls = {u for u, s in status_of.items() if s in ("gone", "error")}
     assert not (set(got_df.url) & gone_urls)
+
+
+def test_refresh_partition_fetch_path(webs, prior, tmp_path_factory):
+    """fetch_broadcast_limit=0 forces the PARTITION fetch plan (groupby
+    bucket → make_bucket_fetcher) — the conditional-GET hook must behave
+    identically there (the 10^10-frontier path)."""
+    from web_scraping_script_ray.pipelines.refresh import refresh_crawl
+
+    prior_out, o1 = prior
+    out = str(tmp_path_factory.mktemp("refresh_partfetch"))
+    eng, info = refresh_crawl(
+        webs[1], prior_out, out, B, fetch_broadcast_limit=0
+    )
+    try:
+        got = (
+            eng.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+    finally:
+        eng.shutdown()
+    o2 = _oracle_refresh(webs[1], o1)
+    exp = o2.crawled_table().to_pandas()
+    assert len(got) == len(exp) == info["fetched"]
+    for col in ORDER_COLS:
+        assert (got[col].values == exp[col].values).all(), col
+    assert got["not_modified"].sum() > 500

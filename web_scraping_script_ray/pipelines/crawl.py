@@ -1070,7 +1070,7 @@ class CrawlEngine:
             out = self._round_dir("crawled", rnd)
             shutil.rmtree(out, ignore_errors=True)
             _retry_import_race(
-                lambda: crawled.select_columns(list(CRAWLED_SCHEMA.names)).write_parquet(out)
+                lambda: crawled.select_columns(keep_cols).write_parquet(out)
             )
 
         def write_parsed():
