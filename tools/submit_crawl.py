@@ -125,13 +125,20 @@ def main() -> None:
     if args.refresh_from:
         import json as _json
 
-        from web_scraping_script_ray.pipelines.refresh import build_refresh_inputs
+        from web_scraping_script_ray.pipelines.refresh import (
+            build_refresh_inputs,
+            build_refresh_inputs_from_corpus,
+        )
 
         with open(os.path.join(web_dir, "params.json")) as f:
             _nb = _json.load(f)["n_buckets"]
-        refresh_kw = build_refresh_inputs(
-            args.refresh_from, os.path.join(args.out, "refresh_inputs"), _nb
-        )
+        _dest = os.path.join(args.out, "refresh_inputs")
+        if os.path.isdir(os.path.join(args.refresh_from, "crawled")):
+            refresh_kw = build_refresh_inputs(args.refresh_from, _dest, _nb)
+        else:  # a materialized corpus snapshot (chained maintenance)
+            refresh_kw = build_refresh_inputs_from_corpus(
+                args.refresh_from, _dest, _nb
+            )
     eng = CrawlEngine(
         web_dir,
         args.out,
