@@ -9358,7 +9358,10 @@ QUERIES = {
     "html_spans": q_html_spans,
     "stream_select": q_stream_select,
     "filter_equals": q_filter_equals,
-    "filter_contains": q_filter_contains,
+    # A1 contains-filter moved to EXTRA_QUERIES (the equals/range rows
+    # carry the filter-compiler evidence) to give the round-3 flagship —
+    # the conditional-GET refresh engine — a driver-scored row
+    "refresh_diff": q_refresh_diff,
     "filter_range": q_filter_range,
     "topk_orders": q_topk_orders,
     "topk_per_customer": q_topk_per_customer,
@@ -9560,8 +9563,8 @@ EXTRA_QUERIES = {
     "ams_f2": q_ams_f2,
     # KMV sketch set algebra: audience union/intersection estimates
     "kmv_set_ops": q_kmv_set_ops,
-    # refresh crawl: conditional-GET revisit status diff vs oracle golden
-    "refresh_diff": q_refresh_diff,
+    # A1 contains filter (driver slot reclaimed for refresh_diff)
+    "filter_contains": q_filter_contains,
     # reciprocal-rank fusion of two BM25 rankings (retriever merging)
     "rrf_fusion": q_rrf_fusion,
     # term-frequency drift between crawl epochs (corpus maintenance)
@@ -9581,7 +9584,7 @@ ORACLE_SQL = {
     "html_spans": SQL_HTML_SPANS,
     "stream_select": SQL_STREAM_SELECT,
     "filter_equals": SQL_FILTER_EQUALS,
-    "filter_contains": SQL_FILTER_CONTAINS,
+    "refresh_diff": SQL_REFRESH_DIFF,
     "filter_range": SQL_FILTER_RANGE,
     "topk_orders": SQL_TOPK_ORDERS,
     "topk_per_customer": SQL_TOPK_PER_CUSTOMER,
@@ -9705,7 +9708,7 @@ EXTRA_ORACLE_SQL = {
     "copurchase": SQL_COPURCHASE,
     "ams_f2": SQL_AMS_F2,
     "kmv_set_ops": SQL_KMV_SET_OPS,
-    "refresh_diff": SQL_REFRESH_DIFF,
+    "filter_contains": SQL_FILTER_CONTAINS,
     "rrf_fusion": SQL_RRF_FUSION,
     "corpus_drift": SQL_CORPUS_DRIFT,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
