@@ -9341,6 +9341,90 @@ FROM t, m GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Per-URL change-rate estimation (Cho & Garcia-Molina recrawl scheduling).
+# ---------------------------------------------------------------------------
+
+
+def q_change_rate(sf_dir: str):
+    """Per-page change-rate estimation over a multi-epoch revisit ledger
+    — the statistic behind adaptive recrawl scheduling (Cho &
+    Garcia-Molina, "Estimating Frequency of Change", TOIT 2003; the
+    same estimator drives ``refresh.py``'s ``seed_order="rate"``).
+    Each doc carries a deterministic history: revisited
+    ``n = 4 + doc_id % 5`` times, with epoch ``e`` observing a change
+    iff an integer coin fires at a per-doc frequency
+    (``doc_id % 11`` bands, so rates span 0–0.9).  The Poisson-rate
+    MLE with the 0.5 continuity correction,
+    ``lam = -ln((n - X + 0.5) / (n + 0.5))``, is emitted in floored
+    micro-units (the repo's ln fixed-point rule), and the output is the
+    revisit priority queue: top 1000 pages by (lam desc, doc_id asc)
+    with their dense 1-based rank.
+
+    Physical plan: the ledger fold is MAP-ONLY (8 vectorized epoch
+    coins per block — at 100 TB the real fetch-history scan folds the
+    same way, no exchange); the only shuffle is the final top-k sort,
+    over rows already reduced to 4 ints each."""
+    from ..stages.rank import zip_with_index
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def ledger(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = 4 + (ids % 5)
+        thresh = (ids % 11) * 93
+        x = np.zeros(len(ids), np.int64)
+        for e in range(1, 9):
+            coin = ((ids * 1327217885 + e * 2654435761) % 1021) < thresh
+            x += (coin & (e <= n)).astype(np.int64)
+        lam = np.floor(-np.log((n - x + 0.5) / (n + 0.5)) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "revisits": pa.array(n, pa.int64()),
+                "changes": pa.array(x, pa.int64()),
+                "lam_micro": pa.array(lam, pa.int64()),
+                "_neglam": pa.array(-lam, pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(ledger, batch_format="pyarrow")
+    ranked, _ = zip_with_index(
+        scored, ["_neglam", "doc_id"], col="rk0", limit=1000
+    )
+    return ranked.map_batches(
+        lambda b: b.append_column(
+            "rk", pc.add(b.column("rk0"), pa.scalar(1, pa.int64()))
+        ).drop_columns(["rk0", "_neglam"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CHANGE_RATE = """
+WITH hist AS (
+  SELECT d.doc_id,
+         CAST(4 + (d.doc_id % 5) AS BIGINT) AS revisits,
+         CAST(sum(CASE WHEN ((d.doc_id * 1327217885 + e.e * 2654435761) % 1021)
+                            < (d.doc_id % 11) * 93
+                        AND e.e <= 4 + (d.doc_id % 5)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS changes
+  FROM documents d, (SELECT unnest(generate_series(1, 8)) AS e) e
+  GROUP BY d.doc_id
+),
+scored AS (
+  SELECT doc_id, revisits, changes,
+         CAST(floor(-ln((revisits - changes + 0.5) / (revisits + 0.5)) * 1000000)
+              AS BIGINT) AS lam_micro
+  FROM hist
+)
+SELECT doc_id, revisits, changes, lam_micro,
+       CAST(row_number() OVER (ORDER BY lam_micro DESC, doc_id) AS BIGINT) AS rk
+FROM scored
+ORDER BY lam_micro DESC, doc_id
+LIMIT 1000
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -9573,6 +9657,8 @@ EXTRA_QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     # per-group OLS trend sufficient statistics (metric-drift probe)
     "trend_ols": q_trend_ols,
+    # Cho-style per-page change-rate MLE → revisit priority queue
+    "change_rate": q_change_rate,
     # hourly-half-life decayed counters (freshness-weighted frequency)
     "decayed_counts": q_decayed_counts,
 }
@@ -9713,5 +9799,6 @@ EXTRA_ORACLE_SQL = {
     "corpus_drift": SQL_CORPUS_DRIFT,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "trend_ols": SQL_TREND_OLS,
+    "change_rate": SQL_CHANGE_RATE,
     "decayed_counts": SQL_DECAYED_COUNTS,
 }
