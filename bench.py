@@ -150,6 +150,15 @@ BENCH_QUERIES = [
     "corpus_drift",
     "blocklist_filter",
     "trend_ols",
+    "change_rate",
+    "decayed_counts",
+    # session-7 additions (crawl analytics + grouped mode/trigram windows)
+    "host_depth_profile",
+    "trap_score",
+    "mirror_hosts",
+    "revisit_schedule",
+    "user_mode",
+    "session_trigrams",
 ]
 
 

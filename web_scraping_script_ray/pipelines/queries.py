@@ -9425,6 +9425,521 @@ LIMIT 1000
 
 
 # ---------------------------------------------------------------------------
+# Crawl-analytics session-7 additions: host structure profiles, crawler-trap
+# scoring, structural mirror detection, freshness-budget allocation, grouped
+# mode, and sessionized trigram mining.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_SQL_PATH = os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet").replace(
+    "'", "''"
+)
+
+
+def q_host_depth_profile(sf_dir: str):
+    """Per-host URL structure profile over the committed crawl golden —
+    the site-shape dashboard behind crawl budgeting: page count, root-page
+    count, total path-segment depth (slash count, so the mean is
+    ``sum_slashes / n_pages`` downstream) and the deepest BFS frontier
+    round that reached the host.  MAP-ONLY per-block partials (one
+    vectorized regex strip + ``count_substring`` per batch) collapse to
+    one row per (block, host); the only exchange is a groupby over
+    ~|hosts| partial rows — at a 10^8-host web that is the same
+    host-profile fold the inlink/modularity queries already pay."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(
+            b.column("url"), pattern=r"^https?://[^/]+", replacement=""
+        )
+        slashes = pc.count_substring(path, "/").cast(pa.int64())
+        root = pc.or_(
+            pc.equal(path, pa.scalar("")), pc.equal(path, pa.scalar("/"))
+        ).cast(pa.int64())
+        t = pa.table(
+            {
+                "host": b.column("host"),
+                "slashes": slashes,
+                "root": root,
+                "depth": b.column("depth").cast(pa.int64()),
+            }
+        )
+        out = t.group_by(["host"]).aggregate(
+            [("slashes", "sum"), ("root", "sum"), ("depth", "max"), ([], "count_all")]
+        )
+        return out.rename_columns(
+            ["host", "sum_slashes", "n_root", "max_depth", "n_pages"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_pages"), Sum("n_root"), Sum("sum_slashes"), Max("max_depth"))
+    )
+    return agg.map_batches(
+        lambda b: _rename(
+            b,
+            {
+                "sum(n_pages)": "n_pages",
+                "sum(n_root)": "n_root",
+                "sum(sum_slashes)": "sum_slashes",
+                "max(max_depth)": "max_depth",
+            },
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HOST_DEPTH_PROFILE = f"""
+WITH p AS (
+  SELECT host, regexp_replace(url, '^https?://[^/]+', '') AS path, depth
+  FROM read_parquet('{_GOLDEN_SQL_PATH}')
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN path = '' OR path = '/' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_root,
+       CAST(sum(length(path) - length(replace(path, '/', ''))) AS BIGINT)
+         AS sum_slashes,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM p GROUP BY host
+"""
+
+
+def q_trap_score(sf_dir: str):
+    """Crawler-trap risk score per host: how concentrated a host's pages
+    are on few path templates (digit runs → ``N``).  A calendar/session-id
+    trap shows FEW templates generating MANY URLs — high
+    ``urls_per_template``; a healthy site spreads pages over many
+    templates.  Emits per host: pages, distinct templates, the top
+    template's page count, its share and the pages-per-template density
+    (both in integer micro-units — exact on both engines).  Plan: the
+    url_templates partial fold (map-side (host, template) counts), one
+    groupby on (host, template), then a per-host finalize over
+    metadata-scale rows."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+
+    def template(batch: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(
+            batch.column("url"), pattern=r"^https?://[^/]+", replacement=""
+        )
+        tmpl = pc.replace_substring_regex(path, pattern=r"[0-9]+", replacement="N")
+        t = pa.Table.from_arrays(
+            [batch.column("host"), tmpl], names=["host", "template"]
+        )
+        out = t.group_by(["host", "template"]).aggregate([([], "count_all")])
+        return out.rename_columns(["host", "template", "__n"])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        n = g.column("sum(__n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        host = g.column("host").to_pylist()[0]
+        pages = int(n.sum())
+        top = int(n.max())
+        k = len(n)
+        return pa.table(
+            {
+                "host": pa.array([host], pa.string()),
+                "n_pages": pa.array([pages], pa.int64()),
+                "n_templates": pa.array([k], pa.int64()),
+                "top_template_n": pa.array([top], pa.int64()),
+                "top_share_micro": pa.array([top * 1_000_000 // pages], pa.int64()),
+                "urls_per_template_micro": pa.array(
+                    [pages * 1_000_000 // k], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(template, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .sum("__n")
+        .groupby("host")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+SQL_TRAP_SCORE = f"""
+WITH ht AS (
+  SELECT host,
+         regexp_replace(regexp_replace(url, '^https?://[^/]+', ''),
+                        '[0-9]+', 'N', 'g') AS template,
+         count(*) AS n
+  FROM read_parquet('{_GOLDEN_SQL_PATH}')
+  GROUP BY 1, 2
+)
+SELECT host,
+       CAST(sum(n) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_templates,
+       CAST(max(n) AS BIGINT) AS top_template_n,
+       CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_share_micro,
+       CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS urls_per_template_micro
+FROM ht GROUP BY host
+"""
+
+
+def q_mirror_hosts(sf_dir: str):
+    """Structural mirror detection: host pairs whose URL-template sets
+    overlap on >= 2 templates — the signal behind mirror/alias-site
+    collapsing in a crawl (same CMS skeleton, same path grammar).
+    Plan: block-local DISTINCT (host, template) partials, ONE coarse
+    co-partition on crc32(template) (process-stable — Python's seeded
+    ``hash()`` would split a template across workers, same rule as
+    ``fuzzy_name_pairs``), per-partition exact distinct + per-template
+    host-pair emission (hosts-per-template is bounded by design; pairs
+    are emitted sorted so ``host_a < host_b`` needs no post-pass), then
+    a grouped pair-count sum and the >= 2 filter.  Docs never move —
+    only (host, template) metadata rows cross the wire."""
+    import zlib
+
+    import ray.data as rd
+
+    from ..functions.agg import grouped_sum_count
+
+    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+
+    def ht_partial(batch: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(
+            batch.column("url"), pattern=r"^https?://[^/]+", replacement=""
+        )
+        tmpl = pc.replace_substring_regex(path, pattern=r"[0-9]+", replacement="N")
+        t = pa.Table.from_arrays(
+            [batch.column("host"), tmpl], names=["host", "template"]
+        )
+        t = t.group_by(["host", "template"]).aggregate([])  # block-local distinct
+        part = pa.array(
+            [
+                zlib.crc32(s.encode()) % 16
+                for s in t.column("template").to_pylist()
+            ],
+            pa.int64(),
+        )
+        return t.append_column("part", part)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).group_by(["host", "template"]).aggregate([])
+        tm = np.array(t.column("template").to_pylist(), dtype=object)
+        hs = np.array(t.column("host").to_pylist(), dtype=object)
+        order = np.lexsort((hs, tm))
+        tm, hs = tm[order], hs[order]
+        out_a: list = []
+        out_b: list = []
+        bounds = np.flatnonzero(tm[1:] != tm[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(tm)]])
+        for s, e in zip(starts, ends):  # loop over templates: metadata scale
+            h = hs[s:e]
+            if len(h) > 1:
+                i, j = np.triu_indices(len(h), k=1)
+                out_a.extend(h[i])
+                out_b.extend(h[j])
+        return pa.table(
+            {
+                "host_a": pa.array(out_a, pa.string()),
+                "host_b": pa.array(out_b, pa.string()),
+                "cnt": pa.array([1] * len(out_a), pa.int64()),
+            }
+        )
+
+    shared = grouped_sum_count(
+        ds.map_batches(ht_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow"),
+        ["host_a", "host_b"],
+        ["cnt"],
+        {"cnt": "shared_templates"},
+    ).select_columns(["host_a", "host_b", "shared_templates"])
+    return shared.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("shared_templates"), pa.scalar(2, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_MIRROR_HOSTS = f"""
+WITH ht AS (
+  SELECT DISTINCT host,
+         regexp_replace(regexp_replace(url, '^https?://[^/]+', ''),
+                        '[0-9]+', 'N', 'g') AS template
+  FROM read_parquet('{_GOLDEN_SQL_PATH}')
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(count(*) AS BIGINT) AS shared_templates
+FROM ht a JOIN ht b ON a.template = b.template AND a.host < b.host
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+_REVISIT_BUDGET = 10_000
+
+
+def q_revisit_schedule(sf_dir: str):
+    """Freshness-budget allocation across sources (Cho & Garcia-Molina
+    recrawl scheduling, the allocation step after ``change_rate``'s
+    estimation step): a revisit budget of {B} fetches is split across
+    sources proportionally to their summed change-rate mass, with
+    LARGEST-REMAINDER rounding so the allocations are integers that sum
+    exactly to the budget.  Per-doc ``lam_micro`` reuses change_rate's
+    deterministic revisit ledger; per-block (source, lam) partials fold
+    map-side, the per-source sums are metadata-scale, and the rounding
+    rank (remainder desc, source asc) is a distributed
+    ``zip_with_index`` — no driver-side allocation loop, exact integer
+    arithmetic end to end (lam_sum·B <= 2^53 at any plausible source
+    count, asserted).  Output: source, lam_sum, alloc."""
+    from ray.data.aggregate import Sum as RSum
+
+    from ..stages.rank import zip_with_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def ledger(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = 4 + (ids % 5)
+        thresh = (ids % 11) * 93
+        x = np.zeros(len(ids), np.int64)
+        for e in range(1, 9):
+            coin = ((ids * 1327217885 + e * 2654435761) % 1021) < thresh
+            x += (coin & (e <= n)).astype(np.int64)
+        lam = np.floor(-np.log((n - x + 0.5) / (n + 0.5)) * 1e6).astype(np.int64)
+        t = pa.table({"source": b.column("source"), "lam": pa.array(lam, pa.int64())})
+        out = t.group_by(["source"]).aggregate([("lam", "sum")])
+        return out.rename_columns(["source", "lam_sum"])
+
+    sums = (
+        ds.map_batches(ledger, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(RSum("lam_sum"))
+        .map_batches(
+            lambda b: _rename(b, {"sum(lam_sum)": "lam_sum"}), batch_format="pyarrow"
+        )
+    )
+    total = int(sums.aggregate(RSum("lam_sum"))["sum(lam_sum)"])
+    assert total > 0 and total * _REVISIT_BUDGET < 2**53
+
+    def floors(b: pa.Table) -> pa.Table:
+        lam = b.column("lam_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        fl = lam * _REVISIT_BUDGET // total
+        rem = lam * _REVISIT_BUDGET % total
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "lam_sum": b.column("lam_sum"),
+                "fl": pa.array(fl, pa.int64()),
+                "_negrem": pa.array(-rem, pa.int64()),
+            }
+        )
+
+    fd = sums.map_batches(floors, batch_format="pyarrow")
+    leftover = _REVISIT_BUDGET - int(fd.aggregate(RSum("fl"))["sum(fl)"])
+    ranked, _ = zip_with_index(fd, ["_negrem", "source"], col="rk0")
+
+    def alloc(b: pa.Table) -> pa.Table:
+        fl = b.column("fl").to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = b.column("rk0").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = fl + (rk < leftover)
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "lam_sum": b.column("lam_sum"),
+                "alloc": pa.array(a, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(alloc, batch_format="pyarrow")
+
+
+q_revisit_schedule.__doc__ = q_revisit_schedule.__doc__.format(B=_REVISIT_BUDGET)
+
+SQL_REVISIT_SCHEDULE = f"""
+WITH hist AS (
+  SELECT d.doc_id, d.source,
+         CAST(4 + (d.doc_id % 5) AS BIGINT) AS revisits,
+         CAST(sum(CASE WHEN ((d.doc_id * 1327217885 + e.e * 2654435761) % 1021)
+                            < (d.doc_id % 11) * 93
+                        AND e.e <= 4 + (d.doc_id % 5)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS changes
+  FROM documents d, (SELECT unnest(generate_series(1, 8)) AS e) e
+  GROUP BY d.doc_id, d.source
+),
+s AS (
+  SELECT source,
+         CAST(sum(CAST(floor(-ln((revisits - changes + 0.5) / (revisits + 0.5))
+                             * 1000000) AS BIGINT)) AS BIGINT) AS lam_sum
+  FROM hist GROUP BY source
+),
+t AS (SELECT sum(lam_sum) AS w FROM s),
+f AS (
+  SELECT source, lam_sum,
+         lam_sum * {_REVISIT_BUDGET} // w AS fl,
+         lam_sum * {_REVISIT_BUDGET} % w AS rem
+  FROM s, t
+),
+l AS (SELECT {_REVISIT_BUDGET} - sum(fl) AS leftover FROM f),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) - 1 AS rk FROM f
+)
+SELECT source, lam_sum,
+       CAST(fl + CASE WHEN rk < leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r, l
+"""
+
+
+def q_user_mode(sf_dir: str):
+    """Per-user modal event type (the grouped MODE aggregate, ties broken
+    lexicographically) — the per-entity dominant-behavior label.  Plan:
+    map-side (user, event_type) count partials, one groupby on the pair,
+    then a per-user argmax over metadata-scale rows (a user's distinct
+    event types, not their events)."""
+    from ..functions.agg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": b.column("user_id"), "event_type": b.column("event_type")}
+        )
+        out = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return out.rename_columns(["user_id", "event_type", "cnt"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        ["cnt"],
+        {"cnt": "n_events"},
+    ).select_columns(["user_id", "event_type", "n_events"])
+
+    def argmax(g: pa.Table) -> pa.Table:
+        n = g.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.array(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((et, -n))
+        i = order[0]
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(0, 1),
+                "mode_event": pa.array([et[i]], pa.string()),
+                "n_events": pa.array([int(n[i])], pa.int64()),
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(argmax, batch_format="pyarrow")
+
+
+SQL_USER_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event, n AS n_events FROM r WHERE rn = 1
+"""
+
+
+def q_session_trigrams(sf_dir: str):
+    """Global top-20 consecutive event-type TRIGRAMS per user (ordered by
+    ts with the event_id tie-break) — the 3-step behavioral-pattern miner
+    one window longer than ``event_transitions``' Markov pairs.  Same
+    physical shape: one coarse co-partition on user hash, per-partition
+    lexsort + double-shifted mask emits local trigram counts, a tiny
+    grouped sum merges them, and the final deterministic top-k
+    (n desc, trigram asc) is a ``zip_with_index`` over the trigram
+    vocabulary only."""
+    from ..functions.agg import grouped_sum_count
+    from ..stages.rank import zip_with_index
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(u % 16, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "t": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "etype": batch.column("event_type"),
+            }
+        )
+
+    def trigrams(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("eid").to_numpy(zero_copy_only=False).astype(np.int64)
+        ety = g.column("etype")
+        if isinstance(ety, pa.ChunkedArray):
+            ety = ety.combine_chunks()
+        order = np.lexsort((eid, t, u))
+        u_s = u[order]
+        keep = (u_s[2:] == u_s[1:-1]) & (u_s[1:-1] == u_s[:-2])
+        i0 = pa.array(order[:-2][keep], pa.int64())
+        i1 = pa.array(order[1:-1][keep], pa.int64())
+        i2 = pa.array(order[2:][keep], pa.int64())
+        tri = pc.binary_join_element_wise(
+            ety.take(i0), ety.take(i1), ety.take(i2), ">"
+        )
+        out = (
+            pa.table({"trigram": tri})
+            .group_by(["trigram"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["trigram", "cnt"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(trigrams, batch_format="pyarrow"),
+        ["trigram"],
+        ["cnt"],
+        {"cnt": "n"},
+    ).select_columns(["trigram", "n"])
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column("_negn", pc.negate_checked(b.column("n")))
+
+    ranked, _ = zip_with_index(
+        counts.map_batches(neg, batch_format="pyarrow"),
+        ["_negn", "trigram"],
+        col="rk0",
+        limit=20,
+    )
+    return ranked.map_batches(
+        lambda b: b.append_column(
+            "rk", pc.add(b.column("rk0"), pa.scalar(1, pa.int64()))
+        ).drop_columns(["rk0", "_negn"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SESSION_TRIGRAMS = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS trigram
+  FROM seq WHERE e3 IS NOT NULL
+),
+c AS (SELECT trigram, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY 1)
+SELECT trigram, n,
+       CAST(row_number() OVER (ORDER BY n DESC, trigram) AS BIGINT) AS rk
+FROM c
+ORDER BY n DESC, trigram
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -9661,6 +10176,18 @@ EXTRA_QUERIES = {
     "change_rate": q_change_rate,
     # hourly-half-life decayed counters (freshness-weighted frequency)
     "decayed_counts": q_decayed_counts,
+    # per-host URL structure profile (depth/root-share dashboard)
+    "host_depth_profile": q_host_depth_profile,
+    # crawler-trap risk: template concentration per host
+    "trap_score": q_trap_score,
+    # structural mirror detection: hosts sharing >= 2 path templates
+    "mirror_hosts": q_mirror_hosts,
+    # freshness-budget allocation (largest-remainder, sums to the budget)
+    "revisit_schedule": q_revisit_schedule,
+    # grouped MODE: per-user dominant event type
+    "user_mode": q_user_mode,
+    # sessionized top-20 event-type trigram patterns
+    "session_trigrams": q_session_trigrams,
 }
 
 ORACLE_SQL = {
@@ -9801,4 +10328,10 @@ EXTRA_ORACLE_SQL = {
     "trend_ols": SQL_TREND_OLS,
     "change_rate": SQL_CHANGE_RATE,
     "decayed_counts": SQL_DECAYED_COUNTS,
+    "host_depth_profile": SQL_HOST_DEPTH_PROFILE,
+    "trap_score": SQL_TRAP_SCORE,
+    "mirror_hosts": SQL_MIRROR_HOSTS,
+    "revisit_schedule": SQL_REVISIT_SCHEDULE,
+    "user_mode": SQL_USER_MODE,
+    "session_trigrams": SQL_SESSION_TRIGRAMS,
 }
