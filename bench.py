@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "revisit_schedule",
     "user_mode",
     "session_trigrams",
+    "nb_classify",
 ]
 
 

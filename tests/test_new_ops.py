@@ -765,3 +765,24 @@ def test_basket_pairs_vs_bruteforce(ray_session):
         for r in out.itertuples()
     }
     assert got == ref and len(ref) > 10
+
+
+def test_nb_classify_plans_agree(ray_session):
+    from web_scraping_script_ray.pipelines.queries import q_nb_classify
+
+    a = (
+        q_nb_classify(_SF, force_plan="broadcast")
+        .to_pandas()
+        .sort_values(["lang", "pred"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_nb_classify(_SF, force_plan="join")
+        .to_pandas()
+        .sort_values(["lang", "pred"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a["n_docs"].sum() > 300  # every eval doc classified
+    for col in ("lang", "pred", "n_docs"):
+        assert a[col].tolist() == b[col].tolist(), col

@@ -9939,6 +9939,81 @@ LIMIT 20
 """
 
 
+def q_nb_classify(sf_dir: str, force_plan: str | None = None):
+    """Distributed multinomial Naive Bayes language classification —
+    train on the deterministic 30% split (``doc_id % 10 < 3``, shared
+    with the bigram LM scorer), predict the language of every other
+    document, report the confusion matrix (true lang, predicted lang,
+    doc count).  Laplace(+1)-smoothed token likelihoods and doc-count
+    priors in integer micro-log units; OOV eval tokens are skipped
+    (the rule the SQL twin expresses as an inner join to the train
+    vocabulary); argmax ties go to the lexicographically smallest
+    language.  Size-selected apply plans (broadcast matrix vs
+    token-hash co-partition join — the lm_score pattern; forced-path
+    pytest equality); documents never shuffle on either plan.  See
+    ``functions/classify.py`` for the physical design."""
+    from ..functions.classify import nb_confusion
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return nb_confusion(docs, force_plan=force_plan)
+
+
+SQL_NB_CLASSIFY = r"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+train_docs AS (SELECT doc_id, lang FROM documents WHERE doc_id % 10 < 3),
+eval_docs  AS (SELECT doc_id, lang FROM documents WHERE doc_id % 10 >= 3),
+train_tok AS (SELECT * FROM tok WHERE doc_id % 10 < 3),
+eval_tok  AS (SELECT * FROM tok WHERE doc_id % 10 >= 3),
+counts AS (SELECT lang, token, count(*) AS c FROM train_tok GROUP BY 1, 2),
+lt AS (SELECT lang, count(*) AS ntok FROM train_tok GROUP BY 1),
+vocab AS (SELECT DISTINCT token FROM train_tok),
+v AS (SELECT count(*) AS vs FROM vocab),
+langs AS (SELECT DISTINCT lang FROM train_docs),
+model AS (
+  SELECT la.lang, vo.token,
+         CAST(floor(ln((COALESCE(c.c, 0) + 1)
+                       / CAST(lt.ntok + v.vs AS DOUBLE)) * 1000000)
+              AS BIGINT) AS ulogp
+  FROM langs la
+  CROSS JOIN vocab vo
+  CROSS JOIN v
+  JOIN lt ON lt.lang = la.lang
+  LEFT JOIN counts c ON c.lang = la.lang AND c.token = vo.token
+),
+prior AS (
+  SELECT td.lang,
+         CAST(floor(ln(count(*) / CAST(tt.n AS DOUBLE)) * 1000000) AS BIGINT)
+           AS uprior
+  FROM train_docs td, (SELECT count(*) AS n FROM train_docs) tt
+  GROUP BY td.lang, tt.n
+),
+escore AS (
+  SELECT e.doc_id, m.lang, sum(m.ulogp) AS s
+  FROM eval_tok e JOIN model m ON m.token = e.token
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT ed.doc_id, ed.lang AS lang_true, la.lang,
+         p.uprior + COALESCE(es.s, 0) AS score
+  FROM eval_docs ed
+  CROSS JOIN langs la
+  JOIN prior p ON p.lang = la.lang
+  LEFT JOIN escore es ON es.doc_id = ed.doc_id AND es.lang = la.lang
+),
+pred AS (
+  SELECT doc_id, lang_true, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM tot
+)
+SELECT lang_true AS lang, lang AS pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -10188,6 +10263,8 @@ EXTRA_QUERIES = {
     "user_mode": q_user_mode,
     # sessionized top-20 event-type trigram patterns
     "session_trigrams": q_session_trigrams,
+    # distributed multinomial Naive Bayes (train 30% / classify 70%)
+    "nb_classify": q_nb_classify,
 }
 
 ORACLE_SQL = {
@@ -10334,4 +10411,5 @@ EXTRA_ORACLE_SQL = {
     "revisit_schedule": SQL_REVISIT_SCHEDULE,
     "user_mode": SQL_USER_MODE,
     "session_trigrams": SQL_SESSION_TRIGRAMS,
+    "nb_classify": SQL_NB_CLASSIFY,
 }
