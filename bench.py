@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "user_mode",
     "session_trigrams",
     "nb_classify",
+    "gini_hosts",
+    "host_entropy",
 ]
 
 

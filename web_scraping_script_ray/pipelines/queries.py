@@ -10014,6 +10014,155 @@ FROM pred WHERE rn = 1 GROUP BY 1, 2
 """
 
 
+def q_gini_hosts(sf_dir: str):
+    """Gini concentration of crawl pages across hosts — ONE row
+    (n_hosts, n_pages, gini_micro) answering "how skewed is this crawl
+    toward a few big hosts?", the number that drives the frontier's
+    salting threshold.  gini = (2·Σᵢ i·xᵢ − (k+1)·Σx) / (k·Σx) with
+    per-host page counts x sorted ascending (ties broken by host for a
+    total order), i the 1-based rank; reported floor-scaled to integer
+    micro-units so both engines agree bit-for-bit.  Plan: map-side
+    per-host count partials (pages never shuffle — only host metadata
+    rows), one coarse groupby, ONE range-partition sort for the global
+    rank (``stages/rank.py:zip_with_index``), per-block int64 partial
+    sums (per-block Σ rank·n ≤ rank_max·Σn_block — safe through ~10⁸
+    hosts × 10¹⁰ pages), and a driver-side exact-int final division."""
+    import ray.data as rd
+
+    from ..functions.agg import grouped_sum_count
+    from ..stages.rank import zip_with_index
+
+    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        out = pa.table({"host": batch.column("host")}).group_by(
+            ["host"]
+        ).aggregate([([], "count_all")])
+        return out.rename_columns(["host", "cnt"])
+
+    hosts = grouped_sum_count(
+        ds.map_batches(host_partial, batch_format="pyarrow"),
+        ["host"], ["cnt"], {"cnt": "n"}, coarse=64,
+    )
+    ranked, _k = zip_with_index(hosts, ["n", "host"], col="rank", base=1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([len(n)], pa.int64()),
+                "s": pa.array([int(n.sum())], pa.int64()),
+                "si": pa.array([int((r * n).sum())], pa.int64()),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = int(pc.sum(batch.column("k")).as_py() or 0)
+        s = int(pc.sum(batch.column("s")).as_py() or 0)
+        si = int(pc.sum(batch.column("si")).as_py() or 0)
+        gini = (2 * si - (k + 1) * s) * 1_000_000 // (k * s) if k and s else 0
+        return pa.table(
+            {
+                "n_hosts": pa.array([k], pa.int64()),
+                "n_pages": pa.array([s], pa.int64()),
+                "gini_micro": pa.array([gini], pa.int64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+SQL_GINI_HOSTS = f"""
+WITH h AS (
+  SELECT host, count(*) AS n
+  FROM read_parquet('{_GOLDEN_SQL_PATH}') GROUP BY 1
+),
+r AS (SELECT n, row_number() OVER (ORDER BY n, host) AS rank FROM h),
+s AS (SELECT count(*) AS k, sum(n) AS s, sum(rank * n) AS si FROM r)
+SELECT CAST(k AS BIGINT) AS n_hosts,
+       CAST(s AS BIGINT) AS n_pages,
+       CAST((2 * si - (k + 1) * s) * 1000000 // (k * s) AS BIGINT)
+         AS gini_micro
+FROM s
+"""
+
+
+def q_host_entropy(sf_dir: str):
+    """Per-host URL-template Shannon entropy — the companion
+    skew diagnostic to ``trap_score``: a host whose pages concentrate
+    on one or two path templates (calendar/session-id traps, mirrors)
+    scores near 0; a structurally diverse site scores high.  Same
+    digit-run → ``N`` template rule as ``url_templates``/``trap_score``
+    and the same floored-term integer micro-nat convention as
+    ``token_entropy`` (entropy_micro = −Σ_tmpl c·floor(ln(c/n)·10⁶) —
+    each term floored BEFORE the weighted sum, bit-equal in SQL).
+    Plan: block-local (host, template) count partials, one metadata
+    groupby on (host, template), per-host vectorized finalize.  Pages
+    never move — only template metadata rows cross the exchange."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+
+    def template(batch: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(
+            batch.column("url"), pattern=r"^https?://[^/]+", replacement=""
+        )
+        tmpl = pc.replace_substring_regex(path, pattern=r"[0-9]+", replacement="N")
+        t = pa.Table.from_arrays(
+            [batch.column("host"), tmpl], names=["host", "template"]
+        )
+        out = t.group_by(["host", "template"]).aggregate([([], "count_all")])
+        return out.rename_columns(["host", "template", "__n"])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        n = g.column("sum(__n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        host = g.column("host").to_pylist()[0]
+        pages = int(n.sum())
+        term = n * np.floor(np.log(n / float(pages)) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array([host], pa.string()),
+                "n_pages": pa.array([pages], pa.int64()),
+                "n_templates": pa.array([len(n)], pa.int64()),
+                "entropy_micro": pa.array([int(-term.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(template, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .sum("__n")
+        .groupby("host")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+SQL_HOST_ENTROPY = f"""
+WITH ht AS (
+  SELECT host,
+         regexp_replace(regexp_replace(url, '^https?://[^/]+', ''),
+                        '[0-9]+', 'N', 'g') AS template,
+         count(*) AS n
+  FROM read_parquet('{_GOLDEN_SQL_PATH}')
+  GROUP BY 1, 2
+),
+tot AS (SELECT host, sum(n) AS np FROM ht GROUP BY 1)
+SELECT ht.host,
+       CAST(max(tot.np) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_templates,
+       CAST(-sum(ht.n * CAST(floor(ln(CAST(ht.n AS DOUBLE) / tot.np)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+         AS entropy_micro
+FROM ht JOIN tot ON tot.host = ht.host
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -10265,6 +10414,9 @@ EXTRA_QUERIES = {
     "session_trigrams": q_session_trigrams,
     # distributed multinomial Naive Bayes (train 30% / classify 70%)
     "nb_classify": q_nb_classify,
+    # crawl-skew diagnostics: host-concentration Gini + template entropy
+    "gini_hosts": q_gini_hosts,
+    "host_entropy": q_host_entropy,
 }
 
 ORACLE_SQL = {
@@ -10412,4 +10564,6 @@ EXTRA_ORACLE_SQL = {
     "user_mode": SQL_USER_MODE,
     "session_trigrams": SQL_SESSION_TRIGRAMS,
     "nb_classify": SQL_NB_CLASSIFY,
+    "gini_hosts": SQL_GINI_HOSTS,
+    "host_entropy": SQL_HOST_ENTROPY,
 }
