@@ -162,6 +162,10 @@ BENCH_QUERIES = [
     "nb_classify",
     "gini_hosts",
     "host_entropy",
+    "pivot_status",
+    "user_streaks",
+    "ks_stat",
+    "embed_cov",
 ]
 
 

@@ -786,3 +786,47 @@ def test_nb_classify_plans_agree(ray_session):
     assert a["n_docs"].sum() > 300  # every eval doc classified
     for col in ("lang", "pred", "n_docs"):
         assert a[col].tolist() == b[col].tolist(), col
+
+
+def test_embed_cov_full_dim_and_pca(ray_session):
+    """q_embed_cov at the full 64 dims: the distributed sufficient
+    statistics reconstruct the exact covariance of the micro-quantized
+    vectors, and power iteration on top recovers numpy's top principal
+    component (the PCA consumer the docstring promises)."""
+    import pyarrow.parquet as pq
+
+    from web_scraping_script_ray.pipelines.queries import q_embed_cov
+
+    out = q_embed_cov(_SF, d=64).to_pandas()
+    assert len(out) == 64 * 65 // 2
+
+    tbl = pq.read_table(_SF + "/embeddings.parquet")
+    x = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    q = np.floor(x * 1e6)
+    n = len(q)
+
+    # exact integer sufficient statistics
+    si_ref = q.sum(axis=0)
+    gram_ref = q.T @ q
+    for r in out.itertuples():
+        i, j = int(r.i) - 1, int(r.j) - 1
+        assert int(r.n) == n
+        assert int(r.si) == int(si_ref[i])
+        assert int(r.sj) == int(si_ref[j])
+        assert int(r.sij) == int(gram_ref[i, j])
+
+    # covariance reconstruction + power-iteration top eigenvector
+    C = np.zeros((64, 64))
+    for r in out.itertuples():
+        i, j = int(r.i) - 1, int(r.j) - 1
+        cov = (r.sij - r.si * r.sj / n) / n
+        C[i, j] = C[j, i] = cov
+    ref = (gram_ref - np.outer(si_ref, si_ref) / n) / n
+    assert np.allclose(C, ref)
+
+    v = np.ones(64) / 8.0
+    for _ in range(500):
+        v2 = C @ v
+        v = v2 / np.linalg.norm(v2)
+    _w, V = np.linalg.eigh(ref)
+    assert abs(float(V[:, -1] @ v)) > 0.99

@@ -10163,6 +10163,273 @@ GROUP BY 1
 """
 
 
+def q_pivot_status(sf_dir: str):
+    """PIVOT: per order-month, order counts and revenue cents spread
+    WIDE across the three order statuses (O/F/P) — the classic
+    report-table reshape (reference's pandas export surface produces
+    exactly this shape via ``pivot_table``).  Plan: one map-side pass
+    builds per-block conditional partials (6 int64 columns per month,
+    vectorized Arrow comparisons — statuses never shuffle as rows),
+    then one metadata-scale groupby(month) sum.  The pivot itself is
+    free: it happens inside the partial, not as a post-shuffle
+    reshape."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        st = batch.column("o_orderstatus")
+        cols: dict[str, pa.Array] = {"month": month}
+        for s in ("O", "F", "P"):
+            ind = pc.cast(pc.equal(st, s), pa.int64())
+            cols[f"n_{s}"] = ind
+            cols[f"cents_{s}"] = pc.multiply(ind, cents)
+        t = pa.table(cols)
+        out = t.group_by(["month"]).aggregate(
+            [(c, "sum") for c in t.column_names if c != "month"]
+        )
+        return out.rename_columns(["month"] + [c for c in t.column_names if c != "month"])
+
+    sums = ["n_O", "cents_O", "n_F", "cents_F", "n_P", "cents_P"]
+    return grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["month"], sums, {c: c for c in sums}, coarse=16,
+    ).select_columns(["month"] + sums)
+
+
+SQL_PIVOT_STATUS = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+       CAST(sum(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS cents_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS cents_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS cents_P
+FROM orders GROUP BY 1
+"""
+
+
+def q_user_streaks(sf_dir: str):
+    """Gaps-and-islands: per user, the number of DISTINCT active hours
+    and the LONGEST run of consecutive active hours — the session-
+    continuity window idiom (row_number-difference islands in SQL).
+    Plan: block-local distinct (user, hour) partials collapse the
+    event stream before the exchange (only distinct hour metadata
+    moves), one groupby dedup, then a per-user vectorized finalize
+    (sorted-diff run lengths — no per-row Python)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def hours(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        hr = pc.divide(us, 3_600_000_000)
+        t = pa.table({"user_id": batch.column("user_id"), "hr": hr})
+        out = t.group_by(["user_id", "hr"]).aggregate([([], "count_all")])
+        return out.rename_columns(["user_id", "hr", "__n"])
+
+    distinct = grouped_sum_count(
+        ds.map_batches(hours, batch_format="pyarrow"),
+        ["user_id", "hr"], ["__n"], {"__n": "n"}, coarse=32,
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        hr = np.sort(g.column("hr").to_numpy(zero_copy_only=False).astype(np.int64))
+        uid = g.column("user_id")[0].as_py()
+        breaks = np.where(np.diff(hr) != 1)[0]
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [len(hr) - 1]])
+        longest = int((ends - starts + 1).max()) if len(hr) else 0
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_active_hours": pa.array([len(hr)], pa.int64()),
+                "longest_streak": pa.array([longest], pa.int64()),
+            }
+        )
+
+    return distinct.groupby("user_id").map_groups(finalize, batch_format="pyarrow")
+
+
+SQL_USER_STREAKS = """
+WITH h AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr
+  FROM events
+),
+i AS (
+  SELECT user_id, hr,
+         hr - row_number() OVER (PARTITION BY user_id ORDER BY hr) AS isl
+  FROM h
+),
+s AS (SELECT user_id, isl, count(*) AS c FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n_active_hours,
+       CAST(max(c) AS BIGINT) AS longest_streak
+FROM s GROUP BY 1
+"""
+
+
+def q_ks_stat(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    'click' and 'purchase' event-value distributions — the
+    distribution-drift test a data pipeline runs between two cohorts
+    or two crawl epochs.  D = max over distinct values of
+    |F1(v) − F2(v)|; reported as the exact integer
+    d_micro = max|c1·n2 − c2·n1|·10⁶ // (n1·n2) so both engines agree
+    bit-for-bit.  The inclusive prefix counts (c1, c2) are a
+    PREFIX-SCAN — the same two-phase shape as ``late_events``: distinct
+    (cents, n1, n2) partials, ONE range sort by cents, per-block sum
+    partials, an O(blocks) exclusive carry on the driver (two scalars
+    per block, never rows), per-block cumsum + carried max fold."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"), pa.array(["click", "purchase"]))
+        b = batch.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        g1 = pc.cast(pc.equal(b.column("event_type"), "click"), pa.int64())
+        g2 = pc.cast(pc.equal(b.column("event_type"), "purchase"), pa.int64())
+        t = pa.table({"cents": cents, "n1": g1, "n2": g2})
+        out = t.group_by(["cents"]).aggregate([("n1", "sum"), ("n2", "sum")])
+        return out.rename_columns(["cents", "n1", "n2"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cents"], ["n1", "n2"], {"n1": "n1", "n2": "n2"}, coarse=32,
+    ).sort("cents")
+
+    refs = counts.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_sums(t: pa.Table):
+        if t.num_rows == 0:
+            return (0, 0)
+        return (
+            int(pc.sum(t.column("n1")).as_py() or 0),
+            int(pc.sum(t.column("n2")).as_py() or 0),
+        )
+
+    sums = ray.get([block_sums.remote(r) for r in refs])
+    carries, c1, c2 = [], 0, 0
+    for s1, s2 in sums:
+        carries.append((c1, c2))
+        c1, c2 = c1 + s1, c2 + s2
+    n1, n2 = c1, c2  # grand totals fall out of the carry loop
+
+    @ray.remote(num_cpus=0)
+    def block_dmax(t: pa.Table, carry1: int, carry2: int) -> int:
+        if t.num_rows == 0:
+            return 0
+        a1 = carry1 + np.cumsum(
+            t.column("n1").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        a2 = carry2 + np.cumsum(
+            t.column("n2").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return int(np.abs(a1 * n2 - a2 * n1).max())
+
+    dnum = max(
+        ray.get([block_dmax.remote(r, a, b) for r, (a, b) in zip(refs, carries)]),
+        default=0,
+    )
+    d_micro = dnum * 1_000_000 // (n1 * n2) if n1 and n2 else 0
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "d_micro": pa.array([d_micro], pa.int64()),
+        }
+    )
+
+
+SQL_KS_STAT = """
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+c AS (SELECT cents, sum(g1) AS n1, sum(g2) AS n2 FROM e GROUP BY 1),
+p AS (
+  SELECT sum(n1) OVER (ORDER BY cents) AS c1,
+         sum(n2) OVER (ORDER BY cents) AS c2
+  FROM c
+),
+t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM c)
+SELECT CAST(t.t1 AS BIGINT) AS n1, CAST(t.t2 AS BIGINT) AS n2,
+       CAST(max(abs(p.c1 * t.t2 - p.c2 * t.t1)) * 1000000
+            // (t.t1 * t.t2) AS BIGINT) AS d_micro
+FROM p, t GROUP BY t.t1, t.t2
+"""
+
+
+def q_embed_cov(sf_dir: str, d: int = 8):
+    """Distributed covariance sufficient statistics over the embedding
+    space — the one-pass input to PCA / whitening / Mahalanobis
+    scoring: for each dim pair i ≤ j of the first 8 dims, emits
+    (n, si=Σqᵢ, sj=Σqⱼ, sij=Σqᵢqⱼ) with components quantized to
+    integer micros (q = floor(x·10⁶) in float64) so the statistics are
+    bit-equal in SQL.  Plan: per-block 8×8 integer Gram matmul
+    (vectors never shuffle — each block contributes ONE 36-row
+    partial), one metadata groupby sum.  The engine handles the full
+    64 dims the same way (pytest covers d=64 + the power-iteration
+    eigenvector on top); the oracle pins 8 because the SQL
+    pair-explosion is O(d²) per row."""
+    D = d
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    iu, ju = np.triu_indices(D)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // n if n else 0
+        x = flat.reshape(n, dim)[:, :D]
+        q = np.floor(x * 1e6).astype(np.int64)
+        gram = q.T @ q
+        si = q.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(iu + 1, pa.int64()),
+                "j": pa.array(ju + 1, pa.int64()),
+                # "nv" not "n": the combiner's internal count partial is
+                # named __p_n — a sum col literally named "n" collides
+                "nv": pa.array(np.full(len(iu), n), pa.int64()),
+                "si": pa.array(si[iu], pa.int64()),
+                "sj": pa.array(si[ju], pa.int64()),
+                "sij": pa.array(gram[iu, ju], pa.int64()),
+            }
+        )
+
+    return grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], ["nv", "si", "sj", "sij"],
+        {"nv": "n", "si": "si", "sj": "sj", "sij": "sij"}, coarse=8,
+    ).select_columns(["i", "j", "n", "si", "sj", "sij"])
+
+
+SQL_EMBED_COV = """
+WITH q AS (
+  SELECT vec_id, unnest(range(1, 9)) AS i,
+         CAST(floor(CAST(unnest(embedding[1:8]) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(a.q) AS BIGINT) AS si, CAST(sum(b.q) AS BIGINT) AS sj,
+       CAST(sum(a.q * b.q) AS BIGINT) AS sij
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -10417,6 +10684,14 @@ EXTRA_QUERIES = {
     # crawl-skew diagnostics: host-concentration Gini + template entropy
     "gini_hosts": q_gini_hosts,
     "host_entropy": q_host_entropy,
+    # PIVOT reshape (wide conditional aggregates per month x status)
+    "pivot_status": q_pivot_status,
+    # gaps-and-islands: longest consecutive-hour activity streak per user
+    "user_streaks": q_user_streaks,
+    # exact two-sample Kolmogorov-Smirnov distribution-drift statistic
+    "ks_stat": q_ks_stat,
+    # one-pass covariance sufficient statistics over the embedding space
+    "embed_cov": q_embed_cov,
 }
 
 ORACLE_SQL = {
@@ -10566,4 +10841,8 @@ EXTRA_ORACLE_SQL = {
     "nb_classify": SQL_NB_CLASSIFY,
     "gini_hosts": SQL_GINI_HOSTS,
     "host_entropy": SQL_HOST_ENTROPY,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "user_streaks": SQL_USER_STREAKS,
+    "ks_stat": SQL_KS_STAT,
+    "embed_cov": SQL_EMBED_COV,
 }
