@@ -166,6 +166,10 @@ BENCH_QUERIES = [
     "user_streaks",
     "ks_stat",
     "embed_cov",
+    "pct_cont",
+    "flesch",
+    "first_last",
+    "chi2",
 ]
 
 

@@ -10430,6 +10430,317 @@ GROUP BY 1, 2
 """
 
 
+def q_pct_cont(sf_dir: str):
+    """Interpolated percentiles (SQL ``percentile_cont`` semantics) per
+    event type, in exact integer CENTI-cents: 0-based position
+    pos = (n−1)·p, k = pos // 100, rem = pos % 100 (p in percent), and
+    result = v_k·100 + (v_{k+1} − v_k)·rem — pure integer arithmetic,
+    so both engines agree bit-for-bit with no float interpolation.
+    Same no-raw-row-shuffle histogram plan as ``quantiles``: map-side
+    (type, cents) count partials, one tiny groupby merge, and the two
+    straddling order statistics read off the cumulative counts."""
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
+    ).select_columns(["event_type", "cents"])
+
+    PCTS = [50, 90, 99]
+    cols = ["p50_cc", "p90_cc", "p99_cc"]
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "cents", "__n"])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        cents = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g.column("__n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(cents)
+        v, w = cents[order], cnt[order]
+        first = np.ones(len(v), dtype=bool)
+        first[1:] = v[1:] != v[:-1]
+        vu = v[first]
+        cum = np.cumsum(np.add.reduceat(w, np.flatnonzero(first)))
+        n = int(cum[-1])
+        out = []
+        for p in PCTS:
+            pos = (n - 1) * p
+            k, rem = pos // 100, pos % 100
+            vk = int(vu[np.searchsorted(cum, k + 1)])
+            vk1 = int(vu[np.searchsorted(cum, min(k + 2, n))])
+            out.append(vk * 100 + (vk1 - vk) * rem)
+        return pa.Table.from_arrays(
+            [g.column("event_type").slice(0, 1), pa.array([n], pa.int64())]
+            + [pa.array([x], pa.int64()) for x in out],
+            names=["event_type", "n_rows"] + cols,
+        )
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+_PCT_SQL_LINES = ",\n".join(
+    f"""       CAST(min(CASE WHEN cum >= ((tot - 1) * {p}) // 100 + 1
+                 THEN cents END) * 100
+            + (coalesce(min(CASE WHEN cum >= ((tot - 1) * {p}) // 100 + 2
+                            THEN cents END),
+                        min(CASE WHEN cum >= ((tot - 1) * {p}) // 100 + 1
+                            THEN cents END))
+               - min(CASE WHEN cum >= ((tot - 1) * {p}) // 100 + 1
+                     THEN cents END)) * max(((tot - 1) * {p}) % 100)
+            AS BIGINT) AS {c}"""
+    for p, c in zip([50, 90, 99], ["p50_cc", "p90_cc", "p99_cc"])
+)
+
+SQL_PCT_CONT = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+h AS (SELECT event_type, cents, count(*) AS n FROM c GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1),
+r AS (
+  SELECT h.event_type, h.cents, t.tot,
+         sum(h.n) OVER (PARTITION BY h.event_type ORDER BY h.cents) AS cum
+  FROM h JOIN t USING (event_type)
+)
+SELECT event_type, CAST(max(tot) AS BIGINT) AS n_rows,
+{_PCT_SQL_LINES}
+FROM r GROUP BY event_type
+"""
+
+
+def q_flesch(sf_dir: str):
+    """Flesch reading-ease per document in integer MILLI-points — the
+    classic readability quality filter (readability-banded corpora are
+    a standard pretraining mixture axis).  Words = ``\\S+`` runs,
+    sentences = ``[.!?]+`` runs (min 1), syllable proxy = ``[aeiouy]+``
+    vowel groups in the lowercased text (min 1).  Each rational term is
+    floored independently: flesch_milli = 206835 − 1015·W // S −
+    84600·V // W — pure integer, bit-equal in SQL.  Block-local,
+    vectorized (three compiled-regex count kernels), docs never
+    shuffle; zero-word docs are dropped (score undefined)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        w = pc.count_substring_regex(txt, pattern=r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        s = pc.count_substring_regex(txt, pattern=r"[.!?]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = pc.count_substring_regex(
+            pc.utf8_lower(txt), pattern=r"[aeiouy]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.maximum(s, 1)
+        v = np.maximum(v, 1)
+        keep = w > 0
+        wk, sk, vk = w[keep], s[keep], v[keep]
+        flesch = 206_835 - 1015 * wk // sk - 84_600 * vk // wk
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_words": pa.array(wk, pa.int64()),
+                "n_sentences": pa.array(sk, pa.int64()),
+                "n_vowel_groups": pa.array(vk, pa.int64()),
+                "flesch_milli": pa.array(flesch, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_FLESCH = r"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS v
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+       CAST(v AS BIGINT) AS n_vowel_groups,
+       CAST(206835 - 1015 * w // s - 84600 * v // w AS BIGINT) AS flesch_milli
+FROM f WHERE w > 0
+"""
+
+
+def q_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user: the value and timestamp of
+    each user's earliest and latest event (total order (ts, event_id))
+    plus the event count — the argmin/argmax-merge aggregation shape
+    (min_by/max_by), which unlike sum/count needs the KEY carried with
+    the partial.  Plan: one vectorized lexsort per block emits ≤ one
+    partial row per user per block (first/last survive block-locally —
+    raw events never shuffle), then a per-user merge of the tiny
+    partials picks the global argmin/argmax by the same total order."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        u = uid[order]
+        newu = np.ones(len(u), dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        firsts = np.flatnonzero(newu)
+        lasts = np.append(firsts[1:] - 1, len(u) - 1)
+        runs = lasts - firsts + 1
+        f, l = order[firsts], order[lasts]
+        return pa.table(
+            {
+                "user_id": pa.array(u[firsts], pa.int64()),
+                "n": pa.array(runs, pa.int64()),
+                "first_us": pa.array(us[f], pa.int64()),
+                "first_eid": pa.array(eid[f], pa.int64()),
+                "first_cents": pa.array(cents[f], pa.int64()),
+                "last_us": pa.array(us[l], pa.int64()),
+                "last_eid": pa.array(eid[l], pa.int64()),
+                "last_cents": pa.array(cents[l], pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g.column("n")).as_py())
+        fu = g.column("first_us").to_numpy(zero_copy_only=False)
+        fe = g.column("first_eid").to_numpy(zero_copy_only=False)
+        lu = g.column("last_us").to_numpy(zero_copy_only=False)
+        le = g.column("last_eid").to_numpy(zero_copy_only=False)
+        i = np.lexsort((fe, fu))[0]
+        j = np.lexsort((le, lu))[-1]
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(0, 1),
+                "n_events": pa.array([n], pa.int64()),
+                "first_us": pa.array([int(fu[i])], pa.int64()),
+                "first_cents": g.column("first_cents").slice(i, 1),
+                "last_us": pa.array([int(lu[j])], pa.int64()),
+                "last_cents": g.column("last_cents").slice(j, 1),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+SQL_FIRST_LAST = """
+WITH o AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN rn_a = 1 THEN us END) AS BIGINT) AS first_us,
+       CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS first_cents,
+       CAST(max(CASE WHEN rn_d = 1 THEN us END) AS BIGINT) AS last_us,
+       CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS last_cents
+FROM o GROUP BY 1
+"""
+
+
+def q_chi2(sf_dir: str):
+    """Pearson chi-square independence test between event type and
+    hour-of-day — "does activity mix shift by hour?", the categorical
+    drift test.  ONE row (n, n_types, n_hours, dof, chi2_micro) with
+    chi2 as the exact integer Σ_cells ((O·N − R·C)²·10⁶) // (N·R·C)
+    (floored per cell — the engine's floored-term convention; the
+    expected-count denominators use only observed marginals, and
+    zero-observed cells of the marginal cross product are included as
+    the test requires).  Plan: map-side (type, hour) count partials
+    (events collapse block-locally), one 120-cell metadata groupby,
+    exact big-int finalize (Python ints on the engine, HUGEINT in
+    SQL — the squared terms overflow int64 by design)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        hr = pc.cast(
+            pc.subtract(
+                pc.divide(us, 3_600_000_000),
+                pc.multiply(pc.divide(pc.divide(us, 3_600_000_000), 24), 24),
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"t": batch.column("event_type"), "h": hr})
+        out = t.group_by(["t", "h"]).aggregate([([], "count_all")])
+        return out.rename_columns(["t", "h", "__n"])
+
+    cells = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["t", "h"], ["__n"], {"__n": "o"}, coarse=8,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_pylist()
+        h = batch.column("h").to_pylist()
+        o = batch.column("o").to_pylist()
+        obs = {(a, b): int(c) for a, b, c in zip(t, h, o)}
+        rows: dict[str, int] = {}
+        colm: dict[int, int] = {}
+        for (a, b), c in obs.items():
+            rows[a] = rows.get(a, 0) + c
+            colm[b] = colm.get(b, 0) + c
+        n = sum(rows.values())
+        chi2 = 0
+        for a, r in rows.items():
+            for b, c in colm.items():
+                ob = obs.get((a, b), 0)
+                d = ob * n - r * c
+                chi2 += (d * d * 1_000_000) // (n * r * c)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "n_types": pa.array([len(rows)], pa.int64()),
+                "n_hours": pa.array([len(colm)], pa.int64()),
+                "dof": pa.array([(len(rows) - 1) * (len(colm) - 1)], pa.int64()),
+                "chi2_micro": pa.array([chi2], pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_CHI2 = """
+WITH obs AS (
+  SELECT event_type AS t,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS h,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT t, sum(o) AS r FROM obs GROUP BY 1),
+c AS (SELECT h, sum(o) AS c FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM obs),
+cells AS (
+  SELECT r.r, c.c, coalesce(obs.o, 0) AS o, n.n
+  FROM r CROSS JOIN c CROSS JOIN n
+  LEFT JOIN obs ON obs.t = r.t AND obs.h = c.h
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM r) AS BIGINT) AS n_types,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_hours,
+       CAST(((SELECT count(*) FROM r) - 1) * ((SELECT count(*) FROM c) - 1)
+            AS BIGINT) AS dof,
+       CAST(sum(((o * n - r * c) * (o * n - r * c) * 1000000)
+                // (n * r * c)) AS BIGINT) AS chi2_micro
+FROM cells
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -10692,6 +11003,14 @@ EXTRA_QUERIES = {
     "ks_stat": q_ks_stat,
     # one-pass covariance sufficient statistics over the embedding space
     "embed_cov": q_embed_cov,
+    # interpolated percentile_cont in exact integer centi-cents
+    "pct_cont": q_pct_cont,
+    # Flesch reading-ease readability score (integer milli-points)
+    "flesch": q_flesch,
+    # FIRST_VALUE/LAST_VALUE per user (argmin/argmax partial merge)
+    "first_last": q_first_last,
+    # chi-square independence: event type x hour-of-day (exact big-int)
+    "chi2": q_chi2,
 }
 
 ORACLE_SQL = {
@@ -10845,4 +11164,8 @@ EXTRA_ORACLE_SQL = {
     "user_streaks": SQL_USER_STREAKS,
     "ks_stat": SQL_KS_STAT,
     "embed_cov": SQL_EMBED_COV,
+    "pct_cont": SQL_PCT_CONT,
+    "flesch": SQL_FLESCH,
+    "first_last": SQL_FIRST_LAST,
+    "chi2": SQL_CHI2,
 }
