@@ -170,6 +170,10 @@ BENCH_QUERIES = [
     "flesch",
     "first_last",
     "chi2",
+    "regional_revenue",
+    "id_gaps",
+    "unpivot_lineitem",
+    "topk_dense",
 ]
 
 

@@ -86,6 +86,26 @@ def _rename(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return batch.rename_columns([mapping.get(n, n) for n in batch.column_names])
 
 
+def _join_parts(concurrent_joins: int = 1) -> int:
+    """Hash-join partition count sized to the CLUSTER, not a constant.
+
+    Ray's join operator reserves 0.125 CPU per partition for its
+    aggregator-actor pool; with ``k`` joins alive in one streaming
+    plan that's k·parts·0.125 CPUs held for the pipeline's lifetime.
+    A fixed parts=16 deadlocks a 4-CPU cluster when k=2 (2+2 CPUs
+    reserved → zero left for the map tasks feeding the joins —
+    observed as a total stall).  Budget at most HALF the cluster for
+    aggregators across all concurrent joins: parts ≤ 4·CPU/k, so map
+    tasks always keep ≥ half the cores; larger clusters get
+    proportionally more partitions (better than a constant at scale
+    too)."""
+    try:
+        total = int(ray.cluster_resources().get("CPU", 8) or 8)
+    except Exception:
+        total = 8
+    return max(2, min(64, 4 * total // max(concurrent_joins, 1)))
+
+
 # ---------------------------------------------------------------------------
 # Relational / reference-op queries (A1–A4, top-k, union, broadcast join).
 # ---------------------------------------------------------------------------
@@ -263,7 +283,7 @@ def q_orders_customer_join(sf_dir: str):
     j = orders.join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_parts(),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -2924,7 +2944,7 @@ def q_left_outer_orders(sf_dir: str):
     return orders.join(
         cust,
         join_type="left_outer",
-        num_partitions=16,
+        num_partitions=_join_parts(),
         on=("o_custkey",),
         right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "o_custkey", "c_mktsegment"])
@@ -4144,7 +4164,7 @@ def q_top_revenue_orders(sf_dir: str):
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(ord_prep, batch_format="pyarrow")
     orders_f = orders.join(
-        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=_join_parts(2), on=("o_custkey",), right_on=("c_custkey",)
     ).select_columns(["o_orderkey", "o_orderday", "o_orderpriority"])
 
     def li_prep(b: pa.Table) -> pa.Table:
@@ -4160,7 +4180,7 @@ def q_top_revenue_orders(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(li_prep, batch_format="pyarrow")
     j = li.join(
-        orders_f, join_type="inner", num_partitions=16,
+        orders_f, join_type="inner", num_partitions=_join_parts(2),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     agg = grouped_sum_count(
@@ -8228,7 +8248,7 @@ def q_above_avg_orders(sf_dir: str):
         ds.select_columns(["o_custkey", "cents"]),
         ["o_custkey"], ["cents"], {"cents": "sum_cents"}, count_name="n_orders",
     )
-    joined = ds.join(stats, join_type="inner", num_partitions=16, on=("o_custkey",))
+    joined = ds.join(stats, join_type="inner", num_partitions=_join_parts(), on=("o_custkey",))
 
     def flt(batch: pa.Table) -> pa.Table:
         c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -10741,6 +10761,321 @@ FROM cells
 """
 
 
+def q_regional_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped 6-table flagship: revenue per nation from
+    lineitems where the CUSTOMER and the SUPPLIER sit in the same
+    ASIA nation, orders in [1996-01-01, 1998-01-01).  The physical
+    plan is the size-aware join ladder this engine uses everywhere:
+    region→nation resolved at plan time (metadata), the nation filter
+    pushed into a broadcast ``is_in`` probe on customer, TWO native
+    hash-shuffle joins for the fact tables (orders⋈customer on
+    custkey, lineitem⋈that on orderkey), and supplier (a dimension)
+    broadcast once via ``ray.put`` and probed per batch — so the only
+    all-to-all exchanges are the two fact joins.  Revenue is exact
+    integer cents×(100−disc)."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = region.column("r_regionkey").filter(
+        pc.equal(region.column("r_name"), "ASIA")
+    )[0].as_py()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nat = nation.filter(pc.equal(nation.column("n_regionkey"), rkey))
+    nat_keys = nat.column("n_nationkey").combine_chunks()
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    dims = ray.put(
+        (
+            nat_keys,
+            nat.column("n_name").combine_chunks(),
+            supplier.column("s_suppkey").combine_chunks(),
+            supplier.column("s_nationkey").combine_chunks(),
+        )
+    )
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        keys, _, _, _ = ray.get(dims)
+        return b.filter(pc.is_in(b.column("c_nationkey"), value_set=keys))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_prep, batch_format="pyarrow"
+    )
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), lo),
+            pc.less(b.column("o_orderdate"), hi),
+        )
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_prep, batch_format="pyarrow")
+    ord_nat = orders.join(
+        cust, join_type="inner", num_partitions=_join_parts(2),
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        price_c = pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)).cast(
+            pa.int64()
+        )
+        disc_c = pc.round(pc.multiply(b.column("l_discount"), 100.0)).cast(pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.Table.from_arrays(
+            [b.column("l_orderkey"), b.column("l_suppkey"), rev],
+            names=["l_orderkey", "l_suppkey", "rev_e4"],
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+    j = li.join(
+        ord_nat, join_type="inner", num_partitions=_join_parts(2),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def local_probe(b: pa.Table) -> pa.Table:
+        nk, nn, sk, sn = ray.get(dims)
+        sidx = pc.index_in(b.column("l_suppkey"), value_set=sk)
+        s_nat = sn.take(sidx)
+        b = b.filter(pc.equal(s_nat, b.column("c_nationkey")))
+        nidx = pc.index_in(b.column("c_nationkey"), value_set=nk)
+        return pa.table(
+            {"n_name": nn.take(nidx), "rev_e4": b.column("rev_e4")}
+        )
+
+    probed = j.map_batches(local_probe, batch_format="pyarrow")
+    return grouped_sum_count(
+        probed, ["n_name"], ["rev_e4"], {"rev_e4": "revenue_e4"},
+        count_name="n_items",
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_id_gaps(sf_dir: str):
+    """Sequence-gap detection: the missing event_id runs in the
+    surviving stream after 'error' events are dropped — the ingestion
+    data-loss audit (every gap is a lost-row range a pipeline must
+    account for).  Emits one row per gap (gap_start, gap_end,
+    gap_len).  Plan: block-local distinct-id partials, one groupby
+    dedup, ONE range sort, then per-block interior diffs; CROSS-BLOCK
+    gaps come from an O(blocks) driver carry of each block's last id
+    (two scalars per block — rows never revisit the driver), the
+    late_events two-phase-scan shape."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def ids(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.not_equal(batch.column("event_type"), pa.scalar("error"))
+        )
+        out = pa.table({"event_id": b.column("event_id")}).group_by(
+            ["event_id"]
+        ).aggregate([([], "count_all")])
+        return out.rename_columns(["event_id", "__n"])
+
+    distinct = grouped_sum_count(
+        ds.map_batches(ids, batch_format="pyarrow"),
+        ["event_id"], ["__n"], {"__n": "n"}, coarse=16,
+    ).sort("event_id")
+    refs = distinct.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def edges(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        ids = t.column("event_id")
+        return (ids[0].as_py(), ids[t.num_rows - 1].as_py())
+
+    spans = ray.get([edges.remote(r) for r in refs])
+    carries, prev = [], None
+    for s in spans:
+        carries.append(prev)
+        if s is not None:
+            prev = s[1]
+
+    @ray.remote(num_cpus=0)
+    def block_gaps(t: pa.Table, carry) -> pa.Table:
+        ids = np.sort(
+            t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        starts, ends = [], []
+        if carry is not None and len(ids) and ids[0] > carry + 1:
+            starts.append(carry + 1)
+            ends.append(int(ids[0]) - 1)
+        if len(ids) > 1:
+            d = np.flatnonzero(np.diff(ids) > 1)
+            starts.extend((ids[d] + 1).tolist())
+            ends.extend((ids[d + 1] - 1).tolist())
+        s = np.asarray(starts, dtype=np.int64)
+        e = np.asarray(ends, dtype=np.int64)
+        return pa.table(
+            {
+                "gap_start": pa.array(s, pa.int64()),
+                "gap_end": pa.array(e, pa.int64()),
+                "gap_len": pa.array(e - s + 1, pa.int64()),
+            }
+        )
+
+    out = [block_gaps.remote(r, c) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out)
+
+
+SQL_ID_GAPS = """
+WITH d AS (
+  SELECT DISTINCT event_id FROM events WHERE event_type <> 'error'
+),
+l AS (
+  SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM d
+)
+SELECT CAST(event_id + 1 AS BIGINT) AS gap_start,
+       CAST(nxt - 1 AS BIGINT) AS gap_end,
+       CAST(nxt - event_id - 1 AS BIGINT) AS gap_len
+FROM l WHERE nxt > event_id + 1
+"""
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT (melt): the four lineitem measures reshaped long into
+    (metric, …) rows and profiled — the inverse of ``pivot_status``
+    and the shape a metrics warehouse stores.  Values quantized to
+    integer milli units.  min/max are NOT plain sums, so the partial
+    is the full algebraic triple (n, sum, min, max) per metric per
+    block — merged with sum/sum/min/max in a 4-row finalize; raw rows
+    never leave their block."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ms, ns, ss, mns, mxs = [], [], [], [], []
+        for c in cols:
+            v = np.round(
+                batch.column(c).to_numpy(zero_copy_only=False) * 1000
+            ).astype(np.int64)
+            ms.append(c)
+            ns.append(len(v))
+            ss.append(int(v.sum()))
+            mns.append(int(v.min()))
+            mxs.append(int(v.max()))
+        return pa.table(
+            {
+                "metric": pa.array(ms, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+                "mn": pa.array(mns, pa.int64()),
+                "mx": pa.array(mxs, pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "metric": g.column("metric").slice(0, 1),
+                "n_rows": pa.array([int(pc.sum(g.column("n")).as_py())], pa.int64()),
+                "sum_milli": pa.array([int(pc.sum(g.column("s")).as_py())], pa.int64()),
+                "min_milli": pa.array([int(pc.min(g.column("mn")).as_py())], pa.int64()),
+                "max_milli": pa.array([int(pc.max(g.column("mx")).as_py())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("metric")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+_UNPIVOT_ARMS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS metric, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round({c} * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+       CAST(min(CAST(round({c} * 1000) AS BIGINT)) AS BIGINT) AS min_milli,
+       CAST(max(CAST(round({c} * 1000) AS BIGINT)) AS BIGINT) AS max_milli
+FROM lineitem"""
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+
+SQL_UNPIVOT_LINEITEM = _UNPIVOT_ARMS
+
+
+def q_topk_dense(sf_dir: str):
+    """DENSE_RANK top-k WITH TIES: each customer's top-3 DISTINCT
+    order totals — unlike ``topk_per_customer`` (row_number), tied
+    totals share a rank and all survive, the dense_rank window idiom.
+    Plan: block-local distinct (custkey, cents) partials, one groupby
+    dedup, then the carried per-key rank over ONE range sort
+    (``stages/rank.py:per_key_rank`` on negated cents — per-group
+    overhead stays O(keys), not O(rows)), filter rank < 3."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: _cents(b, "o_totalprice", "cents"), batch_format="pyarrow"
+    ).select_columns(["o_custkey", "cents"])
+
+    def distinct_part(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["o_custkey", "cents"]).aggregate([([], "count_all")])
+        return out.rename_columns(["o_custkey", "cents", "__n"])
+
+    from ..stages.rank import per_key_rank
+
+    distinct = grouped_sum_count(
+        ds.map_batches(distinct_part, batch_format="pyarrow"),
+        ["o_custkey", "cents"], ["__n"], {"__n": "n"}, coarse=32,
+    ).map_batches(
+        lambda b: b.append_column(
+            "neg_cents",
+            pc.subtract(pa.scalar(0, pa.int64()), b.column("cents")),
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = per_key_rank(distinct, "o_custkey", ["neg_cents"], out_col="drank")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("drank"), 3))
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": b.column("cents"),
+                "drank": pc.add(b.column("drank"), 1),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOPK_DENSE = """
+WITH d AS (
+  SELECT DISTINCT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, cents,
+         dense_rank() OVER (PARTITION BY o_custkey ORDER BY cents DESC) AS drank
+  FROM d
+)
+SELECT o_custkey, cents, CAST(drank AS BIGINT) AS drank FROM r WHERE drank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -11011,6 +11346,14 @@ EXTRA_QUERIES = {
     "first_last": q_first_last,
     # chi-square independence: event type x hour-of-day (exact big-int)
     "chi2": q_chi2,
+    # TPC-H-Q5-shaped 6-table join ladder (2 shuffle joins + broadcasts)
+    "regional_revenue": q_regional_revenue,
+    # ingestion data-loss audit: missing-id runs in the event sequence
+    "id_gaps": q_id_gaps,
+    # UNPIVOT/melt of the four lineitem measures + algebraic profile
+    "unpivot_lineitem": q_unpivot_lineitem,
+    # DENSE_RANK top-3 distinct totals per customer (ties survive)
+    "topk_dense": q_topk_dense,
 }
 
 ORACLE_SQL = {
@@ -11168,4 +11511,8 @@ EXTRA_ORACLE_SQL = {
     "flesch": SQL_FLESCH,
     "first_last": SQL_FIRST_LAST,
     "chi2": SQL_CHI2,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
+    "id_gaps": SQL_ID_GAPS,
+    "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
+    "topk_dense": SQL_TOPK_DENSE,
 }
