@@ -174,6 +174,10 @@ BENCH_QUERIES = [
     "id_gaps",
     "unpivot_lineitem",
     "topk_dense",
+    "adamic_adar",
+    "burst_hours",
+    "upsert_latest",
+    "revenue_share",
 ]
 
 

@@ -11076,6 +11076,299 @@ SELECT o_custkey, cents, CAST(drank AS BIGINT) AS drank FROM r WHERE drank <= 3
 """
 
 
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the web link graph: for page
+    pairs NOT already linked, score = Σ_{common neighbor z}
+    floor(10⁶ / ln(deg z)) — the classic "which links are missing"
+    crawl-expansion signal; top-20 by (score, u, v) total order.
+    Plan: the shared deduped edge list (``_web_link_edges``),
+    adjacency = both directions, wedge generation inside
+    groupby(z).map_groups (the degree IS the group size — no separate
+    degree join), a coarse (u,v) score sum, existing edges removed by
+    tagging them into the same groupby (no second exchange shape), one
+    metadata-scale top-k sort.  Wedge fan-out is O(deg²) per middle
+    node — at web scale the hub mitigation is the same degree
+    orientation ``triangles`` uses; exact here to stay oracle-equal."""
+    from ..stages.rank import zip_with_index
+
+    edges = _web_link_edges(sf_dir)
+
+    def adj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "z": pa.concat_arrays(
+                    [b.column("u").combine_chunks(), b.column("v").combine_chunks()]
+                ),
+                "n": pa.concat_arrays(
+                    [b.column("v").combine_chunks(), b.column("u").combine_chunks()]
+                ),
+            }
+        )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nbrs = np.sort(np.asarray(g.column("n").to_pylist(), dtype=object))
+        d = len(nbrs)
+        if d < 2:
+            return pa.table(
+                {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
+                 "term": pa.array([], pa.int64())}
+            )
+        term = int(np.floor(1e6 / np.log(d)))
+        iu, ju = np.triu_indices(d, k=1)
+        return pa.table(
+            {
+                "x": pa.array(nbrs[iu], pa.string()),
+                "y": pa.array(nbrs[ju], pa.string()),
+                "term": pa.array(np.full(len(iu), term), pa.int64()),
+            }
+        )
+
+    pair_terms = (
+        edges.map_batches(adj, batch_format="pyarrow")
+        .groupby("z")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+    # tag existing edges with term = NEG so any pair containing one is
+    # dropped in the same (x, y) fold — no separate anti-join exchange
+    NEG = -(1 << 60)
+    tagged = edges.map_batches(
+        lambda b: pa.table(
+            {"x": b.column("u"), "y": b.column("v"),
+             "term": pa.array(np.full(b.num_rows, NEG), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    scores = grouped_sum_count(
+        pair_terms.union(tagged), ["x", "y"], ["term"], {"term": "score"},
+        coarse=32,
+    )
+
+    def neg(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("score"), 0))
+        s = b.column("score").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"u": b.column("x"), "v": b.column("y"),
+             "aa_micro": b.column("score"),
+             "neg_s": pa.array(-s, pa.int64())}
+        )
+
+    ranked, _ = zip_with_index(
+        scores.map_batches(neg, batch_format="pyarrow"),
+        ["neg_s", "u", "v"], col="__r", limit=20,
+    )
+    return ranked.select_columns(["u", "v", "aa_micro"])
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1),
+w AS (
+  SELECT a.n AS x, b.n AS y,
+         CAST(floor(1000000.0 / ln(d.d)) AS BIGINT) AS term
+  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+  JOIN deg d ON d.z = a.z
+),
+s AS (SELECT x, y, sum(term) AS score FROM w GROUP BY 1, 2),
+ne AS (
+  SELECT s.x, s.y, s.score FROM s
+  LEFT JOIN e ON e.u = s.x AND e.v = s.y WHERE e.u IS NULL
+)
+SELECT x AS u, y AS v, CAST(score AS BIGINT) AS aa_micro
+FROM ne ORDER BY score DESC, x, y LIMIT 20
+"""
+
+
+def q_burst_hours(sf_dir: str):
+    """Burst detection: hours whose event count is > 2 population
+    standard deviations ABOVE the event type's hourly mean — flagged
+    with the exact integer inequality (k·c − S)² > 4·(k·Q − S²) and
+    k·c > S (k observed hours, S = Σc, Q = Σc²), so no float mean or
+    stddev enters the comparison on either engine.  The traffic-spike
+    / crawler-anomaly detector.  Plan: map-side (type, hour) count
+    partials, one metadata groupby, per-type vectorized flagging."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({"event_type": batch.column("event_type"), "ts_hour": hr})
+        out = t.group_by(["event_type", "ts_hour"]).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "ts_hour", "__n"])
+
+    hourly = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "ts_hour"], ["__n"], {"__n": "c"}, coarse=32,
+    )
+
+    def flag(g: pa.Table) -> pa.Table:
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(c)
+        S = int(c.sum())
+        Q = int((c * c).sum())
+        lhs = (k * c - S).astype(np.int64)
+        keep = (lhs > 0) & (lhs * lhs > 4 * (k * Q - S * S))
+        b = g.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "ts_hour": b.column("ts_hour"),
+                "n_events": b.column("c"),
+            }
+        )
+
+    return hourly.groupby("event_type").map_groups(flag, batch_format="pyarrow")
+
+
+SQL_BURST_HOURS = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS ts_hour, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, ts_hour, c,
+         count(*) OVER (PARTITION BY event_type) AS k,
+         sum(c) OVER (PARTITION BY event_type) AS S,
+         sum(c * c) OVER (PARTITION BY event_type) AS Q
+  FROM h
+)
+SELECT event_type, ts_hour, CAST(c AS BIGINT) AS n_events
+FROM s
+WHERE k * c - S > 0
+  AND (k * c - S) * (k * c - S) > 4 * (k * Q - S * S)
+"""
+
+
+def q_upsert_latest(sf_dir: str):
+    """CDC / changelog compaction (MERGE last-write-wins): the event
+    stream read as an upsert log keyed by (user_id, event_type) —
+    keep each key's LATEST row by (ts, event_id).  The corpus-
+    maintenance primitive behind "current state of every page" tables.
+    Plan: ``stages/rank.py:dedup_first_wins`` on the NEGATED order
+    columns (one range sort, block-boundary carry, O(blocks) driver
+    traffic) — last-wins is first-wins on the reversed total order."""
+    from ..stages.rank import dedup_first_wins
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        neg_us = pc.subtract(pa.scalar(0, pa.int64()), us)
+        neg_eid = pc.subtract(
+            pa.scalar(0, pa.int64()), b.column("event_id").cast(pa.int64())
+        )
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "neg_us": neg_us,
+                "neg_eid": neg_eid,
+                "last_us": us,
+                "last_cents": cents,
+            }
+        )
+
+    latest = dedup_first_wins(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type"], ["neg_us", "neg_eid"],
+    )
+    return latest.select_columns(
+        ["user_id", "event_type", "last_us", "last_cents"]
+    )
+
+
+SQL_UPSERT_LATEST = """
+WITH r AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS last_us,
+         CAST(round(value * 100) AS BIGINT) AS last_cents,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, last_us, last_cents FROM r WHERE rn = 1
+"""
+
+
+def q_revenue_share(sf_dir: str):
+    """RATIO_TO_REPORT: each nation's share of total order revenue in
+    integer micro-units (share_micro = rev·10⁶ // total) — the
+    percent-of-total window over a broadcast-dimension rollup.  Plan:
+    nation dim broadcast once (``ray.put`` + ``index_in`` probe),
+    map-side cents partials, one 25-row groupby, and the share
+    computed in a single metadata-scale fold (the grand total never
+    needs a second pass over the data)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    dim = ray.put(
+        (
+            nation.column("n_nationkey").combine_chunks(),
+            nation.column("n_name").combine_chunks(),
+        )
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    cdim = ray.put(
+        (
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_nationkey").combine_chunks(),
+        )
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        nk, nn = ray.get(dim)
+        ck, cn = ray.get(cdim)
+        nat = cn.take(pc.index_in(b.column("o_custkey"), value_set=ck))
+        name = nn.take(pc.index_in(nat, value_set=nk))
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({"n_name": name, "cents": cents})
+
+    per_nation = grouped_sum_count(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["n_name"], ["cents"], {"cents": "revenue_cents"}, count_name="n_orders",
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        rev = b.column("revenue_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(rev.sum())
+        return b.append_column(
+            "share_micro", pa.array(rev * 1_000_000 // total, pa.int64())
+        )
+
+    return per_nation.repartition(1).map_batches(share, batch_format="pyarrow")
+
+
+SQL_REVENUE_SHARE = """
+WITH r AS (
+  SELECT n_name, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1
+)
+SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(revenue_cents * 1000000 // (sum(revenue_cents) OVER ()) AS BIGINT)
+         AS share_micro
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -11354,6 +11647,14 @@ EXTRA_QUERIES = {
     "unpivot_lineitem": q_unpivot_lineitem,
     # DENSE_RANK top-3 distinct totals per customer (ties survive)
     "topk_dense": q_topk_dense,
+    # Adamic-Adar link prediction over the web graph (top-20 missing links)
+    "adamic_adar": q_adamic_adar,
+    # burst detection: hours > 2 population stddevs above the hourly mean
+    "burst_hours": q_burst_hours,
+    # CDC changelog compaction: last-write-wins per (user, event_type)
+    "upsert_latest": q_upsert_latest,
+    # RATIO_TO_REPORT: per-nation revenue share of the grand total
+    "revenue_share": q_revenue_share,
 }
 
 ORACLE_SQL = {
@@ -11515,4 +11816,8 @@ EXTRA_ORACLE_SQL = {
     "id_gaps": SQL_ID_GAPS,
     "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
     "topk_dense": SQL_TOPK_DENSE,
+    "adamic_adar": SQL_ADAMIC_ADAR,
+    "burst_hours": SQL_BURST_HOURS,
+    "upsert_latest": SQL_UPSERT_LATEST,
+    "revenue_share": SQL_REVENUE_SHARE,
 }
