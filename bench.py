@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "burst_hours",
     "upsert_latest",
     "revenue_share",
+    "minmax_norm",
+    "feature_hash",
+    "bounce_rate",
+    "embed_project",
 ]
 
 

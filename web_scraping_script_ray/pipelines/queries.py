@@ -94,16 +94,20 @@ def _join_parts(concurrent_joins: int = 1) -> int:
     plan that's k·parts·0.125 CPUs held for the pipeline's lifetime.
     A fixed parts=16 deadlocks a 4-CPU cluster when k=2 (2+2 CPUs
     reserved → zero left for the map tasks feeding the joins —
-    observed as a total stall).  Budget at most HALF the cluster for
-    aggregators across all concurrent joins: parts ≤ 4·CPU/k, so map
-    tasks always keep ≥ half the cores; larger clusters get
-    proportionally more partitions (better than a constant at scale
-    too)."""
+    observed as a total stall).  Budget at most a QUARTER of the
+    cluster for aggregators across all concurrent joins
+    (parts ≤ 2·CPU/k), and never exceed 16 partitions: 16 is the
+    regime every green driver run has exercised, while a 64-partition
+    join was observed to wedge indefinitely on this single-node box
+    (join-2 shuffle tasks backpressured at 0 output for 17 min with
+    idle CPUs).  On a real multi-node cluster raise the cap with the
+    node count; partition count only bounds per-aggregator state, so
+    16 stays correct at any data size — just coarser."""
     try:
         total = int(ray.cluster_resources().get("CPU", 8) or 8)
     except Exception:
         total = 8
-    return max(2, min(64, 4 * total // max(concurrent_joins, 1)))
+    return max(2, min(16, 2 * total // max(concurrent_joins, 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -11369,6 +11373,272 @@ FROM r
 """
 
 
+def q_minmax_norm(sf_dir: str):
+    """Fit-then-transform: min-max normalize each event's value WITHIN
+    its event type — the grouped feature-scaling primitive of every ML
+    preprocessing pipeline.  Pass 1 fits per-type (min, max) from
+    algebraic partials (a 5-row fit table), pass 2 broadcasts the fit
+    (``ray.put``) and transforms every row vectorized:
+    v_norm_micro = (cents − min)·10⁶ // (max − min), exact integer
+    (degenerate max == min ⇒ 0).  The fit table never shuffles the
+    events; the transform is embarrassingly parallel."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
+    ).select_columns(["event_id", "event_type", "cents"])
+
+    def fit_partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["event_type"]).aggregate(
+            [("cents", "min"), ("cents", "max")]
+        )
+        return out.rename_columns(["event_type", "mn", "mx"])
+
+    def fit_merge(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "mn": pa.array([int(pc.min(g.column("mn")).as_py())], pa.int64()),
+                "mx": pa.array([int(pc.max(g.column("mx")).as_py())], pa.int64()),
+            }
+        )
+
+    fit_tbl = pa.concat_tables(
+        ray.get(
+            ds.map_batches(fit_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(fit_merge, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )  # 5 rows — metadata-scale driver hop, then broadcast once
+    fit = ray.put(
+        (
+            fit_tbl.column("event_type").combine_chunks(),
+            fit_tbl.column("mn").to_numpy(zero_copy_only=False).astype(np.int64),
+            fit_tbl.column("mx").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    )
+
+    def transform(b: pa.Table) -> pa.Table:
+        types, mn, mx = ray.get(fit)
+        idx = pc.index_in(b.column("event_type"), value_set=types).to_numpy(
+            zero_copy_only=False
+        )
+        c = b.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = mn[idx], mx[idx]
+        span = hi - lo
+        norm = np.where(span > 0, (c - lo) * 1_000_000 // np.maximum(span, 1), 0)
+        return b.append_column("v_norm_micro", pa.array(norm, pa.int64()))
+
+    return ds.map_batches(transform, batch_format="pyarrow")
+
+
+SQL_MINMAX_NORM = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, event_type, cents,
+         min(cents) OVER (PARTITION BY event_type) AS mn,
+         max(cents) OVER (PARTITION BY event_type) AS mx
+  FROM c
+)
+SELECT event_id, event_type, cents,
+       CAST(CASE WHEN mx > mn THEN (cents - mn) * 1000000 // (mx - mn)
+                 ELSE 0 END AS BIGINT) AS v_norm_micro
+FROM w
+"""
+
+
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick vectorizer (the linear-model front end): each
+    document's tokens hashed into 16 buckets (bucket = md5-u64 % 16 —
+    the repo's SQL-reproducible token hash), emitted LONG as
+    (doc_id, bucket, n).  Entirely block-local: tokenize, hash the
+    DICTIONARY (not every occurrence), one Arrow hash-aggregation per
+    block — docs never shuffle, nothing global to fit."""
+    from ..functions.hashing import flat_tokens, token_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = 16
+
+    def vectorize(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        per_doc = np.diff(offsets)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), per_doc)
+        bucket = (token_hashes(flat) % B).astype(np.int64)
+        pairs = pa.table(
+            {"d": pa.array(doc_of, pa.int64()), "bucket": pa.array(bucket, pa.int64())}
+        )
+        cnt = pairs.group_by(["d", "bucket"]).aggregate([([], "count_all")])
+        d = cnt.column("d").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(d, pa.int64())),
+                "bucket": cnt.column("bucket"),
+                "n": cnt.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(vectorize, batch_format="pyarrow")
+
+
+SQL_FEATURE_HASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) % 16 AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY 1, 2
+"""
+
+
+def q_bounce_rate(sf_dir: str):
+    """Bounce rate per user: share of sessions (>30 min gap rule, the
+    ``sessionize`` convention) containing exactly ONE event —
+    engagement analytics over the same coarse-partition windowing
+    plan: user_id % P groups, one vectorized lexsort + gap scan per
+    partition, per-user session/bounce counts, share in integer
+    micro."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    P = 32
+    GAP = 1_800_000_000  # 30 min in µs
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("upart", pa.array(uid % P, pa.int64()))
+
+    def bounce_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        u, t = uid[order], us[order]
+        new_sess = np.ones(len(u), dtype=bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP)
+        sess_id = np.cumsum(new_sess) - 1
+        # session sizes, then bounce = size 1; fold per user
+        sizes = np.bincount(sess_id)
+        sess_user = u[new_sess]
+        users, uidx = np.unique(sess_user, return_inverse=True)
+        n_sess = np.bincount(uidx)
+        n_bounce = np.bincount(uidx, weights=(sizes == 1).astype(np.int64)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_sessions": pa.array(n_sess, pa.int64()),
+                "n_bounces": pa.array(n_bounce, pa.int64()),
+                "bounce_micro": pa.array(
+                    n_bounce * 1_000_000 // n_sess, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(bounce_part, batch_format="pyarrow")
+    )
+
+
+SQL_BOUNCE_RATE = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM o
+),
+z AS (SELECT user_id, sess, count(*) AS sz FROM s GROUP BY 1, 2),
+f AS (
+  SELECT user_id, count(*) AS n_sessions,
+         sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS n_bounces
+  FROM z GROUP BY 1
+)
+SELECT user_id, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_bounces AS BIGINT) AS n_bounces,
+       CAST(n_bounces * 1000000 // n_sessions AS BIGINT) AS bounce_micro
+FROM f
+"""
+
+
+_PROJ_K, _PROJ_D = 4, 64
+
+
+def _proj_matrix() -> np.ndarray:
+    """Deterministic {−3..3} random-projection matrix (Knuth-hash of the
+    flat index) — literal-embedded in the SQL oracle so both engines
+    apply the SAME model."""
+    idx = np.arange(_PROJ_K * _PROJ_D, dtype=np.uint64)
+    return ((idx * np.uint64(2654435761)) % np.uint64(7)).astype(np.int64).reshape(
+        _PROJ_K, _PROJ_D
+    ) - 3
+
+
+def q_embed_project(sf_dir: str):
+    """Model APPLY: project every embedding through a fixed 4×64
+    integer random-projection matrix (Johnson-Lindenstrauss-style dim
+    reduction, the cheap first stage of an ANN/recall stack).
+    Components quantized to integer micros (q = floor(x·10⁶)), outputs
+    p_k = Σ_j q_j·M[k,j] — exact int64.  One numpy matmul per block,
+    embarrassingly parallel, vectors never shuffle; the matrix is
+    deterministic and literal-embedded in the SQL oracle."""
+    M = _proj_matrix()
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = flat.reshape(n, -1)[:, :_PROJ_D]
+        q = np.floor(x * 1e6).astype(np.int64)
+        p = q @ M.T
+        cols = {"vec_id": batch.column("vec_id")}
+        for k in range(_PROJ_K):
+            cols[f"p{k + 1}"] = pa.array(p[:, k], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _sql_embed_project() -> str:
+    M = _proj_matrix()
+    arms = []
+    for k in range(_PROJ_K):
+        terms = " + ".join(
+            f"q{j} * ({int(M[k, j])})" for j in range(_PROJ_D) if M[k, j] != 0
+        )
+        arms.append(f"       CAST({terms} AS BIGINT) AS p{k + 1}")
+    qcols = ",\n".join(
+        f"         CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * 1000000)"
+        f" AS BIGINT) AS q{j}"
+        for j in range(_PROJ_D)
+    )
+    return (
+        "WITH q AS (\n  SELECT vec_id,\n" + qcols + "\n  FROM embeddings\n)\n"
+        "SELECT vec_id,\n" + ",\n".join(arms) + "\nFROM q"
+    )
+
+
+SQL_EMBED_PROJECT = _sql_embed_project()
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -11655,6 +11925,14 @@ EXTRA_QUERIES = {
     "upsert_latest": q_upsert_latest,
     # RATIO_TO_REPORT: per-nation revenue share of the grand total
     "revenue_share": q_revenue_share,
+    # grouped min-max feature scaling (fit-table broadcast + transform)
+    "minmax_norm": q_minmax_norm,
+    # hashing-trick vectorizer: tokens -> 16 hashed buckets per doc
+    "feature_hash": q_feature_hash,
+    # engagement: per-user single-event-session share (sessionize rule)
+    "bounce_rate": q_bounce_rate,
+    # model apply: 4x64 integer random projection of every embedding
+    "embed_project": q_embed_project,
 }
 
 ORACLE_SQL = {
@@ -11820,4 +12098,8 @@ EXTRA_ORACLE_SQL = {
     "burst_hours": SQL_BURST_HOURS,
     "upsert_latest": SQL_UPSERT_LATEST,
     "revenue_share": SQL_REVENUE_SHARE,
+    "minmax_norm": SQL_MINMAX_NORM,
+    "feature_hash": SQL_FEATURE_HASH,
+    "bounce_rate": SQL_BOUNCE_RATE,
+    "embed_project": SQL_EMBED_PROJECT,
 }
