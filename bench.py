@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "feature_hash",
     "bounce_rate",
     "embed_project",
+    "max_rate",
+    "source_entropy",
+    "ship_lag",
 ]
 
 

@@ -11639,6 +11639,194 @@ def _sql_embed_project() -> str:
 SQL_EMBED_PROJECT = _sql_embed_project()
 
 
+def q_max_rate(sf_dir: str):
+    """Rate-limit / bot detector: each user's MAXIMUM event count in
+    any sliding 60-second window — the abuse-detection window shape
+    (RANGE frame, not ROWS).  Plan: the sessionize coarse-partition
+    plan (user_id % P groups, one lexsort per partition), then a
+    vectorized two-pointer count per user: for each event at time t,
+    ``searchsorted`` finds how many of the user's events fall in
+    (t − 60 s, t]; the max folds per user.  Exact and tie-stable —
+    both engines count events with identical timestamps on both
+    sides of the frame the same way."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    P = 32
+    WIN = 60_000_000  # 60 s in µs
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("upart", pa.array(uid % P, pa.int64()))
+
+    def rate_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((us, uid))
+        u, t = uid[order], us[order]
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        # ONE global searchsorted for every user at once: rebase each
+        # user's times to its run start, then stride runs apart by more
+        # than (max span + WIN) so no window can cross users
+        rel = t - t[starts][seg]
+        stride = int(rel.max()) + WIN + 1 if n else 1
+        key = rel + seg * stride
+        lo = np.searchsorted(key, key - WIN, side="right")
+        cnt = np.arange(1, n + 1) - lo  # i+1 − first in-window index
+        maxr = np.maximum.reduceat(cnt, starts) if n else np.array([], np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "max_per_min": pa.array(maxr.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(rate_part, batch_format="pyarrow")
+    )
+
+
+SQL_MAX_RATE = """
+WITH w AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)
+           AS c
+  FROM events
+)
+SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_min FROM w GROUP BY 1
+"""
+
+
+def q_source_entropy(sf_dir: str):
+    """Source diversity per language: Shannon entropy of each lang's
+    document-source distribution (floored-term integer micro-nats, the
+    ``token_entropy`` convention) — the mixture-health dashboard
+    behind "is my German data all from one domain?".  Plan: map-side
+    (lang, source) count partials, one metadata groupby, per-lang
+    vectorized finalize."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "source", "__n"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"], ["__n"], {"__n": "n"}, coarse=8,
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = int(n.sum())
+        term = n * np.floor(np.log(n / float(tot)) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "lang": g.column("lang").slice(0, 1),
+                "n_docs": pa.array([tot], pa.int64()),
+                "n_sources": pa.array([len(n)], pa.int64()),
+                "entropy_micro": pa.array([int(-term.sum())], pa.int64()),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(finalize, batch_format="pyarrow")
+
+
+SQL_SOURCE_ENTROPY = """
+WITH c AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+),
+t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.lang, CAST(max(t.tot) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(-sum(c.n * CAST(floor(ln(CAST(c.n AS DOUBLE) / t.tot) * 1000000)
+                            AS BIGINT)) AS BIGINT) AS entropy_micro
+FROM c JOIN t ON t.lang = c.lang
+GROUP BY 1
+"""
+
+
+def q_ship_lag(sf_dir: str):
+    """Fulfillment-latency percentiles: per order priority, exact
+    P50/P90 of (l_shipdate − o_orderdate) in whole days — a JOIN
+    feeding the no-raw-row-shuffle quantile plan.  One native hash
+    join attaches the priority + order date to each lineitem, the lag
+    collapses block-locally to (priority, lag_days) histograms, one
+    metadata groupby merges them, ranks read at the pinned 0-based
+    floor(q·(n−1)) rule (the ``quantiles`` convention)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = li.join(
+        orders, join_type="inner", num_partitions=_join_parts(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        od = batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        days = pc.divide(pc.subtract(ship, od), 86_400_000_000)
+        t = pa.table(
+            {"priority": batch.column("o_orderpriority"), "lag_days": days}
+        )
+        out = t.group_by(["priority", "lag_days"]).aggregate([([], "count_all")])
+        return out.rename_columns(["priority", "lag_days", "__n"])
+
+    merged = grouped_sum_count(
+        j.map_batches(hist, batch_format="pyarrow"),
+        ["priority", "lag_days"], ["__n"], {"__n": "n"}, coarse=16,
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        v = g.column("lag_days").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v)
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        p50 = int(v[np.searchsorted(cum, 50 * (n - 1) // 100 + 1)])
+        p90 = int(v[np.searchsorted(cum, 90 * (n - 1) // 100 + 1)])
+        return pa.table(
+            {
+                "priority": g.column("priority").slice(0, 1),
+                "n_items": pa.array([n], pa.int64()),
+                "p50_days": pa.array([p50], pa.int64()),
+                "p90_days": pa.array([p90], pa.int64()),
+            }
+        )
+
+    return merged.groupby("priority").map_groups(finalize, batch_format="pyarrow")
+
+
+SQL_SHIP_LAG = """
+WITH l AS (
+  SELECT o_orderpriority AS priority,
+         (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+           AS lag_days
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+h AS (SELECT priority, lag_days, count(*) AS n FROM l GROUP BY 1, 2),
+t AS (SELECT priority, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1),
+r AS (
+  SELECT h.priority, h.lag_days, t.tot,
+         sum(h.n) OVER (PARTITION BY h.priority ORDER BY h.lag_days) AS cum
+  FROM h JOIN t USING (priority)
+)
+SELECT priority, CAST(max(tot) AS BIGINT) AS n_items,
+       CAST(min(CASE WHEN cum >= 50 * (tot - 1) // 100 + 1
+                THEN lag_days END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN cum >= 90 * (tot - 1) // 100 + 1
+                THEN lag_days END) AS BIGINT) AS p90_days
+FROM r GROUP BY priority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -11933,6 +12121,12 @@ EXTRA_QUERIES = {
     "bounce_rate": q_bounce_rate,
     # model apply: 4x64 integer random projection of every embedding
     "embed_project": q_embed_project,
+    # abuse detection: max events in any sliding 60-s window per user
+    "max_rate": q_max_rate,
+    # mixture health: per-lang Shannon entropy of the source distribution
+    "source_entropy": q_source_entropy,
+    # join -> grouped exact percentiles: fulfillment lag per priority
+    "ship_lag": q_ship_lag,
 }
 
 ORACLE_SQL = {
@@ -12102,4 +12296,7 @@ EXTRA_ORACLE_SQL = {
     "feature_hash": SQL_FEATURE_HASH,
     "bounce_rate": SQL_BOUNCE_RATE,
     "embed_project": SQL_EMBED_PROJECT,
+    "max_rate": SQL_MAX_RATE,
+    "source_entropy": SQL_SOURCE_ENTROPY,
+    "ship_lag": SQL_SHIP_LAG,
 }
