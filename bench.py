@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "max_rate",
     "source_entropy",
     "ship_lag",
+    "psi_drift",
+    "debounce",
 ]
 
 

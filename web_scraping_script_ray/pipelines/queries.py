@@ -11109,27 +11109,55 @@ def q_adamic_adar(sf_dir: str):
             }
         )
 
+    def add_zpart(b: pa.Table) -> pa.Table:
+        import zlib
+
+        z = b.column("z").to_pylist()
+        part = np.fromiter(
+            (zlib.crc32(s.encode()) & 15 for s in z), np.int64, len(z)
+        )
+        return b.append_column("zpart", pa.array(part, pa.int64()))
+
     def wedges(g: pa.Table) -> pa.Table:
-        nbrs = np.sort(np.asarray(g.column("n").to_pylist(), dtype=object))
-        d = len(nbrs)
-        if d < 2:
+        # 16 coarse groups, NOT one Ray group per middle node — Ray's
+        # per-distinct-key groupby cost dominated this stage (7 s for
+        # ~1k keys); a numpy pass over z-runs inside each coarse group
+        # does the same wedge generation in milliseconds
+        z = np.asarray(g.column("z").to_pylist(), dtype=object)
+        nb = np.asarray(g.column("n").to_pylist(), dtype=object)
+        order = np.lexsort((nb, z))
+        z, nb = z[order], nb[order]
+        new = np.ones(len(z), dtype=bool)
+        new[1:] = z[1:] != z[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(z))
+        xs, ys, ts = [], [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2:
+                continue
+            term = int(np.floor(1e6 / np.log(d)))
+            iu, ju = np.triu_indices(d, k=1)
+            xs.append(nb[s:e][iu])
+            ys.append(nb[s:e][ju])
+            ts.append(np.full(len(iu), term, np.int64))
+        if not xs:
             return pa.table(
                 {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
                  "term": pa.array([], pa.int64())}
             )
-        term = int(np.floor(1e6 / np.log(d)))
-        iu, ju = np.triu_indices(d, k=1)
         return pa.table(
             {
-                "x": pa.array(nbrs[iu], pa.string()),
-                "y": pa.array(nbrs[ju], pa.string()),
-                "term": pa.array(np.full(len(iu), term), pa.int64()),
+                "x": pa.array(np.concatenate(xs), pa.string()),
+                "y": pa.array(np.concatenate(ys), pa.string()),
+                "term": pa.array(np.concatenate(ts), pa.int64()),
             }
         )
 
     pair_terms = (
         edges.map_batches(adj, batch_format="pyarrow")
-        .groupby("z")
+        .map_batches(add_zpart, batch_format="pyarrow")
+        .groupby("zpart")
         .map_groups(wedges, batch_format="pyarrow")
     )
     # tag existing edges with term = NEG so any pair containing one is
@@ -11827,6 +11855,149 @@ FROM r GROUP BY priority
 """
 
 
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index between order-price distributions of
+    two epochs (orders before vs from 1998-01-01), over 10 fixed
+    500-dollar price bands — the model-monitoring drift score ("did
+    the feature distribution shift enough to retrain?").  Laplace +1
+    smoothing keeps empty bands defined; each band's term is floored
+    independently to integer micro (the repo's floored-term
+    convention): term = floor((p−q)·ln(p/q)·10⁶) with p, q the
+    smoothed band shares in float64 (bit-identical in DuckDB).  Plan:
+    map-side (epoch, band) count partials, one 20-cell metadata
+    groupby, single exact finalize."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    cut = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+    BANDS = 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        band = np.clip(cents // 50_000, 0, BANDS - 1)
+        epoch = pc.greater_equal(batch.column("o_orderdate"), cut).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = pa.table(
+            {"epoch": pa.array(epoch, pa.int64()), "band": pa.array(band, pa.int64())}
+        )
+        out = t.group_by(["epoch", "band"]).aggregate([([], "count_all")])
+        return out.rename_columns(["epoch", "band", "__n"])
+
+    cells = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["epoch", "band"], ["__n"], {"__n": "n"}, coarse=4,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ep = batch.column("epoch").to_numpy(zero_copy_only=False).astype(np.int64)
+        bd = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.ones((2, BANDS), dtype=np.int64)  # Laplace +1
+        c[ep, bd] += n
+        tot = c.sum(axis=1).astype(np.float64)
+        p, q = c[0] / tot[0], c[1] / tot[1]
+        psi = int(np.floor((p - q) * np.log(p / q) * 1e6).astype(np.int64).sum())
+        return pa.table(
+            {
+                "n_old": pa.array([int(c[0].sum() - BANDS)], pa.int64()),
+                "n_new": pa.array([int(c[1].sum() - BANDS)], pa.int64()),
+                "psi_micro": pa.array([psi], pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_PSI_DRIFT = """
+WITH o AS (
+  SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+           AS epoch,
+         least(greatest(CAST(round(o_totalprice * 100) AS BIGINT) // 50000,
+                        0), 9) AS band,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+grid AS (
+  SELECT e.epoch, b.band, coalesce(o.n, 0) + 1 AS c
+  FROM (VALUES (0), (1)) e(epoch)
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS band) b
+  LEFT JOIN o ON o.epoch = e.epoch AND o.band = b.band
+),
+t AS (SELECT epoch, sum(c) AS tot FROM grid GROUP BY 1),
+pq AS (
+  SELECT g.band,
+         max(CASE WHEN g.epoch = 0
+             THEN CAST(g.c AS DOUBLE) / t.tot END) AS p,
+         max(CASE WHEN g.epoch = 1
+             THEN CAST(g.c AS DOUBLE) / t.tot END) AS q
+  FROM grid g JOIN t ON t.epoch = g.epoch
+  GROUP BY 1
+)
+SELECT (SELECT CAST(sum(c) - 10 AS BIGINT) FROM grid WHERE epoch = 0) AS n_old,
+       (SELECT CAST(sum(c) - 10 AS BIGINT) FROM grid WHERE epoch = 1) AS n_new,
+       CAST(sum(CAST(floor((p - q) * ln(p / q) * 1000000) AS BIGINT))
+            AS BIGINT) AS psi_micro
+FROM pq
+"""
+
+
+def q_debounce(sf_dir: str):
+    """Stream debounce: drop events arriving within 5 s of the SAME
+    user's previous event (lag rule) — the duplicate-click /
+    double-submit cleaner; emits the surviving rows with their gap.
+    Plan: the coarse-partition window plan (user_id % P, one lexsort
+    per partition), vectorized neighbor diff, filter.  Keeps the first
+    event of every user (no previous ⇒ survives)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    P = 32
+    GAP = 5_000_000  # 5 s in µs
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("upart", pa.array(uid % P, pa.int64()))
+
+    def debounce_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, uid))
+        u, t, e = uid[order], us[order], eid[order]
+        gap = np.empty(len(u), np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(u[1:] == u[:-1], t[1:] - t[:-1], -1)
+        keep = (gap < 0) | (gap > GAP)
+        return pa.table(
+            {
+                "event_id": pa.array(e[keep], pa.int64()),
+                "user_id": pa.array(u[keep], pa.int64()),
+                "gap_us": pa.array(gap[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(debounce_part, batch_format="pyarrow")
+    )
+
+
+SQL_DEBOUNCE = """
+WITH o AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(coalesce(gap_us, -1) AS BIGINT) AS gap_us
+FROM o WHERE gap_us IS NULL OR gap_us > 5000000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -12127,6 +12298,10 @@ EXTRA_QUERIES = {
     "source_entropy": q_source_entropy,
     # join -> grouped exact percentiles: fulfillment lag per priority
     "ship_lag": q_ship_lag,
+    # model monitoring: PSI distribution drift between order epochs
+    "psi_drift": q_psi_drift,
+    # stream cleaning: drop events within 5 s of the user's previous
+    "debounce": q_debounce,
 }
 
 ORACLE_SQL = {
@@ -12299,4 +12474,6 @@ EXTRA_ORACLE_SQL = {
     "max_rate": SQL_MAX_RATE,
     "source_entropy": SQL_SOURCE_ENTROPY,
     "ship_lag": SQL_SHIP_LAG,
+    "psi_drift": SQL_PSI_DRIFT,
+    "debounce": SQL_DEBOUNCE,
 }
