@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "ship_lag",
     "psi_drift",
     "debounce",
+    "json_extract",
+    "segment_share",
 ]
 
 

@@ -11998,6 +11998,123 @@ FROM o WHERE gap_us IS NULL OR gap_us > 5000000
 """
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the events' JSON ``props`` column and profile it per event type
+    (n with k present, sum/min/max) — the log-enrichment primitive.
+    The known single-field shape extracts VECTORIZED with one compiled
+    RE2 kernel (``pc.extract_regex``) — no per-row json.loads; an
+    unknown/nested schema would swap in an actor-pool stage holding a
+    real JSON parser, same contract.  The SQL oracle uses DuckDB's
+    actual ``json_extract`` so the regex fast path is held to real
+    JSON semantics.  Rows without a ``k`` are excluded from all four
+    aggregates (matching SQL NULL semantics)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        valid = ex.is_valid()
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table(
+            {"event_type": batch.column("event_type").filter(valid),
+             "k": k.filter(valid)}
+        )
+        out = t.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return out.rename_columns(["event_type", "n", "s", "mn", "mx"])
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "n_with_k": pa.array([int(pc.sum(g.column("n")).as_py())], pa.int64()),
+                "sum_k": pa.array([int(pc.sum(g.column("s")).as_py())], pa.int64()),
+                "min_k": pa.array([int(pc.min(g.column("mn")).as_py())], pa.int64()),
+                "max_k": pa.array([int(pc.max(g.column("mx")).as_py())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+SQL_JSON_EXTRACT = """
+WITH k AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM k WHERE k IS NOT NULL GROUP BY 1
+"""
+
+
+def q_segment_share(sf_dir: str):
+    """Share-of-parent rollup: customers per (nation, market segment)
+    with each segment's share WITHIN its nation in integer micro —
+    the two-level drill-down every BI layer renders (window:
+    count / sum(count) OVER (PARTITION BY parent)).  Plan: nation dim
+    broadcast, one (nation, segment) metadata groupby, shares computed
+    in a per-nation finalize — the parent totals never need a second
+    pass."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    dim = ray.put(
+        (
+            nation.column("n_nationkey").combine_chunks(),
+            nation.column("n_name").combine_chunks(),
+        )
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        nk, nn = ray.get(dim)
+        name = nn.take(pc.index_in(b.column("c_nationkey"), value_set=nk))
+        t = pa.table({"n_name": name, "segment": b.column("c_mktsegment")})
+        out = t.group_by(["n_name", "segment"]).aggregate([([], "count_all")])
+        return out.rename_columns(["n_name", "segment", "__n"])
+
+    counts = grouped_sum_count(
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["n_name", "segment"], ["__n"], {"__n": "n_customers"}, coarse=8,
+    )
+
+    def share(g: pa.Table) -> pa.Table:
+        n = g.column("n_customers").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = int(n.sum())
+        return pa.table(
+            {
+                "n_name": g.column("n_name"),
+                "segment": g.column("segment"),
+                "n_customers": g.column("n_customers"),
+                "share_micro": pa.array(n * 1_000_000 // tot, pa.int64()),
+            }
+        )
+
+    return counts.groupby("n_name").map_groups(share, batch_format="pyarrow")
+
+
+SQL_SEGMENT_SHARE = """
+WITH c AS (
+  SELECT n_name, c_mktsegment AS segment, count(*) AS n
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, segment, CAST(n AS BIGINT) AS n_customers,
+       CAST(n * 1000000 // (sum(n) OVER (PARTITION BY n_name)) AS BIGINT)
+         AS share_micro
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -12302,6 +12419,10 @@ EXTRA_QUERIES = {
     "psi_drift": q_psi_drift,
     # stream cleaning: drop events within 5 s of the user's previous
     "debounce": q_debounce,
+    # semi-structured: JSON field extraction + per-type profile
+    "json_extract": q_json_extract,
+    # BI drill-down: segment share WITHIN its nation (share-of-parent)
+    "segment_share": q_segment_share,
 }
 
 ORACLE_SQL = {
@@ -12476,4 +12597,6 @@ EXTRA_ORACLE_SQL = {
     "ship_lag": SQL_SHIP_LAG,
     "psi_drift": SQL_PSI_DRIFT,
     "debounce": SQL_DEBOUNCE,
+    "json_extract": SQL_JSON_EXTRACT,
+    "segment_share": SQL_SEGMENT_SHARE,
 }
