@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "debounce",
     "json_extract",
     "segment_share",
+    "phrase_search",
 ]
 
 

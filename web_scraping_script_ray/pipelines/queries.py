@@ -12115,6 +12115,63 @@ FROM c
 """
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact PHRASE search: documents containing the token bigram
+    "order sort" (token-adjacency, not substring — "border sorted"
+    must not match), with per-doc occurrence counts — the phrase
+    layer a BM25 stack needs above its unigram index.  Plan: block-
+    local tokenize (``flat_tokens``), one vectorized shifted-equality
+    over the flat token stream (a phrase can't span documents because
+    offsets bound each doc's slice), per-doc counts via bincount —
+    docs never shuffle, nothing global."""
+    from ..functions.hashing import flat_tokens
+
+    A, B = "order", "sort"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def find(batch: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(batch.column("text"))
+        tok = np.asarray(flat.to_pylist(), dtype=object)
+        n = len(tok)
+        if n < 2:
+            return pa.table(
+                {"doc_id": pa.array([], batch.column("doc_id").type),
+                 "n_hits": pa.array([], pa.int64())}
+            )
+        hit = (tok[:-1] == A) & (tok[1:] == B)
+        # a hit at flat position i belongs to the doc whose slice holds
+        # BOTH i and i+1 — searchsorted right on the second position
+        # excludes pairs straddling a doc boundary
+        doc_of_first = np.searchsorted(offsets, np.arange(n - 1), side="right") - 1
+        doc_of_second = np.searchsorted(offsets, np.arange(1, n), side="right") - 1
+        hit &= doc_of_first == doc_of_second
+        counts = np.bincount(doc_of_first[hit], minlength=batch.num_rows)
+        keep = counts > 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_hits": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow")
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\S+')) AS tok,
+         unnest(range(1, len(regexp_extract_all(lower(text), '\S+')) + 1))
+           AS pos
+  FROM documents
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'order' AND b.tok = 'sort'
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -12423,6 +12480,8 @@ EXTRA_QUERIES = {
     "json_extract": q_json_extract,
     # BI drill-down: segment share WITHIN its nation (share-of-parent)
     "segment_share": q_segment_share,
+    # exact phrase (token-bigram) search with per-doc occurrence counts
+    "phrase_search": q_phrase_search,
 }
 
 ORACLE_SQL = {
@@ -12599,4 +12658,5 @@ EXTRA_ORACLE_SQL = {
     "debounce": SQL_DEBOUNCE,
     "json_extract": SQL_JSON_EXTRACT,
     "segment_share": SQL_SEGMENT_SHARE,
+    "phrase_search": SQL_PHRASE_SEARCH,
 }
