@@ -11093,8 +11093,6 @@ def q_adamic_adar(sf_dir: str):
     metadata-scale top-k sort.  Wedge fan-out is O(deg²) per middle
     node — at web scale the hub mitigation is the same degree
     orientation ``triangles`` uses; exact here to stay oracle-equal."""
-    from ..stages.rank import zip_with_index
-
     edges = _web_link_edges(sf_dir)
 
     def adj(b: pa.Table) -> pa.Table:
@@ -11184,11 +11182,12 @@ def q_adamic_adar(sf_dir: str):
              "neg_s": pa.array(-s, pa.int64())}
         )
 
-    ranked, _ = zip_with_index(
-        scores.map_batches(neg, batch_format="pyarrow"),
-        ["neg_s", "u", "v"], col="__r", limit=20,
+    return (
+        scores.map_batches(neg, batch_format="pyarrow")
+        .sort(["neg_s", "u", "v"])
+        .limit(20)
+        .select_columns(["u", "v", "aa_micro"])
     )
-    return ranked.select_columns(["u", "v", "aa_micro"])
 
 
 SQL_ADAMIC_ADAR = f"""
