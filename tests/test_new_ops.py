@@ -830,3 +830,20 @@ def test_embed_cov_full_dim_and_pca(ray_session):
         v = v2 / np.linalg.norm(v2)
     _w, V = np.linalg.eigh(ref)
     assert abs(float(V[:, -1] @ v)) > 0.99
+
+
+def test_explain_tool_lists_all_queries():
+    """tools/explain.py --list enumerates every registered query (no
+    Ray session needed for the listing path)."""
+    import subprocess
+    import sys
+
+    from web_scraping_script_ray.pipelines.queries import EXTRA_QUERIES, QUERIES
+
+    out = subprocess.run(
+        [sys.executable, "tools/explain.py", "--list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0
+    names = set(out.stdout.split())
+    assert names == set(QUERIES) | set(EXTRA_QUERIES)
