@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     "json_extract",
     "segment_share",
     "phrase_search",
+    "geo_mean",
+    "theil_hosts",
+    "value_hist",
+    "mannwhitney_u",
 ]
 
 

@@ -12171,6 +12171,271 @@ GROUP BY 1
 """
 
 
+def q_geo_mean(sf_dir: str):
+    """Grouped GEOMETRIC-mean sufficient statistics: per event type,
+    n and Σ floor(ln(cents)·10³) over positive values (milli-logs —
+    the ``zipf_stats`` overflow-safe convention; the consumer
+    exponentiates sum/n).  The multiplicative-average aggregate
+    (growth rates, latency ratios) that plain SUM/AVG can't express —
+    and unlike AVG it's still a pure algebraic partial merge.
+    Block-local ln kernel, one metadata groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = c > 0
+        ml = np.floor(np.log(c[keep].astype(np.float64)) * 1e3).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type").filter(pa.array(keep)),
+                "ml": pa.array(ml, pa.int64()),
+            }
+        )
+        out = t.group_by(["event_type"]).aggregate([("ml", "count"), ("ml", "sum")])
+        return out.rename_columns(["event_type", "n", "s"])
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "n_pos": pa.array([int(pc.sum(g.column("n")).as_py())], pa.int64()),
+                "sum_ln_milli": pa.array(
+                    [int(pc.sum(g.column("s")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+SQL_GEO_MEAN = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000) AS BIGINT))
+            AS BIGINT) AS sum_ln_milli
+FROM c WHERE cents > 0 GROUP BY 1
+"""
+
+
+def q_theil_hosts(sf_dir: str):
+    """Theil T inequality index of crawl pages across hosts — the
+    DECOMPOSABLE companion to ``gini_hosts`` (Theil splits exactly
+    into between-group + within-group terms, which Gini can't): ONE
+    row (n_hosts, n_pages, theil_micro) with
+    theil_micro = Σ_h floor( (x_h/n)·ln(x_h·k/n)·10⁶ ) over per-host
+    page counts x_h, k hosts, n total pages — each term floored in
+    float64, both engines bit-equal.  No rank sort needed (unlike
+    Gini): map-side host count partials, one coarse groupby, a single
+    metadata-scale fold."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        out = pa.table({"host": batch.column("host")}).group_by(
+            ["host"]
+        ).aggregate([([], "count_all")])
+        return out.rename_columns(["host", "cnt"])
+
+    hosts = grouped_sum_count(
+        ds.map_batches(host_partial, batch_format="pyarrow"),
+        ["host"], ["cnt"], {"cnt": "x"}, coarse=16,
+    )
+
+    # two-pass: totals first (two scalars), then the floored terms
+    # need k and n — the host table is metadata-scale, so the extra
+    # pass moves only partial rows
+    hosts = hosts.materialize()
+    k = int(hosts.count())
+    n = int(hosts.sum("x") or 0)
+
+    def term(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+        t = np.floor((x / n) * np.log(x * k / n) * 1e6).astype(np.int64)
+        return pa.table({"t": pa.array([int(t.sum())], pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_hosts": pa.array([k], pa.int64()),
+                "n_pages": pa.array([n], pa.int64()),
+                "theil_micro": pa.array(
+                    [int(pc.sum(batch.column("t")).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        hosts.map_batches(term, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+SQL_THEIL_HOSTS = f"""
+WITH h AS (
+  SELECT host, count(*) AS x
+  FROM read_parquet('{_GOLDEN_SQL_PATH}') GROUP BY 1
+),
+t AS (SELECT count(*) AS k, sum(x) AS n FROM h)
+SELECT CAST(t.k AS BIGINT) AS n_hosts, CAST(t.n AS BIGINT) AS n_pages,
+       CAST(sum(CAST(floor((CAST(h.x AS DOUBLE) / t.n)
+                            * ln(CAST(h.x AS DOUBLE) * t.k / t.n)
+                            * 1000000) AS BIGINT)) AS BIGINT) AS theil_micro
+FROM h, t GROUP BY t.k, t.n
+"""
+
+
+def q_value_hist(sf_dir: str):
+    """Fixed-width histogram per event type: 10 five-dollar bins over
+    the value column (long format: type, bin, n, with the bin's
+    inclusive-exclusive cent bounds) — the dashboard primitive.
+    Entirely map-side (each block emits its partial histogram rows),
+    one metadata groupby sum."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    BINS, W = 10, 500  # 10 bins × $5 in cents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        b = np.clip(
+            c.to_numpy(zero_copy_only=False) // W, 0, BINS - 1
+        ).astype(np.int64)
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "bin": pa.array(b, pa.int64())}
+        )
+        out = t.group_by(["event_type", "bin"]).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "bin", "__n"])
+
+    merged = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bin"], ["__n"], {"__n": "n"}, coarse=8,
+    )
+
+    def bounds(b: pa.Table) -> pa.Table:
+        bins = b.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "bin": b.column("bin"),
+                "lo_cents": pa.array(bins * W, pa.int64()),
+                "hi_cents": pa.array((bins + 1) * W, pa.int64()),
+                "n": b.column("n"),
+            }
+        )
+
+    return merged.map_batches(bounds, batch_format="pyarrow")
+
+
+SQL_VALUE_HIST = """
+WITH b AS (
+  SELECT event_type,
+         least(greatest(CAST(round(value * 100) AS BIGINT) // 500, 0), 9)
+           AS bin
+  FROM events
+)
+SELECT event_type, bin, CAST(bin * 500 AS BIGINT) AS lo_cents,
+       CAST((bin + 1) * 500 AS BIGINT) AS hi_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_mannwhitney_u(sf_dir: str):
+    """Exact Mann-Whitney U (rank-sum) test between the 'click' and
+    'purchase' value distributions — the nonparametric a/b test that
+    KS complements.  Tie-correct and PURELY integer: with distinct
+    cent values v (count cnt, exclusive prefix c over both samples),
+    each v contributes n1_v·(2c + cnt + 1) to 2·R1, and
+    u2 = 2·U1 = 2·n1·n2 + n1(n1+1) − 2·R1 — doubled throughout so tied
+    average-ranks (·+½) never leave the integers.  Same prefix-scan
+    shape as ``ks_stat``: distinct (cents, n1, n2) partials, one range
+    sort, O(blocks) scalar carries, per-block exact fold."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"), pa.array(["click", "purchase"]))
+        b = batch.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        g1 = pc.cast(pc.equal(b.column("event_type"), "click"), pa.int64())
+        g2 = pc.cast(pc.equal(b.column("event_type"), "purchase"), pa.int64())
+        t = pa.table({"cents": cents, "n1": g1, "n2": g2})
+        out = t.group_by(["cents"]).aggregate([("n1", "sum"), ("n2", "sum")])
+        return out.rename_columns(["cents", "n1", "n2"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cents"], ["n1", "n2"], {"n1": "n1", "n2": "n2"}, coarse=32,
+    ).sort("cents")
+
+    refs = counts.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_sums(t: pa.Table):
+        if t.num_rows == 0:
+            return (0, 0)
+        return (
+            int(pc.sum(t.column("n1")).as_py() or 0),
+            int(pc.sum(t.column("n2")).as_py() or 0),
+        )
+
+    sums = ray.get([block_sums.remote(r) for r in refs])
+    carries, c1, c2 = [], 0, 0
+    for s1, s2 in sums:
+        carries.append(c1 + c2)  # exclusive prefix of BOTH samples
+        c1, c2 = c1 + s1, c2 + s2
+    n1, n2 = c1, c2
+
+    @ray.remote(num_cpus=0)
+    def block_r1x2(t: pa.Table, carry: int) -> int:
+        if t.num_rows == 0:
+            return 0
+        a1 = t.column("n1").to_numpy(zero_copy_only=False).astype(np.int64)
+        a2 = t.column("n2").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = a1 + a2
+        c = carry + np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        return int((a1 * (2 * c + cnt + 1)).sum())
+
+    r1x2 = sum(ray.get([block_r1x2.remote(r, cy) for r, cy in zip(refs, carries)]))
+    u2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1x2
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "u2": pa.array([u2], pa.int64()),
+        }
+    )
+
+
+SQL_MANNWHITNEY_U = """
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+c AS (SELECT cents, sum(g1) AS n1, sum(g2) AS n2 FROM e GROUP BY 1),
+p AS (
+  SELECT n1, n1 + n2 AS cnt,
+         coalesce(sum(n1 + n2) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM c
+),
+t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM c),
+r AS (SELECT sum(n1 * (2 * c + cnt + 1)) AS r1x2 FROM p)
+SELECT CAST(t.t1 AS BIGINT) AS n1, CAST(t.t2 AS BIGINT) AS n2,
+       CAST(2 * t.t1 * t.t2 + t.t1 * (t.t1 + 1) - r.r1x2 AS BIGINT) AS u2
+FROM t, r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -12481,6 +12746,14 @@ EXTRA_QUERIES = {
     "segment_share": q_segment_share,
     # exact phrase (token-bigram) search with per-doc occurrence counts
     "phrase_search": q_phrase_search,
+    # grouped geometric-mean sufficient statistics (milli-ln partials)
+    "geo_mean": q_geo_mean,
+    # Theil T inequality of crawl pages across hosts (decomposable Gini twin)
+    "theil_hosts": q_theil_hosts,
+    # fixed-width value histogram per event type (dashboard primitive)
+    "value_hist": q_value_hist,
+    # exact tie-corrected Mann-Whitney U rank-sum test (integer 2U)
+    "mannwhitney_u": q_mannwhitney_u,
 }
 
 ORACLE_SQL = {
@@ -12658,4 +12931,8 @@ EXTRA_ORACLE_SQL = {
     "json_extract": SQL_JSON_EXTRACT,
     "segment_share": SQL_SEGMENT_SHARE,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "geo_mean": SQL_GEO_MEAN,
+    "theil_hosts": SQL_THEIL_HOSTS,
+    "value_hist": SQL_VALUE_HIST,
+    "mannwhitney_u": SQL_MANNWHITNEY_U,
 }
