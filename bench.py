@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "theil_hosts",
     "value_hist",
     "mannwhitney_u",
+    "tpch_q6",
+    "corr_matrix",
+    "mom_growth",
 ]
 
 

@@ -12436,6 +12436,216 @@ FROM t, r
 """
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecast revenue change): ONE row —
+    sum(extendedprice·discount) over lineitems shipped in 1996 with
+    discount in [5%, 7%] and quantity < 24, in exact e4 units
+    (cents × discount-cents).  The canonical predicate-pushdown +
+    single-fold query: every filter evaluates in the scan's Arrow
+    kernels, one partial per block, one tiny fold — nothing ever
+    shuffles."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_c = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), lo),
+                pc.less(batch.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_c, pa.scalar(5, pa.int64())),
+                    pc.less_equal(disc_c, pa.scalar(7, pa.int64())),
+                ),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        b = batch.filter(m)
+        price_c = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        dc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64())
+        rev = int(pc.sum(pc.multiply(price_c, dc)).as_py() or 0)
+        return pa.table(
+            {"n": pa.array([b.num_rows], pa.int64()),
+             "rev": pa.array([rev], pa.int64())}
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_items": pa.array(
+                    [int(pc.sum(batch.column("n")).as_py() or 0)], pa.int64()
+                ),
+                "revenue_e4": pa.array(
+                    [int(pc.sum(batch.column("rev")).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson sufficient statistics over the four lineitem
+    measures — the table-column twin of ``embed_cov``: 10 rows (i ≤ j)
+    of (n, si, sj, sij), one 4×4 integer Gram matmul per block, one
+    metadata groupby sum.  The consumer forms
+    r = (n·sij − si·sj) / √((n·sii − si²)(n·sjj − sj²)); correlation
+    is scale-invariant, so each column is quantized at the coarsest
+    exact grid its domain allows (quantity ×1, price in whole dollars,
+    discount/tax in centi) to keep Σq² within int64 through ~10⁸ rows
+    (a finer grid squares straight past 2⁶³ — measured).  Quantization
+    is floor(x·s + 0.5), NOT round(): whole-dollar prices are exact
+    .5 halves where numpy rounds half-to-even and SQL half-away —
+    floor-plus-half is the same function in both engines."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scales = [1, 1, 100, 100]
+    ds = _read(sf_dir, "lineitem", cols)
+    D = len(cols)
+    iu, ju = np.triu_indices(D)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.stack(
+            [
+                np.floor(
+                    batch.column(c).to_numpy(zero_copy_only=False) * s + 0.5
+                ).astype(np.int64)
+                for c, s in zip(cols, scales)
+            ],
+            axis=1,
+        )
+        gram = q.T @ q
+        si = q.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(iu + 1, pa.int64()),
+                "j": pa.array(ju + 1, pa.int64()),
+                "nv": pa.array(np.full(len(iu), len(q)), pa.int64()),
+                "si": pa.array(si[iu], pa.int64()),
+                "sj": pa.array(si[ju], pa.int64()),
+                "sij": pa.array(gram[iu, ju], pa.int64()),
+            }
+        )
+
+    return grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], ["nv", "si", "sj", "sij"],
+        {"nv": "n", "si": "si", "sj": "sj", "sij": "sij"}, coarse=4,
+    ).select_columns(["i", "j", "n", "si", "sj", "sij"])
+
+
+def _sql_corr_matrix() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scales = [1, 1, 100, 100]
+    qcols = ",\n".join(
+        f"         CAST(floor({c} * {s} + 0.5) AS BIGINT) AS q{k + 1}"
+        for k, (c, s) in enumerate(zip(cols, scales))
+    )
+    arms = []
+    for i in range(1, 5):
+        for j in range(i, 5):
+            arms.append(
+                f"SELECT {i} AS i, {j} AS j, CAST(count(*) AS BIGINT) AS n,\n"
+                f"       CAST(sum(q{i}) AS BIGINT) AS si,"
+                f" CAST(sum(q{j}) AS BIGINT) AS sj,\n"
+                f"       CAST(sum(q{i} * q{j}) AS BIGINT) AS sij FROM q"
+            )
+    return "WITH q AS (\n  SELECT\n" + qcols + "\n  FROM lineitem\n)\n" + (
+        "\nUNION ALL\n".join(arms)
+    )
+
+
+SQL_CORR_MATRIX = _sql_corr_matrix()
+
+
+def q_mom_growth(sf_dir: str):
+    """Month-over-month revenue growth: per month, order revenue cents
+    plus the previous month's and the signed delta — LAG over the
+    AGGREGATE (a window on the rollup, not the fact rows).  Plan:
+    map-side month partials, one small groupby, the lag computed in a
+    single metadata-scale sorted pass (months are bounded — the window
+    never touches fact rows)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        t = pa.table({"month": month, "cents": cents})
+        out = t.group_by(["month"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["month", "cents"])
+
+    monthly = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["month"], ["cents"], {"cents": "revenue_cents"}, coarse=8,
+    )
+
+    def lagged(b: pa.Table) -> pa.Table:
+        m = b.column("month").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        r = b.column("revenue_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(m)
+        m, r = m[order], r[order]
+        prev = np.empty(len(r), np.int64)
+        prev[0] = -1
+        prev[1:] = r[:-1]
+        delta = np.where(prev >= 0, r - prev, 0)
+        return pa.table(
+            {
+                "month": pa.array(m, pa.int64()).cast(pa.timestamp("us")),
+                "revenue_cents": pa.array(r, pa.int64()),
+                "prev_cents": pa.array(prev, pa.int64()),
+                "delta_cents": pa.array(delta, pa.int64()),
+            }
+        )
+
+    return monthly.repartition(1).map_batches(lagged, batch_format="pyarrow")
+
+
+SQL_MOM_GROWTH = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(coalesce(lag(revenue_cents) OVER (ORDER BY month), -1) AS BIGINT)
+         AS prev_cents,
+       CAST(CASE WHEN lag(revenue_cents) OVER (ORDER BY month) IS NULL THEN 0
+                 ELSE revenue_cents - lag(revenue_cents) OVER (ORDER BY month)
+            END AS BIGINT) AS delta_cents
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -12754,6 +12964,12 @@ EXTRA_QUERIES = {
     "value_hist": q_value_hist,
     # exact tie-corrected Mann-Whitney U rank-sum test (integer 2U)
     "mannwhitney_u": q_mannwhitney_u,
+    # TPC-H Q6: predicate-pushdown single-fold revenue (nothing shuffles)
+    "tpch_q6": q_tpch_q6,
+    # pairwise Pearson sufficient stats over the lineitem measures
+    "corr_matrix": q_corr_matrix,
+    # LAG over the rollup: month-over-month revenue growth
+    "mom_growth": q_mom_growth,
 }
 
 ORACLE_SQL = {
@@ -12935,4 +13151,7 @@ EXTRA_ORACLE_SQL = {
     "theil_hosts": SQL_THEIL_HOSTS,
     "value_hist": SQL_VALUE_HIST,
     "mannwhitney_u": SQL_MANNWHITNEY_U,
+    "tpch_q6": SQL_TPCH_Q6,
+    "corr_matrix": SQL_CORR_MATRIX,
+    "mom_growth": SQL_MOM_GROWTH,
 }
