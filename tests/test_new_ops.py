@@ -847,3 +847,22 @@ def test_explain_tool_lists_all_queries():
     assert out.returncode == 0
     names = set(out.stdout.split())
     assert names == set(QUERIES) | set(EXTRA_QUERIES)
+
+
+def test_readability_filter_op_matches_flesch_query(ray_session):
+    """The YAML readability_filter op keeps exactly the doc_ids whose
+    q_flesch score lands in the requested milli band."""
+    import ray.data as rd
+
+    from web_scraping_script_ray.pipelines.postprocess import apply_ops
+    from web_scraping_script_ray.pipelines.queries import q_flesch
+
+    scores = q_flesch(_SF).to_pandas().set_index("doc_id")["flesch_milli"]
+    lo, hi = int(scores.quantile(0.25)), int(scores.quantile(0.75))
+    expected = set(scores[(scores >= lo) & (scores <= hi)].index)
+
+    ds = rd.read_parquet(_SF + "/documents.parquet")
+    out = apply_ops(
+        ds, [{"type": "readability_filter", "min_milli": lo, "max_milli": hi}]
+    ).to_pandas()
+    assert set(out["doc_id"]) == expected and len(expected) > 10

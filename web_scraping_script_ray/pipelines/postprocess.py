@@ -284,6 +284,37 @@ def apply_ops(
                 return batch.set_column(i, col, merged)
 
             ds = ds.map_batches(trunc, batch_format="pyarrow")
+        elif typ == "readability_filter":
+            # Flesch reading-ease band gate (queries.q_flesch's integer
+            # milli-point convention): keep rows whose score falls in
+            # [min_milli, max_milli] — the readability mixture axis
+            column = op.get("column", "text")
+            lo = int(op.get("min_milli", -(1 << 62)))
+            hi = int(op.get("max_milli", 1 << 62))
+
+            def readable(batch: pa.Table, col=column, lo=lo, hi=hi) -> pa.Table:
+                txt = batch.column(col)
+                w = pc.count_substring_regex(txt, pattern=r"\S+").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                s = np.maximum(
+                    pc.count_substring_regex(txt, pattern=r"[.!?]+").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                    1,
+                )
+                v = np.maximum(
+                    pc.count_substring_regex(
+                        pc.utf8_lower(txt), pattern=r"[aeiouy]+"
+                    ).to_numpy(zero_copy_only=False).astype(np.int64),
+                    1,
+                )
+                wk = np.maximum(w, 1)
+                flesch = 206_835 - 1015 * wk // s - 84_600 * v // wk
+                keep = (w > 0) & (flesch >= lo) & (flesch <= hi)
+                return batch.filter(pa.array(keep))
+
+            ds = ds.map_batches(readable, batch_format="pyarrow")
         else:
             logger.warning("unknown post-processing op %r — skipping", typ)
     return ds
