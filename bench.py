@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "tpch_q6",
     "corr_matrix",
     "mom_growth",
+    "attribution",
+    "dup_rate_by_source",
 ]
 
 

@@ -12646,6 +12646,140 @@ FROM m
 """
 
 
+def q_attribution(sf_dir: str):
+    """Last-touch attribution: each PURCHASE event attributed to the
+    same user's most recent preceding CLICK within 1 hour (ties on
+    timestamp broken by event_id; no qualifying click ⇒ −1) — the
+    marketing-analytics as-of join expressed INSIDE the event stream.
+    Plan: the coarse-partition window plan; per partition one lexsort,
+    a forward-carried "last click index" via np.maximum.accumulate
+    over masked positions — no per-row Python, no self-join."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    P = 32
+    WIN = 3_600_000_000  # 1 h in µs
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("upart", pa.array(uid % P, pa.int64()))
+
+    def attrib(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, us, uid))
+        u, t, e, ty = uid[order], us[order], eid[order], typ[order]
+        n = len(u)
+        pos = np.arange(n)
+        # forward-carry the position of the latest click, resetting at
+        # each user boundary by carrying (user_rank << 32 | pos) so a
+        # previous user's click can never win
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new) - 1
+        key = np.where(ty == "click", seg * n + pos, -1)
+        carry = np.maximum.accumulate(key)
+        is_p = ty == "purchase"
+        cpos = carry[is_p]
+        same_seg = cpos >= seg[is_p] * n  # click belongs to this user
+        cidx = (cpos - seg[is_p] * n).astype(np.int64)
+        cidx = np.where(same_seg, cidx, 0)
+        within = same_seg & (t[is_p] - t[cidx] <= WIN)
+        attributed = np.where(within, e[cidx], -1)
+        click_us = np.where(within, t[cidx], -1)
+        return pa.table(
+            {
+                "purchase_id": pa.array(e[is_p], pa.int64()),
+                "user_id": pa.array(u[is_p], pa.int64()),
+                "click_id": pa.array(attributed, pa.int64()),
+                "click_us": pa.array(click_us, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(attrib, batch_format="pyarrow")
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cid,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cus
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id,
+       CAST(CASE WHEN cus IS NOT NULL AND us - cus <= 3600000000
+                 THEN cid ELSE -1 END AS BIGINT) AS click_id,
+       CAST(CASE WHEN cus IS NOT NULL AND us - cus <= 3600000000
+                 THEN cus ELSE -1 END AS BIGINT) AS click_us
+FROM o WHERE event_type = 'purchase'
+"""
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Data-quality dashboard: per document source, total docs vs
+    DISTINCT text fingerprints and the duplication rate in integer
+    micro — "which feed is reposting itself?".  Exact two-level
+    distinct: block-local (source, md5) dedup partials, one grouped
+    dedup on the pair, per-source counts — text never shuffles, only
+    fingerprints."""
+    from ..functions.dedup import add_md5
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h = add_md5(batch).column("fp_md5")
+        t = pa.table({"source": batch.column("source"), "fp": h})
+        out = t.group_by(["source", "fp"]).aggregate([([], "count_all")])
+        return out.rename_columns(["source", "fp", "__n"])
+
+    pairs = grouped_sum_count(
+        ds.map_batches(fp, batch_format="pyarrow"),
+        ["source", "fp"], ["__n"], {"__n": "n"}, coarse=16,
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        distinct = len(n)
+        return pa.table(
+            {
+                "source": g.column("source").slice(0, 1),
+                "n_docs": pa.array([total], pa.int64()),
+                "n_distinct": pa.array([distinct], pa.int64()),
+                "dup_micro": pa.array(
+                    [(total - distinct) * 1_000_000 // total], pa.int64()
+                ),
+            }
+        )
+
+    return pairs.groupby("source").map_groups(finalize, batch_format="pyarrow")
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH f AS (
+  SELECT source, md5(text) AS fp, count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST((sum(n) - count(*)) * 1000000 // sum(n) AS BIGINT) AS dup_micro
+FROM f GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -12970,6 +13104,10 @@ EXTRA_QUERIES = {
     "corr_matrix": q_corr_matrix,
     # LAG over the rollup: month-over-month revenue growth
     "mom_growth": q_mom_growth,
+    # last-touch attribution: purchase -> most recent click within 1 h
+    "attribution": q_attribution,
+    # data-quality: per-source duplication rate (exact two-level distinct)
+    "dup_rate_by_source": q_dup_rate_by_source,
 }
 
 ORACLE_SQL = {
@@ -13154,4 +13292,6 @@ EXTRA_ORACLE_SQL = {
     "tpch_q6": SQL_TPCH_Q6,
     "corr_matrix": SQL_CORR_MATRIX,
     "mom_growth": SQL_MOM_GROWTH,
+    "attribution": SQL_ATTRIBUTION,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
 }
