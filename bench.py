@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "mom_growth",
     "attribution",
     "dup_rate_by_source",
+    "avg_neighbor_degree",
+    "simpson_diversity",
 ]
 
 

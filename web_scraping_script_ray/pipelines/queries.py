@@ -12780,6 +12780,158 @@ FROM f GROUP BY 1
 """
 
 
+def q_avg_neighbor_degree(sf_dir: str):
+    """Average neighbor degree per page of the web link graph in
+    integer micro (the local assortativity profile — hub-adjacency
+    smoothing): for each node u, floor(Σ_v∈N(u) deg(v) · 10⁶ / deg(u)).
+    Plan: degrees from one grouped count over the adjacency (node-
+    scale metadata), broadcast once via ``ray.put`` (at 10^10-node
+    scale this becomes a degree-keyed co-partition join — same
+    contract), then one vectorized pass over the adjacency summing
+    looked-up neighbor degrees per source node."""
+    import pyarrow.parquet as pq  # noqa: F401  (parity with sibling queries)
+
+    edges = _web_link_edges(sf_dir)
+
+    def adj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "z": pa.concat_arrays(
+                    [b.column("u").combine_chunks(), b.column("v").combine_chunks()]
+                ),
+                "n": pa.concat_arrays(
+                    [b.column("v").combine_chunks(), b.column("u").combine_chunks()]
+                ),
+            }
+        )
+
+    adjacency = edges.map_batches(adj, batch_format="pyarrow")
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        out = b.select(["z"]).group_by(["z"]).aggregate([([], "count_all")])
+        return out.rename_columns(["z", "cnt"])
+
+    degrees = grouped_sum_count(
+        adjacency.map_batches(deg_partial, batch_format="pyarrow"),
+        ["z"], ["cnt"], {"cnt": "deg"}, coarse=16,
+    ).materialize()
+    deg_tbl = pa.concat_tables(
+        [t for t in ray.get(degrees.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    dref = ray.put(
+        (
+            deg_tbl.column("z").combine_chunks(),
+            deg_tbl.column("deg").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    )
+
+    def nbr_sum(b: pa.Table) -> pa.Table:
+        nodes, deg = ray.get(dref)
+        nd = deg[
+            pc.index_in(b.column("n"), value_set=nodes).to_numpy(
+                zero_copy_only=False
+            )
+        ]
+        t = pa.table(
+            {"z": b.column("z"), "nd": pa.array(nd, pa.int64())}
+        )
+        out = t.group_by(["z"]).aggregate([("nd", "sum"), ([], "count_all")])
+        return out.rename_columns(["z", "s", "d"])
+
+    sums = grouped_sum_count(
+        adjacency.map_batches(nbr_sum, batch_format="pyarrow"),
+        ["z"], ["s", "d"], {"s": "s", "d": "deg"}, coarse=16,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "page": b.column("z"),
+                "degree": b.column("deg"),
+                "avg_nbr_deg_micro": pa.array(s * 1_000_000 // d, pa.int64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_AVG_NEIGHBOR_DEGREE = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1)
+SELECT a.z AS page, CAST(max(dz.d) AS BIGINT) AS degree,
+       CAST(sum(dn.d) * 1000000 // max(dz.d) AS BIGINT) AS avg_nbr_deg_micro
+FROM adj a
+JOIN deg dz ON dz.z = a.z
+JOIN deg dn ON dn.z = a.n
+GROUP BY 1
+"""
+
+
+def q_simpson_diversity(sf_dir: str):
+    """Simpson diversity per language: the probability two random docs
+    of the lang share a SOURCE, exact integer micro —
+    simpson_micro = Σ nᵢ(nᵢ−1)·10⁶ // (N(N−1)) over source counts nᵢ
+    (pure integer arithmetic, no ln, the companion to
+    ``source_entropy`` that weights dominance quadratically).
+    Map-side (lang, source) partials, metadata groupby, exact
+    finalize; langs with a single doc are emitted with −1 (measure
+    undefined)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "source", "__n"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"], ["__n"], {"__n": "n"}, coarse=8,
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        N = int(n.sum())
+        num = int((n * (n - 1)).sum())
+        val = num * 1_000_000 // (N * (N - 1)) if N > 1 else -1
+        return pa.table(
+            {
+                "lang": g.column("lang").slice(0, 1),
+                "n_docs": pa.array([N], pa.int64()),
+                "simpson_micro": pa.array([val], pa.int64()),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(finalize, batch_format="pyarrow")
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH c AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT lang, sum(n) AS N, sum(n * (n - 1)) AS num FROM c GROUP BY 1
+)
+SELECT lang, CAST(N AS BIGINT) AS n_docs,
+       CAST(CASE WHEN N > 1 THEN num * 1000000 // (N * (N - 1))
+                 ELSE -1 END AS BIGINT) AS simpson_micro
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -13108,6 +13260,10 @@ EXTRA_QUERIES = {
     "attribution": q_attribution,
     # data-quality: per-source duplication rate (exact two-level distinct)
     "dup_rate_by_source": q_dup_rate_by_source,
+    # local assortativity: average neighbor degree per page (micro)
+    "avg_neighbor_degree": q_avg_neighbor_degree,
+    # Simpson diversity per lang (quadratic dominance, pure integer)
+    "simpson_diversity": q_simpson_diversity,
 }
 
 ORACLE_SQL = {
@@ -13294,4 +13450,6 @@ EXTRA_ORACLE_SQL = {
     "mom_growth": SQL_MOM_GROWTH,
     "attribution": SQL_ATTRIBUTION,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+    "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
+    "simpson_diversity": SQL_SIMPSON_DIVERSITY,
 }
