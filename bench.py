@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "dup_rate_by_source",
     "avg_neighbor_degree",
     "simpson_diversity",
+    "runs_test",
+    "benford",
 ]
 
 

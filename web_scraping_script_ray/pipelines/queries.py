@@ -12932,6 +12932,160 @@ FROM t
 """
 
 
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs statistic per event type: order the type's
+    values by (ts, event_id), split at the type's exact lower median
+    (the ``quantiles`` P50 rank rule), and count the RUNS of
+    consecutive above-median flags — too few runs ⇒ the stream is
+    trending/sticky, too many ⇒ oscillating; the classic randomness
+    check, all integer.  Values equal to the median count as NOT
+    above (pinned identically in SQL).  Plan: the median comes from
+    the no-raw-row-shuffle histogram partials; the run count is a
+    per-type vectorized diff over ONE coarse-partition sort."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"]).map_batches(
+        lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        out = batch.select(["event_type", "cents"]).group_by(
+            ["event_type", "cents"]
+        ).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "cents", "__n"])
+
+    merged = grouped_sum_count(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["event_type", "cents"], ["__n"], {"__n": "n"}, coarse=8,
+    ).materialize()
+    med_tbl = pa.concat_tables(
+        [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    # exact per-type lower median on the driver (distinct-value scale)
+    meds: dict[str, int] = {}
+    import collections
+
+    acc: dict[str, list] = collections.defaultdict(list)
+    for t, c, n in zip(
+        med_tbl.column("event_type").to_pylist(),
+        med_tbl.column("cents").to_pylist(),
+        med_tbl.column("n").to_pylist(),
+    ):
+        acc[t].append((c, n))
+    for t, vs in acc.items():
+        vs.sort()
+        v = np.array([x for x, _ in vs], dtype=np.int64)
+        w = np.array([x for _, x in vs], dtype=np.int64)
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        meds[t] = int(v[np.searchsorted(cum, 50 * (n - 1) // 100 + 1)])
+    mref = ray.put(meds)
+
+    def runs(g: pa.Table) -> pa.Table:
+        med = ray.get(mref)
+        ty = g.column("event_type")[0].as_py()
+        us = (
+            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us))
+        above = c[order] > med[ty]
+        n_runs = 1 + int((above[1:] != above[:-1]).sum()) if len(above) else 0
+        return pa.table(
+            {
+                "event_type": pa.array([ty], pa.string()),
+                "n": pa.array([len(above)], pa.int64()),
+                "n_above": pa.array([int(above.sum())], pa.int64()),
+                "n_runs": pa.array([n_runs], pa.int64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(runs, batch_format="pyarrow")
+
+
+SQL_RUNS_TEST = """
+WITH c AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+h AS (SELECT event_type, cents, count(*) AS n FROM c GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1),
+r AS (
+  SELECT h.event_type, h.cents, t.tot,
+         sum(h.n) OVER (PARTITION BY h.event_type ORDER BY h.cents) AS cum
+  FROM h JOIN t USING (event_type)
+),
+med AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= 50 * (tot - 1) // 100 + 1 THEN cents END) AS m
+  FROM r GROUP BY 1
+),
+f AS (
+  SELECT c.event_type, c.cents > med.m AS above,
+         lag(c.cents > med.m) OVER (PARTITION BY c.event_type
+                                    ORDER BY c.ts, c.event_id) AS prev
+  FROM c JOIN med USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL AND above <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+FROM f GROUP BY 1
+"""
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of order totals: counts and micro
+    shares by leading digit of the cent amount (1-9) — the synthetic-
+    data / fraud forensics screen (organic amounts follow
+    log-uniform leading digits; generated ones usually don't).
+    Vectorized as one cast-to-string + slice kernel per block, one
+    9-row groupby, shares in a single tiny fold."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        digit = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        t = pa.table({"digit": digit})
+        out = t.group_by(["digit"]).aggregate([([], "count_all")])
+        return out.rename_columns(["digit", "__n"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digit"], ["__n"], {"__n": "n"}, coarse=4,
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = int(n.sum())
+        return pa.table(
+            {
+                "digit": b.column("digit"),
+                "n": b.column("n"),
+                "share_micro": pa.array(n * 1_000_000 // tot, pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(share, batch_format="pyarrow")
+
+
+SQL_BENFORD = """
+WITH d AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                1, 1) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // (sum(n) OVER ()) AS BIGINT) AS share_micro
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -13264,6 +13418,10 @@ EXTRA_QUERIES = {
     "avg_neighbor_degree": q_avg_neighbor_degree,
     # Simpson diversity per lang (quadratic dominance, pure integer)
     "simpson_diversity": q_simpson_diversity,
+    # Wald-Wolfowitz runs statistic per event type (randomness check)
+    "runs_test": q_runs_test,
+    # Benford first-digit audit of order totals (forensics screen)
+    "benford": q_benford,
 }
 
 ORACLE_SQL = {
@@ -13452,4 +13610,6 @@ EXTRA_ORACLE_SQL = {
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
     "simpson_diversity": SQL_SIMPSON_DIVERSITY,
+    "runs_test": SQL_RUNS_TEST,
+    "benford": SQL_BENFORD,
 }
