@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "simpson_diversity",
     "runs_test",
     "benford",
+    "markov_entropy",
+    "wilson_errors",
 ]
 
 

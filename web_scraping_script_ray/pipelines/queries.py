@@ -13086,6 +13086,167 @@ FROM d
 """
 
 
+def q_markov_entropy(sf_dir: str):
+    """Entropy RATE of the sessionized event-type Markov chain — ONE
+    row (n_transitions, n_states, entropy_micro): how predictable is
+    the next user action given the current one?  H = −Σ_ij (n_ij/N)·
+    ln(n_ij/n_i·) with each term floored to micro independently (the
+    repo's floored-term convention; n_i· = row marginal).  Builds on
+    the ``event_transitions`` plan: coarse user-hash co-partition,
+    shifted-mask local pair counts (same >30 min session cut), one
+    ~|states|² metadata groupby, exact finalize."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    GAP = 1_800_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(u % 16, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "t": batch.column("ts").cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "etype": batch.column("event_type"),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("eid").to_numpy(zero_copy_only=False).astype(np.int64)
+        ety = np.asarray(g.column("etype").to_pylist(), dtype=object)
+        order = np.lexsort((eid, t, u))
+        u_s, t_s, e_s = u[order], t[order], ety[order]
+        ok = (u_s[1:] == u_s[:-1]) & (t_s[1:] - t_s[:-1] <= GAP)
+        tt = pa.table(
+            {
+                "src": pa.array(e_s[:-1][ok], pa.string()),
+                "dst": pa.array(e_s[1:][ok], pa.string()),
+            }
+        )
+        out = tt.group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return out.rename_columns(["src", "dst", "__n"])
+
+    cells = grouped_sum_count(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow"),
+        ["src", "dst"], ["__n"], {"__n": "n"}, coarse=4,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_pylist()
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        N = int(n.sum())
+        row: dict[str, int] = {}
+        for s, c in zip(src, n):
+            row[s] = row.get(s, 0) + int(c)
+        marg = np.array([row[s] for s in src], dtype=np.float64)
+        term = np.floor(
+            (n / N) * np.log(n / marg) * 1e6
+        ).astype(np.int64)
+        states = set(src) | set(batch.column("dst").to_pylist())
+        return pa.table(
+            {
+                "n_transitions": pa.array([N], pa.int64()),
+                "n_states": pa.array([len(states)], pa.int64()),
+                "entropy_micro": pa.array([int(-term.sum())], pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_MARKOV_ENTROPY = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lead(event_type) OVER w AS nxt,
+         lead(epoch_us(ts)) OVER w AS nus
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT event_type AS src, nxt AS dst, count(*) AS n
+  FROM o WHERE nxt IS NOT NULL AND nus - us <= 1800000000
+  GROUP BY 1, 2
+),
+m AS (SELECT src, sum(n) AS rn FROM p GROUP BY 1),
+tot AS (SELECT sum(n) AS N FROM p)
+SELECT CAST(tot.N AS BIGINT) AS n_transitions,
+       (SELECT CAST(count(DISTINCT s) AS BIGINT)
+        FROM (SELECT src AS s FROM p UNION SELECT dst FROM p)) AS n_states,
+       CAST(-sum(CAST(floor((CAST(p.n AS DOUBLE) / tot.N)
+                             * ln(CAST(p.n AS DOUBLE) / m.rn)
+                             * 1000000) AS BIGINT)) AS BIGINT)
+         AS entropy_micro
+FROM p JOIN m USING (src), tot
+GROUP BY tot.N
+"""
+
+
+def q_wilson_errors(sf_dir: str):
+    """Error-rate ranking under uncertainty: per crawl host, fetch
+    failures scored by the WILSON LOWER BOUND (z = 2) of the error
+    proportion — the ranking that won't put a 1-of-1 failure above a
+    40-of-400; the standard "worst hosts" dashboard sort.  Floored to
+    integer micro (one float64 sqrt per host, identical in DuckDB).
+    Map-side per-host (n, errors) partials, metadata groupby, exact
+    vectorized finalize."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        err = pc.cast(pc.invert(batch.column("ok")), pa.int64())
+        t = pa.table({"host": batch.column("host"), "err": err})
+        out = t.group_by(["host"]).aggregate([("err", "count"), ("err", "sum")])
+        return out.rename_columns(["host", "cnt", "errs"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"], ["cnt", "errs"], {"cnt": "n_fetches", "errs": "n_errors"},
+        coarse=8,
+    )
+
+    def wilson(b: pa.Table) -> pa.Table:
+        n = b.column("n_fetches").to_numpy(zero_copy_only=False).astype(np.float64)
+        e = b.column("n_errors").to_numpy(zero_copy_only=False).astype(np.float64)
+        z2 = 4.0  # z = 2
+        p = e / n
+        lb = (
+            p + z2 / (2 * n)
+            - 2.0 * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        ) / (1 + z2 / n)
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_fetches": b.column("n_fetches"),
+                "n_errors": b.column("n_errors"),
+                "wilson_lb_micro": pa.array(
+                    np.floor(lb * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return counts.map_batches(wilson, batch_format="pyarrow")
+
+
+SQL_WILSON_ERRORS = f"""
+WITH h AS (
+  SELECT host, count(*) AS n,
+         sum(CASE WHEN ok THEN 0 ELSE 1 END) AS e
+  FROM read_parquet('{_GOLDEN_SQL_PATH}') GROUP BY 1
+)
+SELECT host, CAST(n AS BIGINT) AS n_fetches, CAST(e AS BIGINT) AS n_errors,
+       CAST(floor(
+         ((CAST(e AS DOUBLE) / n) + 4.0 / (2 * n)
+          - 2.0 * sqrt((CAST(e AS DOUBLE) / n) * (1 - CAST(e AS DOUBLE) / n)
+                       / n + 4.0 / (4.0 * n * n)))
+         / (1 + 4.0 / n) * 1000000) AS BIGINT) AS wilson_lb_micro
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
@@ -13422,6 +13583,10 @@ EXTRA_QUERIES = {
     "runs_test": q_runs_test,
     # Benford first-digit audit of order totals (forensics screen)
     "benford": q_benford,
+    # entropy rate of the sessionized event-type Markov chain
+    "markov_entropy": q_markov_entropy,
+    # per-host error rate ranked by the Wilson lower bound (z = 2)
+    "wilson_errors": q_wilson_errors,
 }
 
 ORACLE_SQL = {
@@ -13612,4 +13777,6 @@ EXTRA_ORACLE_SQL = {
     "simpson_diversity": SQL_SIMPSON_DIVERSITY,
     "runs_test": SQL_RUNS_TEST,
     "benford": SQL_BENFORD,
+    "markov_entropy": SQL_MARKOV_ENTROPY,
+    "wilson_errors": SQL_WILSON_ERRORS,
 }
