@@ -212,3 +212,55 @@ def test_exact_substring_plans_agree():
         )
     assert len(frames["broadcast"]) > 0
     assert frames["broadcast"].equals(frames["shuffle"])
+
+def test_minhash_verify_plans_agree():
+    """Forced driver verify == forced distributed (co-partitioned) verify
+    on the sf0.001 corpus — pins the _minhash_pairs_impl size switch."""
+    from web_scraping_script_ray.pipelines.queries import _minhash_pairs_impl
+
+    sf = "/root/testdata/sf0.001"
+    frames = {}
+    for plan in ("driver", "distributed"):
+        frames[plan] = (
+            _minhash_pairs_impl(sf, force_path=plan)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+    assert len(frames["driver"]) > 0
+    assert frames["driver"].equals(frames["distributed"])
+
+
+def test_lsh_verify_pairs_planted():
+    """lsh_verify_pairs verifies a hand-planted candidate list exactly:
+    the true near-dup pair survives, the decoy pair is rejected, and a
+    pair of contentless docs is dropped (empty union)."""
+    import ray
+
+    from web_scraping_script_ray.functions.dedup import lsh_verify_pairs, ngram_jaccard
+
+    rows = [
+        (0, BASE[0]),
+        (1, BASE[0] + " extra"),
+        (2, BASE[1]),
+        (3, ""),
+        (4, ""),
+    ]
+    docs = ray.data.from_arrow(docs_table(rows))
+    cand = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([0, 0, 3], pa.int64()),
+                "id_b": pa.array([1, 2, 4], pa.int64()),
+            }
+        )
+    )
+    out = (
+        lsh_verify_pairs(docs, cand, threshold=0.7, n_parts=8)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert out[["id_a", "id_b"]].values.tolist() == [[0, 1]]
+    expect = np.floor(ngram_jaccard(rows[0][1], rows[1][1]) * 1e6) / 1e6
+    assert out.loc[0, "jaccard"] == expect

@@ -718,3 +718,42 @@ def test_sssp_empty_edges(ray_session):
     )
     out = sssp_weighted(edges, "s", force_plan="single")
     assert out.count() == 0
+
+
+def test_adamic_adar_hub_cap_bounds_fanout():
+    """_aa_wedges is exact at deg <= cap and bounded at C(cap,2) rows per
+    hub above it, with the TRUE-degree term kept on the capped path."""
+    from web_scraping_script_ray.pipelines.queries import _aa_wedges
+
+    hub_deg = 100
+    z = ["hub"] * hub_deg + ["small"] * 5
+    n = [f"n{i:03d}" for i in range(hub_deg)] + [f"m{i}" for i in range(5)]
+    g = pa.table({"z": pa.array(z), "n": pa.array(n)})
+
+    exact = _aa_wedges(g, hub_cap=1 << 30)
+    assert exact.num_rows == hub_deg * (hub_deg - 1) // 2 + 5 * 4 // 2
+
+    capped = _aa_wedges(g, hub_cap=8)
+    # hub clipped to C(8,2); the small node (deg 5 <= cap) stays exact
+    assert capped.num_rows == 8 * 7 // 2 + 5 * 4 // 2
+    cap_df = capped.to_pandas()
+    hub_rows = cap_df[cap_df.x.str.startswith("n")]
+    # capped wedges use the lexicographically-first neighbors and the
+    # true-degree term floor(1e6/ln(100))
+    assert set(hub_rows.x) | set(hub_rows.y) == {f"n{i:03d}" for i in range(8)}
+    assert (hub_rows.term == int(np.floor(1e6 / np.log(hub_deg)))).all()
+    # capped output is a subset of the exact wedge set with equal terms
+    ex_df = exact.to_pandas()
+    mk = lambda d: set(map(tuple, d[["x", "y", "term"]].values))
+    assert mk(cap_df) <= mk(ex_df)
+
+
+def test_adamic_adar_exact_vs_capped_query(ray_session):
+    """On the sf0.001 corpus (no hubs near the default cap) the capped
+    default equals a forced-exact run bit-for-bit."""
+    from web_scraping_script_ray.pipelines.queries import q_adamic_adar
+
+    sf = "/root/testdata/sf0.001"
+    a = q_adamic_adar(sf).to_pandas().reset_index(drop=True)
+    b = q_adamic_adar(sf, hub_cap=1 << 30).to_pandas().reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)

@@ -1812,7 +1812,14 @@ FROM d LEFT JOIN agg USING (doc_id)
 # exact n-gram-Jaccard query is the SQL-oracled ground truth.
 # ---------------------------------------------------------------------------
 
-def _minhash_pairs_impl(sf_dir: str) -> pa.Table:
+#: above this many LSH candidate pairs the exact-Jaccard verify runs as a
+#: co-partitioned distributed plan (``lsh_verify_pairs``) instead of the
+#: driver dict — on a duplicate-heavy corpus candidates are O(duplicates),
+#: so the driver path is only ever the small-side/oracle plan.
+_LSH_VERIFY_DRIVER_LIMIT = 2_000_000
+
+
+def _minhash_pairs_impl(sf_dir: str, force_path: str | None = None) -> pa.Table:
     """MinHash+LSH near-dup pairs, EXACT-verified: LSH (32 bands × 4 rows,
     candidate est ≥ 0.4) generates candidates, then each candidate pair is
     re-ranked by exact 3-gram Jaccard and kept at ≥ 0.7 — the standard
@@ -1825,13 +1832,64 @@ def _minhash_pairs_impl(sf_dir: str) -> pa.Table:
     PRECONDITION: no LSH bucket above the cap — a corpus with > 256
     mutually-near-identical docs deterministically clips that bucket
     (recall < 1 by design at scale); any truncation is surfaced loudly
-    below rather than silently diverging from the oracle.  Only the tiny
-    candidate set and its documents are ever collected."""
+    below rather than silently diverging from the oracle.
+
+    SIZE-SELECTED verify: ≤ ``_LSH_VERIFY_DRIVER_LIMIT`` candidates, the
+    tiny candidate set and its shingle sets are collected and verified in
+    a driver loop (the oracle-equal reference plan); above it, verification
+    runs fully distributed via ``lsh_verify_pairs`` (three co-partitioned
+    exchanges, per-pair float arithmetic identical to the driver loop —
+    forced-path equality pinned in tests/test_dedup.py).  ``force_path``
+    ("driver" | "distributed") pins a plan for those tests."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=256)
     cand = minhash_lsh_pairs(
         ds, id_col="doc_id", text_col="text",
         threshold=0.4, num_perm=128, n_bands=32,
-    )
+    ).materialize()
+    n_cand = cand.count()
+    if force_path == "distributed" or (
+        force_path is None and n_cand > _LSH_VERIFY_DRIVER_LIMIT
+    ):
+        from ..functions.dedup import lsh_verify_pairs
+
+        tr_any = any(
+            r["t"]
+            for r in cand.map_batches(
+                lambda b: pa.table(
+                    {"t": [bool(pc.any(b.column("truncated")).as_py() or False)]}
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+        if tr_any:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_pairs: LSH bucket(s) exceeded the cap — recall < 1, "
+                "exact-oracle parity not guaranteed on this corpus"
+            )
+        clean = cand.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("id_a"), 0)).select(
+                ["id_a", "id_b"]
+            ),
+            batch_format="pyarrow",
+        )
+        verified = lsh_verify_pairs(
+            ds, clean, id_col="doc_id", text_col="text", threshold=0.7
+        )
+        out = pa.concat_tables(
+            [t for t in ray.get(verified.to_arrow_refs()) if t.num_rows]
+            or [
+                pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
+            ]
+        )
+        return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     cand_tbl = pa.concat_tables(
         [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
         or [pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()]
@@ -11080,7 +11138,57 @@ SELECT o_custkey, cents, CAST(drank AS BIGINT) AS drank FROM r WHERE drank <= 3
 """
 
 
-def q_adamic_adar(sf_dir: str):
+#: per-middle-node degree cap for Adamic-Adar wedge generation — nodes at or
+#: below it emit EXACT C(d,2) wedges (the oracle-equal path); hub nodes above
+#: it emit only the cap's C(cap,2) wedges over the lexicographically-first
+#: neighbors.  4096 is far above any degree in the test corpora (so the gate
+#: stays bit-equal to the oracle) while bounding a 10^5-degree web hub at
+#: ~8.4M wedge rows instead of 5·10^9.
+_AA_HUB_CAP = 4096
+
+
+def _aa_wedges(g: pa.Table, hub_cap: int) -> pa.Table:
+    """Wedge generation for one coarse z-partition (16 coarse groups, NOT
+    one Ray group per middle node — Ray's per-distinct-key groupby cost
+    dominated this stage: 7 s for ~1k keys; a numpy pass over z-runs
+    inside each coarse group does the same in milliseconds).  The degree
+    is the run length; runs longer than ``hub_cap`` emit only the wedges
+    among the first ``hub_cap`` sorted neighbors (true-degree term kept)
+    — see ``q_adamic_adar`` for the approximation contract."""
+    z = np.asarray(g.column("z").to_pylist(), dtype=object)
+    nb = np.asarray(g.column("n").to_pylist(), dtype=object)
+    order = np.lexsort((nb, z))
+    z, nb = z[order], nb[order]
+    new = np.ones(len(z), dtype=bool)
+    new[1:] = z[1:] != z[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(z))
+    xs, ys, ts = [], [], []
+    for s, e in zip(starts, ends):
+        d = e - s
+        if d < 2:
+            continue
+        term = int(np.floor(1e6 / np.log(d)))
+        w = min(d, hub_cap)  # nb[s:e] is sorted → deterministic subset
+        iu, ju = np.triu_indices(w, k=1)
+        xs.append(nb[s : s + w][iu])
+        ys.append(nb[s : s + w][ju])
+        ts.append(np.full(len(iu), term, np.int64))
+    if not xs:
+        return pa.table(
+            {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
+             "term": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "x": pa.array(np.concatenate(xs), pa.string()),
+            "y": pa.array(np.concatenate(ys), pa.string()),
+            "term": pa.array(np.concatenate(ts), pa.int64()),
+        }
+    )
+
+
+def q_adamic_adar(sf_dir: str, hub_cap: int = _AA_HUB_CAP):
     """Adamic-Adar link prediction over the web link graph: for page
     pairs NOT already linked, score = Σ_{common neighbor z}
     floor(10⁶ / ln(deg z)) — the classic "which links are missing"
@@ -11090,9 +11198,19 @@ def q_adamic_adar(sf_dir: str):
     groupby(z).map_groups (the degree IS the group size — no separate
     degree join), a coarse (u,v) score sum, existing edges removed by
     tagging them into the same groupby (no second exchange shape), one
-    metadata-scale top-k sort.  Wedge fan-out is O(deg²) per middle
-    node — at web scale the hub mitigation is the same degree
-    orientation ``triangles`` uses; exact here to stay oracle-equal."""
+    metadata-scale top-k sort.
+
+    HUB MITIGATION, size-selected PER MIDDLE NODE: wedge fan-out is
+    O(deg²), so a single 10^5-degree hub would emit 5·10⁹ rows.  Nodes
+    with ``deg <= hub_cap`` take the exact path (all C(d,2) wedges — the
+    oracle plan); genuine hubs emit only the wedges among their
+    ``hub_cap`` lexicographically-first neighbors, each still carrying
+    the TRUE-degree term ``floor(10⁶/ln(d))``, so surviving pair scores
+    are exact and only hub coverage is approximated (the standard
+    link-prediction pruning: a mega-hub's term is the least informative
+    and it floods the most pairs).  Deterministic (fixed neighbor
+    order), bounded at C(hub_cap,2) rows per hub — asserted by the
+    planted-hub test in tests/test_graph_quality.py."""
     edges = _web_link_edges(sf_dir)
 
     def adj(b: pa.Table) -> pa.Table:
@@ -11116,47 +11234,13 @@ def q_adamic_adar(sf_dir: str):
         )
         return b.append_column("zpart", pa.array(part, pa.int64()))
 
-    def wedges(g: pa.Table) -> pa.Table:
-        # 16 coarse groups, NOT one Ray group per middle node — Ray's
-        # per-distinct-key groupby cost dominated this stage (7 s for
-        # ~1k keys); a numpy pass over z-runs inside each coarse group
-        # does the same wedge generation in milliseconds
-        z = np.asarray(g.column("z").to_pylist(), dtype=object)
-        nb = np.asarray(g.column("n").to_pylist(), dtype=object)
-        order = np.lexsort((nb, z))
-        z, nb = z[order], nb[order]
-        new = np.ones(len(z), dtype=bool)
-        new[1:] = z[1:] != z[:-1]
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(z))
-        xs, ys, ts = [], [], []
-        for s, e in zip(starts, ends):
-            d = e - s
-            if d < 2:
-                continue
-            term = int(np.floor(1e6 / np.log(d)))
-            iu, ju = np.triu_indices(d, k=1)
-            xs.append(nb[s:e][iu])
-            ys.append(nb[s:e][ju])
-            ts.append(np.full(len(iu), term, np.int64))
-        if not xs:
-            return pa.table(
-                {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
-                 "term": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "x": pa.array(np.concatenate(xs), pa.string()),
-                "y": pa.array(np.concatenate(ys), pa.string()),
-                "term": pa.array(np.concatenate(ts), pa.int64()),
-            }
-        )
-
     pair_terms = (
         edges.map_batches(adj, batch_format="pyarrow")
         .map_batches(add_zpart, batch_format="pyarrow")
         .groupby("zpart")
-        .map_groups(wedges, batch_format="pyarrow")
+        .map_groups(
+            lambda g: _aa_wedges(g, hub_cap), batch_format="pyarrow"
+        )
     )
     # tag existing edges with term = NEG so any pair containing one is
     # dropped in the same (x, y) fold — no separate anti-join exchange
