@@ -119,6 +119,11 @@ def test_media_pipeline_stages():
 
 
 def test_real_decoder_requires_codec():
+    from web_scraping_script_ray.stages.multimodal import _HAVE_PIL
+
+    if _HAVE_PIL:
+        pytest.skip("PIL present — real path active, covered by "
+                    "test_real_pil_paths_when_available")
     with pytest.raises(NotImplementedError):
         ImageDecoder(fake=False)
 
@@ -564,3 +569,57 @@ def test_apply_ops_text_pipeline_extensions(ray_session):
     assert set(out.seq) <= {0, 2, 3}
     assert 1 not in set(out.seq)
     assert sorted(out.columns) == ["seq", "text"]
+
+
+def test_real_pil_paths_when_available():
+    """When PIL imports, fake=False runs the REAL decode/resize kernels
+    (auto-detect seam); skipped in containers without PIL, where
+    test_real_decoder_requires_codec pins the actionable raise instead."""
+    import pytest
+
+    from web_scraping_script_ray.stages.multimodal import (
+        _HAVE_PIL,
+        ImageDecoder,
+        ImageResizer,
+    )
+
+    if not _HAVE_PIL:
+        pytest.skip("PIL not in this container — seam stays on the fake path")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 32), (255, 0, 0)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    batch = pa.table(
+        {
+            "doc_id": ["d0"],
+            "media_ref": ["m0"],
+            "media_type": ["images"],
+            "payload": [payload],
+        }
+    )
+    dec = ImageDecoder(fake=False)
+    out = dec(batch)
+    assert out.column("width")[0].as_py() == 64
+    assert out.column("height")[0].as_py() == 32
+    feats = out.column("features")[0].as_py()
+    assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
+
+    rs = ImageResizer(target_w=16, target_h=16, fake=False)
+    rbatch = pa.table(
+        {
+            "doc_id": ["d0"],
+            "media_ref": ["m0"],
+            "content_hash": ["h"],
+            "width": pa.array([64], pa.int32()),
+            "height": pa.array([32], pa.int32()),
+            "payload": [payload],
+        }
+    )
+    rout = rs(rbatch)
+    assert rout.column("out_width")[0].as_py() == 16
+    assert rout.column("out_height")[0].as_py() == 8
+    resized = Image.open(io.BytesIO(rout.column("resized")[0].as_py()))
+    assert resized.size == (16, 8)

@@ -206,3 +206,4 @@ def test_excel_export_gated(tmp_path, ray_session):
     else:
         with pytest.raises(ImportError, match="openpyxl or xlsxwriter"):
             export(ds, path, fmt="excel")
+

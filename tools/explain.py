@@ -27,10 +27,22 @@ def main() -> int:
     from web_scraping_script_ray.pipelines.queries import EXTRA_QUERIES, QUERIES
 
     allq = {**QUERIES, **EXTRA_QUERIES}
-    if list_only or not args:
+    if list_only:
+        if args:
+            print(f"--list takes no positional arguments (got {args!r})",
+                  file=sys.stderr)
+            return 2
         for name in sorted(allq):
             print(name)
         return 0
+    if not args:
+        for name in sorted(allq):
+            print(name)
+        return 0
+    if len(args) > 2:
+        print(f"usage: explain.py <query> [sf_dir] (got extra args {args[2:]!r})",
+              file=sys.stderr)
+        return 2
 
     name = args[0]
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
@@ -48,21 +60,23 @@ def main() -> int:
             logging_level="ERROR",
         )
 
-    t0 = time.time()
-    res = allq[name](sf_dir)
-    if hasattr(res, "materialize"):
-        mat = res.materialize()
-        wall = time.time() - t0
-        print(f"== {name} @ {sf_dir}: {mat.count()} rows in {wall:.2f}s ==")
-        print(mat.stats())
-    else:  # a few queries fold to a driver-side Arrow table
-        wall = time.time() - t0
-        n = len(res) if hasattr(res, "__len__") else res.num_rows
-        print(f"== {name} @ {sf_dir}: {n} rows in {wall:.2f}s ==")
-        print("(driver-side table result — constituent dataset stats were "
-              "consumed inside the query; rerun stages individually to "
-              "profile them)")
-    ray.shutdown()
+    try:  # finally-shutdown: a raising query must not leak the session
+        t0 = time.time()
+        res = allq[name](sf_dir)
+        if hasattr(res, "materialize"):
+            mat = res.materialize()
+            wall = time.time() - t0
+            print(f"== {name} @ {sf_dir}: {mat.count()} rows in {wall:.2f}s ==")
+            print(mat.stats())
+        else:  # a few queries fold to a driver-side Arrow table
+            wall = time.time() - t0
+            n = len(res) if hasattr(res, "__len__") else res.num_rows
+            print(f"== {name} @ {sf_dir}: {n} rows in {wall:.2f}s ==")
+            print("(driver-side table result — constituent dataset stats were "
+                  "consumed inside the query; rerun stages individually to "
+                  "profile them)")
+    finally:
+        ray.shutdown()
     return 0
 
 

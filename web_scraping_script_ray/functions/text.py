@@ -522,3 +522,35 @@ def token_entropy(batch: pa.Table, id_col: str = "doc_id",
         ],
         names=[id_col, "n_tokens", "n_unique", "entropy_micro"],
     )
+
+
+def flesch_milli_counts(txt) -> tuple:
+    """Shared integer Flesch reading-ease kernel — the SINGLE definition
+    used by both ``queries.q_flesch`` and the ``readability_filter``
+    post-processing op (one formula, no silent divergence).
+
+    Words = ``\\S+`` runs, sentences = ``[.!?]+`` runs (min 1), syllable
+    proxy = ``[aeiouy]+`` vowel groups in the lowercase text (min 1);
+    each rational term floors independently:
+    ``flesch_milli = 206835 − 1015·W // S − 84600·V // W`` (W clamped to
+    ≥1 inside the formula).  Returns ``(w, s, v, flesch_milli)`` int64
+    arrays; the score is only MEANINGFUL where ``w > 0`` — callers drop
+    or gate those rows themselves."""
+    w = pc.count_substring_regex(txt, pattern=r"\S+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    s = np.maximum(
+        pc.count_substring_regex(txt, pattern=r"[.!?]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64),
+        1,
+    )
+    v = np.maximum(
+        pc.count_substring_regex(
+            pc.utf8_lower(txt), pattern=r"[aeiouy]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64),
+        1,
+    )
+    wk = np.maximum(w, 1)
+    flesch = 206_835 - 1015 * wk // s - 84_600 * v // wk
+    return w, s, v, flesch

@@ -416,38 +416,55 @@ def _shard_clock_carry(pol_shard, rules, n_blocks: int, max_per_host: int, *slic
     from ..state.util import retry_actor_get
 
     tables = list(slices)
-    all_hosts = sorted({h for t in tables for h in t.column("host").to_pylist()})
+    block_hosts = [
+        t.column("host").combine_chunks().to_numpy(zero_copy_only=False)
+        if t.num_rows
+        else np.zeros(0, object)
+        for t in tables
+    ]
+    uhosts = (
+        np.unique(np.concatenate(block_hosts))
+        if any(len(h) for h in block_hosts)
+        else np.zeros(0, object)
+    )
+    all_hosts = uhosts.tolist()
     clock_vals, count_vals = retry_actor_get(
         lambda: [pol_shard.get_clock_counts.remote(all_hosts)]
     )[0]
-    clock_map = dict(zip(all_hosts, clock_vals))
-    delay_map = {h: rules.delay(h) for h in all_hosts}
+    # per-unique-host parallel arrays; per-block rows gather via one
+    # searchsorted each (hosts within one value-counts slice are unique,
+    # so the running-base update is a plain fancy-index add)
+    clock_arr = np.asarray(clock_vals, np.float64)
+    delay_arr = np.fromiter(
+        (rules.delay(h) for h in all_hosts), np.float64, len(all_hosts)
+    )
     # per-host remaining page-cap quota (-1 = uncapped); the assignment
     # task keeps rows with base + local_rank < quota, a per-host prefix
-    quota_map = (
-        {h: max(0, max_per_host - k) for h, k in zip(all_hosts, count_vals)}
+    quota_arr = (
+        np.maximum(0, max_per_host - np.asarray(count_vals, np.int64))
         if max_per_host > 0
-        else {h: -1 for h in all_hosts}
+        else np.full(len(all_hosts), -1, np.int64)
     )
-    running: dict = {}
+    running = np.zeros(len(all_hosts), np.int64)
     outs = []
-    for t in tables:
-        hosts = t.column("host").to_pylist()
-        ns = t.column("n").to_pylist()
+    for t, hosts in zip(tables, block_hosts):
+        idx = np.searchsorted(uhosts, hosts).astype(np.int64)
         outs.append(
             pa.Table.from_arrays(
                 [
                     pa.array(hosts, pa.string()),
-                    pa.array([running.get(h, 0) for h in hosts], pa.int64()),
-                    pa.array([clock_map[h] for h in hosts], pa.float64()),
-                    pa.array([delay_map[h] for h in hosts], pa.float64()),
-                    pa.array([quota_map[h] for h in hosts], pa.int64()),
+                    pa.array(running[idx], pa.int64()),
+                    pa.array(clock_arr[idx], pa.float64()),
+                    pa.array(delay_arr[idx], pa.float64()),
+                    pa.array(quota_arr[idx], pa.int64()),
                 ],
                 names=["host", "base", "t0", "dh", "quota"],
             )
         )
-        for h, c in zip(hosts, ns):
-            running[h] = running.get(h, 0) + int(c)
+        np.add.at(
+            running, idx,
+            t.column("n").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
     return outs[0] if n_blocks == 1 else tuple(outs)
 
 

@@ -293,24 +293,9 @@ def apply_ops(
             hi = int(op.get("max_milli", 1 << 62))
 
             def readable(batch: pa.Table, col=column, lo=lo, hi=hi) -> pa.Table:
-                txt = batch.column(col)
-                w = pc.count_substring_regex(txt, pattern=r"\S+").to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int64)
-                s = np.maximum(
-                    pc.count_substring_regex(txt, pattern=r"[.!?]+").to_numpy(
-                        zero_copy_only=False
-                    ).astype(np.int64),
-                    1,
-                )
-                v = np.maximum(
-                    pc.count_substring_regex(
-                        pc.utf8_lower(txt), pattern=r"[aeiouy]+"
-                    ).to_numpy(zero_copy_only=False).astype(np.int64),
-                    1,
-                )
-                wk = np.maximum(w, 1)
-                flesch = 206_835 - 1015 * wk // s - 84_600 * v // wk
+                from ..functions.text import flesch_milli_counts
+
+                w, _s, _v, flesch = flesch_milli_counts(batch.column(col))
                 keep = (w > 0) & (flesch >= lo) & (flesch <= hi)
                 return batch.filter(pa.array(keep))
 

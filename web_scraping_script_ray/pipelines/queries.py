@@ -10405,15 +10405,19 @@ def q_ks_stat(sf_dir: str):
 
     @ray.remote(num_cpus=0)
     def block_dmax(t: pa.Table, carry1: int, carry2: int) -> int:
+        # Python-int fold: a1·n2 with n1,n2 ~ 3e9 (a 10^10-event table)
+        # brushes 2^63 and would wrap silently in numpy; rows here are
+        # DISTINCT cents (price-point scale), so the loop is tiny
         if t.num_rows == 0:
             return 0
-        a1 = carry1 + np.cumsum(
-            t.column("n1").to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        a2 = carry2 + np.cumsum(
-            t.column("n2").to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        return int(np.abs(a1 * n2 - a2 * n1).max())
+        c1, c2, best = carry1, carry2, 0
+        for x1, x2 in zip(t.column("n1").to_pylist(), t.column("n2").to_pylist()):
+            c1 += int(x1)
+            c2 += int(x2)
+            d = abs(c1 * n2 - c2 * n1)
+            if d > best:
+                best = d
+        return best
 
     dnum = max(
         ray.get([block_dmax.remote(r, a, b) for r, (a, b) in zip(refs, carries)]),
@@ -10605,28 +10609,17 @@ def q_flesch(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        txt = batch.column("text")
-        w = pc.count_substring_regex(txt, pattern=r"\S+").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        s = pc.count_substring_regex(txt, pattern=r"[.!?]+").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        v = pc.count_substring_regex(
-            pc.utf8_lower(txt), pattern=r"[aeiouy]+"
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        s = np.maximum(s, 1)
-        v = np.maximum(v, 1)
+        from ..functions.text import flesch_milli_counts
+
+        w, s, v, flesch = flesch_milli_counts(batch.column("text"))
         keep = w > 0
-        wk, sk, vk = w[keep], s[keep], v[keep]
-        flesch = 206_835 - 1015 * wk // sk - 84_600 * vk // wk
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").filter(pa.array(keep)),
-                "n_words": pa.array(wk, pa.int64()),
-                "n_sentences": pa.array(sk, pa.int64()),
-                "n_vowel_groups": pa.array(vk, pa.int64()),
-                "flesch_milli": pa.array(flesch, pa.int64()),
+                "n_words": pa.array(w[keep], pa.int64()),
+                "n_sentences": pa.array(s[keep], pa.int64()),
+                "n_vowel_groups": pa.array(v[keep], pa.int64()),
+                "flesch_milli": pa.array(flesch[keep], pa.int64()),
             }
         )
 
@@ -11327,12 +11320,18 @@ def q_burst_hours(sf_dir: str):
     )
 
     def flag(g: pa.Table) -> pa.Table:
-        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-        k = len(c)
-        S = int(c.sum())
-        Q = int((c * c).sum())
-        lhs = (k * c - S).astype(np.int64)
-        keep = (lhs > 0) & (lhs * lhs > 4 * (k * Q - S * S))
+        # finalize in PYTHON ints (as q_chi2 does): at web-scale hourly
+        # counts (S ~ 1e9, Q ~ k·c²) the squared/product terms exceed
+        # 2^63 and would wrap silently in int64 numpy; k is hours per
+        # type (metadata-scale), so the per-element loop is trivial
+        cl = [int(x) for x in g.column("c").to_pylist()]
+        k = len(cl)
+        S = sum(cl)
+        Q = sum(x * x for x in cl)
+        keep = [
+            k * x - S > 0 and (k * x - S) ** 2 > 4 * (k * Q - S * S)
+            for x in cl
+        ]
         b = g.filter(pa.array(keep))
         return pa.table(
             {
@@ -13024,8 +13023,13 @@ def q_runs_test(sf_dir: str):
     trending/sticky, too many ⇒ oscillating; the classic randomness
     check, all integer.  Values equal to the median count as NOT
     above (pinned identically in SQL).  Plan: the median comes from
-    the no-raw-row-shuffle histogram partials; the run count is a
-    per-type vectorized diff over ONE coarse-partition sort."""
+    the no-raw-row-shuffle histogram partials; the run count is ONE
+    range sort by (type, ts, event_id) then per-block run partials
+    (n, n_above, within-block flips, edge flags) stitched with an
+    O(blocks·types-per-block) driver fold — the ks_stat/late_events
+    cross-block-carry shape, so no single-type task ever holds a
+    type's full stream (a per-type map_groups would funnel the whole
+    table into ~5 tasks)."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"]).map_batches(
         lambda b: _cents(b, "value", "cents"), batch_format="pyarrow"
     )
@@ -13064,28 +13068,72 @@ def q_runs_test(sf_dir: str):
         meds[t] = int(v[np.searchsorted(cum, 50 * (n - 1) // 100 + 1)])
     mref = ray.put(meds)
 
-    def runs(g: pa.Table) -> pa.Table:
+    def flag_batch(b: pa.Table) -> pa.Table:
         med = ray.get(mref)
-        ty = g.column("event_type")[0].as_py()
-        us = (
-            g.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        c = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((eid, us))
-        above = c[order] > med[ty]
-        n_runs = 1 + int((above[1:] != above[:-1]).sum()) if len(above) else 0
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        c = b.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        tys = b.column("event_type").to_pylist()
+        m = np.fromiter((med[t] for t in tys), np.int64, len(tys))
         return pa.table(
             {
-                "event_type": pa.array([ty], pa.string()),
-                "n": pa.array([len(above)], pa.int64()),
-                "n_above": pa.array([int(above.sum())], pa.int64()),
-                "n_runs": pa.array([n_runs], pa.int64()),
+                "event_type": b.column("event_type"),
+                "us": us,
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "above": pa.array(c > m, pa.bool_()),
             }
         )
 
-    return ds.groupby("event_type").map_groups(runs, batch_format="pyarrow")
+    sorted_ds = ds.map_batches(flag_batch, batch_format="pyarrow").sort(
+        ["event_type", "us", "event_id"]
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_partial(t: pa.Table):
+        """Per (type-segment in this sorted block): n, n_above, internal
+        flips, and the segment's edge flags — a few scalars per type."""
+        if t.num_rows == 0:
+            return []
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        ab = t.column("above").to_numpy(zero_copy_only=False).astype(bool)
+        new = np.r_[True, ty[1:] != ty[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ty)]
+        out = []
+        for s, e in zip(starts, ends):
+            seg = ab[s:e]
+            out.append(
+                (
+                    str(ty[s]), int(e - s), int(seg.sum()),
+                    int((seg[1:] != seg[:-1]).sum()),
+                    bool(seg[0]), bool(seg[-1]),
+                )
+            )
+        return out
+
+    # driver stitch: blocks arrive in global sort order, so consecutive
+    # segments of one type meet at block edges — O(blocks·types) scalars
+    agg: dict[str, list] = {}
+    last_flag: dict[str, bool] = {}
+    for part in ray.get([block_partial.remote(r) for r in refs]):
+        for ty, n, n_ab, flips, first, last in part:
+            if ty in agg:
+                a = agg[ty]
+                a[0] += n
+                a[1] += n_ab
+                a[2] += flips + (1 if last_flag[ty] != first else 0)
+            else:
+                agg[ty] = [n, n_ab, flips]
+            last_flag[ty] = last
+    types = sorted(agg)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array([agg[t][0] for t in types], pa.int64()),
+            "n_above": pa.array([agg[t][1] for t in types], pa.int64()),
+            "n_runs": pa.array([agg[t][2] + 1 for t in types], pa.int64()),
+        }
+    )
 
 
 SQL_RUNS_TEST = """

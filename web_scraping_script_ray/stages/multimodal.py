@@ -6,13 +6,15 @@ via PIL (reference: src/media_downloader.py:195-200).  Here media live in
 tables: a ``binary`` payload column plus typed metadata, processed by
 actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are not in this container, so the decode
-kernels are STUBS behind an import-try: with PIL/etc. absent, ``decode``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (hash-derived dimensions / samples) stands in.
-Everything around the stub — schemas, actor signature, batch sizing,
-output layout — is real and tested; swapping in a real codec is a one-
-method change.
+The codec seam AUTO-DETECTS PIL: when it imports, ``fake=False`` runs a
+real decode/resize (``_decode_real`` / ``_resize_real`` are working PIL
+kernels, exercised by a skipif-gated pytest); with PIL absent (this
+container), ``fake=False`` raises ``NotImplementedError`` at construction
+and ``fake=True`` — the default, which oracle runs keep — substitutes a
+deterministic fake decoder (hash-derived dimensions / samples).
+Everything around the seam — schemas, actor signature, batch sizing,
+output layout — is identical on both paths.  Audio/video codecs
+(ffmpeg-class) have no in-container candidate, so those stay fake-only.
 
 Batch-size guidance: payloads are large; size ``batch_size`` so
 ``batch_size × max_payload × concurrency`` fits the worker heap (e.g. 64
@@ -271,7 +273,22 @@ class ImageDecoder:
             )
 
     def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        raise NotImplementedError("real codec path — swap in PIL decode here")
+        """Real PIL decode (auto-activated when PIL imports — the
+        constructor only rejects ``fake=False`` when it doesn't):
+        dimensions from the codec, features = per-band luminance means
+        over ``feat_dim`` vertical strips, in [0, 1] like the fake path."""
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as img:
+            w, h = img.size
+            gray = np.asarray(img.convert("L"), dtype=np.float32) / np.float32(255.0)
+        bands = np.array_split(gray, self.feat_dim, axis=1)
+        feat = np.array(
+            [float(b.mean()) if b.size else 0.0 for b in bands], np.float32
+        )
+        return w, h, feat
 
     def _decode_fake(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         h = hashlib.blake2b(payload, digest_size=16).digest()
@@ -368,7 +385,17 @@ class ImageResizer:
         return ow, oh
 
     def _resize_real(self, payload: bytes, ow: int, oh: int) -> bytes:
-        raise NotImplementedError("real codec path — swap in PIL resize here")
+        """Real PIL resample (auto-activated when PIL imports): bilinear
+        resize to the precomputed fit box, re-encoded as PNG bytes."""
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as img:
+            out = img.convert("RGB").resize((int(ow), int(oh)), Image.BILINEAR)
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return buf.getvalue()
 
     def _resize_fake(self, content_hash: str, ow: int, oh: int) -> bytes:
         n = max(16, (int(ow) * int(oh)) // 64)
