@@ -2442,7 +2442,14 @@ SQL_ANN_IVF = SQL_ANN_TOPK
 
 def q_media_features(sf_dir: str):
     """documents → synthetic media refs → materialize payloads → decode
-    features, both stages as actor pools over binary batches."""
+    features, both stages as actor pools over binary batches.
+
+    GOLDEN-oracled (crawl_bfs pattern): the fake codec is deterministic
+    from doc_id, so ``tools/gen_media_golden.py`` recomputes every row
+    from first principles (blake2b payload stream, hash-derived dims,
+    md5[:10] content hash) WITHOUT importing the stages — committed at
+    tests/fixtures/media_features_golden.parquet; the SQL oracle reads
+    it back joined to ``documents`` so the row set tracks the sf dir."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"], rows_per_block=512)
 
     def to_refs(batch: pa.Table) -> pa.Table:
@@ -2644,6 +2651,19 @@ _FIXTURES_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "tests",
     "fixtures",
+)
+
+# media_features golden: tools/gen_media_golden.py recomputes the fake
+# codec's rows from first principles (no stages import); joined to
+# documents so the row set tracks the sf dir (see q_media_features).
+SQL_MEDIA_FEATURES = (
+    """
+SELECT g.doc_id, g.media_ref, g.content_hash, g.nbytes, g.width, g.height
+FROM read_parquet('"""
+    + os.path.join(_FIXTURES_DIR, "media_features_golden.parquet").replace("'", "''")
+    + """') g
+JOIN documents d ON g.doc_id = CAST(d.doc_id AS VARCHAR)
+"""
 )
 
 SQL_CRAWL_BFS = (
@@ -13385,8 +13405,8 @@ FROM h
 
 # The driver scores at most 50 registry rows (r02 registered 54 and got
 # exactly the first 50 in insertion order), so this registry is kept at
-# EXACTLY 50 entries — all SQL-oracled except media_features (fake codec
-# by design).  Retired-but-still-tested queries live in EXTRA_QUERIES
+# EXACTLY 50 entries — ALL 50 oracled (media_features gained a golden
+# oracle in r4).  Retired-but-still-tested queries live in EXTRA_QUERIES
 # (pytest parity vs DuckDB at sf0.001; tools/check_correctness.py
 # --extras runs them at any sf).  Ordering front-loads the evidence
 # that went missing in r02 (crawl/html/stream rows).
@@ -13771,6 +13791,7 @@ ORACLE_SQL = {
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "tfidf_top": SQL_TFIDF_TOP,
     "media_info_join": SQL_MEDIA_INFO_JOIN,
+    "media_features": SQL_MEDIA_FEATURES,
 }
 
 EXTRA_ORACLE_SQL = {
