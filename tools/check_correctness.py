@@ -3,6 +3,12 @@ entry and its oracle_sql() twin at a given sf_dir, compare row count,
 column names and an order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py <sf_dir> --extras --json EXTRAS_r4.json
+
+``--json PATH`` additionally writes a machine-readable artifact:
+one record per query with pass/fail, the individual check bits, row
+counts and runtime — the driver-visible evidence for the 137 extra
+queries the per-round gate doesn't score.
 """
 
 from __future__ import annotations
@@ -54,6 +60,11 @@ def value_hash(df: pd.DataFrame) -> str:
 def main():
     argv = [a for a in sys.argv[1:] if a != "--extras"]
     extras = "--extras" in sys.argv
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -87,6 +98,7 @@ def main():
         sys.exit(2)
 
     failures = []
+    records = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -96,10 +108,18 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
             failures.append(name)
+            records.append(
+                {"query": name, "status": "error",
+                 "err": f"{type(e).__name__}: {e}", "sec": round(time.time() - t0, 2)}
+            )
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok*   {name}: rows={len(mine)} cols={sorted(mine.columns)} ({dt:.1f}s, rows-only)")
+            records.append(
+                {"query": name, "status": "rows_only", "rows": len(mine),
+                 "sec": round(dt, 2)}
+            )
             continue
         gold = con.sql(oracles[name]).df()
         problems = []
@@ -124,7 +144,39 @@ def main():
             failures.append(name)
         else:
             print(f"ok    {name}: rows={len(mine)} ({dt:.1f}s)")
+        records.append(
+            {
+                "query": name,
+                "status": "fail" if problems else "pass",
+                "rows": len(mine),
+                "oracle_rows": len(gold),
+                "rows_match": len(mine) == len(gold),
+                "schema_match": sorted(mine.columns) == sorted(gold.columns),
+                "hash_match": not problems,
+                "problems": problems,
+                "sec": round(dt, 2),
+            }
+        )
     ray.shutdown()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "extras": extras,
+                    "n_queries": len(records),
+                    "n_pass": sum(r["status"] == "pass" for r in records),
+                    "n_rows_only": sum(r["status"] == "rows_only" for r in records),
+                    "n_fail": len(failures),
+                    "failures": failures,
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_path} ({len(records)} records)")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)

@@ -1229,6 +1229,25 @@ class CrawlEngine:
             cands, n_next = self.run_round(rnd, cands)
             self._last_frontier_size = n_next
             tck = _Trace(rnd)
+            if _TRACE:
+                # per-round memory audit for the 10^10-frontier story:
+                # driver RSS (must stay flat — the driver holds refs and
+                # O(shards) scalars, never rows) + seen-set shard bytes
+                try:
+                    with open("/proc/self/statm") as f:
+                        rss_mb = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") // (1 << 20)
+                except OSError:  # non-linux
+                    rss_mb = -1
+                mr = self.seen.mem_report()
+                sb = mr["shard_bytes"]
+                print(
+                    f"[crawl r{rnd}] mem: driver_rss={rss_mb}MB "
+                    f"seen_keys={mr['total_keys']} "
+                    f"seen_bytes={mr['total_bytes'] / (1 << 20):.1f}MB "
+                    f"shard_max={max(sb) / (1 << 20):.1f}MB "
+                    f"shard_min={min(sb) / (1 << 20):.1f}MB",
+                    flush=True,
+                )
             self._start_checkpoint(rnd)  # overlaps next round's read stages
             tck.mark("checkpoint-launch")
             rounds_run += 1

@@ -245,6 +245,16 @@ class SeenShard:
     def size(self) -> int:
         return len(self.sorted) + self.pending_n
 
+    def mem_bytes(self) -> int:
+        """Resident bytes of this shard's state (cuckoo slots + exact
+        store + pending chunks) — the per-shard memory audit the 10^10
+        frontier story reports per round."""
+        return int(
+            self.filter.table.nbytes
+            + self.sorted.nbytes
+            + sum(c.nbytes for c in self.pending)
+        )
+
     def dump(self) -> tuple[bytes, np.ndarray]:
         """Checkpoint payload: (cuckoo bytes, exact hashes)."""
         self._merge()
@@ -322,6 +332,19 @@ class ShardedSeen:
         import ray
 
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def mem_report(self) -> dict:
+        """Per-shard (keys, bytes) plus totals — O(n_shards) scalars."""
+        import ray
+
+        sizes = ray.get([s.size.remote() for s in self.shards])
+        mems = ray.get([s.mem_bytes.remote() for s in self.shards])
+        return {
+            "shard_keys": sizes,
+            "shard_bytes": mems,
+            "total_keys": int(sum(sizes)),
+            "total_bytes": int(sum(mems)),
+        }
 
     def dump(self) -> list[tuple[bytes, np.ndarray]]:
         import ray
