@@ -75,8 +75,9 @@ def test_registry_is_exactly_50():
     )
 
     assert len(QUERIES) == 50
-    # every registered query except media_features (fake codec) is oracled
-    assert set(QUERIES) - set(ORACLE_SQL) == {"media_features"}
+    # ALL 50 registered queries are oracled (media_features gained its
+    # golden-parquet oracle in r4)
+    assert set(QUERIES) - set(ORACLE_SQL) == set()
     assert set(ORACLE_SQL) <= set(QUERIES)
     assert set(EXTRA_ORACLE_SQL) == set(EXTRA_QUERIES)
     assert not set(EXTRA_QUERIES) & set(QUERIES)
