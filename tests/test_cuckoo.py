@@ -82,3 +82,24 @@ def test_seen_shard_auto_grows_past_capacity():
     t.load(cuckoo, exact)
     assert t.probe(all_keys).all()
     assert t.filter.n_buckets == s.filter.n_buckets
+
+
+def test_cuckoo_shard_aliased_keys_insert():
+    """Regression (found by the 100M-doc run): shard routing gives every
+    key of shard s the same low bits (key % n_shards == s).  Before the
+    avalanche mix, i1 = key % n_buckets could reach only 1/n_shards of
+    the buckets, so inserts blew past the random walk at ~1/16 of
+    nominal load.  80k keys, all ≡ 5 (mod 16), into a 131k-slot filter
+    (0.61 load) must insert and probe cleanly."""
+    import numpy as np
+
+    from web_scraping_script_ray.state.cuckoo import CuckooFilter
+
+    f = CuckooFilter(100_000)
+    rng = np.random.Generator(np.random.PCG64(3))
+    keys = (
+        rng.integers(0, 1 << 59, size=80_000, dtype=np.uint64) << np.uint64(4)
+    ) | np.uint64(5)
+    keys = np.unique(keys)
+    f.add(keys)  # pre-fix: RuntimeError("cuckoo filter over capacity")
+    assert f.contains(keys).all()

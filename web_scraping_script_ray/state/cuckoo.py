@@ -47,8 +47,27 @@ class CuckooFilter:
         fp[fp == 0] = 1
         return fp
 
+    @staticmethod
+    def _mix(keys: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer — full avalanche before bucket indexing.
+
+        REQUIRED, found the hard way at 100M-doc scale: the shard router
+        sends shard ``s`` only keys with ``key % n_shards == s``, so a
+        plain ``key % n_buckets`` primary index (n_buckets a power of two
+        ≥ n_shards) could only ever reach 1/n_shards of the buckets —
+        the i1 side saturated and random-walk inserts failed at ~1/16 of
+        nominal load, far below the 0.8 growth threshold.  Avalanching
+        decorrelates the bucket index from any routing residue."""
+        k = keys.astype(np.uint64).copy()
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xFF51AFD7ED558CCD)
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xC4CEB9FE1A85EC53)
+        k ^= k >> np.uint64(33)
+        return k
+
     def _i1(self, keys: np.ndarray) -> np.ndarray:
-        return (keys % np.uint64(self.n_buckets)).astype(np.int64)
+        return (self._mix(keys) % np.uint64(self.n_buckets)).astype(np.int64)
 
     def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
         # alternate bucket = i1 xor hash(fp)
