@@ -475,6 +475,10 @@ def lsh_verify_pairs(
         return _rows(part, 1, ids, np.zeros(len(ids), np.int64), batch.column("sh"))
 
     def attach_a(g: pa.Table) -> pa.Table:
+        # fully vectorized: one searchsorted lookup for every pair row,
+        # then a flat-index gather of the matched sets (no per-pair loop
+        # — this stage is pure data movement; verify's per-pair
+        # intersect is the only inherent loop in the plan)
         kinds = g.column("kind").to_numpy(zero_copy_only=False)
         ida = g.column("ida").to_numpy(zero_copy_only=False).astype(np.int64)
         idb = g.column("idb").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -483,25 +487,35 @@ def lsh_verify_pairs(
         sids = ida[set_rows_idx]
         so = np.argsort(sids)
         sids_s, srow_s = sids[so], set_rows_idx[so]
-        out_part, out_ida, out_idb = [], [], []
-        out_vals, out_off = [], [0]
-        for r in np.nonzero(kinds == 2)[0]:
-            p = np.searchsorted(sids_s, ida[r])
-            if p >= len(sids_s) or sids_s[p] != ida[r]:
-                continue  # candidate doc absent from corpus — defensive drop
-            sr = srow_s[p]
-            sa = sh_flat[sh_off[sr] : sh_off[sr + 1]]
-            out_part.append(int(idb[r] % n_parts))
-            out_ida.append(int(ida[r]))
-            out_idb.append(int(idb[r]))
-            out_vals.append(sa)
-            out_off.append(out_off[-1] + len(sa))
-        vals = np.concatenate(out_vals) if out_vals else np.zeros(0, np.uint64)
+        pr = np.nonzero(kinds == 2)[0]
+        if len(pr) == 0 or len(sids_s) == 0:
+            e64 = np.zeros(0, np.int64)
+            return _rows(
+                e64, 2, e64, e64,
+                pa.ListArray.from_arrays(
+                    pa.array([0], pa.int32()), pa.array([], pa.uint64())
+                ),
+            )
+        pos = np.searchsorted(sids_s, ida[pr])
+        safe = np.minimum(pos, len(sids_s) - 1)
+        hit = (pos < len(sids_s)) & (sids_s[safe] == ida[pr])  # absent → drop
+        pr = pr[hit]
+        sr = srow_s[safe[hit]]
+        lens = (sh_off[sr + 1] - sh_off[sr]) if len(sr) else np.zeros(0, np.int64)
+        total = int(lens.sum())
+        flat_idx = (
+            np.repeat(sh_off[sr], lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        offs = np.zeros(len(sr) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
         return _rows(
-            np.asarray(out_part, np.int64), 2,
-            np.asarray(out_ida, np.int64), np.asarray(out_idb, np.int64),
+            (idb[pr].astype(np.uint64) % KP).astype(np.int64), 2,
+            ida[pr], idb[pr],
             pa.ListArray.from_arrays(
-                pa.array(out_off, pa.int32()), pa.array(vals, pa.uint64())
+                pa.array(offs, pa.int32()),
+                pa.array(sh_flat[flat_idx], pa.uint64()),
             ),
         )
 
