@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "runs_test",
     "benford",
     "markov_entropy",
+    "cdc_chunks",
     "wilson_errors",
 ]
 

@@ -757,3 +757,34 @@ def test_adamic_adar_exact_vs_capped_query(ray_session):
     a = q_adamic_adar(sf).to_pandas().reset_index(drop=True)
     b = q_adamic_adar(sf, hub_cap=1 << 30).to_pandas().reset_index(drop=True)
     assert len(a) > 0 and a.equals(b)
+
+
+def test_cdc_chunks_shift_resilient(tmp_path, ray_session):
+    """CDC's selling point: a PREFIX insertion only re-chunks its
+    neighborhood — the shared tail still deduplicates.  Doc 1 = doc 0
+    with 40 bytes prepended; most of doc 0's chunks must be flagged dup
+    in both docs, and the unique doc contributes none."""
+    from web_scraping_script_ray.pipelines.queries import q_cdc_chunks
+
+    base = " ".join(f"word{i:04d} token{i * 7 % 97:03d}" for i in range(200))
+    texts = [
+        base,
+        ("PREFIX-INSERTION made this document longer! " + base),
+        "completely unrelated content with no shared chunks at all",
+        "",  # chunkless doc — absent from output (SQL parity)
+    ]
+    out = (
+        q_cdc_chunks(_docs_dir(tmp_path, texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert list(out.index) == [0, 1, 2]  # empty doc dropped
+    # the shared tail dedups despite the shifted prefix: the majority of
+    # doc 0's chunk bytes are duplicated in doc 1
+    assert out.loc[0, "dup_bytes"] > 0.6 * len(texts[0])
+    assert out.loc[1, "dup_chunks"] >= out.loc[0, "dup_chunks"] - 2
+    assert out.loc[2, "dup_chunks"] == 0 and out.loc[2, "dup_bytes"] == 0
+    # chunk accounting: n_chunks bytes sum to the doc length per doc is
+    # implicit in the oracle check; here pin non-degenerate chunking
+    assert out.loc[0, "n_chunks"] > 10

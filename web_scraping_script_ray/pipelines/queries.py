@@ -1804,6 +1804,144 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (CDC) dedup profile — the data-reduction
+    primitive behind shift-resilient corpus dedup (LBFS/Rabin-style: cut
+    where a rolling hash hits a mask, so an insertion only re-chunks its
+    neighborhood, unlike fixed-size blocks).  Boundary rule: the winnow
+    kernel's 8-byte polynomial rolling hash, cut AFTER the window where
+    ``hv % 64 == 0`` (expected ~64-byte chunks); chunk identity is the
+    md5-derived 60-bit integer.  Output per doc: ``n_chunks``,
+    ``dup_chunks`` / ``dup_bytes`` = chunks whose hash appears ≥ 2 times
+    CORPUS-WIDE (the cross-doc dedup mass a CDC store would not re-write).
+
+    Plan: map-side chunking (vectorized rolling hash; the per-chunk md5
+    loop is over ~len/64 chunks), ONE coarse exchange co-partitioning
+    chunk rows by ``ch % 32`` — every occurrence of a hash lands in one
+    partition, so the global count and the dup flag are local there —
+    each partition folds to per-doc partials, then one metadata-scale
+    grouped sum by doc_id.  Raw chunk rows cross the exchange once;
+    nothing driver-side.  SQL-oracled via the same HUGEINT rolling-hash
+    CTE as ``winnow`` (pure-ASCII precondition, verified for the driver
+    tables)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+    KP = 32
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..functions.text import _rolling_hashes
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc: list[int] = []
+        out_ch: list[int] = []
+        out_nb: list[int] = []
+        md5 = hashlib.md5
+        for i, t in zip(ids, texts):
+            data = np.frombuffer(t.encode("utf-8"), np.uint8)
+            n = len(data)
+            if n == 0:
+                continue  # chunkless doc — absent from output (SQL parity)
+            hv = _rolling_hashes(data, 8)
+            cuts = (
+                np.flatnonzero(hv % np.uint64(64) == 0) + 8
+                if len(hv)
+                else np.zeros(0, np.int64)
+            )
+            bounds = np.unique(np.concatenate([[0], cuts, [n]]))
+            for a, b in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+                out_doc.append(i)
+                out_ch.append(
+                    int.from_bytes(md5(t[a:b].encode("utf-8")).digest()[:8], "big")
+                    >> 4
+                )
+                out_nb.append(b - a)
+        ch = np.asarray(out_ch, np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ch % KP, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "ch": pa.array(ch, pa.int64()),
+                "nb": pa.array(out_nb, pa.int64()),
+            }
+        )
+
+    def fold_part(g: pa.Table) -> pa.Table:
+        ch = g.column("ch").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        nb = g.column("nb").to_numpy(zero_copy_only=False)
+        order = np.argsort(ch, kind="stable")
+        ch_s = ch[order]
+        new = np.r_[True, ch_s[1:] != ch_s[:-1]]
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        dup_s = run_len[run_id] >= 2
+        dup = np.empty(len(ch), bool)
+        dup[order] = dup_s
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "n_chunks": pa.array(np.ones(len(ch), np.int64)),
+                "dup_chunks": pa.array(dup.astype(np.int64)),
+                "dup_bytes": pa.array(np.where(dup, nb, 0).astype(np.int64)),
+            }
+        )
+        out = t.group_by(["doc_id"]).aggregate(
+            [("n_chunks", "sum"), ("dup_chunks", "sum"), ("dup_bytes", "sum")]
+        )
+        return out.rename_columns(["doc_id", "n_chunks", "dup_chunks", "dup_bytes"])
+
+    partials = (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_part, batch_format="pyarrow")
+    )
+    return grouped_sum_count(
+        partials,
+        ["doc_id"],
+        ["n_chunks", "dup_chunks", "dup_bytes"],
+        {"n_chunks": "n_chunks", "dup_chunks": "dup_chunks", "dup_bytes": "dup_bytes"},
+        coarse=16,
+    ).select_columns(["doc_id", "n_chunks", "dup_chunks", "dup_bytes"])
+
+
+SQL_CDC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+pos AS (SELECT doc_id, text, n, unnest(range(0, greatest(n - 7, 0))) AS i FROM d),
+h AS (
+  SELECT doc_id, i,
+    CAST(({_winnow_pow_terms()}) % 18446744073709551616::HUGEINT AS UBIGINT) AS hv
+  FROM pos
+),
+cuts AS (
+  SELECT doc_id, CAST(i + 8 AS BIGINT) AS cut FROM h WHERE hv % 64 = 0
+  UNION SELECT doc_id, 0 FROM d
+  UNION SELECT doc_id, n FROM d
+),
+seg AS (
+  SELECT doc_id, cut,
+         lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS nxt
+  FROM cuts
+),
+chunks AS (
+  SELECT s.doc_id,
+         ('0x' || substr(md5(substr(d.text, CAST(s.cut + 1 AS INT),
+                                    CAST(s.nxt - s.cut AS INT))), 1, 15))::BIGINT AS ch,
+         s.nxt - s.cut AS nb
+  FROM seg s JOIN d USING (doc_id)
+  WHERE s.nxt IS NOT NULL AND s.nxt > s.cut
+),
+cnt AS (SELECT ch, count(*) AS k FROM chunks GROUP BY 1)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN cnt.k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(sum(CASE WHEN cnt.k >= 2 THEN c.nb ELSE 0 END) AS BIGINT) AS dup_bytes
+FROM chunks c JOIN cnt USING (ch)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection.  The driver's documents table contains natural
 # near-duplicates by construction (e.g. docs 0/50 have 3-gram Jaccard 0.95),
@@ -13739,6 +13877,8 @@ EXTRA_QUERIES = {
     "markov_entropy": q_markov_entropy,
     # per-host error rate ranked by the Wilson lower bound (z = 2)
     "wilson_errors": q_wilson_errors,
+    # content-defined chunking dedup profile (shift-resilient corpus dedup)
+    "cdc_chunks": q_cdc_chunks,
 }
 
 ORACLE_SQL = {
@@ -13932,4 +14072,5 @@ EXTRA_ORACLE_SQL = {
     "benford": SQL_BENFORD,
     "markov_entropy": SQL_MARKOV_ENTROPY,
     "wilson_errors": SQL_WILSON_ERRORS,
+    "cdc_chunks": SQL_CDC_CHUNKS,
 }
