@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "benford",
     "markov_entropy",
     "cdc_chunks",
+    "neardup_keep_best",
     "wilson_errors",
 ]
 

@@ -788,3 +788,30 @@ def test_cdc_chunks_shift_resilient(tmp_path, ray_session):
     # chunk accounting: n_chunks bytes sum to the doc length per doc is
     # implicit in the oracle check; here pin non-degenerate chunking
     assert out.loc[0, "n_chunks"] > 10
+
+
+def test_neardup_keep_best_picks_longest(ray_session):
+    """On the sf0.001 corpus the quality-weighted keep policy elects
+    exactly one winner per component, the winner has the component's max
+    n_chars (min doc_id on ties), and singleton docs keep themselves."""
+    import pandas as pd
+
+    from web_scraping_script_ray.pipelines.queries import (
+        _read,
+        q_neardup_keep_best,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_neardup_keep_best(sf).to_pandas()
+    chars = _read(sf, "documents", ["doc_id", "n_chars"]).to_pandas()
+    df = out.merge(chars, on="doc_id")
+    assert len(df) == len(chars)
+    grp = df.groupby("canonical_id")
+    assert (grp.keep_best.sum() == 1).all()  # exactly one winner each
+    for _, g in df[df.canonical_id.isin(grp.size()[grp.size() > 1].index)].groupby(
+        "canonical_id"
+    ):
+        best = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).iloc[0]
+        assert g[g.keep_best].doc_id.iloc[0] == best.doc_id
+    singles = grp.size()[grp.size() == 1].index
+    assert df[df.canonical_id.isin(singles)].keep_best.all()

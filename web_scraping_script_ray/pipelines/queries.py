@@ -2401,6 +2401,131 @@ FROM documents d LEFT JOIN canon c USING (doc_id)
 """
 
 
+def q_neardup_keep_best(sf_dir: str):
+    """Quality-weighted dedup KEEP policy — per near-dup component keep
+    the highest-quality member instead of the smallest id (what corpus
+    dedup actually ships: among near-identical pages keep the best one).
+    Winner = argmax (score, then min doc_id); score here is the
+    ``n_chars`` column (longest-member proxy — swap in any integer
+    quality column, the plan is score-agnostic).
+
+    Composes ``q_neardup_canonical``'s size-selected component labels;
+    the winner election is fully distributed: the (score, ¬id) order is
+    PACKED into one int64 (``score·2³³ + (2³³−1−id)``) so argmax is a
+    plain grouped max — exchange 1 co-partitions labels with doc scores
+    by ``doc_id % 32`` to attach the score, exchange 2 co-partitions by
+    ``canonical_id % 32`` so every component is local to one partition
+    for the max + flag.  Two doc-count exchanges, nothing driver-side.
+    Emits (doc_id, canonical_id, keep_best)."""
+    PK = np.int64(1 << 33)
+    KP = 32
+    labels = q_neardup_canonical(sf_dir).select_columns(["doc_id", "canonical_id"])
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def tag_lab(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ids % KP, pa.int64()),
+                "doc_id": b.column("doc_id"),
+                "val": b.column("canonical_id").cast(pa.int64()),
+                "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            }
+        )
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ids % KP, pa.int64()),
+                "doc_id": b.column("doc_id"),
+                "val": b.column("n_chars").cast(pa.int64()),
+                "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            }
+        )
+
+    def attach_score(g: pa.Table) -> pa.Table:
+        is_doc = pc.equal(g.column("kind"), pa.scalar(1, pa.int8()))
+        labs = g.filter(pc.invert(is_doc))
+        ds_ = g.filter(is_doc)
+        at = pc.index_in(
+            labs.column("doc_id"), value_set=ds_.column("doc_id").combine_chunks()
+        )
+        score = ds_.column("val").combine_chunks().take(at)
+        ids = labs.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = labs.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = score.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = sc * PK + (PK - 1 - ids)
+        return pa.table(
+            {
+                "part": pa.array(canon % KP, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "canonical_id": pa.array(canon, pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    def pick_winner(g: pa.Table) -> pa.Table:
+        canon = g.column("canonical_id").to_numpy(zero_copy_only=False)
+        packed = g.column("packed").to_numpy(zero_copy_only=False)
+        order = np.argsort(canon, kind="stable")
+        c_s, p_s = canon[order], packed[order]
+        new = np.r_[True, c_s[1:] != c_s[:-1]]
+        run_id = np.cumsum(new) - 1
+        best = np.full(run_id[-1] + 1 if len(run_id) else 0, np.iinfo(np.int64).min)
+        np.maximum.at(best, run_id, p_s)
+        winner = (PK - 1 - (best % PK))[run_id]
+        doc_s = g.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        keep = np.empty(len(canon), bool)
+        keep[order] = doc_s == winner
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "canonical_id": g.column("canonical_id"),
+                "keep_best": pa.array(keep),
+            }
+        )
+
+    scored = (
+        labels.map_batches(tag_lab, batch_format="pyarrow")
+        .union(docs.map_batches(tag_doc, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_score, batch_format="pyarrow")
+    )
+    return scored.groupby("part").map_groups(pick_winner, batch_format="pyarrow")
+
+
+SQL_NEARDUP_KEEP_BEST = f"""
+WITH RECURSIVE
+pairs AS ({SQL_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+canon AS (SELECT u AS doc_id, min(label) AS canonical_id FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id,
+         coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+         d.n_chars
+  FROM documents d LEFT JOIN canon c USING (doc_id)
+),
+win AS (
+  SELECT canonical_id,
+         max(n_chars * 8589934592 + (8589934591 - doc_id)) AS pk
+  FROM lab GROUP BY 1
+)
+SELECT l.doc_id, l.canonical_id,
+       l.doc_id = 8589934591 - (w.pk % 8589934592) AS keep_best
+FROM lab l JOIN win w USING (canonical_id)
+"""
+
+
 def q_dup_cluster_sizes(sf_dir: str):
     """Near-dup cluster-size HISTOGRAM — (members, n_clusters) over the
     connected components the keep policy resolves — the dedup-health
@@ -13879,6 +14004,8 @@ EXTRA_QUERIES = {
     "wilson_errors": q_wilson_errors,
     # content-defined chunking dedup profile (shift-resilient corpus dedup)
     "cdc_chunks": q_cdc_chunks,
+    # quality-weighted dedup keep (argmax score per near-dup component)
+    "neardup_keep_best": q_neardup_keep_best,
 }
 
 ORACLE_SQL = {
@@ -14073,4 +14200,5 @@ EXTRA_ORACLE_SQL = {
     "markov_entropy": SQL_MARKOV_ENTROPY,
     "wilson_errors": SQL_WILSON_ERRORS,
     "cdc_chunks": SQL_CDC_CHUNKS,
+    "neardup_keep_best": SQL_NEARDUP_KEEP_BEST,
 }
