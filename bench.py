@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "markov_entropy",
     "cdc_chunks",
     "neardup_keep_best",
+    "sorted_neighborhood",
     "wilson_errors",
 ]
 

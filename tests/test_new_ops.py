@@ -866,3 +866,27 @@ def test_readability_filter_op_matches_flesch_query(ray_session):
         ds, [{"type": "readability_filter", "min_milli": lo, "max_milli": hi}]
     ).to_pandas()
     assert set(out["doc_id"]) == expected and len(expected) > 10
+
+
+def test_sorted_neighborhood_carry_partition_invariant(ray_session):
+    """The windowed self-join must produce identical pairs no matter how
+    the sorted run is blocked — pins the cross-block carry (first-w-rows
+    heads of following blocks) against a many-tiny-blocks layout."""
+    from web_scraping_script_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    base = Q.q_sorted_neighborhood(sf).to_pandas()
+
+    orig = Q._read
+
+    def small_read(sf_dir, table, cols, **kw):
+        kw["rows_per_block"] = 7  # force ~22 blocks over 150 customers
+        return orig(sf_dir, table, cols, **kw)
+
+    Q._read, tiny = small_read, None
+    try:
+        tiny = Q.q_sorted_neighborhood(sf).to_pandas()
+    finally:
+        Q._read = orig
+    assert len(base) > 0
+    assert base.reset_index(drop=True).equals(tiny.reset_index(drop=True))

@@ -8172,6 +8172,106 @@ GROUP BY a.pos
 """
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (matches DuckDB ``levenshtein``)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_sorted_neighborhood(sf_dir: str, w: int = 4, max_dist: int = 2):
+    """Sorted-neighborhood entity-resolution join (Hernández-Stolfo):
+    ONE global range sort by the blocking key (``c_name``), then each
+    record compares only against the next ``w`` records in sort order —
+    the classic linear-scan alternative to quadratic record linkage —
+    keeping pairs with edit distance ≤ ``max_dist``.
+
+    Plan shape (new in this registry): global sort → per-block windowed
+    self-join with a CROSS-BLOCK CARRY — every sorted block also sees
+    the FIRST ``w`` rows of the following blocks (fetched as O(blocks·w)
+    tiny head-slice tasks; the driver composes carry refs, never row
+    data beyond those w-row heads — the ks_stat/late_events carry
+    discipline).  The blocking key is unique in this table, so the
+    neighborhood is deterministic.  Emits (id_a, id_b, dist) with
+    id_a = the sort-order-earlier record."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"]).sort("c_name")
+    refs = ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def head(t: pa.Table, k: int) -> pa.Table:
+        return t.slice(0, k)
+
+    @ray.remote(num_cpus=0)
+    def window_pairs(t: pa.Table, carry: pa.Table, w: int, md: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.int64())}
+            )
+        full = pa.concat_tables([t, carry]) if carry.num_rows else t
+        names = full.column("c_name").to_pylist()
+        ids = full.column("c_custkey").to_pylist()
+        n_own = t.num_rows
+        out_a, out_b, out_d = [], [], []
+        for i in range(n_own):  # pairs START in this block; carry only closes
+            for j in range(i + 1, min(i + w + 1, len(names))):
+                d = _levenshtein(names[i], names[j])
+                if d <= md:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_d.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    # carry for block i = first w rows of the FOLLOWING blocks (a short
+    # block may need heads of several successors)
+    heads = ray.get([head.remote(r, w) for r in refs])
+    carries = []
+    for i in range(len(refs)):
+        rows: list = []
+        need = w
+        for h in heads[i + 1 :]:
+            if need <= 0:
+                break
+            rows.append(h.slice(0, need))
+            need -= h.num_rows
+        carries.append(
+            pa.concat_tables(rows) if rows else heads[i].slice(0, 0)
+        )
+    parts = ray.get(
+        [
+            window_pairs.remote(r, c, w, max_dist)
+            for r, c in zip(refs, carries)
+        ]
+    )
+    out = pa.concat_tables([p for p in parts if p.num_rows] or [parts[0]])
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_name) AS rk
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic weighted sampling (Efraimidis–Spirakis exponential race).
 # ---------------------------------------------------------------------------
@@ -14006,6 +14106,8 @@ EXTRA_QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     # quality-weighted dedup keep (argmax score per near-dup component)
     "neardup_keep_best": q_neardup_keep_best,
+    # sorted-neighborhood ER join (sort + windowed self-join, cross-block carry)
+    "sorted_neighborhood": q_sorted_neighborhood,
 }
 
 ORACLE_SQL = {
@@ -14201,4 +14303,5 @@ EXTRA_ORACLE_SQL = {
     "wilson_errors": SQL_WILSON_ERRORS,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "neardup_keep_best": SQL_NEARDUP_KEEP_BEST,
+    "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
 }
