@@ -383,6 +383,8 @@ def lsh_verify_pairs(
     threshold: float = 0.7,
     k: int = 3,
     n_parts: int = 64,
+    bloom_m_bits: int = 1 << 23,
+    bloom_k: int = 4,
 ) -> "ray.data.Dataset":
     """DISTRIBUTED exact-Jaccard verification of LSH candidate pairs — no
     driver-side materialization at any stage; every structure is a
@@ -392,11 +394,19 @@ def lsh_verify_pairs(
     pool on one machine).
 
     Three coarse exchanges, ``setsim_join``-style (both shingle sets local
-    to the partition that compares them):
+    to the partition that compares them), with a BLOOM pre-filter so the
+    doc-side exchange is CANDIDATE-scale, not corpus-scale:
 
+      0. *bloom*: a ``bloom_m_bits`` bitmap over candidate ids is built
+         from per-block fixed-size partials (OR-merged on the driver —
+         O(blocks) × m/8 bytes regardless of rows; tree-reduce at 100 TB)
+         and broadcast once via ``ray.put``; non-candidate docs are
+         dropped MAP-SIDE before shingling, so only candidates (+ the
+         bloom's false positives, removed by the exact demand filter in
+         step 1) ever compute shingles or cross an exchange;
       1. *demand*: candidate ids hash-partitioned by ``id % n_parts``,
-         co-partitioned with per-doc shingle-set rows (computed map-side —
-         documents' text never moves) → only CANDIDATE docs' sets survive;
+         co-partitioned with the surviving per-doc shingle-set rows →
+         only EXACT candidate docs' sets continue;
       2. *attach a*: pair rows partitioned by ``id_a % n_parts`` meet the
          surviving set rows → each pair picks up ``sh_a``;
       3. *attach b + verify*: repartition by ``id_b % n_parts``, pick up
@@ -435,7 +445,31 @@ def lsh_verify_pairs(
             ),
         )
 
+    from .joins import bloom_bitmap_from_keys, bloom_test_keys
+
+    def cand_bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = np.concatenate(
+            [
+                batch.column("id_a").to_numpy(zero_copy_only=False),
+                batch.column("id_b").to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        bm = bloom_bitmap_from_keys(keys, bloom_m_bits, bloom_k)
+        return pa.Table.from_arrays(
+            [pa.array([bm.tobytes()], pa.large_binary())], names=["bm"]
+        )
+
+    bloom = np.zeros(bloom_m_bits // 64, dtype=np.uint64)
+    for row in cand.map_batches(cand_bloom_partial, batch_format="pyarrow").take_all():
+        bloom |= np.frombuffer(row["bm"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
     def doc_sets(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        keys = (
+            batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        batch = batch.filter(pa.array(bloom_test_keys(keys, bm, bloom_k)))
         t = _doc_shingle_sets(batch, id_col, text_col, k)
         ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
         part = (ids.astype(np.uint64) % KP).astype(np.int64)
