@@ -890,3 +890,47 @@ def test_sorted_neighborhood_carry_partition_invariant(ray_session):
         Q._read = orig
     assert len(base) > 0
     assert base.reset_index(drop=True).equals(tiny.reset_index(drop=True))
+
+
+def test_cdc_dedup_op_removes_shifted_boilerplate(ray_session):
+    """The cdc_dedup post-processing op drops corpus-duplicated CDC
+    chunks even when a prefix insertion shifts their byte positions
+    (where fixed blocks would miss), keeps unique bytes verbatim, and
+    preserves non-text columns."""
+    import pyarrow as pa
+    import ray.data
+
+    from web_scraping_script_ray.pipelines.postprocess import apply_ops
+
+    boiler = " ".join(f"boiler{i:03d} plate{i * 3 % 50:02d}" for i in range(120))
+    uniq0 = "zero unique head text here . "
+    uniq1 = "PREFIX SHIFT! completely different opening for doc one . "
+    rows = pa.table(
+        {
+            "rid": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [uniq0 + boiler, uniq1 + boiler, "untouched standalone doc"],
+                pa.string(),
+            ),
+            "tag": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    out = (
+        apply_ops(
+            ray.data.from_arrow(rows),
+            [{"type": "cdc_dedup", "id_col": "rid", "column": "text"}],
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+    assert list(out.index) == [0, 1, 2]
+    assert out.loc[2, "text"] == "untouched standalone doc"  # byte-exact
+    assert out.loc[2, "tag"] == "c"
+    # the shared boilerplate tail is mostly gone from BOTH docs despite
+    # the shifted prefix in doc 1 (CDC's whole point)...
+    assert len(out.loc[0, "text"]) < 0.5 * len(uniq0 + boiler)
+    assert len(out.loc[1, "text"]) < 0.5 * len(uniq1 + boiler)
+    # ...and each doc's unique opening survives verbatim at offset 0
+    assert out.loc[0, "text"].startswith(uniq0[:20])
+    assert out.loc[1, "text"].startswith(uniq1[:20])

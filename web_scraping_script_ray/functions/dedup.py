@@ -608,6 +608,161 @@ def lsh_verify_pairs(
     )
 
 
+def _cdc_bounds(text: str, mask: int = 64, k: int = 8) -> np.ndarray:
+    """Content-defined chunk boundaries of ``text``: cut AFTER the 8-byte
+    rolling-hash window wherever ``hv % mask == 0`` (the LBFS/Rabin CDC
+    rule — an insertion only re-chunks its own neighborhood).  Returns
+    sorted unique byte offsets including 0 and len."""
+    from .text import _rolling_hashes
+
+    data = np.frombuffer(text.encode("utf-8"), np.uint8)
+    n = len(data)
+    if n == 0:
+        return np.array([0], np.int64)
+    hv = _rolling_hashes(data, k)
+    cuts = (
+        np.flatnonzero(hv % np.uint64(mask) == 0) + k
+        if len(hv)
+        else np.zeros(0, np.int64)
+    )
+    return np.unique(np.concatenate([[0], cuts, [n]]))
+
+
+def cdc_dedup_text(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str = "text",
+    mask: int = 64,
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Shift-resilient boilerplate removal: drop every CDC chunk whose
+    content appears ≥ 2 times CORPUS-WIDE, keeping each row's remaining
+    bytes verbatim and in order — the content-defined analog of C4-style
+    line dedup (``line_dedup``), robust to insertions that would shift
+    fixed-size blocks.
+
+    Chunk boundaries are recomputed deterministically at rebuild time, so
+    chunk TEXT never crosses an exchange — only light rows move:
+
+      1. map: per row emit (chunk_hash, row_id, chunk_idx) — no text;
+      2. groupby ``ch % n_parts``: the global occurrence count of a hash
+         is local to one partition → emit ONLY the duplicated (row_id,
+         chunk_idx) rows (non-dup chunks default to keep);
+      3. co-partition those drop-rows with the ORIGINAL rows by
+         ``row_id % n_parts``; each row recomputes its boundaries and
+         concatenates the kept segments byte-for-byte.
+
+    ``id_col`` must be integer row identity.  Rows whose text empties
+    out are kept with ``""`` (the caller filters if desired)."""
+    import hashlib
+
+    def chunk_hash_rows(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_p: list[int] = []
+        out_id: list[int] = []
+        out_ix: list[int] = []
+        out_ch: list[int] = []
+        for i, t in zip(ids, texts):
+            b = _cdc_bounds(t, mask)
+            for ix, (a, e) in enumerate(zip(b[:-1].tolist(), b[1:].tolist())):
+                ch = int.from_bytes(md5(t[a:e].encode("utf-8")).digest()[:8], "big") >> 4
+                out_p.append(ch % n_parts)
+                out_id.append(i)
+                out_ix.append(ix)
+                out_ch.append(ch)
+        return pa.table(
+            {
+                "__part": pa.array(out_p, pa.int64()),
+                "__rid": pa.array(out_id, pa.int64()),
+                "__idx": pa.array(out_ix, pa.int64()),
+                "ch": pa.array(out_ch, pa.int64()),
+            }
+        )
+
+    # both union sides carry the SAME canonical schema: the row payload
+    # columns (null on drop-rows) + part/rid/idx/kind — captured once
+    # from Dataset metadata on the driver
+    schema = ds.schema()
+    base = list(zip(schema.names, schema.types))
+
+    def dup_rows(g: pa.Table) -> pa.Table:
+        ch = g.column("ch").to_numpy(zero_copy_only=False)
+        order = np.argsort(ch, kind="stable")
+        ch_s = ch[order]
+        new = np.r_[True, ch_s[1:] != ch_s[:-1]]
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        dup_s = run_len[run_id] >= 2
+        dup = np.empty(len(ch), bool)
+        dup[order] = dup_s
+        d = g.filter(pa.array(dup))
+        rid = d.column("__rid").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = [pa.nulls(d.num_rows, t) for _, t in base]
+        cols += [
+            pa.array(rid % n_parts, pa.int64()),
+            d.column("__rid").combine_chunks(),
+            d.column("__idx").combine_chunks(),
+            pa.array(np.zeros(d.num_rows, np.int8), pa.int8()),
+        ]
+        return pa.Table.from_arrays(
+            cols, names=[n for n, _ in base] + ["__part", "__rid", "__idx", "__kind"]
+        )
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        rid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = [batch.column(n).combine_chunks() for n, _ in base]
+        cols += [
+            pa.array(rid % n_parts, pa.int64()),
+            pa.array(rid, pa.int64()),
+            pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+        ]
+        return pa.Table.from_arrays(
+            cols, names=[n for n, _ in base] + ["__part", "__rid", "__idx", "__kind"]
+        )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        kinds = g.column("__kind").to_numpy(zero_copy_only=False)
+        rows = g.filter(pa.array(kinds == 1))
+        drops = g.filter(pa.array(kinds == 0))
+        drop_of: dict[int, set] = {}
+        for r, ix in zip(
+            drops.column("__rid").to_pylist(), drops.column("__idx").to_pylist()
+        ):
+            drop_of.setdefault(r, set()).add(ix)
+        texts = rows.column(text_col).to_pylist()
+        rids = rows.column("__rid").to_pylist()
+        out = []
+        for r, t in zip(rids, texts):
+            dd = drop_of.get(r)
+            if not dd:
+                out.append(t)
+                continue
+            b = _cdc_bounds(t, mask)
+            out.append(
+                "".join(
+                    t[a:e]
+                    for ix, (a, e) in enumerate(zip(b[:-1].tolist(), b[1:].tolist()))
+                    if ix not in dd
+                )
+            )
+        keep_cols = [c for c in rows.column_names if c not in ("__part", "__rid", "__idx", "__kind")]
+        cleaned = rows.select(keep_cols)
+        i = cleaned.schema.names.index(text_col)
+        return cleaned.set_column(i, text_col, pa.array(out, pa.string()))
+
+    hashes = ds.map_batches(chunk_hash_rows, batch_format="pyarrow")
+    drops = hashes.groupby("__part").map_groups(dup_rows, batch_format="pyarrow")
+    tagged = ds.map_batches(tag_rows, batch_format="pyarrow")
+    return (
+        tagged.union(drops)
+        .groupby("__part")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
 def keep_mask_from_pairs(pairs: pa.Table, all_ids: np.ndarray) -> pa.Table:
     """Union-find over the (small) pair list → per-id keep decision
     (canonical = min id of each connected component).  Returns

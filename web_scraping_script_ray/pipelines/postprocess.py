@@ -134,6 +134,18 @@ def apply_ops(
             if order_col is None:
                 raise ValueError("content_dedup needs order_col for first-wins")
             ds = exact_dedup(ds, op.get("column", "text"), [order_col])
+        elif typ == "cdc_dedup":
+            # shift-resilient boilerplate removal: drop CDC chunks whose
+            # content appears >= 2 times corpus-wide (content-defined
+            # analog of C4-style line dedup; see functions/dedup.py)
+            from ..functions.dedup import cdc_dedup_text
+
+            idc = op.get("id_col")
+            if idc is None:
+                raise ValueError("cdc_dedup needs id_col (integer row identity)")
+            ds = cdc_dedup_text(
+                ds, idc, op.get("column", "text"), mask=int(op.get("mask", 64))
+            )
         elif typ == "quantile_band":
             # data-derived [lo, hi] quantile trim on an int column — the
             # histogram partials execute HERE (tiny: O(distinct values));
