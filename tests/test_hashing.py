@@ -56,3 +56,39 @@ def test_mix64_and_popcount():
     m = mix64(x)
     assert (mix64(x) == m).all()
     assert len({int(v) for v in m}) == 4  # avalanched, no trivial collisions
+
+
+def test_cdc_bounds_properties():
+    """CDC invariants via hypothesis: (1) chunks reassemble the text
+    byte-for-byte; (2) bounds are strictly increasing from 0 to len;
+    (3) LOCALITY — editing a prefix never moves any boundary that lies
+    ≥ 8 bytes past the edit's end (the shift-resilience contract CDC
+    dedup relies on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_scraping_script_ray.functions.dedup import _cdc_bounds
+
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=400,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(ascii_text, ascii_text)
+    def check(t, prefix):
+        b = _cdc_bounds(t)
+        assert b[0] == 0 and b[-1] == len(t.encode())
+        assert (np.diff(b) > 0).all() or len(t) == 0
+        # reassembly is byte-exact
+        assert "".join(t[a:e] for a, e in zip(b[:-1], b[1:])) == t
+        # locality: boundaries of `prefix + t` inside t's tail, at least
+        # 7 bytes past the splice, are exactly t's boundaries shifted
+        p = len(prefix.encode())
+        b2 = _cdc_bounds(prefix + t)
+        tail2 = {x - p for x in b2.tolist() if x >= p + 7}
+        tail1 = {x for x in b.tolist() if x >= 7}
+        assert tail2 == tail1
+
+    check()
