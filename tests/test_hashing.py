@@ -83,12 +83,14 @@ def test_cdc_bounds_properties():
         assert (np.diff(b) > 0).all() or len(t) == 0
         # reassembly is byte-exact
         assert "".join(t[a:e] for a, e in zip(b[:-1], b[1:])) == t
-        # locality: boundaries of `prefix + t` inside t's tail, at least
-        # 7 bytes past the splice, are exactly t's boundaries shifted
+        # locality: a window straddling the splice starts at >= p-7 and
+        # cuts at <= p+7, so every boundary >= p+8 comes from a window
+        # fully inside t — boundaries there are exactly t's, shifted
+        # (and t's own interior cuts are >= 8 by construction)
         p = len(prefix.encode())
         b2 = _cdc_bounds(prefix + t)
-        tail2 = {x - p for x in b2.tolist() if x >= p + 7}
-        tail1 = {x for x in b.tolist() if x >= 7}
+        tail2 = {x - p for x in b2.tolist() if x >= p + 8}
+        tail1 = {x for x in b.tolist() if x >= 8}
         assert tail2 == tail1
 
     check()
