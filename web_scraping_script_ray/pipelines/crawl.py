@@ -681,40 +681,87 @@ class CrawlEngine:
         return os.path.join(self._round_dir("state", rnd), "manifest.json")
 
     # ------------------------------------------------------------------ seeds
+    def _seed_rows_estimate(self) -> int:
+        """Parquet-footer row count of the seed list (metadata-only read;
+        no Dataset execution).  Falls back to max_urls (steers to the
+        distributed schedule path) if the metadata is unreadable."""
+        try:
+            import pyarrow.dataset as pads
+
+            return pads.dataset(self.seeds_path, format="parquet").count_rows()
+        except Exception:
+            return max(self.budget.max_urls, self.schedule_small_limit + 1)
+
     def seed_candidates(self) -> "ray.data.Dataset":
         """Seeds stream from parquet as a map_batches stage — a resumed
         10^9-URL seed list never lands on the driver.  Row order across
         blocks is irrelevant: scheduling orders by (fetch_time, host,
-        disc_primary=seed_rank, disc_secondary)."""
+        disc_primary=seed_rank, disc_secondary).
+
+        Block count is sized from the footer row count: the default
+        read_parquet split for a small seed file was 64 blocks of ~3k rows
+        whose per-task overhead (2 × 64 task round-trips) cost 4× the
+        actual canonicalize+hash compute."""
 
         def to_frontier(batch: pa.Table) -> pa.Table:
-            rows = {k: [] for k in FRONTIER_SCHEMA.names}
-            for url, rank in zip(
-                batch.column("url").to_pylist(),
-                batch.column("seed_rank").to_pylist(),
-            ):
-                cu = canonicalize(url)
-                if cu is None:
-                    continue
-                rows["url"].append(cu)
-                rows["host"].append(host_of(cu))
-                rows["url_hash"].append(url_hash64(cu))
-                rows["depth"].append(0)
-                rows["disc_primary"].append(int(rank))
-                rows["disc_secondary"].append(0)
-                rows["discovered_by"].append("")
-                rows["n_disc"].append(1)
+            # same vectorized fast path as the link-expansion stage
+            # (stages/spans.py): one RE2 pass classifies already-canonical
+            # URLs (identity under canonicalize(), host from the regex
+            # group); only the rare non-canonical seed takes the exact
+            # per-row fallback.
+            import pyarrow.compute as pc
+
+            from ..urlnorm import FAST_CANONICAL_RE, url_hashes
+
+            urls_in = batch.column("url")
+            if isinstance(urls_in, pa.ChunkedArray):
+                urls_in = urls_in.combine_chunks()
+            ranks = batch.column("seed_rank").to_numpy(zero_copy_only=False)
+            n = len(urls_in)
+            ext = pc.extract_regex(urls_in, FAST_CANONICAL_RE)
+            fast = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+            urls_np = np.empty(n, dtype=object)
+            hosts_np = np.empty(n, dtype=object)
+            keep = np.zeros(n, dtype=bool)
+            if fast.any():
+                raw = urls_in.to_numpy(zero_copy_only=False)
+                urls_np[fast] = raw[fast]
+                hosts_np[fast] = pc.struct_field(ext, "h").to_numpy(
+                    zero_copy_only=False
+                )[fast]
+                keep[fast] = True
+            slow = np.nonzero(~fast)[0]
+            if len(slow):
+                for i, u in zip(slow, urls_in.take(pa.array(slow)).to_pylist()):
+                    cu = canonicalize(u)
+                    if cu is None:
+                        continue
+                    keep[i] = True
+                    urls_np[i] = cu
+                    hosts_np[i] = host_of(cu)
+            kidx = np.nonzero(keep)[0]
+            urls = urls_np[kidx].tolist()
             return pa.Table.from_arrays(
                 [
-                    pa.array(rows[n], FRONTIER_SCHEMA.field(n).type)
-                    for n in FRONTIER_SCHEMA.names
+                    pa.array(urls, pa.string()),
+                    pa.array(hosts_np[kidx].tolist(), pa.string()),
+                    pa.array(
+                        np.array(url_hashes(urls), dtype=np.uint64), pa.uint64()
+                    ),
+                    pa.array(np.zeros(len(kidx), np.int32), pa.int32()),
+                    pa.array(ranks[kidx].astype(np.int64), pa.int64()),
+                    pa.array(np.zeros(len(kidx), np.int64), pa.int64()),
+                    pa.array([""] * len(kidx), pa.string()),
+                    pa.array(np.ones(len(kidx), np.int64), pa.int64()),
                 ],
                 schema=FRONTIER_SCHEMA,
             )
 
-        return ray.data.read_parquet(self.seeds_path).map_batches(
-            to_frontier, batch_format="pyarrow"
-        )
+        est = self._seed_rows_estimate()
+        nb = int(min(4096, max(1, est // 50_000)))
+        return ray.data.read_parquet(
+            self.seeds_path, override_num_blocks=nb
+        ).map_batches(to_frontier, batch_format="pyarrow")
 
     # ------------------------------------------------------------------ round
     def _launch_shard_stage(self, cand_refs: list) -> list:
@@ -1012,6 +1059,16 @@ class CrawlEngine:
                 self._pending_shard_refs = self._launch_shard_stage(frontier_refs)
             metas = ray.get([p[1] for p in pairs])
             tr.mark("fetch+parse+sink+expand")
+            if metas and metas[0].get("sub"):
+                agg: dict = {}
+                for m in metas:
+                    for k, v in m.get("sub", {}).items():
+                        agg[k] = agg.get(k, 0.0) + v
+                print(
+                    f"[crawl r{rnd}] bucket-sub (sum over {len(metas)} buckets): "
+                    + " ".join(f"{k}={v:.2f}" for k, v in agg.items()),
+                    flush=True,
+                )
             # per-bucket load/wall spread — evidence for the hot-host-skew
             # claim (url_hash partitioning spreads a hot domain uniformly;
             # see module docstring).  Consumed by bench.py.
@@ -1220,8 +1277,16 @@ class CrawlEngine:
                 else:
                     return self.summary(start)
         if cands is None and start == 0:
+            # ONE execution of the seed read+canonicalize pipeline: the old
+            # ``count()`` + round-0 ``to_arrow_refs()`` pair ran it twice
+            # (~30% of a 2-round bench crawl's wall).  The path-selection
+            # size comes from parquet footer metadata (count_rows is
+            # metadata-only); it is an upper bound of the post-canonicalize
+            # frontier, which only ever steers toward the distributed path
+            # — conservative.  The pipeline itself stays lazy and executes
+            # exactly once, in round 0's shard stage.
             cands = self.seed_candidates()
-            self._last_frontier_size = cands.count()
+            self._last_frontier_size = self._seed_rows_estimate()
         rounds_run = 0
         for rnd in range(start, self.budget.max_rounds):
             if cands is None or self.seq >= self.budget.max_urls:

@@ -430,10 +430,21 @@ def crawl_bucket_task(
     from .spans import expand_links
 
     _t0 = _time.time()
+    _tt: dict = {}
+    _sub = os.environ.get("GRAFT_BUCKET_TRACE", "") == "1"
+
+    def _mark(name):
+        if _sub:
+            now = _time.time()
+            _tt[name] = round(now - (_mark.last if hasattr(_mark, "last") else _t0), 3)
+            _mark.last = now
+
     group = _bucket_rows(block_refs, bucket, n_buckets)
+    _mark("bucket_rows")
     out = fetch_rows_in_bucket(
         web_dir, bucket, group, max_nbytes, max_retries, etag_dir
     )
+    _mark("fetch")
     out = out.append_column(
         "round", pa.array(np.full(out.num_rows, rnd, dtype=np.int32))
     )
@@ -443,14 +454,17 @@ def crawl_bucket_task(
     crawled = out.select(keep)
     if out.num_rows:
         _pq.write_table(crawled, os.path.join(crawled_dir, f"part-{bucket:05d}.parquet"))
+    _mark("write_crawled")
     if parse and out.num_rows:
         from .parse import PARSE_COLUMNS, get_parser
 
         parsed = get_parser().append_parse_columns(crawled).select(
             ["url", "crawl_seq", "round", *PARSE_COLUMNS]
         )
+        _mark("parse")
         if parsed_dir is not None:
             _pq.write_table(parsed, os.path.join(parsed_dir, f"part-{bucket:05d}.parquet"))
+        _mark("write_parsed")
 
     # per-host metric partials (host, fetched, errors, bytes) + retry
     # backoff penalties (host, seconds of virtual wait to charge the clock)
@@ -487,15 +501,21 @@ def crawl_bucket_task(
             "n_rows": out.num_rows,
             "wall": _time.time() - _t0,
         }
+    _mark("metrics")
     frontier = expand_links(crawled)
+    _mark("expand")
     if frontier.num_rows:
         _pq.write_table(
             frontier, os.path.join(frontier_dir, f"part-{bucket:05d}.parquet")
         )
-    return frontier, {
+    _mark("write_frontier")
+    meta = {
         "n_next": frontier.num_rows,
         "metrics": mets,
         "pen": pens,
         "n_rows": out.num_rows,
         "wall": _time.time() - _t0,
     }
+    if _sub:
+        meta["sub"] = _tt
+    return frontier, meta

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 
 from ..htmlparse import get_extension, get_media_type
 from ..schemas import FRONTIER_SCHEMA
-from ..urlnorm import canonicalize, host_of, url_hashes
+from ..urlnorm import FAST_CANONICAL_RE, canonicalize, host_of, url_hashes
 
 MEDIA_KINDS = ("image", "video", "audio", "iframe", "doc_link")
 
@@ -77,10 +77,7 @@ def expand_links(batch: pa.Table) -> pa.Table:
     # set (tested against adversarial URLs).  The per-row fallback
     # (relative refs, schemes, ports, fragments) keeps a memo because
     # link targets are popularity-skewed.
-    ext = pc.extract_regex(
-        refs_arr,
-        r"^http://(?P<h>[a-z0-9.\-]+)(?P<p>/[\x21\x22\x24-\x3e\x40-\x7e]*)$",
-    )
+    ext = pc.extract_regex(refs_arr, FAST_CANONICAL_RE)
     fast = pc.is_valid(ext).to_numpy(zero_copy_only=False)
     n_sel = len(sel)
     urls_np = np.empty(n_sel, dtype=object)

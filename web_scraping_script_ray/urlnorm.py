@@ -23,6 +23,20 @@ from urllib.parse import urljoin, urlsplit, urlunsplit
 # Reference URL-validity regex (reference: src/web_interface.py:153).
 URL_VALID_RE = re.compile(r"^https?://[^\s/$.?#].[^\s]*$")
 
+# Vectorized fast-path detector (one RE2 pass via pyarrow.compute
+# ``extract_regex``): absolute http URLs that are ALREADY canonical —
+# lowercase host, no userinfo/port/query/fragment, path of printable ASCII
+# only (\x21-\x7e minus '?' '#'; RE2's \s is ASCII-only, so Unicode
+# whitespace that ``canonicalize()`` would strip must fall back too).
+# ``canonicalize()`` is the identity on exactly this set (tested against
+# adversarial URLs in test_urlnorm) and the ``h`` group equals
+# ``host_of()``.  Shared by the link-expansion stage (stages/spans.py) and
+# the seed loader (pipelines/crawl.py); rows that do not match fall back to
+# the exact per-row function.
+FAST_CANONICAL_RE = (
+    r"^http://(?P<h>[a-z0-9.\-]+)(?P<p>/[\x21\x22\x24-\x3e\x40-\x7e]*)$"
+)
+
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
