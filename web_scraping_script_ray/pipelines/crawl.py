@@ -181,15 +181,22 @@ def _shard_dedup_probe(
     # filter each block to this shard BEFORE concatenating — the blocks
     # arrive zero-copy from the object store and only ~1/n_shards of the
     # rows are materialized per task (a concat-first approach would copy
-    # the whole frontier n_shards times)
+    # the whole frontier n_shards times).  Blocks are consumed AS THEY
+    # LAND (ray.wait): this stage is launched speculatively while the
+    # previous round's bucket tasks are still producing frontier blocks,
+    # so the per-block slice scan overlaps bucket stragglers instead of
+    # waiting for the whole frontier and serializing after it.
     pieces = []
-    for b in ray.get(list(block_refs)):
-        if b.num_rows == 0:
-            continue
-        uh = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        mask = (uh % np.uint64(n_shards)).astype(np.int64) == shard
-        if mask.any():
-            pieces.append(b.select(FRONTIER_SCHEMA.names).filter(pa.array(mask)))
+    pending = list(block_refs)
+    while pending:
+        done, pending = ray.wait(pending, num_returns=min(16, len(pending)))
+        for b in ray.get(done):
+            if b.num_rows == 0:
+                continue
+            uh = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            mask = (uh % np.uint64(n_shards)).astype(np.int64) == shard
+            if mask.any():
+                pieces.append(b.select(FRONTIER_SCHEMA.names).filter(pa.array(mask)))
     if not pieces:
         return FRONTIER_SCHEMA.empty_table()
     t = pa.concat_tables(pieces).combine_chunks()
@@ -262,13 +269,27 @@ def _schedule_small_round(
     from ..state.politeness import host_shard
     from ..state.util import retry_actor_get
 
+    import time as _time
+
+    _sub = os.environ.get("GRAFT_BUCKET_TRACE", "") == "1"
+    _tt: dict = {}
+    _last = [_time.time()]
+
+    def _mark(name):
+        if _sub:
+            now = _time.time()
+            _tt[name] = round(now - _last[0], 3)
+            _last[0] = now
+
     blocks = [b for b in ray.get(list(block_refs)) if b.num_rows]
+    _mark("get_blocks")
     schema_cols = FRONTIER_SCHEMA.names
     if not blocks:
         t = FRONTIER_SCHEMA.empty_table()
         t = t.append_column("fetch_time", pa.array([], pa.float64()))
         return t.append_column("crawl_seq", pa.array([], pa.int64()))
     t = pa.concat_tables(blocks).combine_chunks().select(schema_cols)
+    _mark("concat")
 
     uh = t.column("url_hash").to_numpy(zero_copy_only=False)
     dp = t.column("disc_primary").to_numpy(zero_copy_only=False)
@@ -285,6 +306,7 @@ def _schedule_small_round(
     lex_rank[lex_order] = np.arange(len(lex_order))
     hinv = lex_rank[codes]
     hcodes = [dict_strings[i] for i in lex_order]  # sorted host strings
+    _mark("host_codes")
 
     # politeness clocks for this round's active hosts (sharded read)
     n_pol = len(pol_shards)
@@ -302,6 +324,7 @@ def _schedule_small_round(
             clocks[h] = v
             fetched_so_far[h] = k
     delays = {h: rules.delay(h) for h in hcodes}
+    _mark("clocks_rpc")
 
     # per-host rank → fetch_time.  Discovery mode ranks by discovery
     # order (reference BFS semantics); popularity mode is the PRIORITY
@@ -324,6 +347,7 @@ def _schedule_small_round(
     clock_arr = np.array([clocks[h] for h in hcodes], dtype=np.float64)
     delay_arr = np.array([delays[h] for h in hcodes], dtype=np.float64)
     fetch_time = clock_arr[hinv] + rank * delay_arr[hinv]
+    _mark("rank")
 
     if max_per_host > 0:
         # per-host cumulative page cap (crawler-trap guard): candidates
@@ -357,6 +381,7 @@ def _schedule_small_round(
         "crawl_seq",
         pa.array(base + np.arange(len(gorder), dtype=np.int64), pa.int64()),
     )
+    _mark("order_take")
 
     # state updates for the TRUNCATED schedule: seen insert (set
     # semantics, retry-safe) and politeness clock advance (token-guarded)
@@ -381,6 +406,9 @@ def _schedule_small_round(
             for s, (hs, deltas, ks) in sorted(adv.items())
         ]
     )
+    _mark("state_rpcs")
+    if _sub:
+        print("[sched-sub]", " ".join(f"{k}={v}" for k, v in _tt.items()), flush=True)
     return t
 
 
