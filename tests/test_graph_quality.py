@@ -759,6 +759,17 @@ def test_adamic_adar_exact_vs_capped_query(ray_session):
     assert len(a) > 0 and a.equals(b)
 
 
+def test_adamic_adar_plans_agree(ray_session):
+    """Forced-path equality: the single-task small plan and the coarse
+    zpart/pair-sum distributed plan produce identical top-20 tables."""
+    from web_scraping_script_ray.pipelines.queries import q_adamic_adar
+
+    sf = "/root/testdata/sf0.001"
+    a = q_adamic_adar(sf, force_plan="small").to_pandas().reset_index(drop=True)
+    b = q_adamic_adar(sf, force_plan="dist").to_pandas().reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)
+
+
 def test_cdc_chunks_shift_resilient(tmp_path, ray_session):
     """CDC's selling point: a PREFIX insertion only re-chunks its
     neighborhood — the shared tail still deduplicates.  Doc 1 = doc 0

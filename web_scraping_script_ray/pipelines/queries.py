@@ -11564,7 +11564,69 @@ def _aa_wedges(g: pa.Table, hub_cap: int) -> pa.Table:
     )
 
 
-def q_adamic_adar(sf_dir: str, hub_cap: int = _AA_HUB_CAP):
+_AA_SMALL_EDGE_LIMIT = 2_000_000
+
+
+@ray.remote(num_cpus=0)
+def _nrows_meta(t: pa.Table) -> int:
+    """Block row count next to the data (size-selection probe — the
+    blocks never move; the driver sums O(#blocks) ints)."""
+    return t.num_rows
+
+
+@ray.remote
+def _aa_small_task(block_refs: list, hub_cap: int) -> pa.Table:
+    """Single-task exact Adamic-Adar for metadata-scale edge lists: the
+    whole wedge → pair-sum → anti-edge → top-20 chain in one process.
+    ``_aa_wedges`` over the full adjacency in ONE group pass produces
+    byte-identical per-z wedge sets to the 16-way zpart split (its z-run
+    scan is per-z regardless of partitioning), so this plan equals the
+    distributed one bit-for-bit — asserted by the forced-path test."""
+    t = pa.concat_tables([b for b in ray.get(list(block_refs)) if b.num_rows])
+    u = np.asarray(t.column("u").to_pylist(), dtype=object)
+    v = np.asarray(t.column("v").to_pylist(), dtype=object)
+    g = pa.table(
+        {
+            "z": pa.array(np.concatenate([u, v]).tolist(), pa.string()),
+            "n": pa.array(np.concatenate([v, u]).tolist(), pa.string()),
+        }
+    )
+    w = _aa_wedges(g, hub_cap)
+    x = np.asarray(w.column("x").to_pylist(), dtype=object)
+    y = np.asarray(w.column("y").to_pylist(), dtype=object)
+    term = w.column("term").to_numpy(zero_copy_only=False)
+    if len(x) == 0:
+        return pa.table(
+            {"u": pa.array([], pa.string()), "v": pa.array([], pa.string()),
+             "aa_micro": pa.array([], pa.int64())}
+        )
+    order = np.lexsort((y, x))
+    xs, ys, ts = x[order], y[order], term[order]
+    first = np.ones(len(xs), dtype=bool)
+    first[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+    starts = np.flatnonzero(first)
+    score = np.add.reduceat(ts.astype(np.int64), starts)
+    px, py = xs[starts], ys[starts]
+    ekeys = set(zip(u.tolist(), v.tolist()))
+    keep = np.fromiter(
+        ((a, b) not in ekeys for a, b in zip(px.tolist(), py.tolist())),
+        bool,
+        len(px),
+    )
+    px, py, score = px[keep], py[keep], score[keep]
+    idx = np.lexsort((py, px, -score))[:20]
+    return pa.table(
+        {
+            "u": pa.array(px[idx].tolist(), pa.string()),
+            "v": pa.array(py[idx].tolist(), pa.string()),
+            "aa_micro": pa.array(score[idx], pa.int64()),
+        }
+    )
+
+
+def q_adamic_adar(
+    sf_dir: str, hub_cap: int = _AA_HUB_CAP, force_plan: str | None = None
+):
     """Adamic-Adar link prediction over the web link graph: for page
     pairs NOT already linked, score = Σ_{common neighbor z}
     floor(10⁶ / ln(deg z)) — the classic "which links are missing"
@@ -11586,8 +11648,25 @@ def q_adamic_adar(sf_dir: str, hub_cap: int = _AA_HUB_CAP):
     link-prediction pruning: a mega-hub's term is the least informative
     and it floods the most pairs).  Deterministic (fixed neighbor
     order), bounded at C(hub_cap,2) rows per hub — asserted by the
-    planted-hub test in tests/test_graph_quality.py."""
+    planted-hub test in tests/test_graph_quality.py.
+
+    SIZE-SELECTED physical plans (``force_plan`` pins one for tests):
+    ≤ ``_AA_SMALL_EDGE_LIMIT`` edges take ``_aa_small_task`` — the whole
+    chain in ONE remote task (three Dataset exchanges cost ~100× the
+    actual compute at metadata scale); larger graphs keep the coarse
+    zpart/pair-sum exchanges below.  Identical output, forced-path
+    equality in tests/test_graph_quality.py."""
     edges = _web_link_edges(sf_dir)
+    refs = edges.to_arrow_refs()
+    n_edges = sum(ray.get([_nrows_meta.remote(r) for r in refs]))
+    plan = force_plan or (
+        "small" if n_edges <= _AA_SMALL_EDGE_LIMIT else "dist"
+    )
+    if plan == "small":
+        import ray.data as rd
+
+        return rd.from_arrow(ray.get(_aa_small_task.remote(refs, hub_cap)))
+    edges = ray.data.from_arrow_refs(refs)
 
     def adj(b: pa.Table) -> pa.Table:
         return pa.table(
