@@ -189,6 +189,23 @@ def test_line_dedup_plans_agree(ray_session):
         assert a[col].tolist() == b[col].tolist(), col
 
 
+def test_above_avg_orders_plans_agree(ray_session):
+    """Forced-path equality: the broadcast searchsorted-probe plan and
+    the native hash-join plan select the same order rows."""
+    from web_scraping_script_ray.pipelines.queries import q_above_avg_orders
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_above_avg_orders(sf, force_plan="bcast").to_pandas()
+        .sort_values(["o_orderkey"]).reset_index(drop=True)
+    )
+    b = (
+        q_above_avg_orders(sf, force_plan="native").to_pandas()
+        .sort_values(["o_orderkey"]).reset_index(drop=True)
+    )
+    assert len(a) > 0 and a.equals(b)
+
+
 def test_lm_score_plans_agree(ray_session):
     from web_scraping_script_ray.pipelines.queries import q_lm_score
 

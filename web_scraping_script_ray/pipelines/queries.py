@@ -8676,13 +8676,31 @@ FROM e LEFT JOIN nb USING (vec_id)
 # Correlated-subquery pattern: rows above their group's average.
 # ---------------------------------------------------------------------------
 
-def q_above_avg_orders(sf_dir: str):
+_AAO_BCAST_LIMIT = 5_000_000
+
+
+@ray.remote
+def _sorted_by_key_task(block_refs: list, key: str) -> pa.Table:
+    """Concat + sort blocks by an int64 key, off-driver: the broadcast
+    side of a size-selected lookup join (shared zero-copy from the
+    object store by every probe task)."""
+    t = pa.concat_tables([b for b in ray.get(list(block_refs)) if b.num_rows])
+    return t.sort_by(key)
+
+
+def q_above_avg_orders(sf_dir: str, force_plan: str | None = None):
     """Orders priced strictly above their customer's average order price
     — the classic correlated subquery (TPC-H Q17's shape), decorrelated
-    into aggregate-then-join: map-side (custkey, sum, count) partials,
-    Ray's native hash join back to orders, and the comparison done as
-    integer cross-multiplication (cents·n > sum) so no float division
-    can smear the boundary."""
+    into aggregate-then-join, and the comparison done as integer
+    cross-multiplication (cents·n > sum) so no float division can smear
+    the boundary.
+
+    SIZE-SELECTED join plans (``force_plan`` pins one for tests): the
+    per-customer aggregate is key-unique and usually metadata-scale, so
+    ≤ ``_AAO_BCAST_LIMIT`` distinct customers broadcast it once (sorted
+    table in the object store, searchsorted probe per batch — zero
+    shuffle); a larger aggregate falls back to Ray's native hash join.
+    Forced-path equality in tests/test_new_ops.py."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
         lambda b: _cents(b, "o_totalprice", "cents"), batch_format="pyarrow"
     ).select_columns(["o_orderkey", "o_custkey", "cents"])
@@ -8693,7 +8711,32 @@ def q_above_avg_orders(sf_dir: str):
         ds.select_columns(["o_custkey", "cents"]),
         ["o_custkey"], ["cents"], {"cents": "sum_cents"}, count_name="n_orders",
     )
-    joined = ds.join(stats, join_type="inner", num_partitions=_join_parts(), on=("o_custkey",))
+    stat_refs = stats.to_arrow_refs()
+    n_stats = sum(ray.get([_nrows_meta.remote(r) for r in stat_refs]))
+    plan = force_plan or ("bcast" if n_stats <= _AAO_BCAST_LIMIT else "native")
+    if plan == "bcast":
+        sref = _sorted_by_key_task.remote(stat_refs, "o_custkey")
+
+        def flt_bcast(batch: pa.Table) -> pa.Table:
+            st = ray.get(sref)
+            keys = st.column("o_custkey").to_numpy(zero_copy_only=False)
+            s = st.column("sum_cents").to_numpy(zero_copy_only=False)
+            nn = st.column("n_orders").to_numpy(zero_copy_only=False)
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+            c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+            # every order's custkey exists in its own aggregate, so the
+            # probe always hits; the filter is the decorrelated predicate
+            keep = (keys[pos] == ck) & (c * nn[pos] > s[pos])
+            return batch.filter(pa.array(keep)).select(
+                ["o_orderkey", "o_custkey", "cents"]
+            )
+
+        return ds.map_batches(flt_bcast, batch_format="pyarrow")
+    joined = ds.join(
+        ray.data.from_arrow_refs(stat_refs),
+        join_type="inner", num_partitions=_join_parts(), on=("o_custkey",),
+    )
 
     def flt(batch: pa.Table) -> pa.Table:
         c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
