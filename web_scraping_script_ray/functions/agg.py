@@ -45,12 +45,17 @@ def grouped_sum_count(
     partial sums re-sum exactly (the engine's money columns are integer
     cents for this reason).
 
-    ``coarse=N``: for HIGH-cardinality keys (thousands+), merge the
-    partials inside an N-way hash-partitioned ``map_groups`` instead of a
-    Ray groupby keyed on the key itself — Ray's aggregate pays
-    per-distinct-key overhead (measured ~2 s for 3.4k keys, ~13 s for
-    27k), while N coarse groups cost N tasks.  Same exchange volume
-    (only partial rows move), same result."""
+    ``coarse=N``: merge the partials inside an N-way hash-partitioned
+    ``map_groups`` instead of a Ray groupby keyed on the key itself —
+    Ray's aggregate pays per-distinct-key overhead (measured ~2 s for
+    3.4k keys, ~13 s for 27k, ~3.5 s for 15k custkeys), while N coarse
+    groups cost N tasks.  Same exchange volume (only partial rows move),
+    same result.  DEFAULT (coarse=None) is the 32-way coarse path: it is
+    never slower (≤32 tasks beats per-key overhead at every cardinality
+    measured) and key cardinality is rarely known at plan time; pass
+    ``coarse=0`` to force the legacy per-key Ray aggregate."""
+    if coarse is None:
+        coarse = 32
     partials = ds.map_batches(
         lambda b: _partial(b, keys, sum_cols), batch_format="pyarrow"
     )

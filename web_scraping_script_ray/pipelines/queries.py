@@ -8710,6 +8710,8 @@ def q_above_avg_orders(sf_dir: str, force_plan: str | None = None):
     stats = grouped_sum_count(
         ds.select_columns(["o_custkey", "cents"]),
         ["o_custkey"], ["cents"], {"cents": "sum_cents"}, count_name="n_orders",
+        coarse=32,  # custkey is high-cardinality — per-distinct-key Ray
+        # aggregate overhead (~2 s / 3.4k keys) dwarfs 32 coarse tasks
     )
     stat_refs = stats.to_arrow_refs()
     n_stats = sum(ray.get([_nrows_meta.remote(r) for r in stat_refs]))
