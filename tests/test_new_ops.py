@@ -951,3 +951,22 @@ def test_cdc_dedup_op_removes_shifted_boilerplate(ray_session):
     # ...and each doc's unique opening survives verbatim at offset 0
     assert out.loc[0, "text"].startswith(uniq0[:20])
     assert out.loc[1, "text"].startswith(uniq1[:20])
+
+
+def test_batch_levenshtein_matches_scalar():
+    """_batch_levenshtein is exactly the scalar DP over random unicode
+    strings of mixed lengths (incl. empties)."""
+    import random
+
+    from web_scraping_script_ray.pipelines.queries import (
+        _batch_levenshtein,
+        _levenshtein,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcde#01234é"
+    a = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))) for _ in range(400)]
+    b = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))) for _ in range(400)]
+    got = _batch_levenshtein(a, b)
+    want = [_levenshtein(x, y) for x, y in zip(a, b)]
+    assert got.tolist() == want
