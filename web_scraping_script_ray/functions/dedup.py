@@ -1682,6 +1682,10 @@ def setsim_join(
 
     return (
         ds.map_batches(prefixes, batch_format="pyarrow")
+        # split before the exchange: sort-shuffle parallelism follows
+        # input block count, and a 1-block documents read would run the
+        # quadratic per-partition verify in a single task
+        .repartition(min(n_parts, 32))
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pyarrow")
         .groupby("part")
@@ -1894,6 +1898,11 @@ def containment_join(
     return (
         ds.map_batches(emit_side(True), batch_format="pyarrow")
         .union(ds.map_batches(emit_side(False), batch_format="pyarrow"))
+        # sort-shuffle output parallelism follows INPUT block count: a
+        # 1-block documents read would funnel all 64 logical partitions'
+        # verify work into 1-2 tasks — split first so pairs_in_part runs
+        # wide (same groups, same result, any physical split)
+        .repartition(min(n_parts, 32))
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pyarrow")
         .groupby("part")
