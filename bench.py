@@ -208,6 +208,10 @@ BENCH_QUERIES = [
     "neardup_keep_best",
     "sorted_neighborhood",
     "wilson_errors",
+    # round-4 continuation additions
+    "spearman_corr",
+    "acf_hours",
+    "harmonic_4src",
 ]
 
 

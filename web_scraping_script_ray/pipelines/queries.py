@@ -6307,46 +6307,56 @@ def q_bfs_levels(sf_dir: str):
     return bfs_levels(_web_link_edges(sf_dir), _BFS_SEED_PREFIX, n_parts=16)
 
 
-def _bfs_sql(prefix: str = _BFS_SEED_PREFIX, iters: int = 9) -> str:
+def _bfs_ctes(
+    prefix: str = _BFS_SEED_PREFIX, iters: int = 9, sfx: str = ""
+) -> list:
+    """The unrolled-BFS CTE list; ``sfx`` suffixes every CTE name so
+    several independent expansions can share one WITH clause
+    (q_harmonic_4src)."""
     ctes = [
-        f"""sp AS MATERIALIZED (
+        f"""sp{sfx} AS MATERIALIZED (
   SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
 )""",
-        """raw AS MATERIALIZED (
+        f"""raw{sfx} AS MATERIALIZED (
   SELECT lower(split_part(doc_id, '#', 1)) AS src,
          lower(split_part(s.media_ref, '#', 1)) AS dst
-  FROM sp WHERE s.kind = 'link'
+  FROM sp{sfx} WHERE s.kind = 'link'
 )""",
-        """e AS MATERIALIZED (
+        f"""e{sfx} AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-  FROM raw WHERE src <> dst
+  FROM raw{sfx} WHERE src <> dst
 )""",
-        """adj AS MATERIALIZED (
-  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+        f"""adj{sfx} AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e{sfx} UNION ALL SELECT v, u FROM e{sfx}
 )""",
-        f"""a0 AS MATERIALIZED (
+        f"""a0{sfx} AS MATERIALIZED (
   SELECT node, 0 AS lvl FROM (
-    SELECT DISTINCT src AS node FROM adj WHERE src LIKE '{prefix}%'
+    SELECT DISTINCT src AS node FROM adj{sfx} WHERE src LIKE '{prefix}%'
   )
 )""",
     ]
     for k in range(1, iters + 1):
         p = k - 1
         ctes.append(
-            f"""nb{k} AS MATERIALIZED (
-  SELECT DISTINCT adj.dst AS node FROM adj JOIN a{p} ON adj.src = a{p}.node
+            f"""nb{k}{sfx} AS MATERIALIZED (
+  SELECT DISTINCT adj{sfx}.dst AS node FROM adj{sfx}
+  JOIN a{p}{sfx} ON adj{sfx}.src = a{p}{sfx}.node
 )"""
         )
         ctes.append(
-            f"""a{k} AS MATERIALIZED (
-  SELECT node, lvl FROM a{p}
+            f"""a{k}{sfx} AS MATERIALIZED (
+  SELECT node, lvl FROM a{p}{sfx}
   UNION ALL
-  SELECT nb{k}.node, {k} FROM nb{k}
-  WHERE nb{k}.node NOT IN (SELECT node FROM a{p})
+  SELECT nb{k}{sfx}.node, {k} FROM nb{k}{sfx}
+  WHERE nb{k}{sfx}.node NOT IN (SELECT node FROM a{p}{sfx})
 )"""
         )
+    return ctes
+
+
+def _bfs_sql(prefix: str = _BFS_SEED_PREFIX, iters: int = 9) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_bfs_ctes(prefix, iters))
         + f"\nSELECT node, CAST(lvl AS BIGINT) AS level FROM a{iters}"
     )
 
@@ -13951,6 +13961,246 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# Spearman rank correlation — distributed double ranking (two global
+# sorts, zero joins: the second rank is appended to the already-ranked
+# rows), exact integer Σd².
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_corr(sf_dir: str):
+    """Spearman rank correlation between lineitem quantity and extended
+    price — the monotone-dependence screen (is bigger always pricier?).
+    Ranks are ``row_number``-style with the unique (orderkey, linenumber)
+    tie-break, so both engines produce the SAME total order; ρ is then
+    pure integers: ρ_micro = 10⁶ − (6·10⁶·Σd²) // (n³−n), finalized in
+    Python big ints (6·10⁶·Σd² overflows int64 at sf≥0.1 — the q_chi2
+    convention).  Plan: TWO ``zip_with_index`` global sorts — the second
+    ranks the already-x-ranked rows, so no join ever pairs the ranks —
+    then a one-row integer fold."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": b.column("l_orderkey").cast(pa.int64()),
+                "lnum": b.column("l_linenumber").cast(pa.int64()),
+                "qty": pc.round(pc.multiply(b.column("l_quantity"), 100.0)).cast(
+                    pa.int64()
+                ),
+                "price_c": pc.round(
+                    pc.multiply(b.column("l_extendedprice"), 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    from ..stages.rank import zip_with_index
+
+    rx, _ = zip_with_index(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["qty", "okey", "lnum"], col="rx",
+    )
+    rxy, _ = zip_with_index(rx, ["price_c", "okey", "lnum"], col="ry")
+
+    def partial(b: pa.Table) -> pa.Table:
+        dx = (
+            b.column("rx").to_numpy(zero_copy_only=False).astype(np.int64)
+            - b.column("ry").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "sum_d2": pa.array([int((dx * dx).sum())], pa.int64()),
+                "n": pa.array([len(dx)], pa.int64()),
+            }
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        sum_d2 = int(
+            b.column("sum_d2").to_numpy(zero_copy_only=False).sum()
+        )
+        n = int(b.column("n").to_numpy(zero_copy_only=False).sum())
+        rho_micro = 1_000_000 - (6_000_000 * sum_d2) // (n * n * n - n)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum_d2": pa.array([sum_d2], pa.int64()),
+                "rho_micro": pa.array([rho_micro], pa.int64()),
+            }
+        )
+
+    return (
+        rxy.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+SQL_SPEARMAN_CORR = """
+WITH r AS (
+  SELECT
+    row_number() OVER (
+      ORDER BY CAST(round(l_quantity * 100) AS BIGINT), l_orderkey, l_linenumber
+    ) - 1 AS rx,
+    row_number() OVER (
+      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT), l_orderkey, l_linenumber
+    ) - 1 AS ry
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+  FROM r
+)
+SELECT n, sum_d2,
+       CAST(1000000 - (CAST(6000000 AS HUGEINT) * sum_d2)
+            // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_micro
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly traffic series (lags 1..5) — emitted as
+# exact integer (numerator, denominator) pairs so no division rounding
+# exists on either engine.
+# ---------------------------------------------------------------------------
+
+
+def q_acf_hours(sf_dir: str):
+    """Autocorrelation of the site's hourly event-count series at lags
+    1..5 — the "is traffic periodic?" probe behind crawl revisit
+    scheduling.  The series is the OBSERVED hours in ascending order
+    (missing hours don't exist on either engine); with m hours, S = Σc
+    and centered terms scaled by m (m·c_i − S ∈ ℤ), each lag k emits
+      acf_num = Σ_{i≥k} (m·c_i − S)·(m·c_{i−k} − S)
+      acf_den = Σ_i (m·c_i − S)²
+    — the exact integer numerator/denominator of the standard ACF (no
+    float division ever happens; consumers divide).  Plan: map-side
+    (hour → count) partials, one coarse merge to the metadata-scale
+    series, a single-task integer fold."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({"ts_hour": hr})
+        out = t.group_by(["ts_hour"]).aggregate([([], "count_all")])
+        return out.rename_columns(["ts_hour", "__n"])
+
+    counts = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["ts_hour"], ["__n"], {"__n": "c"}, coarse=16,
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        hrs = b.column("ts_hour").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(hrs)
+        c = c[order]
+        m = len(c)
+        S = int(c.sum())
+        z = m * c - S  # exact int64 (m·c ≤ 1e10 at any tested sf)
+        den = int((z * z).sum())
+        lags = np.arange(1, 6, dtype=np.int64)
+        nums = [int((z[k:] * z[:-k]).sum()) if k < m else 0 for k in range(1, 6)]
+        return pa.table(
+            {
+                "lag": pa.array(lags, pa.int64()),
+                "acf_num": pa.array(nums, pa.int64()),
+                "acf_den": pa.array([den] * 5, pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(fold, batch_format="pyarrow")
+
+
+SQL_ACF_HOURS = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY hr) AS rn, c FROM h
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(c) AS BIGINT) AS S FROM r
+),
+z AS (
+  SELECT rn, (SELECT m FROM s) * c - (SELECT S FROM s) AS z FROM r
+),
+den AS (SELECT CAST(sum(z * z) AS BIGINT) AS d FROM z)
+SELECT k.lag AS lag,
+       CAST(coalesce(sum(a.z * b.z), 0) AS BIGINT) AS acf_num,
+       (SELECT d FROM den) AS acf_den
+FROM (SELECT unnest(range(1, 6)) AS lag) k
+LEFT JOIN z a ON TRUE
+JOIN z b ON a.rn = b.rn + k.lag
+GROUP BY k.lag
+ORDER BY k.lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality from 4 host super-sources — multi-source BFS reuse.
+# ---------------------------------------------------------------------------
+
+
+def q_harmonic_4src(sf_dir: str):
+    """Harmonic centrality of every page w.r.t. four host super-sources
+    (h0000..h0003's page sets): hc_micro(v) = Σ_h floor(10⁶ / d_h(v))
+    over the sources with 0 < d_h(v) < ∞ — the sampled-source harmonic
+    centrality estimator (Boldi-Vigna), here with host page-sets as the
+    deterministic sources.  Four independent multi-source BFS passes
+    (``bfs_levels``, size-selected internally) whose level tables merge
+    in one coarse groupby; a node unreached by every source is absent."""
+    from ..functions.graph import bfs_levels
+
+    edges = _web_link_edges(sf_dir).materialize()
+    parts = []
+    for i in range(4):
+        prefix = f"http://h{i:04d}.example"
+        lv = bfs_levels(edges, prefix)
+
+        def to_term(b: pa.Table, _p=prefix) -> pa.Table:
+            lvl = b.column("level").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = lvl > 0
+            term = np.zeros(len(lvl), np.int64)
+            term[keep] = 1_000_000 // lvl[keep]
+            return pa.table(
+                {"node": b.column("node"), "term": pa.array(term, pa.int64())}
+            ).filter(pa.array(keep))
+
+        parts.append(lv.map_batches(to_term, batch_format="pyarrow"))
+    allp = parts[0].union(*parts[1:])
+    return grouped_sum_count(
+        allp, ["node"], ["term"], {"term": "hc_micro"}, count_name="n_sources",
+        coarse=16,
+    )
+
+
+def _harmonic_sql() -> str:
+    blocks = []
+    selects = []
+    for i in range(4):
+        blocks.extend(_bfs_ctes(prefix=f"http://h{i:04d}.example", sfx=f"_{i}"))
+        selects.append(
+            f"SELECT node, 1000000 // lvl AS term FROM a9_{i} WHERE lvl > 0"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f",\nterms AS ({union})\n"
+        + "SELECT node, CAST(sum(term) AS BIGINT) AS hc_micro,\n"
+        + "       CAST(count(*) AS BIGINT) AS n_sources\n"
+        + "FROM terms GROUP BY node"
+    )
+
+
+SQL_HARMONIC_4SRC = _harmonic_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -14296,6 +14546,12 @@ EXTRA_QUERIES = {
     "neardup_keep_best": q_neardup_keep_best,
     # sorted-neighborhood ER join (sort + windowed self-join, cross-block carry)
     "sorted_neighborhood": q_sorted_neighborhood,
+    # Spearman rank correlation via two global ranking sorts (no join)
+    "spearman_corr": q_spearman_corr,
+    # hourly-traffic autocorrelation, lags 1..5 (integer num/den pairs)
+    "acf_hours": q_acf_hours,
+    # harmonic centrality from 4 host super-sources (multi-source BFS)
+    "harmonic_4src": q_harmonic_4src,
 }
 
 ORACLE_SQL = {
@@ -14492,4 +14748,7 @@ EXTRA_ORACLE_SQL = {
     "cdc_chunks": SQL_CDC_CHUNKS,
     "neardup_keep_best": SQL_NEARDUP_KEEP_BEST,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+    "spearman_corr": SQL_SPEARMAN_CORR,
+    "acf_hours": SQL_ACF_HOURS,
+    "harmonic_4src": SQL_HARMONIC_4SRC,
 }
