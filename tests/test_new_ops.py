@@ -970,3 +970,14 @@ def test_batch_levenshtein_matches_scalar():
     got = _batch_levenshtein(a, b)
     want = [_levenshtein(x, y) for x, y in zip(a, b)]
     assert got.tolist() == want
+
+
+def test_greedy_cover_plans_agree(ray_session):
+    """Forced-path equality: the single-task greedy loop equals the
+    exchange-per-round plan (gains, picks, tie-breaks)."""
+    import web_scraping_script_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_greedy_cover(sf).to_pandas().reset_index(drop=True)
+    b = Q.q_greedy_cover(sf, force_plan="rounds").to_pandas().reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)

@@ -5908,7 +5908,42 @@ QUALIFY row_number() OVER (ORDER BY n DESC, pair) <= {_BPE_TOP_K}
 _COVER_STEPS = 5
 
 
-def q_greedy_cover(sf_dir: str):
+_COVER_SINGLE_LIMIT = 20_000_000
+
+
+@ray.remote
+def _greedy_cover_single(ps_refs: list, steps: int) -> pa.Table:
+    """The whole greedy cover loop over the deduped (source, shingle)
+    pair table in one task: 5 numpy isin/bincount rounds."""
+    t = pa.concat_tables([b for b in ray.get(list(ps_refs)) if b.num_rows])
+    h = t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+    src = np.asarray(t.column("source").to_pylist(), dtype=object)
+    codes, inv = np.unique(src, return_inverse=True)
+    alive = np.ones(len(h), dtype=bool)
+    out_steps, out_src, out_gain = [], [], []
+    for step in range(steps):
+        if not alive.any():
+            break
+        gains = np.bincount(inv[alive], minlength=len(codes))
+        best_gain = int(gains.max())
+        if best_gain == 0:
+            break
+        best_ci = int(np.flatnonzero(gains == best_gain)[0])  # codes sorted
+        out_steps.append(step + 1)
+        out_src.append(str(codes[best_ci]))
+        out_gain.append(best_gain)
+        won = h[alive & (inv == best_ci)]
+        alive &= ~np.isin(h, won)
+    return pa.table(
+        {
+            "step": pa.array(out_steps, pa.int64()),
+            "source": pa.array(out_src, pa.string()),
+            "gain": pa.array(out_gain, pa.int64()),
+        }
+    )
+
+
+def q_greedy_cover(sf_dir: str, force_plan: str | None = None):
     """Greedy weighted set cover: pick 5 sources, each
     maximizing the count of 3-gram shingles NOT covered by earlier
     picks (ties break lexicographically) — the classic diversity-
@@ -5958,6 +5993,18 @@ def q_greedy_cover(sf_dir: str):
         .map_groups(dedup_ps, batch_format="pyarrow")
         .materialize()
     )
+
+    # SIZE-SELECTED: a metadata-scale (source, shingle) pair table runs
+    # the whole greedy loop in ONE remote task — the exchange-per-round
+    # shape below costs ~10 Dataset executions of fixed overhead, ~100×
+    # the actual compute at bench scale.  Same gains/tie-breaks
+    # (forced-path equality in tests/test_new_ops.py).
+    ps_refs = ps.to_arrow_refs()
+    n_ps = sum(ray.get([_nrows_meta.remote(r) for r in ps_refs]))
+    if force_plan != "rounds" and n_ps <= _COVER_SINGLE_LIMIT:
+        return rd.from_arrow(
+            ray.get(_greedy_cover_single.remote(ps_refs, _COVER_STEPS))
+        )
 
     covered = None  # Dataset[part, h] of shingles covered so far
     out_steps: list[int] = []
