@@ -9009,6 +9009,7 @@ def q_mad_outliers(sf_dir: str):
             {"l_returnflag": pa.array([flag]), "median_cents": pa.array([med], pa.int64())}
         )
 
+    med_counts = med_counts.materialize()  # feeds the median AND pass 2
     medians = (
         med_counts.groupby("l_returnflag")
         .map_groups(fold_median, batch_format="pyarrow")
@@ -9017,20 +9018,26 @@ def q_mad_outliers(sf_dir: str):
     med_map = dict(zip(medians["l_returnflag"], medians["median_cents"]))
     med_ref = ray.put(med_map)
 
-    def absdev(batch: pa.Table) -> pa.Table:
+    # pass 2 derives the |cents−median| distribution FROM the pass-1
+    # (flag, cents, n) distinct-count table — the raw table is never
+    # scanned twice (Σn over equal (flag, |cents−med|) is exactly the
+    # row-level deviation count)
+    def absdev_counts(batch: pa.Table) -> pa.Table:
         mm = ray.get(med_ref)
         flags = batch.column("l_returnflag").to_pylist()
         c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
         med = np.array([mm[f] for f in flags], np.int64)
         return pa.Table.from_arrays(
-            [batch.column("l_returnflag"), pa.array(np.abs(c - med), pa.int64())],
-            names=["l_returnflag", "dev"],
+            [
+                batch.column("l_returnflag"),
+                pa.array(np.abs(c - med), pa.int64()),
+                batch.column("n"),
+            ],
+            names=["l_returnflag", "dev", "cnt"],
         )
 
     dev_counts = grouped_sum_count(
-        ds.map_batches(absdev, batch_format="pyarrow").map_batches(
-            count_partials("dev"), batch_format="pyarrow"
-        ),
+        med_counts.map_batches(absdev_counts, batch_format="pyarrow"),
         ["l_returnflag", "dev"], ["cnt"], {"cnt": "n"},
         coarse=16,
     )
