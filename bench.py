@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "spearman_corr",
     "acf_hours",
     "harmonic_4src",
+    "mutual_info",
+    "reciprocal_links",
 ]
 
 

@@ -14015,6 +14015,192 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# Mutual information of a contingency table (event_type × hour-of-day).
+# ---------------------------------------------------------------------------
+
+
+def q_mutual_info(sf_dir: str):
+    """Mutual information between event_type and hour-of-day — "does
+    traffic mix shift across the day?", the association screen behind
+    time-stratified sampling.  MI = Σ_ij (n_ij/N)·ln(N·n_ij/(r_i·c_j))
+    with each term independently floored to micro (the markov_entropy
+    ln-parity convention: identical double expression shapes on both
+    engines).  Plan: map-side (type, hour) count partials, one coarse
+    merge to the ≤|types|·24 cell table, a single-partition finalize."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hod = pc.hour(batch.column("ts")).cast(pa.int64())
+        t = pa.table({"etype": batch.column("event_type"), "hod": hod})
+        out = t.group_by(["etype", "hod"]).aggregate([([], "count_all")])
+        return out.rename_columns(["etype", "hod", "__n"])
+
+    cells = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["etype", "hod"], ["__n"], {"__n": "n"}, coarse=8,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("etype").to_pylist(), dtype=object)
+        hod = batch.column("hod").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        N = int(n.sum())
+        r: dict = {}
+        c: dict = {}
+        for e, h, k in zip(et, hod, n):
+            r[e] = r.get(e, 0) + int(k)
+            c[int(h)] = c.get(int(h), 0) + int(k)
+        rv = np.array([r[e] for e in et], np.int64)
+        cv = np.array([c[int(h)] for h in hod], np.int64)
+        term = np.floor((n / N) * np.log((n * N) / (rv * cv)) * 1e6).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "n_events": pa.array([N], pa.int64()),
+                "n_types": pa.array([len(r)], pa.int64()),
+                "n_hours": pa.array([len(c)], pa.int64()),
+                "mi_micro": pa.array([int(term.sum())], pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_MUTUAL_INFO = """
+WITH p AS (
+  SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT et, sum(n) AS rn FROM p GROUP BY 1),
+c AS (SELECT hod, sum(n) AS cn FROM p GROUP BY 1),
+tot AS (SELECT sum(n) AS N FROM p)
+SELECT CAST(tot.N AS BIGINT) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_types,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_hours,
+       CAST(sum(CAST(floor((CAST(p.n AS DOUBLE) / tot.N)
+                            * ln(CAST(p.n AS DOUBLE) * tot.N / (r.rn * c.cn))
+                            * 1000000) AS BIGINT)) AS BIGINT) AS mi_micro
+FROM p JOIN r USING (et) JOIN c USING (hod), tot
+GROUP BY tot.N
+"""
+
+
+# ---------------------------------------------------------------------------
+# Directed-link reciprocity of the web graph.
+# ---------------------------------------------------------------------------
+
+
+def q_reciprocal_links(sf_dir: str):
+    """Reciprocity of the DIRECTED web link graph — one row
+    (n_directed, n_reciprocal, rate_micro): how often does a page that
+    is linked link back?  (The undirected edge list the other graph
+    queries share erases direction, so this extracts directed distinct
+    edges itself.)  Plan: per-block distinct (src, dst) pairs keyed by
+    the UNORDERED pair hash so both directions co-locate, one coarse
+    exchange, per-group reciprocity count, integer fold."""
+    import zlib
+
+    import ray.data as rd
+
+    from ..synthweb import WebParams, fixture_dir
+
+    web_dir = fixture_dir(WebParams(n_docs=1000, n_hosts=20, seed=42))
+    ds = rd.read_parquet(os.path.join(web_dir, "web"))
+
+    def directed(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        is_link = pc.equal(pc.struct_field(flat, "kind"), pa.scalar("link"))
+        ref = pc.struct_field(flat, "media_ref").filter(is_link)
+        src = batch.column("doc_id").take(parent.filter(is_link))
+
+        def canon(arr):
+            low = pc.utf8_lower(arr)
+            return pc.list_element(pc.split_pattern(low, "#"), 0)
+
+        s = np.array(canon(src).to_pylist(), dtype=object)
+        d = np.array(canon(ref).to_pylist(), dtype=object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        t = pa.Table.from_arrays(
+            [pa.array(list(s), pa.string()), pa.array(list(d), pa.string())],
+            names=["src", "dst"],
+        )
+        t = t.group_by(["src", "dst"]).aggregate([])  # block-local distinct
+        lo = np.minimum.reduce(
+            [np.asarray(t.column("src").to_pylist(), object),
+             np.asarray(t.column("dst").to_pylist(), object)]
+        )
+        hi = np.maximum.reduce(
+            [np.asarray(t.column("src").to_pylist(), object),
+             np.asarray(t.column("dst").to_pylist(), object)]
+        )
+        part = [
+            zlib.crc32((a + "\x1f" + b).encode()) % 16 for a, b in zip(lo, hi)
+        ]
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def recip_partial(g: pa.Table) -> pa.Table:
+        t = g.select(["src", "dst"]).group_by(["src", "dst"]).aggregate([])
+        s = np.asarray(t.column("src").to_pylist(), dtype=object)
+        d = np.asarray(t.column("dst").to_pylist(), dtype=object)
+        fwd = set(zip(s.tolist(), d.tolist()))
+        n_rec = sum(1 for a, b in fwd if (b, a) in fwd)
+        return pa.table(
+            {
+                "nd": pa.array([len(fwd)], pa.int64()),
+                "nr": pa.array([n_rec], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(directed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(recip_partial, batch_format="pyarrow")
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        nd = int(b.column("nd").to_numpy(zero_copy_only=False).sum())
+        nr = int(b.column("nr").to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "n_directed": pa.array([nd], pa.int64()),
+                "n_reciprocal": pa.array([nr], pa.int64()),
+                "rate_micro": pa.array(
+                    [nr * 1_000_000 // nd if nd else 0], pa.int64()
+                ),
+            }
+        )
+
+    return parts.repartition(1).map_batches(fold, batch_format="pyarrow")
+
+
+SQL_RECIPROCAL_LINKS = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+stats AS (
+  SELECT (SELECT count(*) FROM e) AS nd,
+         (SELECT count(*) FROM e a JOIN e b
+          ON a.src = b.dst AND a.dst = b.src) AS nr
+)
+SELECT CAST(nd AS BIGINT) AS n_directed, CAST(nr AS BIGINT) AS n_reciprocal,
+       CAST(nr * 1000000 // nd AS BIGINT) AS rate_micro
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # Spearman rank correlation — distributed double ranking (two global
 # sorts, zero joins: the second rank is appended to the already-ranked
 # rows), exact integer Σd².
@@ -14606,6 +14792,10 @@ EXTRA_QUERIES = {
     "acf_hours": q_acf_hours,
     # harmonic centrality from 4 host super-sources (multi-source BFS)
     "harmonic_4src": q_harmonic_4src,
+    # mutual information of the event_type × hour-of-day contingency table
+    "mutual_info": q_mutual_info,
+    # directed-link reciprocity of the web graph
+    "reciprocal_links": q_reciprocal_links,
 }
 
 ORACLE_SQL = {
@@ -14805,4 +14995,6 @@ EXTRA_ORACLE_SQL = {
     "spearman_corr": SQL_SPEARMAN_CORR,
     "acf_hours": SQL_ACF_HOURS,
     "harmonic_4src": SQL_HARMONIC_4SRC,
+    "mutual_info": SQL_MUTUAL_INFO,
+    "reciprocal_links": SQL_RECIPROCAL_LINKS,
 }
