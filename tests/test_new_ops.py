@@ -981,3 +981,20 @@ def test_greedy_cover_plans_agree(ray_session):
     a = Q.q_greedy_cover(sf).to_pandas().reset_index(drop=True)
     b = Q.q_greedy_cover(sf, force_plan="rounds").to_pandas().reset_index(drop=True)
     assert len(a) > 0 and a.equals(b)
+
+
+def test_ship_lag_plans_agree(ray_session):
+    """Forced-path equality: broadcast searchsorted lookup join vs the
+    native hash join produce identical percentile tables."""
+    import web_scraping_script_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        Q.q_ship_lag(sf, force_plan="bcast").to_pandas()
+        .sort_values("priority").reset_index(drop=True)
+    )
+    b = (
+        Q.q_ship_lag(sf, force_plan="native").to_pandas()
+        .sort_values("priority").reset_index(drop=True)
+    )
+    assert len(a) > 0 and a.equals(b)

@@ -913,3 +913,72 @@ def basket_pairs(
         )
 
     return counted.map_batches(supported, batch_format="pyarrow")
+
+
+@ray.remote(num_cpus=0)
+def _nrows_block(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _concat_sort_by_key(block_refs: list, key: str) -> pa.Table:
+    """Concat + sort blocks by a key, off-driver — the broadcast side of
+    ``unique_key_lookup_join`` (shared zero-copy from the object store
+    by every probe task)."""
+    t = pa.concat_tables([b for b in ray.get(list(block_refs)) if b.num_rows])
+    return t.sort_by(key)
+
+
+def unique_key_lookup_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    limit: int = 5_000_000,
+    num_partitions: int = 16,
+    force_plan: str | None = None,
+) -> "ray.data.Dataset":
+    """Size-selected INNER equi-join for a KEY-UNIQUE right side (a
+    dimension table or an aggregate): if the right side is within
+    ``limit`` rows it broadcasts as ONE sorted table in the object
+    store and every left batch probes it with searchsorted — zero
+    shuffle, no aggregator-actor startup; larger right sides fall back
+    to Ray's native hash-shuffle join.  Output rows carry all left
+    columns plus the right side's non-key columns (same multiset of
+    rows as the native join; physical row order differs, as with any
+    shuffle plan)."""
+    import ray.data as rd
+
+    refs = right.to_arrow_refs()
+    n = sum(ray.get([_nrows_block.remote(r) for r in refs]))
+    plan = force_plan or ("bcast" if n <= limit else "native")
+    if plan == "native":
+        return left.join(
+            rd.from_arrow_refs(refs),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(left_on,),
+            right_on=(right_on,),
+        )
+    sref = _concat_sort_by_key.remote(refs, right_on)
+
+    def probe(b: pa.Table) -> pa.Table:
+        rt = ray.get(sref)
+        keys = rt.column(right_on).to_numpy(zero_copy_only=False)
+        lk = b.column(left_on).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, lk), len(keys) - 1)
+        hit = keys[pos] == lk
+        if not hit.all():
+            b = b.filter(pa.array(hit))
+            pos = pos[hit]
+        idx = pa.array(pos)
+        for name in rt.column_names:
+            if name == right_on:
+                continue
+            col = rt.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            b = b.append_column(name, col.take(idx))
+        return b
+
+    return left.map_batches(probe, batch_format="pyarrow")

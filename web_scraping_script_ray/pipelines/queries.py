@@ -12498,19 +12498,23 @@ GROUP BY 1
 """
 
 
-def q_ship_lag(sf_dir: str):
+def q_ship_lag(sf_dir: str, force_plan: str | None = None):
     """Fulfillment-latency percentiles: per order priority, exact
     P50/P90 of (l_shipdate − o_orderdate) in whole days — a JOIN
-    feeding the no-raw-row-shuffle quantile plan.  One native hash
-    join attaches the priority + order date to each lineitem, the lag
-    collapses block-locally to (priority, lag_days) histograms, one
-    metadata groupby merges them, ranks read at the pinned 0-based
+    feeding the no-raw-row-shuffle quantile plan.  The orders side is
+    key-unique, so the size-selected ``unique_key_lookup_join``
+    broadcasts it (sorted table + searchsorted probe, zero shuffle)
+    below 5M orders and falls back to the native hash join above; the
+    lag collapses block-locally to (priority, lag_days) histograms,
+    one metadata groupby merges them, ranks read at the pinned 0-based
     floor(q·(n−1)) rule (the ``quantiles`` convention)."""
+    from ..functions.joins import unique_key_lookup_join
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
-    j = li.join(
-        orders, join_type="inner", num_partitions=_join_parts(),
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    j = unique_key_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        num_partitions=_join_parts(), force_plan=force_plan,
     )
 
     def hist(batch: pa.Table) -> pa.Table:
