@@ -998,3 +998,14 @@ def test_ship_lag_plans_agree(ray_session):
         .sort_values("priority").reset_index(drop=True)
     )
     assert len(a) > 0 and a.equals(b)
+
+
+def test_gini_hosts_plans_agree(ray_session):
+    """Forced-path equality: single-task gini fold equals the
+    partial/rank/fold exchange plan."""
+    import web_scraping_script_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_gini_hosts(sf).to_pandas().reset_index(drop=True)
+    b = Q.q_gini_hosts(sf, force_plan="exchange").to_pandas().reset_index(drop=True)
+    assert len(a) == 1 and a.equals(b)

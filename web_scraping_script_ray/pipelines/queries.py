@@ -10652,7 +10652,32 @@ FROM pred WHERE rn = 1 GROUP BY 1, 2
 """
 
 
-def q_gini_hosts(sf_dir: str):
+@ray.remote
+def _gini_single(path: str) -> pa.Table:
+    """Whole gini pipeline in one task for the metadata-scale golden
+    table: per-host counts, ascending (n, host) rank, exact integer
+    fold — identical to the exchange plan (forced-path test)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path, columns=["host"])
+    hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
+    uniq, cnt = np.unique(hosts, return_counts=True)
+    order = np.lexsort((uniq, cnt))
+    n = cnt[order].astype(np.int64)
+    k = len(n)
+    s = int(n.sum())
+    si = int((np.arange(1, k + 1, dtype=np.int64) * n).sum())
+    gini = (2 * si - (k + 1) * s) * 1_000_000 // (k * s) if k and s else 0
+    return pa.table(
+        {
+            "n_hosts": pa.array([k], pa.int64()),
+            "n_pages": pa.array([s], pa.int64()),
+            "gini_micro": pa.array([gini], pa.int64()),
+        }
+    )
+
+
+def q_gini_hosts(sf_dir: str, force_plan: str | None = None):
     """Gini concentration of crawl pages across hosts — ONE row
     (n_hosts, n_pages, gini_micro) answering "how skewed is this crawl
     toward a few big hosts?", the number that drives the frontier's
@@ -10665,12 +10690,19 @@ def q_gini_hosts(sf_dir: str):
     rank (``stages/rank.py:zip_with_index``), per-block int64 partial
     sums (per-block Σ rank·n ≤ rank_max·Σn_block — safe through ~10⁸
     hosts × 10¹⁰ pages), and a driver-side exact-int final division."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from ..functions.agg import grouped_sum_count
     from ..stages.rank import zip_with_index
 
-    ds = rd.read_parquet(os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet"))
+    path = os.path.join(_FIXTURES_DIR, "crawl_bfs_golden.parquet")
+    # SIZE-SELECTED: the golden table is metadata-scale — run the whole
+    # count→rank→fold chain in one task unless forced (or huge); the
+    # exchange plan below is the 10^8-host shape the docstring describes.
+    if force_plan != "exchange" and pq.read_metadata(path).num_rows <= 5_000_000:
+        return rd.from_arrow(ray.get(_gini_single.remote(path)))
+    ds = rd.read_parquet(path)
 
     def host_partial(batch: pa.Table) -> pa.Table:
         out = pa.table({"host": batch.column("host")}).group_by(
