@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "harmonic_4src",
     "mutual_info",
     "reciprocal_links",
+    "split_assign",
 ]
 
 

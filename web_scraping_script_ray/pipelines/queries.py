@@ -14051,6 +14051,74 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment (hash-bucket splitter).
+# ---------------------------------------------------------------------------
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by content-free
+    id hash — the standard leakage-safe splitter for a training corpus
+    (same doc always lands in the same split, across reruns AND across
+    engines).  bucket = md5("split:"+doc_id)[:8] % 100; <90 train,
+    <95 val, else test.  Emits per (source, split) doc and char counts
+    — the audit table a data curator checks before training.  Plan:
+    one vectorized pass to (source, split) partials, one coarse merge;
+    no raw row ever shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        md5 = hashlib.md5
+        # doc_id may be int64 — hash its string form ("split:<id>"),
+        # matching SQL's implicit VARCHAR cast in 'split:' || doc_id
+        ids = pc.cast(batch.column("doc_id"), pa.string()).to_pylist()
+        hv = np.fromiter(
+            (
+                int.from_bytes(md5(("split:" + i).encode()).digest()[:8], "big")
+                for i in ids
+            ),
+            np.uint64,
+            len(ids),
+        )
+        b = (hv % np.uint64(100)).astype(np.int64)
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "split": pa.array(split.tolist(), pa.string()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+        out = t.group_by(["source", "split"]).aggregate(
+            [("n_chars", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["source", "split", "__chars", "__n"])
+
+    return grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "split"], ["__chars", "__n"],
+        {"__chars": "sum_chars", "__n": "n_docs"},
+        coarse=8,
+    ).select_columns(["source", "split", "sum_chars", "n_docs"])
+
+
+SQL_SPLIT_ASSIGN = """
+WITH d AS (
+  SELECT source, n_chars,
+         ('0x' || substr(md5('split:' || doc_id), 1, 16))::UBIGINT % 100 AS b
+  FROM documents
+)
+SELECT source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+         AS split,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mutual information of a contingency table (event_type × hour-of-day).
 # ---------------------------------------------------------------------------
 
@@ -14828,6 +14896,8 @@ EXTRA_QUERIES = {
     "acf_hours": q_acf_hours,
     # harmonic centrality from 4 host super-sources (multi-source BFS)
     "harmonic_4src": q_harmonic_4src,
+    # deterministic hash-bucket train/val/test split audit
+    "split_assign": q_split_assign,
     # mutual information of the event_type × hour-of-day contingency table
     "mutual_info": q_mutual_info,
     # directed-link reciprocity of the web graph
@@ -15031,6 +15101,7 @@ EXTRA_ORACLE_SQL = {
     "spearman_corr": SQL_SPEARMAN_CORR,
     "acf_hours": SQL_ACF_HOURS,
     "harmonic_4src": SQL_HARMONIC_4SRC,
+    "split_assign": SQL_SPLIT_ASSIGN,
     "mutual_info": SQL_MUTUAL_INFO,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
 }
