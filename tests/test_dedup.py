@@ -264,3 +264,55 @@ def test_lsh_verify_pairs_planted():
     assert out[["id_a", "id_b"]].values.tolist() == [[0, 1]]
     expect = np.floor(ngram_jaccard(rows[0][1], rows[1][1]) * 1e6) / 1e6
     assert out.loc[0, "jaccard"] == expect
+
+
+def test_minhash_perperm_matches_perdoc_reference():
+    """Hypothesis: the per-permutation reduceat signature kernel is
+    bit-identical to the straightforward per-doc (a·s+b).min() reference
+    over random shingle multisets, including empty docs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_scraping_script_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=32, n_bands=8)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=2**64 - 1), max_size=20
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(doc_shingles):
+        import numpy as np
+
+        # feed pre-shingled hashes through the kernel by flattening the
+        # doc lists into (flat, offsets) with k=1 (identity shingling)
+        flat = np.array(
+            [h for d in doc_shingles for h in d], dtype=np.uint64
+        )
+        offsets = np.zeros(len(doc_shingles) + 1, np.int64)
+        np.cumsum([len(d) for d in doc_shingles], out=offsets[1:])
+        mh1 = MinHasher(num_perm=32, n_bands=8, k=1)
+        got = mh1.signatures_from_hashes(flat, offsets)
+        # reference: per-doc matrix min over the SAME shingle transform
+        from web_scraping_script_ray.functions.hashing import (
+            shingle_hash_flat,
+        )
+
+        sh, soff = shingle_hash_flat(flat, offsets, 1)
+        with np.errstate(over="ignore"):
+            want = np.zeros((len(doc_shingles), 32), np.uint64)
+            for i in range(len(doc_shingles)):
+                seg = sh[soff[i] : soff[i + 1]]
+                if len(seg):
+                    want[i] = (
+                        mh1.a[:, None] * seg[None, :] + mh1.b[:, None]
+                    ).min(axis=1)
+        assert np.array_equal(got, want)
+
+    check()

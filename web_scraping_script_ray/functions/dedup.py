@@ -147,13 +147,20 @@ class MinHasher:
         # instead of a Python iteration per document — ~2× faster than
         # the per-doc matrix min at 10k docs/batch, and the advantage
         # grows with docs-per-batch (loop count is num_perm, not n_docs).
-        # Empty segments: reduceat at equal indices returns the element at
-        # the (clipped) start — patched to 0 afterwards via the mask.
-        starts = np.minimum(soff[:-1], len(sh) - 1)
+        # The permuted array is padded with one MAX sentinel so a
+        # trailing empty doc's start (== len) stays a VALID reduceat
+        # index — clipping it instead would silently truncate the last
+        # non-empty doc's segment (hypothesis-caught).  Empty segments
+        # (interior or trailing) land on an arbitrary element / the
+        # sentinel and are patched to 0 via the mask.
+        starts = soff[:-1]
         empty = np.diff(soff) == 0
         sig_t = np.empty((self.num_perm, n), np.uint64)
+        v = np.empty(len(sh) + 1, np.uint64)
+        v[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)
         for p in range(self.num_perm):
-            v = self.a[p] * sh + self.b[p]
+            np.multiply(self.a[p], sh, out=v[:-1])
+            v[:-1] += self.b[p]
             sig_t[p] = np.minimum.reduceat(v, starts)
         sig = np.ascontiguousarray(sig_t.T)
         if empty.any():
