@@ -207,3 +207,47 @@ def test_excel_export_gated(tmp_path, ray_session):
         with pytest.raises(ImportError, match="openpyxl or xlsxwriter"):
             export(ds, path, fmt="excel")
 
+
+
+def test_seed_candidates_vectorized_matches_scalar(tmp_path, ray_session):
+    """The seed loader's RE2 fast path + per-row fallback must equal
+    per-row canonicalize() over canonical, messy, and invalid seeds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scraping_script_ray.pipelines.crawl import CrawlEngine
+    from web_scraping_script_ray.synthweb import Budget, WebParams, fixture_dir
+    from web_scraping_script_ray.urlnorm import canonicalize, host_of, url_hash64
+
+    urls = [
+        "http://a.example/p/1",                 # fast path
+        "http://a.example/p/1?q=2",             # query -> slow path, identity
+        "HTTP://A.example:80/p/2#frag",         # lowercase + strip
+        "https://b.example/x",                  # https -> slow path
+        "javascript:void(0)",                   # dropped
+        "http://c.example",                     # '' path -> '/'
+        "  http://d.example/ws  ",              # strip()
+        "mailto:x@y",                           # dropped
+    ]
+    seeds = pa.table(
+        {"url": pa.array(urls), "seed_rank": pa.array(range(len(urls)), pa.int64())}
+    )
+    path = str(tmp_path / "seeds.parquet")
+    pq.write_table(seeds, path)
+    web = fixture_dir(WebParams(n_docs=300, n_hosts=5, seed=101))
+    eng = CrawlEngine(web, str(tmp_path / "out"), Budget(max_rounds=1),
+                      seeds_path=path, warmup=False)
+    got = pa.concat_tables(
+        [t for t in __import__("ray").get(eng.seed_candidates().to_arrow_refs())]
+    ).to_pydict()
+    want = []
+    for rank, u in enumerate(urls):
+        cu = canonicalize(u)
+        if cu is None:
+            continue
+        want.append((cu, host_of(cu), url_hash64(cu), rank))
+    assert list(zip(got["url"], got["host"], got["url_hash"],
+                    got["disc_primary"])) == want
+    assert got["depth"] == [0] * len(want)
+    assert got["n_disc"] == [1] * len(want)
+    eng.shutdown()
