@@ -1009,3 +1009,19 @@ def test_gini_hosts_plans_agree(ray_session):
     a = Q.q_gini_hosts(sf).to_pandas().reset_index(drop=True)
     b = Q.q_gini_hosts(sf, force_plan="exchange").to_pandas().reset_index(drop=True)
     assert len(a) == 1 and a.equals(b)
+
+
+def test_unique_key_lookup_join_empty_right(ray_session):
+    """An empty right side must not crash the broadcast plan — it
+    size-selects to the native join and returns zero rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_scraping_script_ray.functions.joins import unique_key_lookup_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+    )
+    out = unique_key_lookup_join(left, right, "k", "k")
+    assert out.count() == 0

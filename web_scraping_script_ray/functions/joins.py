@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..stages.rank import _nrows as _nrows_block  # size-probe task
+
 
 def asof_join(
     left: "ray.data.Dataset",
@@ -915,18 +917,17 @@ def basket_pairs(
     return counted.map_batches(supported, batch_format="pyarrow")
 
 
-@ray.remote(num_cpus=0)
-def _nrows_block(t: pa.Table) -> int:
-    return t.num_rows
-
-
 @ray.remote
 def _concat_sort_by_key(block_refs: list, key: str) -> pa.Table:
     """Concat + sort blocks by a key, off-driver — the broadcast side of
     ``unique_key_lookup_join`` (shared zero-copy from the object store
-    by every probe task)."""
-    t = pa.concat_tables([b for b in ray.get(list(block_refs)) if b.num_rows])
-    return t.sort_by(key)
+    by every probe task).  combine_chunks guarantees single-chunk
+    columns, so each probe task's ``to_numpy`` of the key column is a
+    zero-copy view, not a per-batch copy."""
+    live = [b for b in ray.get(list(block_refs)) if b.num_rows]
+    if not live:
+        return pa.table({})  # callers guard n == 0 before dispatching
+    return pa.concat_tables(live).sort_by(key).combine_chunks()
 
 
 def unique_key_lookup_join(
@@ -952,6 +953,24 @@ def unique_key_lookup_join(
     refs = right.to_arrow_refs()
     n = sum(ray.get([_nrows_block.remote(r) for r in refs]))
     plan = force_plan or ("bcast" if n <= limit else "native")
+    if n == 0:
+        # empty right side: inner join = zero rows.  Neither physical
+        # plan can run (the probe has no key array; the native join
+        # chokes on schema-less empty blocks), so emit an explicit
+        # empty result carrying the joined schema (left + right
+        # non-key columns).
+        rschema = right.schema().base_schema
+
+        def empty_out(b: pa.Table) -> pa.Table:
+            for name in rschema.names:
+                if name == right_on:
+                    continue
+                b = b.append_column(
+                    name, pa.nulls(b.num_rows, rschema.field(name).type)
+                )
+            return b.slice(0, 0)
+
+        return left.map_batches(empty_out, batch_format="pyarrow")
     if plan == "native":
         return left.join(
             rd.from_arrow_refs(refs),

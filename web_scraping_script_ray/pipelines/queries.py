@@ -49,6 +49,7 @@ from ..functions.text import (
     winnow_batch,
 )
 from ..stages.multimodal import ImageDecoder, MediaMaterializer
+from ..stages.rank import _nrows as _nrows_meta  # size-probe: O(#blocks)
 from ..stages.rank import dedup_first_wins
 from .postprocess import apply_ops
 
@@ -8797,18 +8798,6 @@ FROM e LEFT JOIN nb USING (vec_id)
 # Correlated-subquery pattern: rows above their group's average.
 # ---------------------------------------------------------------------------
 
-_AAO_BCAST_LIMIT = 5_000_000
-
-
-@ray.remote
-def _sorted_by_key_task(block_refs: list, key: str) -> pa.Table:
-    """Concat + sort blocks by an int64 key, off-driver: the broadcast
-    side of a size-selected lookup join (shared zero-copy from the
-    object store by every probe task)."""
-    t = pa.concat_tables([b for b in ray.get(list(block_refs)) if b.num_rows])
-    return t.sort_by(key)
-
-
 def q_above_avg_orders(sf_dir: str, force_plan: str | None = None):
     """Orders priced strictly above their customer's average order price
     — the classic correlated subquery (TPC-H Q17's shape), decorrelated
@@ -8816,17 +8805,16 @@ def q_above_avg_orders(sf_dir: str, force_plan: str | None = None):
     cross-multiplication (cents·n > sum) so no float division can smear
     the boundary.
 
-    SIZE-SELECTED join plans (``force_plan`` pins one for tests): the
-    per-customer aggregate is key-unique and usually metadata-scale, so
-    ≤ ``_AAO_BCAST_LIMIT`` distinct customers broadcast it once (sorted
-    table in the object store, searchsorted probe per batch — zero
-    shuffle); a larger aggregate falls back to Ray's native hash join.
-    Forced-path equality in tests/test_new_ops.py."""
+    The per-customer aggregate is key-unique, so the join is the shared
+    size-selected ``unique_key_lookup_join`` (broadcast searchsorted
+    probe ≤5M customers, native hash join above; ``force_plan`` pins one
+    — forced-path equality in tests/test_new_ops.py)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
         lambda b: _cents(b, "o_totalprice", "cents"), batch_format="pyarrow"
     ).select_columns(["o_orderkey", "o_custkey", "cents"])
 
     from ..functions.agg import grouped_sum_count
+    from ..functions.joins import unique_key_lookup_join
 
     stats = grouped_sum_count(
         ds.select_columns(["o_custkey", "cents"]),
@@ -8834,31 +8822,9 @@ def q_above_avg_orders(sf_dir: str, force_plan: str | None = None):
         coarse=32,  # custkey is high-cardinality — per-distinct-key Ray
         # aggregate overhead (~2 s / 3.4k keys) dwarfs 32 coarse tasks
     )
-    stat_refs = stats.to_arrow_refs()
-    n_stats = sum(ray.get([_nrows_meta.remote(r) for r in stat_refs]))
-    plan = force_plan or ("bcast" if n_stats <= _AAO_BCAST_LIMIT else "native")
-    if plan == "bcast":
-        sref = _sorted_by_key_task.remote(stat_refs, "o_custkey")
-
-        def flt_bcast(batch: pa.Table) -> pa.Table:
-            st = ray.get(sref)
-            keys = st.column("o_custkey").to_numpy(zero_copy_only=False)
-            s = st.column("sum_cents").to_numpy(zero_copy_only=False)
-            nn = st.column("n_orders").to_numpy(zero_copy_only=False)
-            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
-            c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
-            # every order's custkey exists in its own aggregate, so the
-            # probe always hits; the filter is the decorrelated predicate
-            keep = (keys[pos] == ck) & (c * nn[pos] > s[pos])
-            return batch.filter(pa.array(keep)).select(
-                ["o_orderkey", "o_custkey", "cents"]
-            )
-
-        return ds.map_batches(flt_bcast, batch_format="pyarrow")
-    joined = ds.join(
-        ray.data.from_arrow_refs(stat_refs),
-        join_type="inner", num_partitions=_join_parts(), on=("o_custkey",),
+    joined = unique_key_lookup_join(
+        ds, stats, "o_custkey", "o_custkey",
+        num_partitions=_join_parts(), force_plan=force_plan,
     )
 
     def flt(batch: pa.Table) -> pa.Table:
@@ -11772,13 +11738,6 @@ def _aa_wedges(g: pa.Table, hub_cap: int) -> pa.Table:
 _AA_SMALL_EDGE_LIMIT = 2_000_000
 
 
-@ray.remote(num_cpus=0)
-def _nrows_meta(t: pa.Table) -> int:
-    """Block row count next to the data (size-selection probe — the
-    blocks never move; the driver sums O(#blocks) ints)."""
-    return t.num_rows
-
-
 @ray.remote
 def _aa_small_task(block_refs: list, hub_cap: int) -> pa.Table:
     """Single-task exact Adamic-Adar for metadata-scale edge lists: the
@@ -14145,26 +14104,32 @@ def q_mutual_info(sf_dir: str):
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        et = np.asarray(batch.column("etype").to_pylist(), dtype=object)
-        hod = batch.column("hod").to_numpy(zero_copy_only=False).astype(np.int64)
-        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-        N = int(n.sum())
+        import math
+
+        et = batch.column("etype").to_pylist()
+        hod = batch.column("hod").to_pylist()
+        n = batch.column("n").to_pylist()
+        N = sum(int(k) for k in n)
         r: dict = {}
         c: dict = {}
         for e, h, k in zip(et, hod, n):
             r[e] = r.get(e, 0) + int(k)
             c[int(h)] = c.get(int(h), 0) + int(k)
-        rv = np.array([r[e] for e in et], np.int64)
-        cv = np.array([c[int(h)] for h in hod], np.int64)
-        term = np.floor((n / N) * np.log((n * N) / (rv * cv)) * 1e6).astype(
-            np.int64
-        )
+        # cell table is metadata-scale (|types|·24 rows) — fold in
+        # Python big ints so k·N and r·c can't wrap, then mirror the
+        # oracle's float shape exactly: double(exact product) /
+        # double(exact product), one ln, one floor per cell
+        mi = 0
+        for e, h, k in zip(et, hod, n):
+            k = int(k)
+            ratio = float(k * N) / float(r[e] * c[int(h)])
+            mi += math.floor((k / N) * math.log(ratio) * 1e6)
         return pa.table(
             {
                 "n_events": pa.array([N], pa.int64()),
                 "n_types": pa.array([len(r)], pa.int64()),
                 "n_hours": pa.array([len(c)], pa.int64()),
-                "mi_micro": pa.array([int(term.sum())], pa.int64()),
+                "mi_micro": pa.array([mi], pa.int64()),
             }
         )
 
@@ -14183,7 +14148,8 @@ SELECT CAST(tot.N AS BIGINT) AS n_events,
        (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_types,
        (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_hours,
        CAST(sum(CAST(floor((CAST(p.n AS DOUBLE) / tot.N)
-                            * ln(CAST(p.n AS DOUBLE) * tot.N / (r.rn * c.cn))
+                            * ln(CAST(p.n * tot.N AS DOUBLE)
+                                 / CAST(r.rn * c.cn AS DOUBLE))
                             * 1000000) AS BIGINT)) AS BIGINT) AS mi_micro
 FROM p JOIN r USING (et) JOIN c USING (hod), tot
 GROUP BY tot.N
@@ -14353,19 +14319,28 @@ def q_spearman_corr(sf_dir: str):
             b.column("rx").to_numpy(zero_copy_only=False).astype(np.int64)
             - b.column("ry").to_numpy(zero_copy_only=False).astype(np.int64)
         )
+        # per-element d² fits int64 up to n ≈ 3·10⁹ rows; the SUM can
+        # wrap int64 well before that (Σd² ≤ (n³−n)/6 ≈ 2^63 at n≈3.8M),
+        # so accumulate the block partial in Python big ints and only
+        # then split into emitted (hi, lo) int64 limbs (base 2^62)
+        d2 = int(np.add.reduce((dx * dx).astype(object))) if len(dx) else 0
         return pa.table(
             {
-                "sum_d2": pa.array([int((dx * dx).sum())], pa.int64()),
+                "d2_hi": pa.array([d2 >> 62], pa.int64()),
+                "d2_lo": pa.array([d2 & ((1 << 62) - 1)], pa.int64()),
                 "n": pa.array([len(dx)], pa.int64()),
             }
         )
 
     def fold(b: pa.Table) -> pa.Table:
-        sum_d2 = int(
-            b.column("sum_d2").to_numpy(zero_copy_only=False).sum()
-        )
+        his = b.column("d2_hi").to_pylist()
+        los = b.column("d2_lo").to_pylist()
+        sum_d2 = sum((int(h) << 62) + int(l) for h, l in zip(his, los))
         n = int(b.column("n").to_numpy(zero_copy_only=False).sum())
         rho_micro = 1_000_000 - (6_000_000 * sum_d2) // (n * n * n - n)
+        # sum_d2 is emitted int64; past ~9.2e18 (n ≈ 3.8M with zero
+        # correlation) pa.array raises loudly — matching the oracle's
+        # CAST(... AS BIGINT), which also errors rather than wraps
         return pa.table(
             {
                 "n": pa.array([n], pa.int64()),
@@ -14443,13 +14418,20 @@ def q_acf_hours(sf_dir: str):
         c = c[order]
         m = len(c)
         S = int(c.sum())
-        z = m * c - S  # exact int64 (m·c ≤ 1e10 at any tested sf)
-        den = int((z * z).sum())
-        lags = np.arange(1, 6, dtype=np.int64)
-        nums = [int((z[k:] * z[:-k]).sum()) if k < m else 0 for k in range(1, 6)]
+        # z ~ S can reach ~1e10+, so z² wraps int64 at multi-billion-
+        # event scale — the series is metadata-sized (one row per
+        # observed hour), so the quadratic terms fold in Python big
+        # ints; the int64 emission below raises loudly if a value ever
+        # exceeds BIGINT (as the oracle's CAST does)
+        z = [m * int(v) - S for v in c]
+        den = sum(v * v for v in z)
+        nums = [
+            sum(z[i] * z[i - k] for i in range(k, m)) if k < m else 0
+            for k in range(1, 6)
+        ]
         return pa.table(
             {
-                "lag": pa.array(lags, pa.int64()),
+                "lag": pa.array(np.arange(1, 6, dtype=np.int64), pa.int64()),
                 "acf_num": pa.array(nums, pa.int64()),
                 "acf_den": pa.array([den] * 5, pa.int64()),
             }
@@ -14472,14 +14454,22 @@ s AS (
 z AS (
   SELECT rn, (SELECT m FROM s) * c - (SELECT S FROM s) AS z FROM r
 ),
-den AS (SELECT CAST(sum(z * z) AS BIGINT) AS d FROM z)
+den AS (
+  SELECT CAST(sum(CAST(z AS HUGEINT) * z) AS BIGINT) AS d FROM z
+),
+pairs AS (
+  SELECT k.lag AS lag,
+         CAST(sum(CAST(a.z AS HUGEINT) * b.z) AS BIGINT) AS num
+  FROM (SELECT unnest(range(1, 6)) AS lag) k
+  JOIN z a ON TRUE
+  JOIN z b ON a.rn = b.rn + k.lag
+  GROUP BY k.lag
+)
 SELECT k.lag AS lag,
-       CAST(coalesce(sum(a.z * b.z), 0) AS BIGINT) AS acf_num,
+       CAST(coalesce(pairs.num, 0) AS BIGINT) AS acf_num,
        (SELECT d FROM den) AS acf_den
 FROM (SELECT unnest(range(1, 6)) AS lag) k
-LEFT JOIN z a ON TRUE
-JOIN z b ON a.rn = b.rn + k.lag
-GROUP BY k.lag
+LEFT JOIN pairs USING (lag)
 ORDER BY k.lag
 """
 
