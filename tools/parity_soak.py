@@ -95,7 +95,83 @@ for i in range(N):
         eng.shutdown()
         shutil.rmtree(out, ignore_errors=True)
 
-print(f"\n{N - len(fails)}/{N} parity OK; failures: {len(fails)}")
+# ---- randomized REFRESH parity: epoch-0 crawl -> conditional-GET
+# recrawl of a mutated epoch-1 web, engine vs sequential refresh oracle
+from dataclasses import replace as _replace
+
+from web_scraping_script_ray.functions.hashing import span_content_hash_py
+from web_scraping_script_ray.pipelines.refresh import refresh_crawl
+
+NR = max(4, N // 4)
+for i in range(NR):
+    p1 = WebParams(
+        n_docs=rng.choice([300, 600, 1200]),
+        n_hosts=rng.choice([5, 15, 40]),
+        seed=rng.randrange(1_000_000),
+        n_buckets=rng.choice([8, 16]),
+        hot_frac=rng.choice([0.1, 0.3]),
+        n_seeds=rng.choice([4, 8]),
+    )
+    p2 = _replace(
+        p1,
+        epoch=1,
+        p_change=rng.choice([0.05, 0.15, 0.4]),
+        p_gone=rng.choice([0.0, 0.05, 0.15]),
+        child_frac=rng.choice([0.0, 0.5, 1.0]),
+    )
+    budget = Budget(max_rounds=rng.choice([3, 5]), max_urls=10**9)
+    t0 = time.time()
+    w1, w2 = fixture_dir(p1), fixture_dir(p2)
+    prior_out = f"/tmp/parity_soak_out/r{i}-prior"
+    out = f"/tmp/parity_soak_out/r{i}"
+    for d in (prior_out, out):
+        shutil.rmtree(d, ignore_errors=True)
+    eng1, _ = run_crawl(w1, prior_out, budget)
+    eng1.shutdown()
+    o1 = run_oracle(w1, budget)
+    eng, info = refresh_crawl(w2, prior_out, out, budget)
+    try:
+        got = (
+            eng.crawled_dataset().to_pandas()
+            .sort_values("crawl_seq").reset_index(drop=True)
+        )
+        seeds = [dict(url=c["url"], seed_rank=c["crawl_seq"]) for c in o1.crawled]
+        etags = {
+            c["url_hash"]: span_content_hash_py(c["spans"])
+            for c in o1.crawled
+            if c["ok"] and c["spans"]
+        }
+        exp = run_oracle(w2, budget, seeds=seeds, etags=etags).crawled_table().to_pandas()
+        ok = len(got) == len(exp) == info["fetched"]
+        detail = "" if ok else f"rows {len(got)} vs {len(exp)}"
+        if ok:
+            for col in exp.columns:
+                if col == "spans":
+                    a = [[(x["kind"], x["text"], x["media_ref"]) for x in s] for s in got[col]]
+                    b = [[(x["kind"], x["text"], x["media_ref"]) for x in s] for s in exp[col]]
+                    same = a == b
+                else:
+                    same = (got[col].values == exp[col].values).all()
+                if not same:
+                    ok = False
+                    detail = f"col {col}"
+                    break
+        status = "OK " if ok else "FAIL"
+        print(
+            f"[R{i:02d}] {status} docs={p1.n_docs} hosts={p1.n_hosts} "
+            f"seed={p1.seed} ch={p2.p_change} go={p2.p_gone} kid={p2.child_frac} "
+            f"fetched={info['fetched']} n304={int(got['not_modified'].sum())} "
+            f"({time.time()-t0:.1f}s) {detail}",
+            flush=True,
+        )
+        if not ok:
+            fails.append((f"refresh-{i}", p1, p2, detail))
+    finally:
+        eng.shutdown()
+        for d in (prior_out, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+print(f"\n{N + NR - len(fails)}/{N + NR} parity OK; failures: {len(fails)}")
 for f in fails:
     print("FAIL:", f)
 ray.shutdown()
