@@ -343,10 +343,7 @@ def minhash_lsh_pairs(
     exploded = signed.map_batches(
         lambda b: _explode_bands(b, id_col), batch_format="pyarrow"
     )
-    # sort-shuffle parallelism follows input block count: a 1-block
-    # documents read would funnel all ~64 band partitions' candidate
-    # generation into 1-2 tasks — split first (same groups, same pairs)
-    pairs = exploded.repartition(32).groupby("band_part").map_groups(
+    pairs = exploded.groupby("band_part").map_groups(
         lambda g: _pairs_from_band_part(g, id_col, threshold),
         batch_format="pyarrow",
     )
