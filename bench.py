@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "mutual_info",
     "reciprocal_links",
     "split_assign",
+    "interarrival_stats",
+    "term_burstiness",
 ]
 
 

@@ -14010,6 +14010,220 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# Term burstiness: collection frequency / document frequency (Church–Gale).
+# ---------------------------------------------------------------------------
+
+
+def q_term_burstiness(sf_dir: str):
+    """Bursty-term profile: top-50 terms with df ≥ 5 ranked by
+    cf·10⁶ // df — mean repeats per CONTAINING document (Church–Gale
+    burstiness: content words clump, function words spread), the
+    term-weighting signal TF-IDF misses.  Plan: per block, cf partials
+    (token counts) and df partials (distinct per-doc terms — docs never
+    span blocks, so block df partials sum exactly), one coarse merge
+    over the vocabulary, ratio + top-k on the metadata-scale table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import flat_tokens
+
+        flat, offsets = flat_tokens(batch.column("text"))
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        parent = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+        )
+        order = np.lexsort((toks, parent))
+        tt, pp = toks[order], parent[order]
+        first = np.ones(len(tt), dtype=bool)
+        first[1:] = (tt[1:] != tt[:-1]) | (pp[1:] != pp[:-1])
+        uniq_t, cf = np.unique(toks, return_counts=True)
+        uniq_d, df = np.unique(tt[first], return_counts=True)
+        assert np.array_equal(uniq_t, uniq_d)
+        return pa.table(
+            {
+                "term": pa.array(uniq_t.tolist(), pa.string()),
+                "cf": pa.array(cf.astype(np.int64), pa.int64()),
+                "df": pa.array(df.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = grouped_sum_count(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["term"], ["cf", "df"], {"cf": "cf", "df": "df"}, coarse=16,
+    )
+
+    def ratio(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("df"), pa.scalar(5, pa.int64())))
+        cf = b.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = b.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "term": b.column("term"),
+                "cf": b.column("cf"),
+                "df": b.column("df"),
+                "ratio_micro": pa.array(cf * 1_000_000 // df, pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(ratio, batch_format="pyarrow")
+        .sort(["ratio_micro", "term"], descending=[True, False])
+        .limit(50)
+    )
+
+
+SQL_TERM_BURSTINESS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+  FROM documents
+),
+s AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS cf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY 1
+)
+SELECT t AS term, cf, df, CAST(cf * 1000000 // df AS BIGINT) AS ratio_micro
+FROM s WHERE df >= 5
+ORDER BY ratio_micro DESC, term LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness per event type (Goh–Barabási B = (σ−μ)/(σ+μ)).
+# ---------------------------------------------------------------------------
+
+
+def q_interarrival_stats(sf_dir: str):
+    """Burstiness of each event type's inter-arrival process: for gaps
+    between consecutive events of the same (user, type),
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B→1 bursty (heavy-tailed waiting
+    times), B→−1 periodic, 0 Poisson — the traffic-model probe behind
+    revisit scheduling.  Gaps are exact epoch-µs integers; per-type
+    partials carry (n, Σg, Σg²) with Σg² in (hi, lo) int64 limbs
+    (a day-long gap squares past int64), and the final σ/μ fold runs
+    ONE float shape shared bit-for-bit with the oracle (the
+    wilson_errors convention).  Plan: user-hash co-partition, per-group
+    lexsorted shifted-mask gaps, metadata-scale merge."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    P = 16
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(u % P, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "t": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "eid": batch.column("event_id").cast(pa.int64()),
+                "etype": batch.column("event_type"),
+            }
+        )
+
+    def gap_partials(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        ety = np.asarray(g.column("etype").to_pylist(), dtype=object)
+        order = np.lexsort((eid, t, ety, u))
+        u_s, t_s, e_s = u[order], t[order], ety[order]
+        same = (u_s[1:] == u_s[:-1]) & (e_s[1:] == e_s[:-1])
+        gaps = (t_s[1:] - t_s[:-1])[same]
+        types = e_s[1:][same]
+        uniq, inv = np.unique(types, return_inverse=True)
+        rows = {"etype": [], "n": [], "s": [], "q_hi": [], "q_lo": []}
+        for i, ty in enumerate(uniq):
+            gi = gaps[inv == i]
+            q = int(np.add.reduce((gi.astype(object)) * gi.astype(object)))
+            rows["etype"].append(str(ty))
+            rows["n"].append(len(gi))
+            rows["s"].append(int(gi.sum()))
+            rows["q_hi"].append(q >> 62)
+            rows["q_lo"].append(q & ((1 << 62) - 1))
+        return pa.table(
+            {
+                "etype": pa.array(rows["etype"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "s": pa.array(rows["s"], pa.int64()),
+                "q_hi": pa.array(rows["q_hi"], pa.int64()),
+                "q_lo": pa.array(rows["q_lo"], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gap_partials, batch_format="pyarrow")
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import math
+
+        agg: dict = {}
+        for e, n, s, hi, lo in zip(
+            b.column("etype").to_pylist(),
+            b.column("n").to_pylist(),
+            b.column("s").to_pylist(),
+            b.column("q_hi").to_pylist(),
+            b.column("q_lo").to_pylist(),
+        ):
+            a = agg.setdefault(e, [0, 0, 0])
+            a[0] += int(n)
+            a[1] += int(s)
+            a[2] += (int(hi) << 62) + int(lo)
+        out = {"event_type": [], "n_gaps": [], "sum_gap_us": [], "burst_micro": []}
+        for e in sorted(agg):
+            n, S, Q = agg[e]
+            if n == 0:
+                continue
+            m = float(S) / n
+            var = max(float(Q) / n - (float(S) / n) * (float(S) / n), 0.0)
+            sd = math.sqrt(var)
+            bm = math.floor((sd - m) / (sd + m) * 1_000_000) if sd + m > 0 else 0
+            out["event_type"].append(e)
+            out["n_gaps"].append(n)
+            out["sum_gap_us"].append(S)
+            out["burst_micro"].append(bm)
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+                "sum_gap_us": pa.array(out["sum_gap_us"], pa.int64()),
+                "burst_micro": pa.array(out["burst_micro"], pa.int64()),
+            }
+        )
+
+    return parts.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_INTERARRIVAL_STATS = """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS S,
+         sum(CAST(g AS HUGEINT) * g) AS Q
+  FROM o WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n AS n_gaps, S AS sum_gap_us,
+       CASE WHEN S = 0 AND Q = 0 THEN 0 ELSE
+       CAST(floor(
+         (sqrt(greatest(CAST(Q AS DOUBLE) / n
+                        - (CAST(S AS DOUBLE) / n) * (CAST(S AS DOUBLE) / n),
+                        0))
+          - CAST(S AS DOUBLE) / n)
+         / (sqrt(greatest(CAST(Q AS DOUBLE) / n
+                          - (CAST(S AS DOUBLE) / n) * (CAST(S AS DOUBLE) / n),
+                          0))
+            + CAST(S AS DOUBLE) / n)
+         * 1000000) AS BIGINT) END AS burst_micro
+FROM s ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split assignment (hash-bucket splitter).
 # ---------------------------------------------------------------------------
 
@@ -14886,6 +15100,10 @@ EXTRA_QUERIES = {
     "acf_hours": q_acf_hours,
     # harmonic centrality from 4 host super-sources (multi-source BFS)
     "harmonic_4src": q_harmonic_4src,
+    # inter-arrival burstiness per event type (Goh–Barabási B index)
+    "interarrival_stats": q_interarrival_stats,
+    # bursty-term profile (Church–Gale cf/df concentration)
+    "term_burstiness": q_term_burstiness,
     # deterministic hash-bucket train/val/test split audit
     "split_assign": q_split_assign,
     # mutual information of the event_type × hour-of-day contingency table
@@ -15091,6 +15309,8 @@ EXTRA_ORACLE_SQL = {
     "spearman_corr": SQL_SPEARMAN_CORR,
     "acf_hours": SQL_ACF_HOURS,
     "harmonic_4src": SQL_HARMONIC_4SRC,
+    "interarrival_stats": SQL_INTERARRIVAL_STATS,
+    "term_burstiness": SQL_TERM_BURSTINESS,
     "split_assign": SQL_SPLIT_ASSIGN,
     "mutual_info": SQL_MUTUAL_INFO,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
