@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "split_assign",
     "interarrival_stats",
     "term_burstiness",
+    "rich_club",
+    "effective_diameter",
 ]
 
 

@@ -14010,6 +14010,196 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# Rich-club coefficient of the web graph (hubs-link-to-hubs density).
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_K = 10
+
+
+def q_rich_club(sf_dir: str, k: int = _RICH_CLUB_K):
+    """Rich-club coefficient at degree k: among nodes with deg > k,
+    φ = 2·E_club·10⁶ // (N_club·(N_club−1)) — do the web's hubs link to
+    each other more densely than chance?  (The topology probe behind
+    hub-seeded crawling.)  Plan: degrees from one coarse grouped count
+    over the adjacency, the club set (metadata-scale by definition —
+    it shrinks as k grows) broadcast via ``ray.put``, and club-internal
+    edges counted map-side over the edge list; one integer fold."""
+    from ..functions.agg import grouped_sum_count
+
+    edges = _web_link_edges(sf_dir).materialize()
+
+    def adj(b: pa.Table) -> pa.Table:
+        z = pa.concat_arrays(
+            [b.column("u").combine_chunks(), b.column("v").combine_chunks()]
+        )
+        t = pa.table({"node": z}).group_by(["node"]).aggregate([([], "count_all")])
+        return t.rename_columns(["node", "__d"])
+
+    degs = grouped_sum_count(
+        edges.map_batches(adj, batch_format="pyarrow"),
+        ["node"], ["__d"], {"__d": "deg"}, coarse=16,
+    )
+
+    def club_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("deg"), pa.scalar(k, pa.int64()))).select(
+            ["node"]
+        )
+
+    club_nodes: set = set()
+    for t in ray.get(
+        degs.map_batches(club_only, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows:
+            club_nodes.update(t.column("node").to_pylist())
+    club_ref = ray.put(club_nodes)
+    n_club = len(club_nodes)
+
+    def club_edges(b: pa.Table) -> pa.Table:
+        club = ray.get(club_ref)
+        u = b.column("u").to_pylist()
+        v = b.column("v").to_pylist()
+        n = sum(1 for a, c in zip(u, v) if a in club and c in club)
+        return pa.table({"e": pa.array([n], pa.int64())})
+
+    ec = edges.map_batches(club_edges, batch_format="pyarrow")
+
+    def fold(b: pa.Table) -> pa.Table:
+        e = int(b.column("e").to_numpy(zero_copy_only=False).sum())
+        nc = n_club
+        phi = 2 * e * 1_000_000 // (nc * (nc - 1)) if nc > 1 else 0
+        return pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n_club": pa.array([nc], pa.int64()),
+                "e_club": pa.array([e], pa.int64()),
+                "phi_micro": pa.array([phi], pa.int64()),
+            }
+        )
+
+    return ec.repartition(1).map_batches(fold, batch_format="pyarrow")
+
+
+SQL_RICH_CLUB = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_INLINK_WEB}')
+),
+raw AS (
+  SELECT lower(split_part(doc_id, '#', 1)) AS src,
+         lower(split_part(s.media_ref, '#', 1)) AS dst
+  FROM sp WHERE s.kind = 'link'
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+adjn AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT node, count(*) AS d FROM adjn GROUP BY 1),
+club AS (SELECT node FROM deg WHERE d > {_RICH_CLUB_K}),
+stats AS (
+  SELECT (SELECT count(*) FROM club) AS nc,
+         (SELECT count(*) FROM e
+          WHERE u IN (SELECT node FROM club)
+            AND v IN (SELECT node FROM club)) AS ec
+)
+SELECT CAST({_RICH_CLUB_K} AS BIGINT) AS k, CAST(nc AS BIGINT) AS n_club,
+       CAST(ec AS BIGINT) AS e_club,
+       CASE WHEN nc > 1
+            THEN CAST(2 * ec * 1000000 // (nc * (nc - 1)) AS BIGINT)
+            ELSE 0 END AS phi_micro
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sampled effective diameter (90th-percentile distance from 4 sources).
+# ---------------------------------------------------------------------------
+
+
+def q_effective_diameter(sf_dir: str):
+    """Sampled effective diameter: the 90th percentile of finite
+    (source-set, node) hop distances over the four host super-sources
+    harmonic_4src uses — the small-world summary (Leskovec's
+    shrinking-diameters metric) at the pinned 0-based floor(q·(n−1))
+    rank rule.  Four multi-source BFS passes merge; only positive
+    distances count (source members excluded); one histogram fold."""
+    from ..functions.graph import bfs_levels
+
+    edges = _web_link_edges(sf_dir).materialize()
+    parts = []
+    for i in range(4):
+        lv = bfs_levels(edges, f"http://h{i:04d}.example")
+        parts.append(
+            lv.map_batches(
+                lambda b: b.filter(
+                    pc.greater(b.column("level"), pa.scalar(0, pa.int64()))
+                ).select(["level"]),
+                batch_format="pyarrow",
+            )
+        )
+    allp = parts[0].union(*parts[1:])
+
+    def hist(b: pa.Table) -> pa.Table:
+        lv = b.column("level").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(lv, return_counts=True)
+        return pa.table(
+            {"level": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        lv = b.column("level").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lv)
+        lv, n = lv[order], n[order]
+        # merge duplicate levels across partial histograms
+        first = np.ones(len(lv), dtype=bool)
+        first[1:] = lv[1:] != lv[:-1]
+        starts = np.flatnonzero(first)
+        lv_u = lv[starts]
+        n_u = np.add.reduceat(n, starts)
+        cum = np.cumsum(n_u)
+        total = int(cum[-1])
+        rank = 90 * (total - 1) // 100 + 1
+        d90 = int(lv_u[np.searchsorted(cum, rank)])
+        return pa.table(
+            {
+                "n_pairs": pa.array([total], pa.int64()),
+                "eff_diameter_90": pa.array([d90], pa.int64()),
+                "max_distance": pa.array([int(lv_u[-1])], pa.int64()),
+            }
+        )
+
+    return (
+        allp.map_batches(hist, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+def _effective_diameter_sql() -> str:
+    blocks = []
+    selects = []
+    for i in range(4):
+        blocks.extend(_bfs_ctes(prefix=f"http://h{i:04d}.example", sfx=f"_{i}"))
+        selects.append(f"SELECT lvl FROM a9_{i} WHERE lvl > 0")
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f",\nd AS ({union}),\n"
+        + "s AS (SELECT lvl, row_number() OVER (ORDER BY lvl) AS rn,\n"
+        + "             count(*) OVER () AS n FROM d)\n"
+        + "SELECT CAST(max(n) AS BIGINT) AS n_pairs,\n"
+        + "       CAST(max(CASE WHEN rn = 90 * (n - 1) // 100 + 1\n"
+        + "                     THEN lvl END) AS BIGINT) AS eff_diameter_90,\n"
+        + "       CAST(max(lvl) AS BIGINT) AS max_distance\n"
+        + "FROM s"
+    )
+
+
+SQL_EFFECTIVE_DIAMETER = _effective_diameter_sql()
+
+
+# ---------------------------------------------------------------------------
 # Term burstiness: collection frequency / document frequency (Church–Gale).
 # ---------------------------------------------------------------------------
 
@@ -15104,6 +15294,10 @@ EXTRA_QUERIES = {
     "interarrival_stats": q_interarrival_stats,
     # bursty-term profile (Church–Gale cf/df concentration)
     "term_burstiness": q_term_burstiness,
+    # rich-club coefficient at deg > 10 (hub interlinking density)
+    "rich_club": q_rich_club,
+    # sampled effective diameter (p90 distance from 4 host super-sources)
+    "effective_diameter": q_effective_diameter,
     # deterministic hash-bucket train/val/test split audit
     "split_assign": q_split_assign,
     # mutual information of the event_type × hour-of-day contingency table
@@ -15311,6 +15505,8 @@ EXTRA_ORACLE_SQL = {
     "harmonic_4src": SQL_HARMONIC_4SRC,
     "interarrival_stats": SQL_INTERARRIVAL_STATS,
     "term_burstiness": SQL_TERM_BURSTINESS,
+    "rich_club": SQL_RICH_CLUB,
+    "effective_diameter": SQL_EFFECTIVE_DIAMETER,
     "split_assign": SQL_SPLIT_ASSIGN,
     "mutual_info": SQL_MUTUAL_INFO,
     "reciprocal_links": SQL_RECIPROCAL_LINKS,
