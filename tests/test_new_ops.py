@@ -1025,3 +1025,14 @@ def test_unique_key_lookup_join_empty_right(ray_session):
     )
     out = unique_key_lookup_join(left, right, "k", "k")
     assert out.count() == 0
+
+
+def test_rich_club_plans_agree(ray_session):
+    """Forced-path equality: broadcast club probe vs the two-pass
+    co-partition semi-join."""
+    import web_scraping_script_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_rich_club(sf, force_plan="bcast").to_pandas().reset_index(drop=True)
+    b = Q.q_rich_club(sf, force_plan="copart").to_pandas().reset_index(drop=True)
+    assert len(a) == 1 and a.equals(b)

@@ -14016,14 +14016,26 @@ FROM h
 _RICH_CLUB_K = 10
 
 
-def q_rich_club(sf_dir: str, k: int = _RICH_CLUB_K):
+_RICH_CLUB_BCAST_LIMIT = 5_000_000
+
+
+def q_rich_club(
+    sf_dir: str, k: int = _RICH_CLUB_K, force_plan: str | None = None
+):
     """Rich-club coefficient at degree k: among nodes with deg > k,
     φ = 2·E_club·10⁶ // (N_club·(N_club−1)) — do the web's hubs link to
     each other more densely than chance?  (The topology probe behind
-    hub-seeded crawling.)  Plan: degrees from one coarse grouped count
-    over the adjacency, the club set (metadata-scale by definition —
-    it shrinks as k grows) broadcast via ``ray.put``, and club-internal
-    edges counted map-side over the edge list; one integer fold."""
+    hub-seeded crawling.)  Degrees come from one coarse grouped count
+    over the adjacency.  SIZE-SELECTED club probe (``force_plan`` pins
+    one): a club ≤ 5M nodes is built in ONE remote task and broadcast
+    (ray.put — the driver holds only a ref); a larger club — at fixed k
+    the club CAN scale with the graph — takes two co-partition
+    semi-joins (edges tagged by crc32(endpoint), club rows shipped to
+    the same partitions, each endpoint tested locally), with only the
+    per-partition counts leaving the tasks.  Forced-path equality in
+    tests/test_new_ops.py."""
+    import zlib
+
     from ..functions.agg import grouped_sum_count
 
     edges = _web_link_edges(sf_dir).materialize()
@@ -14045,23 +14057,92 @@ def q_rich_club(sf_dir: str, k: int = _RICH_CLUB_K):
             ["node"]
         )
 
-    club_nodes: set = set()
-    for t in ray.get(
-        degs.map_batches(club_only, batch_format="pyarrow").to_arrow_refs()
-    ):
-        if t.num_rows:
-            club_nodes.update(t.column("node").to_pylist())
-    club_ref = ray.put(club_nodes)
-    n_club = len(club_nodes)
+    club_ds = degs.map_batches(club_only, batch_format="pyarrow")
+    club_refs = club_ds.to_arrow_refs()
+    n_club = sum(ray.get([_nrows_meta.remote(r) for r in club_refs]))
+    plan = force_plan or (
+        "bcast" if n_club <= _RICH_CLUB_BCAST_LIMIT else "copart"
+    )
 
-    def club_edges(b: pa.Table) -> pa.Table:
-        club = ray.get(club_ref)
-        u = b.column("u").to_pylist()
-        v = b.column("v").to_pylist()
-        n = sum(1 for a, c in zip(u, v) if a in club and c in club)
-        return pa.table({"e": pa.array([n], pa.int64())})
+    if plan == "bcast":
 
-    ec = edges.map_batches(club_edges, batch_format="pyarrow")
+        @ray.remote
+        def _club_set(refs: list) -> set:
+            out: set = set()
+            for t in ray.get(list(refs)):
+                if t.num_rows:
+                    out.update(t.column("node").to_pylist())
+            return out
+
+        club_ref = _club_set.remote(club_refs)
+
+        def club_edges(b: pa.Table) -> pa.Table:
+            club = ray.get(club_ref)
+            u = b.column("u").to_pylist()
+            v = b.column("v").to_pylist()
+            n = sum(1 for a, c in zip(u, v) if a in club and c in club)
+            return pa.table({"e": pa.array([n], pa.int64())})
+
+        ec = edges.map_batches(club_edges, batch_format="pyarrow")
+    else:
+        # co-partition semi-join, one pass per endpoint: partition by
+        # crc32(endpoint) % 16 so every edge meets exactly the club
+        # slice that can certify that endpoint
+        P = 16
+
+        def tag_edges(col):
+            def fn(b: pa.Table) -> pa.Table:
+                vals = b.column(col).to_pylist()
+                part = [zlib.crc32(x.encode()) % P for x in vals]
+                return pa.table(
+                    {
+                        "part": pa.array(part, pa.int64()),
+                        "a": b.column("u"),
+                        "b": b.column("v"),
+                        "probe": b.column(col),
+                        "kind": pa.array(["e"] * b.num_rows, pa.string()),
+                    }
+                )
+
+            return fn
+
+        def tag_club(b: pa.Table) -> pa.Table:
+            vals = b.column("node").to_pylist()
+            part = [zlib.crc32(x.encode()) % P for x in vals]
+            return pa.table(
+                {
+                    "part": pa.array(part, pa.int64()),
+                    "a": b.column("node"),
+                    "b": b.column("node"),
+                    "probe": b.column("node"),
+                    "kind": pa.array(["c"] * b.num_rows, pa.string()),
+                }
+            )
+
+        def semi(g: pa.Table) -> pa.Table:
+            is_c = pc.equal(g.column("kind"), pa.scalar("c"))
+            club = set(g.filter(is_c).column("probe").to_pylist())
+            ed = g.filter(pc.invert(is_c))
+            keep = pa.array([x in club for x in ed.column("probe").to_pylist()])
+            return ed.filter(keep).select(["a", "b"])
+
+        def pass_over(ds, col):
+            return (
+                ds.map_batches(tag_edges(col), batch_format="pyarrow")
+                .union(club_ds.map_batches(tag_club, batch_format="pyarrow"))
+                .groupby("part")
+                .map_groups(semi, batch_format="pyarrow")
+                .map_batches(
+                    lambda b: b.rename_columns(["u", "v"]),
+                    batch_format="pyarrow",
+                )
+            )
+
+        surv = pass_over(pass_over(edges, "u"), "v")
+        ec = surv.map_batches(
+            lambda b: pa.table({"e": pa.array([b.num_rows], pa.int64())}),
+            batch_format="pyarrow",
+        )
 
     def fold(b: pa.Table) -> pa.Table:
         e = int(b.column("e").to_numpy(zero_copy_only=False).sum())
