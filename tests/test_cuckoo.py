@@ -103,3 +103,25 @@ def test_cuckoo_shard_aliased_keys_insert():
     keys = np.unique(keys)
     f.add(keys)  # pre-fix: RuntimeError("cuckoo filter over capacity")
     assert f.contains(keys).all()
+
+
+def test_seen_shard_load_rebuilds_filter_from_exact():
+    """A checkpoint's cuckoo bytes may have been written by a build with
+    a DIFFERENT bucket-index mixer (the splitmix64 _mix fix changed
+    placements mid-project) — load() must not trust the placements.
+    Simulate stale bytes by byte-shuffling a valid dump; probes must
+    stay exact because load() rebuilds the filter from the exact
+    hashes (probe() short-circuits on cuckoo negatives, so a trusted
+    stale table would silently re-report seen URLs as new)."""
+    s = SeenShard(capacity=1_000)
+    keys = np.unique(_keys(20_000, seed=3))
+    s.add(keys)
+    cuckoo, exact = s.dump()
+    stale = np.frombuffer(cuckoo, np.uint16).copy()
+    np.random.default_rng(0).shuffle(stale)  # scramble placements
+    t = SeenShard(capacity=1_000)
+    t.load(stale.tobytes(), exact)
+    assert t.probe(keys).all()  # no false negatives from stale bytes
+    assert not t.probe(_keys(10_000, seed=4)).any()  # still exact
+    # memory-neutral resume: same bucket count as the dumping shard
+    assert t.filter.n_buckets == s.filter.n_buckets

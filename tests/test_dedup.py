@@ -316,3 +316,54 @@ def test_minhash_perperm_matches_perdoc_reference():
         assert np.array_equal(got, want)
 
     check()
+
+
+def test_cdc_dedup_non_ascii_byte_chunks():
+    """CDC boundaries are BYTE offsets — chunk identity and rebuild must
+    slice the utf-8 bytes, not the str (char slicing misaligns the two
+    for non-ASCII text).  Oracle: an independent byte-rule
+    implementation in this test — chunk every doc's bytes at
+    _cdc_bounds, count chunk contents corpus-wide, keep <2-occurrence
+    chunks, concatenate and surrogateescape-decode."""
+    import ray
+
+    from web_scraping_script_ray.functions.dedup import _cdc_bounds, cdc_dedup_text
+
+    rng = np.random.default_rng(11)
+    boiler = "héllo wörld — çafé naïve über straße " * 30
+    alphabet = list("αβγδεζ abcdefμσж")
+    uniq = ["".join(rng.choice(alphabet) for _ in range(700)) for _ in range(3)]
+    rows = [(0, uniq[0] + boiler), (1, boiler + uniq[1]), (2, uniq[2])]
+    mask = 16
+
+    # independent local oracle over bytes
+    from collections import Counter
+
+    chunks_of = {}
+    counts = Counter()
+    for i, t in rows:
+        tb = t.encode("utf-8")
+        b = _cdc_bounds(t, mask)
+        ch = [tb[a:e] for a, e in zip(b[:-1].tolist(), b[1:].tolist())]
+        chunks_of[i] = ch
+        counts.update(ch)
+    expect = {
+        i: b"".join(c for c in ch if counts[c] < 2).decode("utf-8", "surrogateescape")
+        for i, ch in chunks_of.items()
+    }
+    assert expect[0] != rows[0][1]  # the shared boilerplate really deduped
+    # (no full-round-trip claim for doc 2: tiny content-defined chunks
+    # from a small alphabet CAN repeat within one doc and get dropped —
+    # the oracle equality below is the contract)
+    assert len(expect[0]) < len(rows[0][1])  # shared boiler mass removed
+    assert any(c in expect[2] for c in "αβγδεζ")  # non-ASCII survives rebuild
+
+    out = (
+        cdc_dedup_text(
+            ray.data.from_arrow(docs_table(rows)), "doc_id", "text", mask=mask
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+    assert out == expect

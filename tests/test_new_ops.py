@@ -1036,3 +1036,64 @@ def test_rich_club_plans_agree(ray_session):
     a = Q.q_rich_club(sf, force_plan="bcast").to_pandas().reset_index(drop=True)
     b = Q.q_rich_club(sf, force_plan="copart").to_pandas().reset_index(drop=True)
     assert len(a) == 1 and a.equals(b)
+
+
+def test_bloom_or_merge_tree_equals_driver_loop(ray_session):
+    """Forced-path equality (house pattern): the distributed tree reduce
+    + streaming driver fold (bloom_or_merge) must produce the
+    bit-identical bitmap — and key total — of the naive take_all()
+    driver OR loop it replaced (OR is associative/commutative, so any
+    reduction tree is exact; this pins the implementation)."""
+    import ray
+
+    from web_scraping_script_ray.functions.joins import (
+        bloom_bitmap_from_keys,
+        bloom_or_merge,
+    )
+
+    m_bits = 1 << 14
+    rng = np.random.default_rng(7)
+    tables, merged_naive, n_naive = [], np.zeros(m_bits // 64, np.uint64), 0
+    for _ in range(37):
+        keys = rng.integers(0, 1 << 40, size=int(rng.integers(1, 500))).astype(
+            np.int64
+        )
+        bm = bloom_bitmap_from_keys(keys, m_bits, 4)
+        merged_naive |= bm
+        n_naive += len(np.unique(keys))
+        tables.append(
+            pa.table(
+                {
+                    "bm": pa.array([bm.tobytes()], pa.large_binary()),
+                    "n": pa.array([len(np.unique(keys))], pa.int64()),
+                }
+            )
+        )
+    merged, total = bloom_or_merge(
+        ray.data.from_arrow(tables), m_bits, fanin=8, count_col="n"
+    )
+    assert np.array_equal(merged, merged_naive)
+    assert total == n_naive
+    merged2, none_total = bloom_or_merge(ray.data.from_arrow(tables), m_bits, fanin=8)
+    assert np.array_equal(merged2, merged_naive)
+    assert none_total is None
+
+
+def test_rich_club_empty_graph_matches_oracle_shape(ray_session, monkeypatch):
+    """Edge case outside the tested corpora: an EMPTY link graph must
+    still return the single (k, 0, 0, 0) row the SQL oracle's
+    scalar-subquery plan yields (ec.repartition(1) over zero rows would
+    otherwise emit zero rows)."""
+    import ray
+
+    import web_scraping_script_ray.pipelines.queries as Q
+
+    empty = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
+    )
+    monkeypatch.setattr(Q, "_web_link_edges", lambda sf: empty)
+    df = Q.q_rich_club("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["k"] == Q._RICH_CLUB_K
+    assert row["n_club"] == 0 and row["e_club"] == 0 and row["phi_micro"] == 0

@@ -218,6 +218,7 @@ def _cached_minhasher(**kwargs) -> "MinHasher":
 
 
 _N_BAND_PARTS = 64  # coarse hash partitions for the LSH-bucket groupby
+_BLOOM_MAX_BITS = 1 << 27  # 16 MiB bitmap cap for the verify pre-filter
 
 
 def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
@@ -412,8 +413,10 @@ def lsh_verify_pairs(
     doc-side exchange is CANDIDATE-scale, not corpus-scale:
 
       0. *bloom*: a ``bloom_m_bits`` bitmap over candidate ids is built
-         from per-block fixed-size partials (OR-merged on the driver —
-         O(blocks) × m/8 bytes regardless of rows; tree-reduce at 100 TB)
+         from per-block fixed-size partials, merged by a distributed
+         tree reduce + streaming driver fold (``bloom_or_merge`` — the
+         driver never holds the O(blocks) partials at once), re-sized
+         from the candidate key count when the default m would saturate,
          and broadcast once via ``ray.put``; non-candidate docs are
          dropped MAP-SIDE before shingling, so only candidates (+ the
          bloom's false positives, removed by the exact demand filter in
@@ -459,23 +462,60 @@ def lsh_verify_pairs(
             ),
         )
 
-    from .joins import bloom_bitmap_from_keys, bloom_test_keys
+    from .joins import bloom_bitmap_from_keys, bloom_or_merge, bloom_test_keys
 
-    def cand_bloom_partial(batch: pa.Table) -> pa.Table:
-        keys = np.concatenate(
-            [
-                batch.column("id_a").to_numpy(zero_copy_only=False),
-                batch.column("id_b").to_numpy(zero_copy_only=False),
-            ]
-        ).astype(np.int64)
-        bm = bloom_bitmap_from_keys(keys, bloom_m_bits, bloom_k)
-        return pa.Table.from_arrays(
-            [pa.array([bm.tobytes()], pa.large_binary())], names=["bm"]
+    def cand_bloom_partial(m_bits: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = np.concatenate(
+                [
+                    batch.column("id_a").to_numpy(zero_copy_only=False),
+                    batch.column("id_b").to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+            bm = bloom_bitmap_from_keys(keys, m_bits, bloom_k)
+            return pa.Table.from_arrays(
+                [
+                    pa.array([bm.tobytes()], pa.large_binary()),
+                    pa.array([len(np.unique(keys))], pa.int64()),
+                ],
+                names=["bm", "n"],
+            )
+
+        return fn
+
+    # per-block partials carry a distinct-id count so the bitmap can be
+    # re-sized to the candidate load: a fixed m saturates toward
+    # all-ones past ~m/10 keys, quietly degrading the doc-side exchange
+    # back to corpus scale (perf only — the exact demand filter in step
+    # 1 preserves correctness).  Merge is a distributed tree reduce +
+    # streaming driver fold (bloom_or_merge), never an at-once
+    # take_all of the O(blocks) partials.
+    bloom, n_keys = bloom_or_merge(
+        cand.map_batches(cand_bloom_partial(bloom_m_bits), batch_format="pyarrow"),
+        bloom_m_bits,
+        count_col="n",
+    )
+    if n_keys is not None and n_keys > bloom_m_bits // 10:
+        target = min(
+            _BLOOM_MAX_BITS, 1 << int(np.ceil(np.log2(max(64, 10 * n_keys))))
         )
+        if target > bloom_m_bits:
+            bloom_m_bits = target
+            bloom, n_keys = bloom_or_merge(
+                cand.map_batches(
+                    cand_bloom_partial(bloom_m_bits), batch_format="pyarrow"
+                ),
+                bloom_m_bits,
+                count_col="n",
+            )
+        if n_keys > bloom_m_bits // 10:
+            import logging
 
-    bloom = np.zeros(bloom_m_bits // 64, dtype=np.uint64)
-    for row in cand.map_batches(cand_bloom_partial, batch_format="pyarrow").take_all():
-        bloom |= np.frombuffer(row["bm"], dtype=np.uint64)
+            logging.getLogger(__name__).warning(
+                "lsh_verify_pairs: bloom load %d keys > m/10 (m=%d, cap %d) — "
+                "FP rate degraded; doc-side exchange may exceed candidate scale",
+                n_keys, bloom_m_bits, _BLOOM_MAX_BITS,
+            )
     bloom_ref = ray.put(bloom)
 
     def doc_sets(batch: pa.Table) -> pa.Table:
@@ -626,10 +666,16 @@ def _cdc_bounds(text: str, mask: int = 64, k: int = 8) -> np.ndarray:
     """Content-defined chunk boundaries of ``text``: cut AFTER the 8-byte
     rolling-hash window wherever ``hv % mask == 0`` (the LBFS/Rabin CDC
     rule — an insertion only re-chunks its own neighborhood).  Returns
-    sorted unique byte offsets including 0 and len."""
+    sorted unique BYTE offsets including 0 and len.  Each interior cut is
+    snapped BACK to the nearest UTF-8 codepoint start (a no-op for ASCII,
+    preserving the SQL-oracle parity) so that byte-sliced chunks always
+    concatenate to valid text — a text-dedup rebuild must produce a
+    storable Arrow string, and the snap is as content-local as the cut
+    itself, so shift-resilience is unchanged."""
     from .text import _rolling_hashes
 
-    data = np.frombuffer(text.encode("utf-8"), np.uint8)
+    raw = text.encode("utf-8")
+    data = np.frombuffer(raw, np.uint8)
     n = len(data)
     if n == 0:
         return np.array([0], np.int64)
@@ -639,6 +685,12 @@ def _cdc_bounds(text: str, mask: int = 64, k: int = 8) -> np.ndarray:
         if len(hv)
         else np.zeros(0, np.int64)
     )
+    if len(cuts) and len(raw) != len(text):  # non-ASCII present
+        is_start = (data & np.uint8(0xC0)) != np.uint8(0x80)
+        last_start = np.maximum.accumulate(
+            np.where(is_start, np.arange(n, dtype=np.int64), 0)
+        )
+        cuts = last_start[np.minimum(cuts, n - 1)]
     return np.unique(np.concatenate([[0], cuts, [n]]))
 
 
@@ -680,8 +732,12 @@ def cdc_dedup_text(
         out_ch: list[int] = []
         for i, t in zip(ids, texts):
             b = _cdc_bounds(t, mask)
+            # _cdc_bounds offsets are BYTE offsets — slice the encoded
+            # bytes, not the str, so chunk identity matches the Rabin
+            # byte-chunk contract for non-ASCII text too
+            tb = t.encode("utf-8")
             for ix, (a, e) in enumerate(zip(b[:-1].tolist(), b[1:].tolist())):
-                ch = int.from_bytes(md5(t[a:e].encode("utf-8")).digest()[:8], "big") >> 4
+                ch = int.from_bytes(md5(tb[a:e]).digest()[:8], "big") >> 4
                 out_p.append(ch % n_parts)
                 out_id.append(i)
                 out_ix.append(ix)
@@ -755,12 +811,16 @@ def cdc_dedup_text(
                 out.append(t)
                 continue
             b = _cdc_bounds(t, mask)
+            # byte-offset slicing to match chunk_hash_rows' chunk
+            # identity; bounds are codepoint-snapped, so the kept-chunk
+            # concatenation is always valid UTF-8 (strict decode)
+            tb = t.encode("utf-8")
             out.append(
-                "".join(
-                    t[a:e]
+                b"".join(
+                    tb[a:e]
                     for ix, (a, e) in enumerate(zip(b[:-1].tolist(), b[1:].tolist()))
                     if ix not in dd
-                )
+                ).decode("utf-8")
             )
         keep_cols = [c for c in rows.column_names if c not in ("__part", "__rid", "__idx", "__kind")]
         cleaned = rows.select(keep_cols)

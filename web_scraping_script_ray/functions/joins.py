@@ -323,6 +323,64 @@ def bloom_test_keys(keys: np.ndarray, bm: np.ndarray, k: int) -> np.ndarray:
     return ok
 
 
+def bloom_or_merge(
+    partials: "ray.data.Dataset",
+    m_bits: int,
+    fanin: int = 64,
+    count_col: str | None = None,
+) -> tuple[np.ndarray, int | None]:
+    """Associative OR-merge of per-block bloom-bitmap partials WITHOUT
+    materializing the O(blocks) partial set on the driver at once.
+
+    Two-level tree reduce: a ``map_batches`` pass ORs up to ``fanin``
+    partial rows per task (distributed, exchange-free), then the driver
+    STREAMS the O(blocks/fanin) reduced rows one batch at a time via
+    ``iter_batches`` and folds them into the final bitmap.  Driver peak
+    is O(fanin · m/8) bytes inside one task and O(batch · m/8) on the
+    driver, regardless of input block count — at 10^6 blocks × 1 MiB
+    partials that's ~64 MiB streaming vs ~1 TB at-once for the old
+    ``take_all()`` loop.  Bitwise OR is associative and commutative, so
+    any reduction tree is exact; equality with the naive driver loop is
+    pinned by a forced-path pytest (tests/test_dedup.py).
+
+    ``partials`` must have a ``bm`` large_binary column (one fixed-size
+    bitmap per row) and, if ``count_col`` is given, an int64 column of
+    per-row key counts whose total is summed through the same tree and
+    returned (for FP-rate sizing) — returns ``(merged_bitmap, total)``,
+    ``total`` None when no ``count_col``."""
+    words = m_bits // 64
+    cols = ["bm"] + ([count_col] if count_col else [])
+
+    def or_batch(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for buf in batch.column("bm"):
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        arrs = [pa.array([acc.tobytes()], pa.large_binary())]
+        if count_col:
+            n = int(
+                batch.column(count_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .sum()
+            )
+            arrs.append(pa.array([n], pa.int64()))
+        return pa.Table.from_arrays(arrs, names=cols)
+
+    reduced = partials.select_columns(cols).map_batches(
+        or_batch, batch_format="pyarrow", batch_size=fanin
+    )
+    merged = np.zeros(words, dtype=np.uint64)
+    total = 0 if count_col else None
+    for batch in reduced.iter_batches(batch_format="pyarrow", batch_size=8):
+        for buf in batch["bm"]:
+            merged |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        if count_col:
+            total += int(
+                batch[count_col].to_numpy(zero_copy_only=False).sum()
+            )
+    return merged, total
+
+
 def bloom_semi_join(
     fact: "ray.data.Dataset",
     fact_key: str,
@@ -338,9 +396,11 @@ def bloom_semi_join(
     Physical plan:
       1. dim → map_batches: per-block packed bloom bitmap (one m/8-byte
          binary row per block; duplicate keys cost nothing).
-      2. OR-merge the O(n_blocks) bitmaps (driver reduce over fixed-size
-         partials — at 100 TB make it a Ray tree-reduce, the operand is
-         associative and each partial is m/8 bytes regardless of rows).
+      2. OR-merge the O(n_blocks) bitmaps through ``bloom_or_merge`` —
+         a distributed tree reduce (fanin-64 map_batches pass) whose
+         O(blocks/64) outputs the driver folds STREAMING via
+         ``iter_batches``; the driver never holds the partial set
+         at once.
       3. ``ray.put`` the merged bitmap once; fact → map_batches probes all
          k bits vectorized and drops non-members BEFORE any exchange.
       4. Survivors (true matches + bloom false positives, expected FP rate
@@ -358,10 +418,8 @@ def bloom_semi_join(
             [pa.array([bm.tobytes()], pa.large_binary())], names=["bm"]
         )
 
-    partials = dim.map_batches(dim_partial, batch_format="pyarrow").take_all()
-    merged = np.zeros(m_bits // 64, dtype=np.uint64)
-    for row in partials:
-        merged |= np.frombuffer(row["bm"], dtype=np.uint64)
+    partials = dim.map_batches(dim_partial, batch_format="pyarrow")
+    merged, _ = bloom_or_merge(partials, m_bits)
     bm_ref = ray.put(merged)
 
     def prefilter(batch: pa.Table) -> pa.Table:

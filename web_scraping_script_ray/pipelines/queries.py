@@ -1851,10 +1851,12 @@ def q_cdc_chunks(sf_dir: str):
                 else np.zeros(0, np.int64)
             )
             bounds = np.unique(np.concatenate([[0], cuts, [n]]))
+            # bounds are BYTE offsets — hash the byte slice (data is the
+            # utf-8 buffer), so chunk identity holds for non-ASCII text
             for a, b in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
                 out_doc.append(i)
                 out_ch.append(
-                    int.from_bytes(md5(t[a:b].encode("utf-8")).digest()[:8], "big")
+                    int.from_bytes(md5(data[a:b].tobytes()).digest()[:8], "big")
                     >> 4
                 )
                 out_nb.append(b - a)
@@ -2456,6 +2458,19 @@ def q_neardup_keep_best(sf_dir: str):
         ids = labs.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         canon = labs.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
         sc = score.to_numpy(zero_copy_only=False).astype(np.int64)
+        # the (score, ¬id) pack needs sc·2³³ + id to fit int64 — raise
+        # loudly on overflow (the DuckDB oracle errors on the same
+        # inputs; silent numpy wraparound would elect a wrong winner)
+        if len(sc) and (
+            int(sc.max(initial=0)) >= (1 << 30)
+            or int(ids.max(initial=0)) >= int(PK)
+            or int(sc.min(initial=0)) < 0
+            or int(ids.min(initial=0)) < 0
+        ):
+            raise OverflowError(
+                "neardup_keep_best: score/id out of packable range "
+                "(need 0 <= score < 2^30 and 0 <= doc_id < 2^33)"
+            )
         packed = sc * PK + (PK - 1 - ids)
         return pa.table(
             {
@@ -14039,6 +14054,20 @@ def q_rich_club(
     from ..functions.agg import grouped_sum_count
 
     edges = _web_link_edges(sf_dir).materialize()
+    if edges.count() == 0:
+        # empty graph: ec.repartition(1) over zero rows emits zero rows,
+        # but the SQL oracle's scalar-subquery plan still yields one
+        # (k, 0, 0, 0) row — short-circuit to match it
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([k], pa.int64()),
+                    "n_club": pa.array([0], pa.int64()),
+                    "e_club": pa.array([0], pa.int64()),
+                    "phi_micro": pa.array([0], pa.int64()),
+                }
+            )
+        )
 
     def adj(b: pa.Table) -> pa.Table:
         z = pa.concat_arrays(

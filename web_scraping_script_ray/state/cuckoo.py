@@ -280,10 +280,30 @@ class SeenShard:
         return self.filter.serialize(), self.sorted.copy()
 
     def load(self, cuckoo_bytes: bytes, exact: np.ndarray) -> None:
-        self.filter = CuckooFilter.deserialize(cuckoo_bytes)
-        self.sorted = np.sort(np.asarray(exact, dtype=np.uint64))
+        """Restore from a checkpoint.  The cuckoo filter is REBUILT from
+        the exact hashes rather than deserialized: the filter is
+        derivable state (``_maybe_grow`` already rebuilds it from
+        ``sorted``), and trusting checkpoint bytes would silently restore
+        stale bucket placements whenever the bucket-index mixing scheme
+        changes between writer and reader builds — ``probe()``
+        short-circuits on cuckoo negatives without consulting the exact
+        store, so stale placements make a resumed crawl re-fetch seen
+        URLs.  ``cuckoo_bytes`` is kept in the checkpoint format and used
+        only as a CAPACITY hint (restore at least the checkpointed size,
+        so a resumed shard doesn't immediately re-grow)."""
+        self.sorted = np.unique(np.asarray(exact, dtype=np.uint64))
         self.pending = []
         self.pending_n = 0
+        old_slots = (len(cuckoo_bytes) // (2 * _BUCKET_SLOTS)) * _BUCKET_SLOTS
+        # 0.8×slots maps back to the SAME n_buckets through the ctor's
+        # /0.84 headroom (so a resume is memory-neutral, not a doubling);
+        # the len(sorted) floor only binds if the bytes are truncated —
+        # the checkpointed filter held exactly these keys at ≤0.8 load
+        cap = max(1024, int(old_slots * 0.8), len(self.sorted))
+        f = CuckooFilter(cap)
+        if len(self.sorted):
+            f.add(self.sorted)
+        self.filter = f
 
 
 class ShardedSeen:
