@@ -118,14 +118,25 @@ def test_media_pipeline_stages():
     assert feats.sort_values("doc_id").content_hash.tolist() == again.sort_values("doc_id").content_hash.tolist()
 
 
-def test_real_decoder_requires_codec():
+def test_real_decoder_non_png_needs_full_codec():
+    """Without PIL, the vendored PNG codec covers PNG payloads only —
+    a non-PNG payload on the real path must raise the actionable
+    NotImplementedError per payload (the seam contract)."""
     from web_scraping_script_ray.stages.multimodal import _HAVE_PIL
 
     if _HAVE_PIL:
-        pytest.skip("PIL present — real path active, covered by "
-                    "test_real_pil_paths_when_available")
+        pytest.skip("PIL present — it decodes non-PNG payloads too")
+    dec = ImageDecoder(fake=False)  # always constructible now
+    batch = pa.table(
+        {
+            "doc_id": ["d0"],
+            "media_ref": ["m0"],
+            "media_type": ["images"],
+            "payload": [b"\xff\xd8\xff JPEG-ish bytes, not a PNG"],
+        }
+    )
     with pytest.raises(NotImplementedError):
-        ImageDecoder(fake=False)
+        dec(batch)
 
 
 def test_filter_accepts_reference_condition_key():
@@ -405,8 +416,9 @@ def test_image_resizer_stage(ray_session):
     nu = ImageResizer(no_upscale=True)
     ow, oh = nu.fit_dims(np.array([10]), np.array([5]))
     assert (ow.tolist(), oh.tolist()) == ([10], [5])
-    with pytest.raises(NotImplementedError):
-        ImageResizer(fake=False)
+    # fake=False is always constructible now (png_mini backstop); the
+    # real path is exercised by test_real_codec_paths_always_run
+    ImageResizer(fake=False)
 
 
 def test_export_shards_seeded_shuffle_byte_deterministic(tmp_path, ray_session):
@@ -571,27 +583,34 @@ def test_apply_ops_text_pipeline_extensions(ray_session):
     assert sorted(out.columns) == ["seq", "text"]
 
 
-def test_real_pil_paths_when_available():
-    """When PIL imports, fake=False runs the REAL decode/resize kernels
-    (auto-detect seam); skipped in containers without PIL, where
-    test_real_decoder_requires_codec pins the actionable raise instead."""
-    import pytest
+def test_real_codec_paths_always_run():
+    """fake=False runs the REAL decode/resize kernels in EVERY
+    environment: PIL when importable, else the vendored pure-stdlib PNG
+    codec — this test never skips.  Geometry (source dims, fit box,
+    re-decoded output size) is asserted either way."""
+    import numpy as np
 
     from web_scraping_script_ray.stages.multimodal import (
         _HAVE_PIL,
         ImageDecoder,
         ImageResizer,
     )
+    from web_scraping_script_ray.stages.png_mini import decode_png
 
-    if not _HAVE_PIL:
-        pytest.skip("PIL not in this container — seam stays on the fake path")
-    import io
+    if _HAVE_PIL:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    buf = io.BytesIO()
-    Image.new("RGB", (64, 32), (255, 0, 0)).save(buf, format="PNG")
-    payload = buf.getvalue()
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 32), (255, 0, 0)).save(buf, format="PNG")
+        payload = buf.getvalue()
+    else:
+        from web_scraping_script_ray.stages.png_mini import encode_png
+
+        red = np.zeros((32, 64, 3), np.uint8)
+        red[..., 0] = 255
+        payload = encode_png(red)
     batch = pa.table(
         {
             "doc_id": ["d0"],
@@ -604,7 +623,7 @@ def test_real_pil_paths_when_available():
     out = dec(batch)
     assert out.column("width")[0].as_py() == 64
     assert out.column("height")[0].as_py() == 32
-    feats = out.column("features")[0].as_py()
+    feats = out.column("feat")[0].as_py()
     assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
 
     rs = ImageResizer(target_w=16, target_h=16, fake=False)
@@ -621,5 +640,102 @@ def test_real_pil_paths_when_available():
     rout = rs(rbatch)
     assert rout.column("out_width")[0].as_py() == 16
     assert rout.column("out_height")[0].as_py() == 8
-    resized = Image.open(io.BytesIO(rout.column("resized")[0].as_py()))
-    assert resized.size == (16, 8)
+    # re-decode with the always-available codec: geometry + pure red
+    arr = decode_png(rout.column("resized")[0].as_py())
+    assert arr.shape == (8, 16, 3)
+    assert (arr[..., 0] == 255).all() and (arr[..., 1:] == 0).all()
+
+
+def test_png_mini_roundtrip_all_color_types():
+    """encode→decode is pixel-exact for gray / RGB / RGBA uint8."""
+    import numpy as np
+
+    from web_scraping_script_ray.stages.png_mini import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in ((13, 7), (9, 16, 3), (5, 11, 4)):
+        arr = rng.integers(0, 256, size=shape).astype(np.uint8)
+        out = decode_png(encode_png(arr))
+        assert out.shape == arr.shape and (out == arr).all()
+    with pytest.raises(NotImplementedError):
+        decode_png(b"GIF89a not a png")
+
+
+def test_png_mini_decodes_every_scanline_filter():
+    """Cross-check against an INDEPENDENT forward-filter implementation
+    of the PNG spec written in this test: filter a known RGB image with
+    each of the five scanline filters (one per row), assemble the IDAT
+    by hand, and require decode_png to reconstruct the original pixels
+    — this is what lets png_mini read PNGs from other encoders (PIL
+    defaults to Paeth-heavy adaptive filtering)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from web_scraping_script_ray.stages.png_mini import decode_png
+
+    rng = np.random.default_rng(9)
+    h, w, bpp = 5, 6, 3
+    img = rng.integers(0, 256, size=(h, w, bpp)).astype(np.int64)
+    flat = img.reshape(h, w * bpp)
+    stride = w * bpp
+
+    def fwd(y, f):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int64)
+        out = np.empty(stride, np.int64)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            out[x] = (cur[x] - pred) & 0xFF
+        return out
+
+    raw = b"".join(
+        bytes([f]) + fwd(y, f).astype(np.uint8).tobytes()
+        for y, f in enumerate([0, 1, 2, 3, 4])
+    )
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert (out == img.astype(np.uint8)).all()
+
+
+def test_png_mini_resize_nearest_geometry():
+    import numpy as np
+
+    from web_scraping_script_ray.stages.png_mini import resize_nearest
+
+    arr = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    same = resize_nearest(arr, 4, 6)
+    assert (same == arr).all()  # identity at same size
+    small = resize_nearest(arr, 2, 3)
+    assert small.shape == (3, 2, 3)
+    big = resize_nearest(arr, 8, 12)
+    assert big.shape == (12, 8, 3)

@@ -463,9 +463,7 @@ def _shard_clock_carry(pol_shard, rules, n_blocks: int, max_per_host: int, *slic
     # searchsorted each (hosts within one value-counts slice are unique,
     # so the running-base update is a plain fancy-index add)
     clock_arr = np.asarray(clock_vals, np.float64)
-    delay_arr = np.fromiter(
-        (rules.delay(h) for h in all_hosts), np.float64, len(all_hosts)
-    )
+    delay_arr = rules.delays_vec(uhosts)
     # per-host remaining page-cap quota (-1 = uncapped); the assignment
     # task keeps rows with base + local_rank < quota, a per-host prefix
     quota_arr = (

@@ -6,14 +6,17 @@ via PIL (reference: src/media_downloader.py:195-200).  Here media live in
 tables: a ``binary`` payload column plus typed metadata, processed by
 actor-pool ``map_batches`` stages.
 
-The codec seam AUTO-DETECTS PIL: when it imports, ``fake=False`` runs a
-real decode/resize (``_decode_real`` / ``_resize_real`` are working PIL
-kernels, exercised by a skipif-gated pytest); with PIL absent (this
-container), ``fake=False`` raises ``NotImplementedError`` at construction
-and ``fake=True`` — the default, which oracle runs keep — substitutes a
+The codec seam AUTO-DETECTS the best available codec: with PIL
+importable, ``fake=False`` runs full PIL decode/resize; without it, the
+vendored pure-stdlib PNG codec (``png_mini`` — zlib + numpy, always
+available) handles PNG payloads, so the REAL ``_decode_real`` /
+``_resize_real`` kernels run in every environment (no perpetually
+skipped test).  Non-PNG payloads without PIL raise
+``NotImplementedError`` per payload with an actionable message.
+``fake=True`` — the default, which oracle runs keep — substitutes a
 deterministic fake decoder (hash-derived dimensions / samples).
 Everything around the seam — schemas, actor signature, batch sizing,
-output layout — is identical on both paths.  Audio/video codecs
+output layout — is identical on all paths.  Audio/video codecs
 (ffmpeg-class) have no in-container candidate, so those stay fake-only.
 
 Batch-size guidance: payloads are large; size ``batch_size`` so
@@ -266,24 +269,32 @@ class ImageDecoder:
     def __init__(self, fake: bool = True, feat_dim: int = 8):
         self.fake = fake
         self.feat_dim = feat_dim
-        if not fake and not _HAVE_PIL:
-            raise NotImplementedError(
-                "real image decode needs PIL, which is not in this container; "
-                "construct ImageDecoder(fake=True) for the deterministic stub"
-            )
 
     def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        """Real PIL decode (auto-activated when PIL imports — the
-        constructor only rejects ``fake=False`` when it doesn't):
+        """Real decode — PIL when importable, else the vendored
+        pure-stdlib PNG codec (PNG payloads only; both grayscale with
+        the same ITU-R 601-2 luma, so features match on shared pixels):
         dimensions from the codec, features = per-band luminance means
         over ``feat_dim`` vertical strips, in [0, 1] like the fake path."""
-        import io
+        if _HAVE_PIL:
+            import io
 
-        from PIL import Image
+            from PIL import Image
 
-        with Image.open(io.BytesIO(payload)) as img:
-            w, h = img.size
-            gray = np.asarray(img.convert("L"), dtype=np.float32) / np.float32(255.0)
+            with Image.open(io.BytesIO(payload)) as img:
+                w, h = img.size
+                gray = (
+                    np.asarray(img.convert("L"), dtype=np.float32)
+                    / np.float32(255.0)
+                )
+        else:
+            from .png_mini import decode_png, luminance
+
+            arr = decode_png(payload)  # NotImplementedError for non-PNG
+            h, w = arr.shape[:2]
+            gray = luminance(arr[..., :3] if arr.ndim == 3 else arr).astype(
+                np.float32
+            ) / np.float32(255.0)
         bands = np.array_split(gray, self.feat_dim, axis=1)
         feat = np.array(
             [float(b.mean()) if b.size else 0.0 for b in bands], np.float32
@@ -367,11 +378,6 @@ class ImageResizer:
         self.target_w, self.target_h = int(target_w), int(target_h)
         self.no_upscale = no_upscale
         self.fake = fake
-        if not fake and not _HAVE_PIL:
-            raise NotImplementedError(
-                "real image resize needs PIL, which is not in this container; "
-                "construct ImageResizer(fake=True) for the deterministic stub"
-            )
 
     def fit_dims(self, w: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized aspect-preserving fit; returns (out_w, out_h) int32."""
@@ -385,17 +391,27 @@ class ImageResizer:
         return ow, oh
 
     def _resize_real(self, payload: bytes, ow: int, oh: int) -> bytes:
-        """Real PIL resample (auto-activated when PIL imports): bilinear
-        resize to the precomputed fit box, re-encoded as PNG bytes."""
-        import io
+        """Real resample to the precomputed fit box, re-encoded as PNG
+        bytes — PIL bilinear when importable, else the vendored PNG
+        codec + nearest-neighbor gather (PNG payloads only)."""
+        if _HAVE_PIL:
+            import io
 
-        from PIL import Image
+            from PIL import Image
 
-        with Image.open(io.BytesIO(payload)) as img:
-            out = img.convert("RGB").resize((int(ow), int(oh)), Image.BILINEAR)
-        buf = io.BytesIO()
-        out.save(buf, format="PNG")
-        return buf.getvalue()
+            with Image.open(io.BytesIO(payload)) as img:
+                out = img.convert("RGB").resize(
+                    (int(ow), int(oh)), Image.BILINEAR
+                )
+            buf = io.BytesIO()
+            out.save(buf, format="PNG")
+            return buf.getvalue()
+        from .png_mini import decode_png, encode_png, resize_nearest
+
+        arr = decode_png(payload)  # NotImplementedError for non-PNG
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)  # convert("RGB") parity
+        return encode_png(resize_nearest(arr[..., :3], int(ow), int(oh)))
 
     def _resize_fake(self, content_hash: str, ow: int, oh: int) -> bytes:
         n = max(16, (int(ow) * int(oh)) // 64)

@@ -186,9 +186,33 @@ class RobotsRules:
             self.disallow[row["host"]] = tuple(row["disallow"] or ())
             self.delays[row["host"]] = float(row["crawl_delay"])
         self.default_delay = float(default_delay)
+        # sorted parallel arrays for the vectorized lookup (built once,
+        # shipped with the ray.put broadcast); fixed-width unicode dtype
+        # so searchsorted compares in C, not per-host Python
+        keys = sorted(self.delays)
+        self._delay_keys = np.asarray(keys, dtype="U")
+        self._delay_vals = np.fromiter(
+            (self.delays[k] for k in keys), np.float64, len(keys)
+        )
 
     def delay(self, host: str) -> float:
         return self.delays.get(host, self.default_delay)
+
+    def delays_vec(self, hosts: np.ndarray) -> np.ndarray:
+        """Vectorized ``delay`` over a host array: ONE ``searchsorted``
+        against the sorted rule table instead of a per-host dict get —
+        removes the last per-unique-host Python loop from the
+        schedule-carry hot path (``_shard_clock_carry``)."""
+        out = np.full(len(hosts), self.default_delay, np.float64)
+        keys = self._delay_keys
+        if not len(keys) or not len(hosts):
+            return out
+        h = np.asarray(hosts, dtype="U")
+        pos = np.searchsorted(keys, h)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == h
+        out[hit] = self._delay_vals[pos_c[hit]]
+        return out
 
     def allowed_mask(self, hosts: np.ndarray, paths: np.ndarray) -> np.ndarray:
         out = np.ones(len(hosts), dtype=bool)
