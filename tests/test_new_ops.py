@@ -1097,3 +1097,48 @@ def test_rich_club_empty_graph_matches_oracle_shape(ray_session, monkeypatch):
     row = df.iloc[0]
     assert row["k"] == Q._RICH_CLUB_K
     assert row["n_club"] == 0 and row["e_club"] == 0 and row["phi_micro"] == 0
+
+
+def test_bpe_train_plans_agree_and_known_merges(ray_session):
+    """Forced single-task == forced distributed per-round plan on the
+    sf0.001 corpus (house size-switch pattern), plus a hand-checkable
+    fixture: the classic low/lower/newest/widest corpus must train the
+    textbook first merges with the (count DESC, pair ASC) tie-break."""
+    import ray
+
+    import web_scraping_script_ray.pipelines.queries as Q
+    from web_scraping_script_ray.functions.bpe import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_bpe_train(sf, force_plan="single").to_pandas()
+    b = Q.q_bpe_train(sf, force_plan="distributed").to_pandas()
+    assert len(a) == Q._BPE_TRAIN_MERGES
+    assert a.equals(b)
+    # vocabulary shrinks the right way: each merge's symbol is usable by
+    # later merges (ranks strictly increasing, counts positive)
+    assert a["rank"].tolist() == list(range(1, len(a) + 1))
+    assert (a["n"] > 0).all()
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(
+                [
+                    "low low low low low",
+                    "lower lower",
+                    "newest newest newest newest newest newest",
+                    "widest widest widest",
+                ]
+            ),
+        }
+    )
+    out = bpe_train(ray.data.from_arrow(docs), n_merges=4).to_pandas()
+    # pair counts: (e,s)=(s,t)=9, (l,o)=(o,w)=7, ... → (e,s) wins rank 1
+    # by the ASC tie-break, then es+t=9, then (l,o) before (o,w)
+    assert out[["lhs", "rhs"]].values.tolist() == [
+        ["e", "s"],
+        ["es", "t"],
+        ["l", "o"],
+        ["lo", "w"],
+    ]
+    assert out["n"].tolist() == [9, 9, 7, 7]

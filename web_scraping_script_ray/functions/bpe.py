@@ -1,0 +1,304 @@
+"""Byte-pair-encoding tokenizer TRAINING over a Ray Dataset.
+
+The standard greedy pair-merge trainer (Sennrich et al. 2016, public
+algorithm): pre-tokenize → distinct-word frequency table → repeat
+{count adjacent symbol pairs weighted by word frequency, merge the most
+frequent pair everywhere}.  The reference repo has no tokenizer — this
+is a training-data-platform extension alongside the token counting in
+``functions/text.py`` (``q_bpe_top_pairs`` computes exactly this
+trainer's FIRST merge decision).
+
+Plan shape — the corpus is touched ONCE; every merge round is
+vocabulary-scale:
+
+  PASS 1 (the only corpus-scale exchange): per-block token-count
+  partials → coarse grouped sum → the distinct (word, n) table.
+
+  MERGE LOOP over the vocabulary table, size-selected (house pattern):
+    * single path (≤ ``_BPE_SINGLE_LIMIT`` distinct words): the whole
+      loop runs in ONE remote task — dict pair counts + left-to-right
+      re-segmentation, the oracle-shaped plan.
+    * distributed path: per round —
+        1. ``map_batches`` per-block pair partials (factorized numpy
+           codes + ``np.add.at``, pre-aggregated within the block so
+           only distinct-pair rows cross the exchange);
+        2. coarse grouped sum over (lhs, rhs) — PAIR-vocabulary scale;
+        3. per-block local argmax candidates → the driver picks the
+           global best from O(blocks) three-column rows (argmax
+           distributes over any partitioning);
+        4. the winning pair is broadcast into a vectorized apply over
+           flattened symbol arrays: match positions, resolve overlaps
+           with the even-offset-within-run rule (== left-to-right
+           non-overlapping), splice, re-offset; ``materialize()`` so
+           round lineage stays flat.
+  Tie-break everywhere: count DESC then (lhs, rhs) ASC — deterministic
+  and mirrored by the unrolled-CTE SQL oracle.
+
+Output: one row per executed merge — (rank, lhs, rhs, n), rank 1-based
+in merge order.  Stops early when no adjacent pair remains.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_BPE_SINGLE_LIMIT = 2_000_000  # distinct words one task's heap absorbs
+
+
+def word_count_table(ds: "ray.data.Dataset", text_col: str = "text"):
+    """Distinct (word, n) over the corpus — lowercased ``\\S+`` tokens
+    (the ``flat_tokens`` contract every SQL oracle shares).  The one
+    corpus-scale exchange of BPE training."""
+    from .agg import grouped_sum_count
+    from .hashing import flat_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(batch.column(text_col))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        t = (
+            pa.table({"word": flat})
+            .group_by(["word"])
+            .aggregate([([], "count_all")])
+        )
+        return t.rename_columns(["word", "__n"])
+
+    out = grouped_sum_count(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"], ["__n"], {"__n": "n"}, coarse=16,
+    )
+    return out.select_columns(["word", "n"])
+
+
+def _merge_rounds_seq(
+    words: list[str], counts: list[int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The sequential greedy trainer over a (word, count) vocabulary —
+    the single-task path AND the semantics both plans must match."""
+    seqs = [tuple(w) for w in words]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_n: dict[tuple[str, str], int] = {}
+        for seq, c in zip(seqs, counts):
+            for j in range(len(seq) - 1):
+                p = (seq[j], seq[j + 1])
+                pair_n[p] = pair_n.get(p, 0) + c
+        if not pair_n:
+            break
+        best_n = max(pair_n.values())
+        lhs, rhs = min(p for p, v in pair_n.items() if v == best_n)
+        merges.append((rank, lhs, rhs, best_n))
+        new_sym = lhs + rhs
+        next_seqs = []
+        for seq in seqs:
+            res = []
+            j = 0
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == lhs and seq[j + 1] == rhs:
+                    res.append(new_sym)
+                    j += 2
+                else:
+                    res.append(seq[j])
+                    j += 1
+            next_seqs.append(tuple(res))
+        seqs = next_seqs
+    return merges
+
+
+def _merges_table(merges: list[tuple[int, str, str, int]]) -> pa.Table:
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "lhs": pa.array([m[1] for m in merges], pa.string()),
+            "rhs": pa.array([m[2] for m in merges], pa.string()),
+            "n": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _bpe_single(word_refs: list, n_merges: int) -> pa.Table:
+    tabs = [t for t in ray.get(list(word_refs)) if t.num_rows]
+    if not tabs:
+        return _merges_table([])
+    t = pa.concat_tables(tabs)
+    return _merges_table(
+        _merge_rounds_seq(
+            t.column("word").to_pylist(),
+            t.column("n").to_pylist(),
+            n_merges,
+        )
+    )
+
+
+def _flat_syms(batch: pa.Table):
+    """(flat symbol object-array, int64 offsets, per-word counts)."""
+    col = batch.column("syms")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values.to_pylist(), dtype=object)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offs, n
+
+
+def _pair_positions(flat: np.ndarray, offs: np.ndarray):
+    """Boolean mask of WITHIN-WORD adjacent-pair positions over
+    ``flat[:-1]`` (seam positions between words masked out)."""
+    total = len(flat)
+    valid = np.ones(max(total - 1, 0), bool)
+    ends = offs[1:-1] - 1  # last symbol index of each word but the final
+    sel = ends[(ends >= 0) & (ends < total - 1)]
+    valid[sel] = False
+    return valid
+
+
+def bpe_train(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    n_merges: int = 12,
+    force_plan: str | None = None,
+) -> "ray.data.Dataset":
+    """Train ``n_merges`` BPE merges over ``ds[text_col]`` → Dataset of
+    (rank, lhs, rhs, n).  ``force_plan`` pins "single" or "distributed"
+    (forced-path equality in tests/test_new_ops.py)."""
+    import ray.data as rd
+
+    from ..stages.rank import _nrows as _nrows_meta
+
+    words = word_count_table(ds, text_col).materialize()
+    refs = words.to_arrow_refs()
+    n_words = sum(ray.get([_nrows_meta.remote(r) for r in refs]))
+    plan = force_plan or (
+        "single" if n_words <= _BPE_SINGLE_LIMIT else "distributed"
+    )
+    if plan == "single":
+        return rd.from_arrow_refs([_bpe_single.remote(refs, n_merges)])
+
+    # --- distributed merge loop over the vocabulary table -------------
+    from .agg import grouped_sum_count
+
+    def to_syms(batch: pa.Table) -> pa.Table:
+        ws = batch.column("word").to_pylist()
+        offs = np.zeros(len(ws) + 1, np.int64)
+        np.cumsum([len(w) for w in ws], out=offs[1:])
+        flat = pa.array([c for w in ws for c in w], pa.string())
+        return pa.table(
+            {
+                "syms": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), flat
+                ),
+                "n": batch.column("n"),
+            }
+        )
+
+    state = words.map_batches(to_syms, batch_format="pyarrow").materialize()
+    merges: list[tuple[int, str, str, int]] = []
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lhs": pa.array([], pa.string()),
+                "rhs": pa.array([], pa.string()),
+                "__c": pa.array([], pa.int64()),
+            }
+        )
+        flat, offs, n = _flat_syms(batch)
+        if len(flat) < 2:
+            return empty
+        valid = _pair_positions(flat, offs)
+        wlen = np.diff(offs)
+        wn = np.repeat(n, wlen)[:-1]  # word count at each pair position
+        ls, rs, w = flat[:-1][valid], flat[1:][valid], wn[valid]
+        if not len(ls):
+            return empty
+        ul, il = np.unique(ls, return_inverse=True)
+        ur, ir = np.unique(rs, return_inverse=True)
+        code = il.astype(np.int64) * len(ur) + ir
+        uc, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uc), np.int64)
+        np.add.at(sums, inv, w)
+        return pa.table(
+            {
+                "lhs": pa.array(ul[uc // len(ur)].tolist(), pa.string()),
+                "rhs": pa.array(ur[uc % len(ur)].tolist(), pa.string()),
+                "__c": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        c = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = np.asarray(batch.column("lhs").to_pylist(), dtype=object)
+        rs = np.asarray(batch.column("rhs").to_pylist(), dtype=object)
+        i = int(np.lexsort((rs, ls, -c))[0])
+        return pa.table(
+            {
+                "lhs": pa.array([ls[i]], pa.string()),
+                "rhs": pa.array([rs[i]], pa.string()),
+                "cnt": pa.array([int(c[i])], pa.int64()),
+            }
+        )
+
+    for rank in range(1, n_merges + 1):
+        pairs = grouped_sum_count(
+            state.map_batches(pair_partials, batch_format="pyarrow"),
+            ["lhs", "rhs"], ["__c"], {"__c": "cnt"}, coarse=16,
+        ).select_columns(["lhs", "rhs", "cnt"])
+        cands = pairs.map_batches(local_best, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["cnt"], r["lhs"], r["rhs"]))
+        lhs, rhs, cnt = best["lhs"], best["rhs"], int(best["cnt"])
+        merges.append((rank, lhs, rhs, cnt))
+
+        def apply(batch: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            flat, offs, n = _flat_syms(batch)
+            total = len(flat)
+            if total < 2:
+                return batch
+            valid = _pair_positions(flat, offs)
+            mm = (flat[:-1] == lhs) & (flat[1:] == rhs) & valid
+            if not mm.any():
+                return batch
+            # even offset within each run of consecutive matches ==
+            # left-to-right non-overlapping (runs only occur when
+            # lhs == rhs; seams break runs via the valid mask)
+            prev = np.r_[False, mm[:-1]]
+            run_start = mm & ~prev
+            run_id = np.cumsum(run_start)
+            starts = np.flatnonzero(run_start)
+            start_of = np.zeros(len(mm), np.int64)
+            start_of[mm] = starts[run_id[mm] - 1]
+            keep = mm & ((np.arange(len(mm)) - start_of) % 2 == 0)
+            kidx = np.flatnonzero(keep)
+            drop = np.zeros(total, bool)
+            drop[kidx + 1] = True
+            new_flat = flat.copy()
+            new_flat[kidx] = lhs + rhs
+            out_flat = new_flat[~drop]
+            wlen = np.diff(offs)
+            word_of = np.repeat(np.arange(len(wlen)), wlen)
+            drops_per_word = np.bincount(
+                word_of[drop], minlength=len(wlen)
+            )
+            new_offs = np.zeros(len(offs), np.int64)
+            np.cumsum(wlen - drops_per_word, out=new_offs[1:])
+            return pa.table(
+                {
+                    "syms": pa.ListArray.from_arrays(
+                        pa.array(new_offs, pa.int32()),
+                        pa.array(out_flat.tolist(), pa.string()),
+                    ),
+                    "n": batch.column("n"),
+                }
+            )
+
+        state = state.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return rd.from_arrow(_merges_table(merges))

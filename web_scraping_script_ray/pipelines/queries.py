@@ -5918,6 +5918,100 @@ QUALIFY row_number() OVER (ORDER BY n DESC, pair) <= {_BPE_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# FULL BPE tokenizer training (iterated greedy pair-merge) — extends
+# bpe_top_pairs (that query is exactly this trainer's first decision).
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_MERGES = 12
+
+
+def q_bpe_train(sf_dir: str, force_plan: str | None = None):
+    """Train {_BPE_TRAIN_MERGES} BPE merges over the documents corpus —
+    the standard greedy trainer (Sennrich et al. 2016): one corpus-scale
+    word-count exchange, then every merge round is vocabulary-scale
+    (pair partials → coarse grouped sum → distributed argmax → broadcast
+    merge apply).  Size-selected single-task vs per-round distributed
+    plan, forced-path equality in tests/test_new_ops.py.  Emits
+    (rank, lhs, rhs, n) in merge order; tie-break count DESC then
+    (lhs, rhs) ASC, mirrored by the unrolled-CTE SQL oracle below."""
+    from ..functions.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_train(ds, "text", n_merges=_BPE_TRAIN_MERGES, force_plan=force_plan)
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Unrolled-CTE oracle for ``q_bpe_train`` (PageRank/k-means house
+    pattern) — a fully independent window-function implementation of the
+    greedy trainer, one MATERIALIZED CTE chain per merge round
+    (materialization is required: DuckDB inlines plain CTEs, and each
+    round references its predecessor twice, which would expand the plan
+    exponentially).  Per round: pair counts from lateral-unnested symbol
+    lists → top-1 by (cnt DESC, lhs, rhs) → match positions → the
+    even-offset-within-run keep rule (gaps-and-islands row_number; ==
+    left-to-right non-overlapping merging) → rebuild each word's symbol
+    list with kept positions concatenated and following positions
+    dropped."""
+    parts = [
+        "WITH w0 AS MATERIALIZED (",
+        "  SELECT tok AS wid, count(*) AS n FROM (",
+        r"    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok",
+        "    FROM documents) GROUP BY tok",
+        "),",
+        "s0 AS MATERIALIZED (",
+        "  SELECT wid, n,",
+        "         list_transform(range(1, length(wid) + 1), i -> wid[i]) AS syms",
+        "  FROM w0",
+        "),",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts += [
+            f"b{r} AS MATERIALIZED (",
+            "  SELECT s.syms[i.i] AS lhs, s.syms[i.i + 1] AS rhs, sum(s.n) AS cnt",
+            f"  FROM s{p} s, unnest(range(1, len(s.syms))) AS i(i)",
+            "  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1",
+            "),",
+            f"pos{r} AS MATERIALIZED (",
+            "  SELECT s.wid, s.n, i.i AS i, s.syms[i.i] AS sym,"
+            " s.syms[i.i + 1] AS nxt",
+            f"  FROM s{p} s, unnest(range(1, len(s.syms) + 1)) AS i(i)",
+            "),",
+            f"k{r} AS MATERIALIZED (",
+            "  SELECT wid, i FROM (",
+            "    SELECT wid, i,"
+            " row_number() OVER (PARTITION BY wid, rid ORDER BY i) AS rn",
+            "    FROM (SELECT p.wid, p.i,",
+            "                 p.i - row_number() OVER"
+            " (PARTITION BY p.wid ORDER BY p.i) AS rid",
+            f"          FROM pos{r} p, b{r} b"
+            " WHERE p.sym = b.lhs AND p.nxt = b.rhs)",
+            "  ) WHERE rn % 2 = 1",
+            "),",
+            f"s{r} AS MATERIALIZED (",
+            "  SELECT p.wid, any_value(p.n) AS n,",
+            "         list(CASE WHEN k0.i IS NOT NULL THEN p.sym || p.nxt"
+            " ELSE p.sym END ORDER BY p.i) AS syms",
+            f"  FROM pos{r} p",
+            f"  LEFT JOIN k{r} k0 ON k0.wid = p.wid AND k0.i = p.i",
+            f"  LEFT JOIN k{r} k1 ON k1.wid = p.wid AND k1.i = p.i - 1",
+            "  WHERE k1.i IS NULL",
+            "  GROUP BY p.wid",
+            "),",
+        ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS n FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"merges AS (\n{unions}\n)")
+    parts.append("SELECT rank, lhs, rhs, n FROM merges ORDER BY rank")
+    return "\n".join(parts)
+
+
+SQL_BPE_TRAIN = _bpe_train_sql(_BPE_TRAIN_MERGES)
+
+
+# ---------------------------------------------------------------------------
 # Greedy set cover over sources (diversity-maximizing corpus selection).
 # ---------------------------------------------------------------------------
 
@@ -15235,6 +15329,7 @@ EXTRA_QUERIES = {
     "greedy_cover": q_greedy_cover,
     # first BPE merge decision (corpus char-pair histogram top-20)
     "bpe_top_pairs": q_bpe_top_pairs,
+    "bpe_train": q_bpe_train,
     # recall@10 of the sign-LSH ANN vs the exact brute top-10
     "ann_recall": q_ann_recall,
     # sliding-window distinct users (overlapping-window DISTINCT)
@@ -15530,6 +15625,7 @@ EXTRA_ORACLE_SQL = {
     "source_sim": SQL_SOURCE_SIM,
     "greedy_cover": SQL_GREEDY_COVER,
     "bpe_top_pairs": SQL_BPE_TOP_PAIRS,
+    "bpe_train": SQL_BPE_TRAIN,
     "ann_recall": SQL_ANN_RECALL,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
     "novelty_curve": SQL_NOVELTY_CURVE,
