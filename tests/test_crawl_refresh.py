@@ -500,3 +500,138 @@ def test_refresh_partition_fetch_path(webs, prior, tmp_path_factory):
     for col in ORDER_COLS:
         assert (got[col].values == exp[col].values).all(), col
     assert got["not_modified"].sum() > 500
+
+
+def test_neardup_index_incremental_maintenance(webs, prior, tmp_path_factory):
+    """The persisted near-dup signature index is maintained ACROSS
+    epochs without re-signing the unchanged majority: carried rows'
+    sig bytes are VERBATIM the epoch-1 rows (neither build nor update
+    constructs a MinHasher), fresh rows = exactly the changed/new
+    pages (their signatures came from the refresh parse), and the
+    incremental probe's pairs equal the full-LSH pairs over the merged
+    corpus restricted to pairs touching this epoch's slice."""
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray
+
+    from web_scraping_script_ray.pipelines.refresh import (
+        _REFRESH_SEQ_OFFSET,
+        _write_status_shards,
+        build_neardup_index,
+        classify_statuses,
+        refresh_crawl,
+        refresh_neardup_pairs,
+        update_neardup_index,
+    )
+
+    prior_out, _ = prior
+    out = str(tmp_path_factory.mktemp("ndidx_out"))
+    eng, info = refresh_crawl(webs[1], prior_out, out, B)
+    eng.shutdown()
+    etag_dir = info["refresh_inputs"]["etag_dir"]
+    n_buckets = len(
+        [d for d in os.listdir(etag_dir) if d.startswith("bucket=")]
+    )
+    status_dir = str(tmp_path_factory.mktemp("ndidx_status"))
+    _write_status_shards(classify_statuses(out, etag_dir), status_dir, n_buckets)
+
+    idx1 = str(tmp_path_factory.mktemp("ndidx_e1"))
+    stats1 = build_neardup_index(prior_out, idx1, n_buckets)
+    idx2 = str(tmp_path_factory.mktemp("ndidx_e2"))
+    stats2 = update_neardup_index(idx1, out, status_dir, idx2, n_buckets)
+
+    st = classify_statuses(out, etag_dir).to_pandas()
+    by_status = st.groupby("status").size().to_dict()
+    n_changed = by_status.get("changed", 0)
+    n_new = by_status.get("new", 0)
+    n_gone = by_status.get("gone", 0)
+    assert n_changed > 20 and n_new > 5  # the epoch really mutated
+
+    # fresh rows == exactly the changed+new pages; the unchanged
+    # majority carried (prior minus superseded/gone rows)
+    assert stats2["fresh"] == n_changed + n_new
+    assert stats2["carried"] == stats1["rows"] - n_changed - n_gone
+    assert stats2["carried"] > 3 * stats2["fresh"]  # majority never re-signed
+
+    e1 = pads.dataset(idx1).to_table().to_pandas().set_index("url")
+    e2 = pads.dataset(idx2).to_table().to_pandas()
+    status_of = dict(zip(st.url, st.status))
+    carried2 = e2[e2.crawl_seq < _REFRESH_SEQ_OFFSET].set_index("url")
+    fresh2 = e2[e2.crawl_seq >= _REFRESH_SEQ_OFFSET].set_index("url")
+    # verbatim carry: every carried row's signature is bit-identical to
+    # its epoch-1 row
+    for u, row in carried2.iloc[:200].iterrows():
+        assert np.array_equal(np.asarray(row.sig), np.asarray(e1.loc[u].sig))
+        assert status_of.get(u, "stale") in ("stale", "unchanged", "error")
+    # changed pages: new signature row, and it differs from epoch 1
+    changed_urls = [u for u, s in status_of.items() if s == "changed"]
+    n_diff = sum(
+        not np.array_equal(
+            np.asarray(fresh2.loc[u].sig), np.asarray(e1.loc[u].sig)
+        )
+        for u in changed_urls[:50]
+    )
+    assert n_diff > len(changed_urls[:50]) * 0.8  # content really changed
+
+    # the organic epoch has no near-dups (synthweb text is unique per
+    # doc — verified: refresh_neardup_pairs is empty even at est 0.2),
+    # so PLANT probes: clone three carried pages' STORED signatures
+    # under fresh probe ids.  The incremental probe must (a) surface
+    # each planted near-dup against its source at est 1.0, and (b) emit
+    # ONLY pairs touching probe rows — index×index pairs are suppressed
+    # by the is_new rule even though identical index sigs would bucket
+    # together.
+    organic = refresh_neardup_pairs(
+        idx1, out, status_dir, n_buckets, threshold=0.2
+    ).to_pandas()
+    assert len(organic) == 0
+
+    import pyarrow as pa
+
+    from web_scraping_script_ray.functions.dedup import (
+        _cached_minhasher,
+        probe_neardup_pairs,
+    )
+
+    mh = _cached_minhasher(num_perm=128, n_bands=16)
+
+    def with_bands(tbl: pa.Table) -> pa.Table:
+        col = tbl.column("sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = col.values.to_numpy(zero_copy_only=False).reshape(
+            tbl.num_rows, 128
+        )
+        bands = mh.band_keys_matrix(sig)
+        band_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(tbl.num_rows + 1, dtype=np.int64) * 16, pa.int32()),
+            pa.array(bands.ravel(), pa.uint64()),
+        )
+        return pa.table(
+            {"doc_id": tbl.column("crawl_seq"), "sig": col, "bands": band_col}
+        )
+
+    e1_tbl = pads.dataset(idx1).to_table()
+    index_signed = ray.data.from_arrow(with_bands(e1_tbl))
+    src = e1_tbl.slice(0, 3)
+    probe_tbl = with_bands(src)
+    planted_ids = pa.array([10**9 + i for i in range(3)], pa.int64())
+    probe_signed = ray.data.from_arrow(probe_tbl.set_column(0, "doc_id", planted_ids))
+    got = probe_neardup_pairs(
+        index_signed, probe_signed, id_col="doc_id", threshold=0.7
+    ).to_pandas()
+    got = got[got.id_a >= 0]
+    src_seqs = set(src.column("crawl_seq").to_pylist())
+    planted = set(planted_ids.to_pylist())
+    assert planted == (set(got.id_a) | set(got.id_b)) & planted
+    # every pair touches a planted probe row (index×index suppressed)
+    assert ((got.id_a.isin(planted)) | (got.id_b.isin(planted))).all()
+    exact = got[got.est_jaccard >= 0.999]
+    for pid, seq in zip(sorted(planted), sorted(src_seqs)):
+        hit = exact[
+            ((exact.id_a == pid) & (exact.id_b == seq))
+            | ((exact.id_a == seq) & (exact.id_b == pid))
+        ]
+        assert len(hit) == 1  # each clone found its source, est 1.0

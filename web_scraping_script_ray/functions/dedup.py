@@ -247,7 +247,11 @@ def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
 
 
 def _pairs_from_band_part(
-    g: pa.Table, id_col: str, threshold: float, max_bucket: int = 256
+    g: pa.Table,
+    id_col: str,
+    threshold: float,
+    max_bucket: int = 256,
+    require_new_col: str | None = None,
 ) -> pa.Table:
     """Candidate pairs within ONE coarse partition (many complete LSH
     buckets): rows are sorted by (band_key, id) in-task, singleton buckets
@@ -261,6 +265,13 @@ def _pairs_from_band_part(
     ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((ids, keys))
     keys, ids = keys[order], ids[order]
+    newf = (
+        g.column(require_new_col)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)[order]
+        if require_new_col is not None
+        else None
+    )
     n = len(keys)
     change = np.ones(n, dtype=bool)
     change[1:] = keys[1:] != keys[:-1]
@@ -286,7 +297,14 @@ def _pairs_from_band_part(
             bids = ids[s:e]
             sigm = sig_mat[s:e]
             est = (sigm[:, None, :] == sigm[None, :, :]).mean(axis=2)
-            ia, ib = np.nonzero(np.triu(est >= threshold, k=1))
+            hit = np.triu(est >= threshold, k=1)
+            if newf is not None:
+                # incremental probe: prior×prior pairs are already known
+                # from the epoch that indexed them — emit only pairs
+                # touching a probe row
+                bn = newf[s:e]
+                hit &= bn[:, None] | bn[None, :]
+            ia, ib = np.nonzero(hit)
             if len(ia):
                 out_a.append(bids[ia])
                 out_b.append(bids[ib])
@@ -353,6 +371,57 @@ def minhash_lsh_pairs(
     # Order by NOT(truncated) so a pair seen from any clipped bucket keeps
     # truncated=true deterministically (the flag is the recall-loss audit
     # signal; an arbitrary-survivor dedup would make it flap run-to-run).
+    pairs = pairs.map_batches(
+        lambda b: b.append_column("__nt", pc.invert(b.column("truncated"))),
+        batch_format="pyarrow",
+    )
+    return dedup_first_wins(pairs, ["id_a", "id_b"], ["__nt"]).select_columns(
+        ["id_a", "id_b", "est_jaccard", "truncated"]
+    )
+
+
+def probe_neardup_pairs(
+    index_ds: "ray.data.Dataset",
+    probe_ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> "ray.data.Dataset":
+    """INCREMENTAL near-dup probe: candidate pairs between a PERSISTED
+    signature index and a (much smaller) probe set of changed/new docs —
+    the refresh-epoch maintenance step that avoids re-running LSH over
+    the unchanged corpus majority.
+
+    Both inputs are PRE-SIGNED ``(id, sig, bands)`` rows (the index read
+    back from its parquet store, the probe from the current epoch's
+    parse — signatures are computed exactly once per content version,
+    never here).  Id sets must be disjoint (prune superseded index rows
+    first).  Plan: both sides explode to band rows tagged ``is_new``,
+    ONE coarse ``band_part`` groupby colocates every LSH bucket, and the
+    in-bucket verify emits only pairs touching a probe row (prior×prior
+    pairs were already reported by the epoch that indexed them) — so
+    exchange volume is O((index + probe) band rows) but pair work is
+    probe-proportional.  Same output contract as ``minhash_lsh_pairs``
+    (est-Jaccard, truncation markers, first-wins pair dedup)."""
+
+    def explode_tagged(is_new: int):
+        def fn(b: pa.Table) -> pa.Table:
+            t = _explode_bands(b, id_col)
+            return t.append_column(
+                "is_new",
+                pa.array(np.full(t.num_rows, is_new, np.int8), pa.int8()),
+            )
+
+        return fn
+
+    exploded = index_ds.map_batches(
+        explode_tagged(0), batch_format="pyarrow"
+    ).union(probe_ds.map_batches(explode_tagged(1), batch_format="pyarrow"))
+    pairs = exploded.groupby("band_part").map_groups(
+        lambda g: _pairs_from_band_part(
+            g, id_col, threshold, require_new_col="is_new"
+        ),
+        batch_format="pyarrow",
+    )
     pairs = pairs.map_batches(
         lambda b: b.append_column("__nt", pc.invert(b.column("truncated"))),
         batch_format="pyarrow",

@@ -564,3 +564,201 @@ def refresh_training_set(
         "kept_rows": manifest["rows"],
         "manifest": dict(manifest),
     }
+
+
+# ---------------------------------------------------------------------------
+# Persisted near-dup signature index: incremental MinHash maintenance.
+# ---------------------------------------------------------------------------
+#
+# The parse stage computes every page's MinHash signature exactly once
+# (stages/parse.py "sig" column); this index persists those signatures
+# beside the etag store so a refresh epoch maintains near-dup state
+# WITHOUT re-running LSH over the unchanged corpus majority:
+#   epoch 1: build_neardup_index projects (url, url_hash, crawl_seq,
+#            sig) off the parsed shards — nothing recomputed;
+#   epoch N: update_neardup_index carries unchanged/stale rows VERBATIM
+#            (neither function ever constructs a MinHasher), admits
+#            changed/new rows with the signatures the refresh parse
+#            already produced, and drops superseded/gone rows;
+#   probing: refresh_neardup_pairs derives band keys from the stored
+#            signatures (a cheap deterministic mix, not a re-signing)
+#            and runs functions.dedup.probe_neardup_pairs — one coarse
+#            band-row exchange, pair work proportional to the epoch's
+#            changed/new slice.
+
+
+def _sig_index_rows(
+    parsed: "ray.data.Dataset", n_buckets: int, seq_offset: int = 0
+) -> "ray.data.Dataset":
+    from ..urlnorm import url_hash64
+
+    def fn(b: pa.Table) -> pa.Table:
+        uh = np.fromiter(
+            (url_hash64(u) for u in b.column("url").to_pylist()),
+            np.uint64,
+            count=b.num_rows,
+        )
+        seq = (
+            b.column("crawl_seq").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "url_hash": pa.array(uh, pa.uint64()),
+                "crawl_seq": pa.array(seq + seq_offset, pa.int64()),
+                "sig": b.column("sig"),
+                "bucket": pa.array(
+                    (uh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return parsed.map_batches(fn, batch_format="pyarrow")
+
+
+def _index_rows_written(index_dir: str) -> int:
+    """Row count from parquet FOOTER metadata only — no data read."""
+    total = 0
+    for f in glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True):
+        total += pq.read_metadata(f).num_rows
+    return total
+
+
+def build_neardup_index(out_dir: str, index_dir: str, n_buckets: int = 16) -> dict:
+    """Epoch-1 build: one streaming projection pass over the crawl's
+    parsed shards, written bucketed by ``url_hash % n_buckets`` (the
+    etag-store layout, so maintenance tasks read only their shard)."""
+    rows = _sig_index_rows(
+        ray.data.read_parquet(os.path.join(out_dir, "parsed")), n_buckets
+    )
+    rows.write_parquet(index_dir, partition_cols=["bucket"])
+    return {"rows": _index_rows_written(index_dir)}
+
+
+def update_neardup_index(
+    prior_index_dir: str,
+    refresh_out_dir: str,
+    status_dir: str,
+    dest_index_dir: str,
+    n_buckets: int = 16,
+    seq_offset: int = _REFRESH_SEQ_OFFSET,
+) -> dict:
+    """Epoch-N maintenance.  Carried = prior rows whose page is NOT
+    changed or gone this epoch (their ``sig`` bytes move untouched —
+    the unchanged majority is never re-signed); fresh = refresh-parsed
+    changed/new rows (signatures already computed by the refresh parse,
+    crawl_seq offset into the disjoint epoch range).  Returns counts
+    {"carried", "fresh", "rows"}."""
+
+    def drop_superseded(b: pa.Table) -> pa.Table:
+        uh = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        st = _status_of(status_dir, n_buckets, uh)
+        keep = (st != _STATUS_CODE["changed"]) & (st != _STATUS_CODE["gone"])
+        t = b.filter(pa.array(keep))
+        # recompute bucket (hive partition col read-back types vary)
+        uh2 = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = {n: t.column(n) for n in ("url", "url_hash", "crawl_seq", "sig")}
+        cols["bucket"] = pa.array(
+            (uh2 % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+        )
+        return pa.table(cols)
+
+    def only_fresh(b: pa.Table) -> pa.Table:
+        from ..urlnorm import url_hash64
+
+        uh = np.fromiter(
+            (url_hash64(u) for u in b.column("url").to_pylist()),
+            np.uint64,
+            count=b.num_rows,
+        )
+        st = _status_of(status_dir, n_buckets, uh)
+        keep = np.isin(st, (_STATUS_CODE["changed"], _STATUS_CODE["new"]))
+        return b.filter(pa.array(keep))
+
+    carried = ray.data.read_parquet(prior_index_dir).map_batches(
+        drop_superseded, batch_format="pyarrow"
+    )
+    fresh = _sig_index_rows(
+        ray.data.read_parquet(os.path.join(refresh_out_dir, "parsed")).map_batches(
+            only_fresh, batch_format="pyarrow"
+        ),
+        n_buckets,
+        seq_offset,
+    )
+    carried.union(fresh).write_parquet(dest_index_dir, partition_cols=["bucket"])
+    rows = _index_rows_written(dest_index_dir)
+    fresh_rows = fresh.count()
+    return {"rows": rows, "fresh": fresh_rows, "carried": rows - fresh_rows}
+
+
+def refresh_neardup_pairs(
+    index_dir: str,
+    refresh_out_dir: str,
+    status_dir: str,
+    n_buckets: int = 16,
+    threshold: float = 0.7,
+    seq_offset: int = _REFRESH_SEQ_OFFSET,
+) -> "ray.data.Dataset":
+    """Near-dup pairs INVOLVING this epoch's changed/new pages, probed
+    against the persisted index: both sides get band keys derived from
+    their STORED signatures (``band_keys_matrix`` — a deterministic mix
+    over the sig rows, no text, no re-signing), then one coarse
+    ``probe_neardup_pairs`` exchange.  Pair ids are crawl_seq (epoch
+    ranges are disjoint by the seq offset).  The index passed in must
+    already be this epoch's maintained index MINUS the probe rows —
+    i.e. call with the PRIOR index dir (superseded rows are filtered
+    here the same way update_neardup_index drops them)."""
+    from ..functions.dedup import _cached_minhasher, probe_neardup_pairs
+
+    mh = dict(num_perm=128, n_bands=16)
+
+    def with_bands(b: pa.Table) -> pa.Table:
+        col = b.column("sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = col.values.to_numpy(zero_copy_only=False).reshape(
+            b.num_rows, mh["num_perm"]
+        )
+        bands = _cached_minhasher(**mh).band_keys_matrix(sig)
+        n = b.num_rows
+        band_col = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(n + 1, dtype=np.int64) * mh["n_bands"], pa.int32()
+            ),
+            pa.array(bands.ravel(), pa.uint64()),
+        )
+        return pa.table(
+            {"doc_id": b.column("crawl_seq"), "sig": col, "bands": band_col}
+        )
+
+    def not_superseded(b: pa.Table) -> pa.Table:
+        uh = b.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        st = _status_of(status_dir, n_buckets, uh)
+        keep = (st != _STATUS_CODE["changed"]) & (st != _STATUS_CODE["gone"])
+        return b.filter(pa.array(keep))
+
+    def only_fresh(b: pa.Table) -> pa.Table:
+        from ..urlnorm import url_hash64
+
+        uh = np.fromiter(
+            (url_hash64(u) for u in b.column("url").to_pylist()),
+            np.uint64,
+            count=b.num_rows,
+        )
+        st = _status_of(status_dir, n_buckets, uh)
+        keep = np.isin(st, (_STATUS_CODE["changed"], _STATUS_CODE["new"]))
+        return b.filter(pa.array(keep))
+
+    index = (
+        ray.data.read_parquet(index_dir)
+        .map_batches(not_superseded, batch_format="pyarrow")
+        .map_batches(with_bands, batch_format="pyarrow")
+    )
+    probe = _sig_index_rows(
+        ray.data.read_parquet(os.path.join(refresh_out_dir, "parsed")).map_batches(
+            only_fresh, batch_format="pyarrow"
+        ),
+        n_buckets,
+        seq_offset,
+    ).map_batches(with_bands, batch_format="pyarrow")
+    return probe_neardup_pairs(index, probe, id_col="doc_id", threshold=threshold)
