@@ -251,3 +251,39 @@ def test_seed_candidates_vectorized_matches_scalar(tmp_path, ray_session):
     assert got["depth"] == [0] * len(want)
     assert got["n_disc"] == [1] * len(want)
     eng.shutdown()
+
+
+def test_docstore_contract_both_backends(tmp_path):
+    """The doc-store contract (write → keyed take with bucket pruning →
+    column projection) runs END-TO-END on the always-available
+    bucketed-parquet backend; the SAME assertions run against Lance when
+    the package is importable (auto-gated — this test never skips, the
+    lance branch simply activates in richer environments)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_scraping_script_ray.sources import lance_io
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 62, size=200).astype(np.uint64)
+    t = pa.table(
+        {
+            "url_hash": pa.array(keys, pa.uint64()),
+            "url": pa.array([f"http://h/{i}" for i in range(200)], pa.string()),
+            "nbytes": pa.array(rng.integers(1, 9999, 200), pa.int64()),
+        }
+    )
+    backends = ["parquet"] + (["lance"] if lance_io.HAVE_LANCE else [])
+    for backend in backends:
+        uri = str(tmp_path / f"store_{backend}")
+        lance_io.docstore_write(t, uri, backend=backend)
+        want = keys[[3, 77, 150]].tolist()
+        got = lance_io.docstore_take(uri, want, backend=backend)
+        assert sorted(got.column("url_hash").to_pylist()) == sorted(want)
+        proj = lance_io.docstore_take(
+            uri, want, columns=["url_hash", "url"], backend=backend
+        )
+        assert proj.column_names == ["url_hash", "url"]
+        # miss: a key outside the store returns no rows (not an error)
+        none = lance_io.docstore_take(uri, [np.uint64(1)], backend=backend)
+        assert none.num_rows == 0
