@@ -84,6 +84,9 @@ def main() -> None:
     ap.add_argument("--fetch-batch-size", type=int, default=4096)
     ap.add_argument("--max-file-size", type=int, default=None, help="bytes; oversized docs fetch as ok=False")
     ap.add_argument("--no-parse", action="store_true", help="skip the span/token parse stage")
+    ap.add_argument("--sink-compression", default=None,
+                    help="parquet codec for the crawled/parsed sinks "
+                    "(e.g. zstd — halves output footprint; default snappy)")
     args = ap.parse_args()
 
     import ray
@@ -158,6 +161,7 @@ def main() -> None:
         fetch_batch_size=args.fetch_batch_size,
         parse=not args.no_parse,
         max_file_size=args.max_file_size,
+        sink_compression=args.sink_compression,
         **refresh_kw,
     )
     t0 = time.time()

@@ -629,6 +629,7 @@ class CrawlEngine:
         warmup: bool = True,
         seeds_path: str | None = None,
         etag_dir: str | None = None,
+        sink_compression: str | None = None,
     ):
         self.web_dir = web_dir
         self.out_dir = out_dir
@@ -649,6 +650,11 @@ class CrawlEngine:
         self.fetch_batch_size = fetch_batch_size
         self.fetch_broadcast_limit = fetch_broadcast_limit
         self.parse = parse
+        # sink codec: zstd halves the crawled/parsed parquet footprint
+        # vs the snappy default (span text compresses well) — the knob
+        # that fits a 100M-doc run's outputs inside a small-disk box;
+        # None keeps the default for byte-identical legacy layouts
+        self.sink_compression = sink_compression
         # M18 size guard (reference src/media_downloader.py:156-179 +
         # config.yaml max_file_size): oversized docs fetch as ok=False
         self.max_file_size = max_file_size
@@ -1072,6 +1078,7 @@ class CrawlEngine:
                     self.budget.max_retries,
                     self._pen_table,
                     self.etag_dir,
+                    self.sink_compression,
                 )
                 for b in range(self.n_buckets)
             ]
@@ -1166,11 +1173,17 @@ class CrawlEngine:
             _host_metrics_partial_block.remote(r) for r in crawled.to_arrow_refs()
         ]
 
+        sink_kw = (
+            {"compression": self.sink_compression} if self.sink_compression else {}
+        )
+
         def write_crawled():
             out = self._round_dir("crawled", rnd)
             shutil.rmtree(out, ignore_errors=True)
             _retry_import_race(
-                lambda: crawled.select_columns(keep_cols).write_parquet(out)
+                lambda: crawled.select_columns(keep_cols).write_parquet(
+                    out, **sink_kw
+                )
             )
 
         def write_parsed():
@@ -1186,7 +1199,7 @@ class CrawlEngine:
                     batch_format="pyarrow",
                     batch_size=2048,
                     concurrency=(1, self.parse_concurrency),
-                ).write_parquet(pdir)
+                ).write_parquet(pdir, **sink_kw)
             )
 
         with ThreadPoolExecutor(max_workers=2) as pool:

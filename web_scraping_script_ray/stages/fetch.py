@@ -410,6 +410,7 @@ def crawl_bucket_task(
     max_retries: int = 0,
     pen_table: list | None = None,
     etag_dir: str | None = None,
+    sink_compression: str | None = None,
 ):
     """Fused per-bucket round superstage: fetch (bucketed lookup join) +
     parse + parquet sinks (crawled/parsed/frontier partitions) + metrics
@@ -452,8 +453,13 @@ def crawl_bucket_task(
     if etag_dir is not None:
         keep.append("not_modified")
     crawled = out.select(keep)
+    _pq_kw = {"compression": sink_compression} if sink_compression else {}
     if out.num_rows:
-        _pq.write_table(crawled, os.path.join(crawled_dir, f"part-{bucket:05d}.parquet"))
+        _pq.write_table(
+            crawled,
+            os.path.join(crawled_dir, f"part-{bucket:05d}.parquet"),
+            **_pq_kw,
+        )
     _mark("write_crawled")
     if parse and out.num_rows:
         from .parse import PARSE_COLUMNS, get_parser
@@ -463,7 +469,11 @@ def crawl_bucket_task(
         )
         _mark("parse")
         if parsed_dir is not None:
-            _pq.write_table(parsed, os.path.join(parsed_dir, f"part-{bucket:05d}.parquet"))
+            _pq.write_table(
+                parsed,
+                os.path.join(parsed_dir, f"part-{bucket:05d}.parquet"),
+                **_pq_kw,
+            )
         _mark("write_parsed")
 
     # per-host metric partials (host, fetched, errors, bytes) + retry
