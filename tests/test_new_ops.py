@@ -1142,3 +1142,30 @@ def test_bpe_train_plans_agree_and_known_merges(ray_session):
         ["lo", "w"],
     ]
     assert out["n"].tolist() == [9, 9, 7, 7]
+
+
+def test_bpe_encode_all_plans_agree(ray_session):
+    """All four trainer×lookup plan combinations of bpe_encode_counts
+    produce identical per-doc counts on the sf0.001 corpus (forced-path
+    equality for BOTH size switches)."""
+    import ray
+
+    from web_scraping_script_ray.functions.bpe import bpe_encode_counts
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    frames = {}
+    for plan in ("single", "distributed"):
+        for lk in ("broadcast", "join"):
+            frames[(plan, lk)] = (
+                bpe_encode_counts(ds, n_merges=6, force_plan=plan, force_lookup=lk)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+    base = frames[("single", "broadcast")]
+    assert len(base) == 500 and (base["n_tokens"] > 0).all()
+    for k, v in frames.items():
+        assert base.equals(v), k

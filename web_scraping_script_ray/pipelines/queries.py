@@ -6026,7 +6026,7 @@ def q_bpe_train(sf_dir: str, force_plan: str | None = None):
     return bpe_train(ds, "text", n_merges=_BPE_TRAIN_MERGES, force_plan=force_plan)
 
 
-def _bpe_train_sql(n_merges: int) -> str:
+def _bpe_train_sql(n_merges: int, final: str | None = None) -> str:
     """Unrolled-CTE oracle for ``q_bpe_train`` (PageRank/k-means house
     pattern) — a fully independent window-function implementation of the
     greedy trainer, one MATERIALIZED CTE chain per merge round
@@ -6090,11 +6090,45 @@ def _bpe_train_sql(n_merges: int) -> str:
         for r in range(1, n_merges + 1)
     )
     parts.append(f"merges AS (\n{unions}\n)")
-    parts.append("SELECT rank, lhs, rhs, n FROM merges ORDER BY rank")
+    parts.append(
+        final
+        if final is not None
+        else "SELECT rank, lhs, rhs, n FROM merges ORDER BY rank"
+    )
     return "\n".join(parts)
 
 
 SQL_BPE_TRAIN = _bpe_train_sql(_BPE_TRAIN_MERGES)
+
+
+def q_bpe_encode(sf_dir: str):
+    """ENCODE under the trained tokenizer: per-doc BPE token counts
+    after the {n} learned merges — train (vocabulary-scale rounds, see
+    ``q_bpe_train``) then map every corpus token through the final
+    word → symbol-count table, size-selected between a sorted-vocab
+    ``ray.put`` broadcast (vectorized searchsorted per batch) and a
+    crc32-co-partitioned hash join (two exchanges) — all four
+    trainer×lookup plan combinations equality-pinned in
+    tests/test_new_ops.py.  Docs with no tokens are absent (SQL inner
+    join parity).  Oracle: the same unrolled-CTE trainer joined back to
+    the corpus tokens."""
+    from ..functions.bpe import bpe_encode_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_encode_counts(ds, "doc_id", "text", n_merges=_BPE_TRAIN_MERGES)
+
+
+SQL_BPE_ENCODE = _bpe_train_sql(
+    _BPE_TRAIN_MERGES,
+    final=(
+        ", dt AS (SELECT doc_id,"
+        r" unnest(regexp_extract_all(lower(text), '\S+')) AS tok"
+        " FROM documents)\n"
+        "SELECT d.doc_id, CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens\n"
+        f"FROM dt d JOIN s{_BPE_TRAIN_MERGES} s ON s.wid = d.tok"
+        " GROUP BY d.doc_id ORDER BY d.doc_id"
+    ),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -15416,6 +15450,7 @@ EXTRA_QUERIES = {
     # first BPE merge decision (corpus char-pair histogram top-20)
     "bpe_top_pairs": q_bpe_top_pairs,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "incremental_neardup": q_incremental_neardup,
     # recall@10 of the sign-LSH ANN vs the exact brute top-10
     "ann_recall": q_ann_recall,
@@ -15713,6 +15748,7 @@ EXTRA_ORACLE_SQL = {
     "greedy_cover": SQL_GREEDY_COVER,
     "bpe_top_pairs": SQL_BPE_TOP_PAIRS,
     "bpe_train": SQL_BPE_TRAIN,
+    "bpe_encode": SQL_BPE_ENCODE,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "ann_recall": SQL_ANN_RECALL,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
