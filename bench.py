@@ -219,6 +219,10 @@ BENCH_QUERIES = [
     "term_burstiness",
     "rich_club",
     "effective_diameter",
+    # round-5 additions
+    "bpe_train",
+    "bpe_encode",
+    "incremental_neardup",
 ]
 
 

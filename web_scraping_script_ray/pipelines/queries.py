@@ -1987,6 +1987,20 @@ def _minhash_pairs_impl(sf_dir: str, force_path: str | None = None) -> pa.Table:
         ds, id_col="doc_id", text_col="text",
         threshold=0.4, num_perm=128, n_bands=32,
     ).materialize()
+    return _exact_verify_pairs(ds, cand, force_path)
+
+
+def _exact_verify_pairs(
+    ds, cand: "ray.data.Dataset", force_path: str | None = None
+) -> pa.Table:
+    """SIZE-SELECTED exact-Jaccard verification of an LSH candidate-pair
+    Dataset (shared by ``minhash_pairs`` and ``incremental_neardup``):
+    ≤ ``_LSH_VERIFY_DRIVER_LIMIT`` candidates verify in a driver loop
+    over just the candidate docs' shingle sets (the oracle-equal
+    reference plan); above it the fully distributed ``lsh_verify_pairs``
+    runs — per-pair float arithmetic identical, forced-path equality in
+    tests/test_dedup.py.  Truncation markers are surfaced as a recall
+    warning and dropped.  Returns a sorted (id_a, id_b, jaccard) table."""
     n_cand = cand.count()
     if force_path == "distributed" or (
         force_path is None and n_cand > _LSH_VERIFY_DRIVER_LIMIT
@@ -2126,11 +2140,7 @@ def q_incremental_neardup(sf_dir: str):
     self-join restricted to pairs touching the new slice — equality
     holds by the same banding-recall argument as ``minhash_pairs``
     (P(miss) < 3·10⁻⁴ per true pair, deterministic seeds)."""
-    from ..functions.dedup import (
-        _cached_minhasher,
-        lsh_verify_pairs,
-        probe_neardup_pairs,
-    )
+    from ..functions.dedup import _cached_minhasher, probe_neardup_pairs
 
     mod = _INCR_NEARDUP_MOD
     mh_kwargs = dict(text_col="text", k=3, num_perm=128, n_bands=32)
@@ -2159,27 +2169,12 @@ def q_incremental_neardup(sf_dir: str):
         ).materialize()
     index = _INCR_INDEX_CACHE[key]
     probe = ds.map_batches(signed("new"), batch_format="pyarrow")
-    cand = probe_neardup_pairs(index, probe, id_col="doc_id", threshold=0.4)
-    clean = cand.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("id_a"), 0)).select(
-            ["id_a", "id_b"]
-        ),
-        batch_format="pyarrow",
-    )
-    verified = lsh_verify_pairs(ds, clean, id_col="doc_id", text_col="text", threshold=0.7)
-    out = pa.concat_tables(
-        [t for t in ray.get(verified.to_arrow_refs()) if t.num_rows]
-        or [
-            pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        ]
-    )
-    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    cand = probe_neardup_pairs(
+        index, probe, id_col="doc_id", threshold=0.4
+    ).materialize()
+    # size-selected exact verify shared with minhash_pairs (driver loop
+    # for small candidate sets, distributed 3-exchange above the limit)
+    return _exact_verify_pairs(ds, cand)
 
 
 SQL_MINHASH_PAIRS = r"""
