@@ -127,6 +127,32 @@ def main() -> None:
             "sec": round(time.time() - t0, 2),
         }
 
+    # persisted near-dup signature index maintenance (round 5): epoch-1
+    # build projects signatures off crawl1's parsed shards (nothing
+    # re-signed), the epoch-2 update carries the unchanged majority
+    # verbatim and admits only changed/new pages — fresh == changed+new
+    # by construction, asserted in the output line
+    from web_scraping_script_ray.pipelines.refresh import (
+        _write_status_shards,
+        build_neardup_index,
+        update_neardup_index,
+    )
+
+    t0 = time.time()
+    status_dir = os.path.join(args.out, "status_shards")
+    _write_status_shards(st, status_dir, p1.n_buckets)
+    idx1 = os.path.join(args.out, "neardup_idx_v1")
+    idx2 = os.path.join(args.out, "neardup_idx_v2")
+    b1 = build_neardup_index(out1, idx1, p1.n_buckets)
+    u2 = update_neardup_index(idx1, out2, status_dir, idx2, p1.n_buckets)
+    line["neardup_index"] = {
+        "sec": round(time.time() - t0, 2),
+        "v1_rows": b1["rows"],
+        **u2,
+        "fresh_equals_changed_plus_new": u2["fresh"]
+        == counts.get("changed", 0) + counts.get("new", 0),
+    }
+
     t0 = time.time()
     stats2 = refresh_training_set(
         out1, out2, etag_dir, os.path.join(args.out, "train_v2"),
