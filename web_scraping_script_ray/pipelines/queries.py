@@ -1945,6 +1945,62 @@ GROUP BY 1
 """
 
 
+def q_cdc_dedup(sf_dir: str):
+    """CDC boilerplate REMOVAL (the rebuild half of ``cdc_chunks``):
+    drop every content-defined chunk whose content appears ≥ 2 times
+    corpus-wide and keep each doc's remaining bytes verbatim and in
+    order — ``functions.dedup.cdc_dedup_text`` end-to-end (one coarse
+    chunk-hash exchange + one row-id co-partition; chunk text never
+    crosses an exchange — boundaries are recomputed at rebuild).  The
+    SQL twin reuses the HUGEINT rolling-hash chunker of ``cdc_chunks``
+    and rebuilds with ``string_agg(chunk ORDER BY cut)`` over the
+    <2-occurrence chunks (same equivalence classes: the engine keys on
+    md5 of the chunk bytes, the oracle on the chunk string itself).
+    Emits (doc_id, text); rows whose text empties out stay as ''."""
+    from ..functions.dedup import cdc_dedup_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+    return cdc_dedup_text(ds, "doc_id", "text", mask=64).select_columns(
+        ["doc_id", "text"]
+    )
+
+
+SQL_CDC_DEDUP = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+pos AS (SELECT doc_id, text, n, unnest(range(0, greatest(n - 7, 0))) AS i FROM d),
+h AS (
+  SELECT doc_id, i,
+    CAST(({_winnow_pow_terms()}) % 18446744073709551616::HUGEINT AS UBIGINT) AS hv
+  FROM pos
+),
+cuts AS (
+  SELECT doc_id, CAST(i + 8 AS BIGINT) AS cut FROM h WHERE hv % 64 = 0
+  UNION SELECT doc_id, 0 FROM d
+  UNION SELECT doc_id, n FROM d
+),
+seg AS (
+  SELECT doc_id, cut,
+         lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS nxt
+  FROM cuts
+),
+chunks AS (
+  SELECT s.doc_id, s.cut,
+         substr(d.text, CAST(s.cut + 1 AS INT), CAST(s.nxt - s.cut AS INT)) AS chunk
+  FROM seg s JOIN d USING (doc_id)
+  WHERE s.nxt IS NOT NULL AND s.nxt > s.cut
+),
+cnt AS (SELECT chunk, count(*) AS k FROM chunks GROUP BY 1),
+rebuilt AS (
+  SELECT c.doc_id, string_agg(c.chunk, '' ORDER BY c.cut) AS text
+  FROM chunks c JOIN cnt USING (chunk)
+  WHERE cnt.k < 2
+  GROUP BY c.doc_id
+)
+SELECT doc.doc_id, coalesce(r.text, '') AS text
+FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection.  The driver's documents table contains natural
 # near-duplicates by construction (e.g. docs 0/50 have 3-gram Jaccard 0.95),
@@ -15602,6 +15658,7 @@ EXTRA_QUERIES = {
     "wilson_errors": q_wilson_errors,
     # content-defined chunking dedup profile (shift-resilient corpus dedup)
     "cdc_chunks": q_cdc_chunks,
+    "cdc_dedup": q_cdc_dedup,
     # quality-weighted dedup keep (argmax score per near-dup component)
     "neardup_keep_best": q_neardup_keep_best,
     # sorted-neighborhood ER join (sort + windowed self-join, cross-block carry)
@@ -15823,6 +15880,7 @@ EXTRA_ORACLE_SQL = {
     "markov_entropy": SQL_MARKOV_ENTROPY,
     "wilson_errors": SQL_WILSON_ERRORS,
     "cdc_chunks": SQL_CDC_CHUNKS,
+    "cdc_dedup": SQL_CDC_DEDUP,
     "neardup_keep_best": SQL_NEARDUP_KEEP_BEST,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "spearman_corr": SQL_SPEARMAN_CORR,
