@@ -53,5 +53,9 @@ def seeds_from_file(path: str) -> "ray.data.Dataset":
     ds = ray.data.read_text(path, override_num_blocks=1).map_batches(
         parse_url_lines, batch_format="pyarrow"
     )
-    urls = [r["url"] for r in ds.take_all()]
+    # streamed drain (one batch resident at a time) — bootstrap-sized
+    # either way, but no at-once take_all of the whole file
+    urls: list[str] = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        urls.extend(b.column("url").to_pylist())
     return seeds_from_urls(urls)
