@@ -2541,6 +2541,163 @@ FROM documents d LEFT JOIN canon c USING (doc_id)
 """
 
 
+def q_dedup_funnel(sf_dir: str):
+    """The corpus-dedup FUNNEL report — per-stage doc/char retention of
+    the standard cleaning ladder (what a training-data platform prints
+    after every build): stage 0 raw → stage 1 exact dedup (keep the
+    min-id doc per md5(text) group) → stage 2 + near-dup canonical keep
+    (min-id per exact-verified MinHash component, composed on stage 1).
+
+    Plan: exact-keep flags come from ONE coarse exchange co-partitioning
+    (fp-hash) rows so every md5 group is local to a partition; the flags
+    then co-partition with ``q_neardup_canonical``'s keep column by
+    ``doc_id % 32`` and each partition folds to SIX partial sums
+    (docs/chars at each stage) — the driver folds O(parts) rows into the
+    3-row report.  Nothing driver-resident scales with the corpus.
+    Emits (stage, label, n_docs, n_chars)."""
+    KP = 32
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b.column("text").to_pylist()
+        ]
+        part = np.array([int(f[:8], 16) % KP for f in fps], np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+            }
+        )
+
+    def exact_keep(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = np.asarray(g.column("fp").to_pylist(), dtype=object)
+        order = np.lexsort((ids, fps))
+        f_s, i_s = fps[order], ids[order]
+        first = np.ones(len(f_s), bool)
+        first[1:] = f_s[1:] != f_s[:-1]
+        ek = np.empty(len(ids), bool)
+        ek[order] = first
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(KP)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "val": g.column("n_chars").cast(pa.int64()),
+                "flag": pa.array(ek.astype(np.int8), pa.int8()),
+                "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            }
+        )
+
+    def tag_canon(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = b.column("keep").to_numpy(zero_copy_only=False).astype(np.int8)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(KP)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "val": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "flag": pa.array(nk, pa.int8()),
+                "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            }
+        )
+
+    def fold_part(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_numpy(zero_copy_only=False)
+        ex = g.filter(pa.array(kinds == 0))
+        cn = g.filter(pa.array(kinds == 1))
+        ids = ex.column("doc_id").to_numpy(zero_copy_only=False)
+        chars = ex.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        ek = ex.column("flag").to_numpy(zero_copy_only=False).astype(bool)
+        at = pc.index_in(
+            ex.column("doc_id"), value_set=cn.column("doc_id").combine_chunks()
+        )
+        nk = (
+            cn.column("flag")
+            .combine_chunks()
+            .take(at)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        both = ek & nk
+        return pa.table(
+            {
+                "n0": pa.array([len(ids)], pa.int64()),
+                "c0": pa.array([int(chars.sum())], pa.int64()),
+                "n1": pa.array([int(ek.sum())], pa.int64()),
+                "c1": pa.array([int(chars[ek].sum())], pa.int64()),
+                "n2": pa.array([int(both.sum())], pa.int64()),
+                "c2": pa.array([int(chars[both].sum())], pa.int64()),
+            }
+        )
+
+    def report(b: pa.Table) -> pa.Table:
+        sums = {n: int(b.column(n).to_numpy(zero_copy_only=False).sum()) for n in b.column_names}
+        return pa.table(
+            {
+                "stage": pa.array([0, 1, 2], pa.int64()),
+                "label": pa.array(
+                    ["raw", "exact", "exact+neardup"], pa.string()
+                ),
+                "n_docs": pa.array(
+                    [sums["n0"], sums["n1"], sums["n2"]], pa.int64()
+                ),
+                "n_chars": pa.array(
+                    [sums["c0"], sums["c1"], sums["c2"]], pa.int64()
+                ),
+            }
+        )
+
+    canon = q_neardup_canonical(sf_dir).select_columns(["doc_id", "keep"])
+    flags = (
+        ds.map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(exact_keep, batch_format="pyarrow")
+    )
+    return (
+        flags.union(canon.map_batches(tag_canon, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold_part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(report, batch_format="pyarrow")
+    )
+
+
+SQL_DEDUP_FUNNEL = f"""
+WITH c AS ({SQL_NEARDUP_CANONICAL}),
+e AS (
+  SELECT doc_id, n_chars,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS ek
+  FROM documents
+),
+j AS (
+  SELECT e.doc_id, e.n_chars, e.ek, c.keep AS nk
+  FROM e JOIN c USING (doc_id)
+)
+SELECT 0 AS stage, 'raw' AS label, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars FROM j
+UNION ALL
+SELECT 1, 'exact', count(*) FILTER (WHERE ek),
+       CAST(coalesce(sum(n_chars) FILTER (WHERE ek), 0) AS BIGINT) FROM j
+UNION ALL
+SELECT 2, 'exact+neardup', count(*) FILTER (WHERE ek AND nk),
+       CAST(coalesce(sum(n_chars) FILTER (WHERE ek AND nk), 0) AS BIGINT)
+FROM j
+ORDER BY stage
+"""
+
+
 def q_neardup_keep_best(sf_dir: str):
     """Quality-weighted dedup KEEP policy — per near-dup component keep
     the highest-quality member instead of the smallest id (what corpus
@@ -15659,6 +15816,7 @@ EXTRA_QUERIES = {
     # content-defined chunking dedup profile (shift-resilient corpus dedup)
     "cdc_chunks": q_cdc_chunks,
     "cdc_dedup": q_cdc_dedup,
+    "dedup_funnel": q_dedup_funnel,
     # quality-weighted dedup keep (argmax score per near-dup component)
     "neardup_keep_best": q_neardup_keep_best,
     # sorted-neighborhood ER join (sort + windowed self-join, cross-block carry)
@@ -15881,6 +16039,7 @@ EXTRA_ORACLE_SQL = {
     "wilson_errors": SQL_WILSON_ERRORS,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "cdc_dedup": SQL_CDC_DEDUP,
+    "dedup_funnel": SQL_DEDUP_FUNNEL,
     "neardup_keep_best": SQL_NEARDUP_KEEP_BEST,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "spearman_corr": SQL_SPEARMAN_CORR,
