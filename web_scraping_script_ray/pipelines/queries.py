@@ -6339,6 +6339,139 @@ SQL_BPE_ENCODE = _bpe_train_sql(
 )
 
 
+def q_bpe_fertility(sf_dir: str):
+    """Tokenizer FERTILITY report by language — BPE tokens per
+    whitespace word under the trained merges (the "how well does the
+    tokenizer fit each language slice" number a tokenizer change is
+    judged by): (lang, n_docs, ws_tokens, bpe_tokens, fertility_micro =
+    bpe·10⁶ // ws).  Composes ``bpe_encode``'s per-doc counts with a
+    per-doc (lang, ws-count) map partial via ONE doc_id co-partition
+    exchange; the per-lang fold is metadata-scale.  Docs with no tokens
+    are absent from both sides (join parity)."""
+    from ..functions.agg import grouped_sum_count
+    from ..functions.bpe import bpe_encode_counts
+    from ..functions.hashing import flat_tokens
+
+    KP = 32
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    enc = bpe_encode_counts(ds, "doc_id", "text", n_merges=_BPE_TRAIN_MERGES)
+
+    def tag_enc(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(KP)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array([""] * len(ids), pa.string()),
+                "v": b.column("n_tokens").cast(pa.int64()),
+                "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            }
+        )
+
+    def doc_ws(b: pa.Table) -> pa.Table:
+        flat, offsets = flat_tokens(b.column("text"))
+        nws = np.diff(offsets)
+        keep = nws > 0
+        ids = (
+            b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        )
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)[keep]
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(KP)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs.tolist(), pa.string()),
+                "v": pa.array(nws[keep].astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(int(keep.sum()), np.int8), pa.int8()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_numpy(zero_copy_only=False)
+        e = g.filter(pa.array(kinds == 0))
+        w = g.filter(pa.array(kinds == 1))
+        at = pc.index_in(
+            w.column("doc_id"), value_set=e.column("doc_id").combine_chunks()
+        )
+        bpe = (
+            e.column("v").combine_chunks().take(at).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ws = w.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(w.column("lang").to_pylist(), dtype=object)
+        ul, inv = np.unique(langs, return_inverse=True)
+        nd = np.bincount(inv)
+        sw = np.zeros(len(ul), np.int64)
+        sb = np.zeros(len(ul), np.int64)
+        np.add.at(sw, inv, ws)
+        np.add.at(sb, inv, bpe)
+        return pa.table(
+            {
+                "lang": pa.array(ul.tolist(), pa.string()),
+                "__d": pa.array(nd.astype(np.int64), pa.int64()),
+                "__w": pa.array(sw, pa.int64()),
+                "__b": pa.array(sb, pa.int64()),
+            }
+        )
+
+    partials = (
+        enc.map_batches(tag_enc, batch_format="pyarrow")
+        .union(ds.map_batches(doc_ws, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    merged = grouped_sum_count(
+        partials,
+        ["lang"],
+        ["__d", "__w", "__b"],
+        {"__d": "n_docs", "__w": "ws_tokens", "__b": "bpe_tokens"},
+        coarse=8,
+    )
+
+    def ratio(b: pa.Table) -> pa.Table:
+        ws = b.column("ws_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        bp = b.column("bpe_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_docs": b.column("n_docs"),
+                "ws_tokens": b.column("ws_tokens"),
+                "bpe_tokens": b.column("bpe_tokens"),
+                "fertility_micro": pa.array(
+                    bp * 1_000_000 // np.maximum(ws, 1), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(ratio, batch_format="pyarrow")
+
+
+SQL_BPE_FERTILITY = _bpe_train_sql(
+    _BPE_TRAIN_MERGES,
+    final=(
+        ", dt AS (SELECT doc_id,"
+        r" unnest(regexp_extract_all(lower(text), '\S+')) AS tok"
+        " FROM documents),\n"
+        "enc AS (SELECT d.doc_id, sum(len(s.syms)) AS n_bpe,"
+        " count(*) AS n_ws\n"
+        f"        FROM dt d JOIN s{_BPE_TRAIN_MERGES} s ON s.wid = d.tok"
+        " GROUP BY d.doc_id)\n"
+        "SELECT doc.lang, count(*) AS n_docs,\n"
+        "       CAST(sum(e.n_ws) AS BIGINT) AS ws_tokens,\n"
+        "       CAST(sum(e.n_bpe) AS BIGINT) AS bpe_tokens,\n"
+        "       CAST(sum(e.n_bpe) * 1000000 // sum(e.n_ws) AS BIGINT)"
+        " AS fertility_micro\n"
+        "FROM enc e JOIN documents doc USING (doc_id)\n"
+        "GROUP BY doc.lang ORDER BY doc.lang"
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Greedy set cover over sources (diversity-maximizing corpus selection).
 # ---------------------------------------------------------------------------
@@ -15659,6 +15792,7 @@ EXTRA_QUERIES = {
     "bpe_top_pairs": q_bpe_top_pairs,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "bpe_fertility": q_bpe_fertility,
     "incremental_neardup": q_incremental_neardup,
     # recall@10 of the sign-LSH ANN vs the exact brute top-10
     "ann_recall": q_ann_recall,
@@ -15959,6 +16093,7 @@ EXTRA_ORACLE_SQL = {
     "bpe_top_pairs": SQL_BPE_TOP_PAIRS,
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_encode": SQL_BPE_ENCODE,
+    "bpe_fertility": SQL_BPE_FERTILITY,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "ann_recall": SQL_ANN_RECALL,
     "sliding_distinct": SQL_SLIDING_DISTINCT,
