@@ -678,13 +678,15 @@ def update_neardup_index(
     carried = ray.data.read_parquet(prior_index_dir).map_batches(
         drop_superseded, batch_format="pyarrow"
     )
+    # materialize once: the union write AND the fresh count both consume
+    # it (a lazy dataset would re-run the status-filtered parse read)
     fresh = _sig_index_rows(
         ray.data.read_parquet(os.path.join(refresh_out_dir, "parsed")).map_batches(
             only_fresh, batch_format="pyarrow"
         ),
         n_buckets,
         seq_offset,
-    )
+    ).materialize()
     carried.union(fresh).write_parquet(dest_index_dir, partition_cols=["bucket"])
     rows = _index_rows_written(dest_index_dir)
     fresh_rows = fresh.count()
