@@ -367,3 +367,23 @@ def test_cdc_dedup_non_ascii_byte_chunks():
         .to_dict()
     )
     assert out == expect
+
+
+def test_incremental_neardup_verify_plans_agree():
+    """Forced driver verify == forced distributed verify for the
+    incremental probe's candidate set (pins the _exact_verify_pairs
+    composition the same way test_minhash_verify_plans_agree pins the
+    full-corpus path)."""
+    from web_scraping_script_ray.pipelines.queries import q_incremental_neardup
+
+    sf = "/root/testdata/sf0.001"
+    frames = {}
+    for plan in ("driver", "distributed"):
+        frames[plan] = (
+            q_incremental_neardup(sf, force_path=plan)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+    assert len(frames["driver"]) > 0
+    assert frames["driver"].equals(frames["distributed"])

@@ -2182,7 +2182,7 @@ _INCR_NEARDUP_MOD = 7  # docs with doc_id % 7 == 0 model the changed/new slice
 _INCR_INDEX_CACHE: dict = {}
 
 
-def q_incremental_neardup(sf_dir: str):
+def q_incremental_neardup(sf_dir: str, force_path: str | None = None):
     """Near-dup pairs INVOLVING the epoch's changed/new docs, computed
     incrementally: the prior corpus' MinHash signatures come from a
     persisted index (built once per corpus and reused — modeled by a
@@ -2229,8 +2229,9 @@ def q_incremental_neardup(sf_dir: str):
         index, probe, id_col="doc_id", threshold=0.4
     ).materialize()
     # size-selected exact verify shared with minhash_pairs (driver loop
-    # for small candidate sets, distributed 3-exchange above the limit)
-    return _exact_verify_pairs(ds, cand)
+    # for small candidate sets, distributed 3-exchange above the limit;
+    # ``force_path`` pins one for the forced-path pytest)
+    return _exact_verify_pairs(ds, cand, force_path)
 
 
 SQL_MINHASH_PAIRS = r"""
