@@ -526,6 +526,8 @@ def bpe_encode_counts(
         at = pc.index_in(
             cor.column("word"), value_set=voc.column("word").combine_chunks()
         )
+        if at.null_count:  # vocab is built from this corpus — fail loudly
+            raise AssertionError("bpe_encode: corpus word missing from vocab")
         ln = voc.column("a").combine_chunks().take(at).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)

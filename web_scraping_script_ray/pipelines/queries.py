@@ -2624,6 +2624,8 @@ def q_dedup_funnel(sf_dir: str):
         at = pc.index_in(
             ex.column("doc_id"), value_set=cn.column("doc_id").combine_chunks()
         )
+        if at.null_count:  # canonical covers every doc — fail loudly, not NaN
+            raise AssertionError("dedup_funnel: doc missing from canonical keep table")
         nk = (
             cn.column("flag")
             .combine_chunks()
@@ -6400,6 +6402,8 @@ def q_bpe_fertility(sf_dir: str):
         at = pc.index_in(
             w.column("doc_id"), value_set=e.column("doc_id").combine_chunks()
         )
+        if at.null_count:  # every tokenful doc has an encode row — fail loudly
+            raise AssertionError("bpe_fertility: doc missing from encode table")
         bpe = (
             e.column("v").combine_chunks().take(at).to_numpy(zero_copy_only=False)
         ).astype(np.int64)
